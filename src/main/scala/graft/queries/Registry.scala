@@ -1,0 +1,9 @@
+package graft.queries
+
+import graft.Q
+
+/** Aggregates every query suite into the driver-facing registry. */
+object Registry {
+  def all: Seq[Q] =
+    Relational.queries
+}

@@ -1,0 +1,319 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational analytics suite over the TPC-H-ish testdata.
+  *
+  * The reference engine (see SURVEY.md §2.10) has no relational algebra;
+  * on Spark the whole surface comes native. These queries pin down that
+  * surface with DuckDB oracles and double as the bench headline set.
+  *
+  * Conventions for oracle parity:
+  *  - every aggregate / computed column aliased identically on both sides;
+  *  - double aggregates rounded (sum→2dp, avg→4dp) to absorb summation-order
+  *    differences between Spark partial aggregation and DuckDB;
+  *  - deterministic ORDER BY on both sides;
+  *  - timestamps cast to DATE on output (duckdb naive vs spark UTC parity).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    Q("q01_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2)      AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 4)      AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4)      AS avg_disc,
+        |       count(*)                       AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ------------------------------------------------------------------
+    // Star join: small dims broadcast; the only shuffle joins are the
+    // lineitem↔orders fact joins (on their keys) — survives scale-up.
+    Q("q02_join_revenue",
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ------------------------------------------------------------------
+    Q("q03_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_date"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ------------------------------------------------------------------
+    // Narrow projection + selective predicate: both reach the parquet
+    // scan (PushedFilters / ReadSchema — verified in PlanSpec).
+    Q("q04_filter_scan",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 49 AND l_discount > 0.07
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49 && col("l_discount") > 0.07)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ------------------------------------------------------------------
+    Q("q05_window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("o_custkey"), col("rnk"))
+    },
+
+    // ------------------------------------------------------------------
+    Q("q06_distinct_agg",
+      """SELECT c_mktsegment,
+        |       count(DISTINCT c_nationkey) AS n_nations,
+        |       count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ------------------------------------------------------------------
+    Q("q07_anti_join",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ------------------------------------------------------------------
+    Q("q08_semi_join",
+      """SELECT p_partkey, p_name, p_retailprice
+        |FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 48),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ------------------------------------------------------------------
+    Q("q09_rollup",
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ------------------------------------------------------------------
+    Q("q10_events_daily",
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // ------------------------------------------------------------------
+    // Sessionization: 30-min inactivity gap, per user. The analytic
+    // (lag + cumulative conditional sum) shape of stream session windows.
+    Q("q11_sessions",
+      """WITH gaps AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM gaps)
+        |SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("new_session",
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(cum))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    Q("q12_pivot",
+      """SELECT user_id,
+        |       round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click,
+        |       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
+        |       round(sum(CASE WHEN event_type = 'error'    THEN value ELSE 0 END), 2) AS error
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+      e.groupBy(col("user_id"))
+        .agg(
+          round(sum(when(col("event_type") === "click", col("value")).otherwise(0)), 2).as("click"),
+          round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0)), 2).as("purchase"),
+          round(sum(when(col("event_type") === "error", col("value")).otherwise(0)), 2).as("error"))
+        .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    Q("q13_setops",
+      """SELECT c_custkey FROM (
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+        |) ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey"))
+        .intersect(o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // Correlated-style: orders above their customer's average price.
+    Q("q14_above_avg",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders JOIN (
+        |  SELECT o_custkey AS k, avg(o_totalprice) AS avg_price
+        |  FROM orders GROUP BY o_custkey
+        |) ON o_custkey = k
+        |WHERE o_totalprice > 1.5 * avg_price
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val avgs = o.groupBy(col("o_custkey").as("k"))
+        .agg(avg(col("o_totalprice")).as("avg_price"))
+      o.join(avgs, col("o_custkey") === col("k"))
+        .filter(col("o_totalprice") > lit(1.5) * col("avg_price"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // Scalar-function battery over IEEE-exact ops (abs/ceil/floor/sqrt,
+    // string funcs) — no rounding needed, values are bit-exact.
+    Q("q15_scalar_funcs",
+      """SELECT p_partkey,
+        |       upper(p_brand) AS brand_u,
+        |       length(p_name) AS name_len,
+        |       substr(p_type, 1, 5) AS type5,
+        |       abs(p_retailprice - 1000.0) AS dist1k,
+        |       CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
+        |       sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+        |       CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'mid'
+        |            ELSE 'small' END AS size_class
+        |FROM part
+        |WHERE p_name LIKE '%steel%' OR p_size % 7 = 0
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").like("%steel%") || col("p_size") % 7 === 0)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          abs(col("p_retailprice") - 1000.0).as("dist1k"),
+          floor(col("p_retailprice") / 100).as("price_bucket"),
+          sqrt(col("p_size").cast("double")).as("size_sqrt"),
+          when(col("p_size") >= 25, "large").when(col("p_size") >= 10, "mid")
+            .otherwise("small").as("size_class"))
+        .orderBy(col("p_partkey"))
+    }
+  )
+}
