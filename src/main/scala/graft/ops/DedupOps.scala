@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact (hash), MinHash+LSH, SimHash and
+  * n-gram Jaccard. All signature computation is per-row `functions._`
+  * expressions (codegen'd, embarrassingly parallel); the only shuffles
+  * are the final groupBy/join on signature keys — at 100 TB the LSH
+  * band join touches only candidate buckets instead of the O(n²) pair
+  * space, which is the whole point of the design.
+  */
+object DedupOps {
+  import TextOps._
+
+  // ----------------------------------------------------------------- exact
+
+  /** Exact dedup: canonical id = min doc id sharing the same md5(text).
+    * One shuffle on the 32-char hash; survives any scale (the groupBy
+    * key is uniform).
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol), md5(col(textCol)).as("text_md5"))
+    val canon = hashed.groupBy(col("text_md5"))
+      .agg(min(col(idCol)).as("canonical_id"))
+    hashed.join(canon, "text_md5")
+      .select(col(idCol), col("text_md5"), col("canonical_id"),
+        (col(idCol) =!= col("canonical_id")).as("is_dup"))
+  }
+
+  // --------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles (distinct), hashed. Shingle count is
+    * `len - n` on both engines (guarded: Spark's `sequence` would go
+    * descending on an empty range, DuckDB's `range` returns []).
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n - 1),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) > n, array_distinct(transform(grams, g => polyHash(g))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  def shingleHashesSql(expr: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"toks[i + $j + 1]").mkString(" || ' ' || ")
+    s"""list_distinct(list_transform(
+       |  list_transform(range(greatest(len(toks) - $n, 0)), i -> $parts),
+       |  g -> ${polyHashSql("g")}))""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash parameters: K independent linear hashes (a*h + b) % M.
+    * Fixed primes so Spark and the SQL oracle agree.
+    */
+  val MinHashA: Seq[Long] = Seq(7, 11, 13, 17, 19, 23, 29, 31)
+  val MinHashB: Seq[Long] = Seq(3, 5, 101, 407, 13, 89, 971, 271)
+  val NumBands = 4 // 8 hashes → 4 bands × 2 rows
+
+  /** K-wide MinHash signature of a distinct-hash set column. */
+  def minHashSig(hashes: Column): Column =
+    array((0 until MinHashA.size).map { i =>
+      array_min(transform(hashes, h => (lit(MinHashA(i)) * h + MinHashB(i)) % HashMod))
+    }: _*)
+
+  def minHashSigSql(hashesExpr: String): String =
+    (0 until MinHashA.size).map { i =>
+      s"list_min(list_transform($hashesExpr, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % $HashMod))"
+    }.mkString("[", ", ", "]")
+
+  /** LSH band keys from a K-wide signature: NumBands values, each the
+    * poly-combination of its rows — docs sharing any band key are
+    * candidate pairs.
+    */
+  def bandKeys(sig: Column): Column = {
+    val rows = MinHashA.size / NumBands
+    array((0 until NumBands).map { b =>
+      (0 until rows).foldLeft(lit(b.toLong): Column)((acc, r) =>
+        (acc * 31 + element_at(sig, b * rows + r + 1)) % HashMod)
+    }: _*)
+  }
+
+  def bandKeysSql(sigExpr: String): String = {
+    val rows = MinHashA.size / NumBands
+    (0 until NumBands).map { b =>
+      (0 until rows).foldLeft(s"CAST($b AS BIGINT)")((acc, r) =>
+        s"(($acc) * 31 + $sigExpr[${b * rows + r + 1}]) % $HashMod")
+    }.mkString("[", ", ", "]")
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  val SimHashBits = 31
+
+  /** SimHash over token hashes: bit j of the result is set iff more
+    * token hashes have bit j set than unset. Computed as 31 independent
+    * majority votes folded back into one long — all in codegen'd array
+    * expressions (bit positions are compile-time constants, so the
+    * whole thing is one wide projection).
+    */
+  def simHash(hashes: Column): Column =
+    (0 until SimHashBits).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def simHashSql(hashesExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range($SimHashBits), j ->
+       |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform($hashesExpr, h ->
+       |             CASE WHEN (h >> j) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+       |           (a, b) -> a + b) > 0
+       |    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+       |  (a, b) -> a + b)""".stripMargin
+
+  /** Hamming distance between two SimHash longs (popcount of xor). */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // ---------------------------------------------------------------- jaccard
+
+  /** Jaccard similarity of two distinct-hash arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  def jaccardSql(a: String, b: String): String =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE)"
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata. The real decode (JPEG, PCM,
+  * H.264) would link a native library that is not in this container, so
+  * the decode kernel is STUBBED with a deterministic fake — but the
+  * Spark-side plumbing (schema, partition-wise batch processing,
+  * feature/frames output shapes) is the real thing and is what these
+  * operators exercise and test.
+  *
+  * The batch shape mirrors what a vectorized (Arrow/pandas-style) UDF
+  * would see: `mapPartitions` receives an iterator per partition, so a
+  * real decoder could amortize model/codec init per partition exactly
+  * like `mapInPandas` batches do in PySpark.
+  */
+object MultimodalOps {
+
+  /** Opaque media row: payload + typed metadata. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte], n_bytes: Long)
+
+  /** Extracted feature row. */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      checksum: Long, first_byte: Int, last_byte: Int,
+      feature: Array[Float])
+
+  /** One sampled frame of a media payload. */
+  final case class MediaFrame(media_id: Long, frame_no: Int, offset: Long, frame_checksum: Long)
+
+  val FeatureDim = 8
+
+  /** STUB decode kernel: a real implementation would decode the codec
+    * here; the fake derives a deterministic FeatureDim-vector by strided
+    * byte sampling, so tests are reproducible.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val n = payload.length
+    Array.tabulate(FeatureDim) { i =>
+      if (n == 0) 0f
+      else (payload(math.min((i.toLong * n / FeatureDim).toInt, n - 1)) & 0xff) / 255f
+    }
+  }
+
+  /** Wrap a documents-like table into an opaque media table (the
+    * container has no real image/audio fixtures; UTF-8 text bytes stand
+    * in for the payload).
+    */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("text/fake").as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"))
+
+  /** Feature extraction: partition-wise batch decode (stubbed kernel) +
+    * cheap metadata features. Narrow (no shuffle): each partition is
+    * decoded independently.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init would go here (codec/model handles)
+      rows.map { r =>
+        val p = r.payload
+        var sum = 0L
+        var i = 0
+        while (i < p.length) { sum = (sum + (p(i) & 0xff)) % 1000000007L; i += 1 }
+        MediaFeatures(
+          r.media_id, r.kind, r.n_bytes, sum,
+          if (p.nonEmpty) p(0) & 0xff else -1,
+          if (p.nonEmpty) p(p.length - 1) & 0xff else -1,
+          decodeStub(p))
+      }
+    }
+  }
+
+  /** Frame sampling: split each payload into `nFrames` byte slices
+    * ("frames") with per-frame checksums. flatMap shape — one input row
+    * fans out to nFrames rows, still narrow.
+    */
+  def sampleFrames(media: Dataset[MediaRow], nFrames: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = r.payload.length
+      (0 until nFrames).map { f =>
+        val start = (f.toLong * n / nFrames).toInt
+        val end = ((f + 1).toLong * n / nFrames).toInt
+        var sum = 0L
+        var i = start
+        while (i < end) { sum = (sum + (r.payload(i) & 0xff)) % 1000000007L; i += 1 }
+        MediaFrame(r.media_id, f, start.toLong, sum)
+      }
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — the right plan when |queries| ≪ |corpus|, which is the
+  * ANN serving shape). Scale path: LSH random-hyperplane bucketing so
+  * the candidate set per query is a bucket, not the corpus.
+  *
+  * All arithmetic is sequential double accumulation via
+  * `zip_with`/`aggregate` so the DuckDB oracle (list_reduce over
+  * list_zip) is bit-identical.
+  */
+object SimilarityOps {
+
+  /** Dot product of two float-array columns, accumulated in double in
+    * element order (bit-identical to the SQL oracle's list_reduce).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, v) => acc + v)
+
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * Queries are broadcast (small side); the corpus is scanned exactly
+    * once — no shuffle of the corpus, only of the (nQueries × k) result.
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+  }
+
+  /** Number of random hyperplanes for the LSH scale path. */
+  val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * integer-hash folded to (-0.5, 0.5). Same closed form is used in the
+    * SQL oracle, so buckets agree exactly.
+    */
+  def planeComponent(plane: Int, dim: Column): Column =
+    ((lit(plane.toLong * 31L) + dim) * 2654435761L % 1000003L).cast("double") / 1000003d - 0.5
+
+  /** LSH bucket id of an embedding: sign pattern against NumPlanes
+    * deterministic hyperplanes, packed into a long.
+    */
+  def lshBucket(emb: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0L), size(emb).cast("long") - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0d), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBucketSql(emb: String): String = {
+    val bits = (0 until NumPlanes).map { p =>
+      val comp = s"(CAST((($p * 31 + p2[2] - 1) * 2654435761) % 1000003 AS DOUBLE) / 1000003 - 0.5)"
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(list_zip($emb, range(1, len($emb) + 1)), p2 -> CAST(p2[1] AS DOUBLE) * $comp)),
+         |  (x, y) -> x + y) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** Bucketed ANN: join queries to corpus on the LSH bucket, then
+    * top-k within the candidate set. At scale this replaces the full
+    * cross product with a bucket-local join (shuffle keyed on bucket).
+    */
+  def lshTopK(vecs: DataFrame, k: Int): DataFrame = {
+    val withBucket = vecs.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding")).as("bucket"))
+    val q = withBucket.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("bucket"))
+    val c = withBucket.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cos"), col("rnk"))
+  }
+}

@@ -1,0 +1,292 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+/** Training-data pipeline operators as driver-checkable queries:
+  * text analysis, dedup family, similarity search, multimodal plumbing.
+  * Each Spark program and its DuckDB oracle share the exact same
+  * deterministic formulas (see graft.ops.* for both sides).
+  */
+object Pipeline {
+  import TextOps._
+  import DedupOps._
+  import SimilarityOps._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------- text: tokens
+    Q("p01_txt_tokens",
+      s"""SELECT doc_id,
+         |       len(string_split(text, ' ')) AS n_tokens,
+         |       length(text) AS n_chars,
+         |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |         / len(string_split(text, ' ')) AS avg_token_len,
+         |       ${polyHashSql("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double")
+          / size(tokens(col("text")))).as("avg_token_len"),
+        polyHash(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --------------------------------------------------------- text: quality
+    Q("p02_txt_quality", {
+      val toks = "string_split(text, ' ')"
+      val stop = countInSql(toks, Stopwords)
+      s"""SELECT doc_id,
+         |       $stop AS n_stopwords,
+         |       CAST($stop AS DOUBLE) / len($toks) AS stopword_ratio,
+         |       CAST(len(list_filter($toks, t -> length(t) >= 6)) AS DOUBLE)
+         |         / len($toks) AS long_token_ratio,
+         |       CASE WHEN len($toks) >= 20 AND $stop > 0 THEN 'keep'
+         |            ELSE 'drop' END AS quality_class
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val stop = countIn(toks, Stopwords)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        stop.as("n_stopwords"),
+        (stop.cast("double") / size(toks)).as("stopword_ratio"),
+        (size(filter(toks, tk => length(tk) >= 6)).cast("double")
+          / size(toks)).as("long_token_ratio"),
+        when(size(toks) >= 20 && stop > 0, "keep").otherwise("drop").as("quality_class"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --------------------------------------------------------- text: lang id
+    Q("p03_txt_langid", {
+      val toks = "string_split(text, ' ')"
+      val scores = LangMarkers.map { case (lg, ws) =>
+        s"${countInSql(toks, ws)} AS score_$lg"
+      }.mkString(",\n       ")
+      val best = LangMarkers.map(_._1).map(lg => s"score_$lg").reduceLeft((a, b) => s"greatest($a, $b)")
+      val guess = LangMarkers.map(_._1)
+        .map(lg => s"WHEN score_$lg = best THEN '$lg'").mkString(" ")
+      s"""SELECT doc_id, lang, score_en, score_de, score_fr, score_es, score_zh,
+         |       CASE $guess END AS lang_guess
+         |FROM (SELECT doc_id, lang, $scores, $best AS best FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val scored = t(s, dir, "documents").select(
+        col("doc_id") +: col("lang") +: LangMarkers.map { case (lg, ws) =>
+          countIn(toks, ws).as(s"score_$lg")
+        }: _*)
+      val best = LangMarkers.map(m => col(s"score_${m._1}")).reduceLeft(greatest(_, _))
+      // first language (in declaration order) achieving the max score
+      val guessCol = LangMarkers.map(_._1).reverse
+        .foldLeft(lit(null).cast("string")) { (acc, lg) =>
+          when(col(s"score_$lg") === col("best"), lg).otherwise(acc)
+        }
+      scored.withColumn("best", best)
+        .withColumn("lang_guess", guessCol)
+        .drop("best")
+        .orderBy(col("doc_id"))
+    },
+
+    // --------------------------------------------------------- dedup: exact
+    Q("p04_dd_exact",
+      """SELECT d.doc_id, md5(d.text) AS text_md5,
+        |       m.canonical_id,
+        |       d.doc_id <> m.canonical_id AS is_dup
+        |FROM documents d
+        |JOIN (SELECT md5(text) AS h, min(doc_id) AS canonical_id
+        |      FROM documents GROUP BY 1) m ON md5(d.text) = m.h
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("text_md5"), col("canonical_id"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -------------------------------------------------- dedup: minhash sigs
+    Q("p05_dd_minhash", {
+      val hashes = tokenHashesSql("text")
+      val sig = minHashSigSql("hashes")
+      val bands = bandKeysSql("sig")
+      s"""SELECT doc_id,
+         |       array_to_string(sig, ':') AS sig_str,
+         |       bands[1] AS band0, bands[2] AS band1,
+         |       bands[3] AS band2, bands[4] AS band3
+         |FROM (SELECT doc_id, $bands AS bands, sig
+         |      FROM (SELECT doc_id, $sig AS sig
+         |            FROM (SELECT doc_id, $hashes AS hashes FROM documents)))
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokenHashes(col("text")).as("hashes"))
+        .select(col("doc_id"), minHashSig(col("hashes")).as("sig"))
+        .select(col("doc_id"), col("sig"), bandKeys(col("sig")).as("bands"))
+        .select(
+          col("doc_id"),
+          array_join(col("sig"), ":").as("sig_str"),
+          element_at(col("bands"), 1).as("band0"),
+          element_at(col("bands"), 2).as("band1"),
+          element_at(col("bands"), 3).as("band2"),
+          element_at(col("bands"), 4).as("band3"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------- dedup: minhash LSH pairs
+    Q("p06_dd_minhash_pairs", {
+      val hashes = tokenHashesSql("text")
+      val sig = minHashSigSql("hashes")
+      val bands = bandKeysSql("sig")
+      val jac = jaccardSql("a.hashes", "b.hashes")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, hashes, $bands AS bands
+         |  FROM (SELECT doc_id, hashes, $sig AS sig
+         |        FROM (SELECT doc_id, $hashes AS hashes FROM documents))),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM (SELECT doc_id, unnest(bands) AS key, unnest(range(4)) AS band FROM sigs) a
+         |  JOIN (SELECT doc_id, unnest(bands) AS key, unnest(range(4)) AS band FROM sigs) b
+         |    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, $jac AS jaccard
+         |FROM cand
+         |JOIN sigs a ON a.doc_id = id_a
+         |JOIN sigs b ON b.doc_id = id_b
+         |WHERE $jac >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"), tokenHashes(col("text")).as("hashes"))
+        .withColumn("bands", bandKeys(minHashSig(col("hashes"))))
+      val exploded = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.key") === col("b.key") && col("a.band") === col("b.band")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val withSets = cand
+        .join(sigs.select(col("doc_id").as("id_a"), col("hashes").as("ha")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("hashes").as("hb")), "id_b")
+        .withColumn("jaccard", jaccard(col("ha"), col("hb")))
+        .filter(col("jaccard") >= 0.4)
+      withSets.select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ------------------------------------------------------ dedup: simhash
+    Q("p07_dd_simhash", {
+      val hashes = tokenHashesSql("text")
+      s"""SELECT doc_id, ${simHashSql("hashes")} AS simhash
+         |FROM (SELECT doc_id, $hashes AS hashes FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokenHashes(col("text")).as("hashes"))
+        .select(col("doc_id"), simHash(col("hashes")).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------- dedup: n-gram jaccard NN
+    // For every doc: its nearest neighbor by 3-gram shingle Jaccard
+    // within the same source block (blocked O(block²), not O(n²)).
+    Q("p08_dd_ngram_nn", {
+      val sh = DedupOps.shingleHashesSql("text", 3)
+      val jac = jaccardSql("a.sh", "b.sh")
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, sh
+         |  FROM (SELECT doc_id, source, $sh AS sh
+         |        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks, text FROM documents))),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_id, b.doc_id AS nn_id, $jac AS jac,
+         |         row_number() OVER (PARTITION BY a.doc_id
+         |                            ORDER BY $jac DESC, b.doc_id) AS rnk
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id <> b.doc_id)
+         |SELECT doc_id, nn_id, jac FROM pairs WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), shingleHashes(col("text"), 3).as("sh"))
+      val w = Window.partitionBy(col("a.doc_id")).orderBy(col("jac").desc, col("b.doc_id"))
+      sh.as("a").join(sh.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") =!= col("b.doc_id"))
+        .withColumn("jac", jaccard(col("a.sh"), col("b.sh")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nn_id"), col("jac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --------------------------------------- similarity: brute-force top-k
+    Q("p09_sim_brute_topk", {
+      val cos = cosineSql("q.embedding", "c.embedding")
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cos AS cos,
+         |         row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20)
+         |SELECT query_id, neighbor_id, cos, rnk FROM scored WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      bruteTopK(e.filter(col("vec_id") < 20), e, 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // ------------------------------------- similarity: embedding NN in block
+    Q("p10_dd_embed_nn", {
+      val cos = cosineSql("a.embedding", "b.embedding")
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, $cos AS cos,
+         |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cos DESC, b.vec_id) AS rnk
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nn_id, cos, cos >= 0.95 AS is_neardup
+         |FROM pairs WHERE rnk = 1 ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val w = Window.partitionBy(col("a.vec_id")).orderBy(col("cos").desc, col("b.vec_id"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+          col("cos"), (col("cos") >= 0.95).as("is_neardup"))
+        .orderBy(col("vec_id"))
+    },
+
+    // --------------------------------------------- similarity: LSH buckets
+    Q("p11_sim_lsh_buckets", {
+      val bucket = lshBucketSql("embedding")
+      s"""SELECT vec_id, $bucket AS bucket FROM embeddings ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------- multimodal plumbing
+    Q.noOracle("p12_mm_features") { (s, dir) =>
+      import s.implicits._
+      val media = MultimodalOps.asMedia(t(s, dir, "documents"), "doc_id", "text")
+        .as[MultimodalOps.MediaRow]
+      MultimodalOps.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+          col("first_byte"), col("last_byte"))
+        .orderBy(col("media_id"))
+    },
+
+    Q.noOracle("p13_mm_frames") { (s, dir) =>
+      import s.implicits._
+      val media = MultimodalOps.asMedia(t(s, dir, "documents"), "doc_id", "text")
+        .as[MultimodalOps.MediaRow]
+      MultimodalOps.sampleFrames(media, 4).toDF()
+        .orderBy(col("media_id"), col("frame_no"))
+    }
+  )
+}
