@@ -1,0 +1,228 @@
+package graft.cef
+
+/** Predicate + sentence layer: the scalar functions of the pattern language.
+  *
+  * Re-expresses the reference's predicate library
+  * (Wayeb/cef/src/main/scala/fsm/symbolic/logic/predicates, 18 files)
+  * and sentence evaluation (fsm/symbolic/logic/Sentence.scala:20-223) as a
+  * small ADT. These run per-event inside pattern evaluation — deliberately
+  * plain Scala, not Catalyst expressions (SURVEY.md §2.2 P6).
+  */
+sealed trait Predicate extends Product with Serializable {
+  def eval(e: CEvent): Boolean
+}
+
+object Predicate {
+  final case class IsEventType(t: String) extends Predicate {
+    def eval(e: CEvent): Boolean = e.eventType == t
+  }
+  case object True extends Predicate { def eval(e: CEvent): Boolean = true }
+
+  // numeric comparisons against constants (reference EQ/GT/GTE/LT/LTE/BT)
+  final case class EQ(attr: String, v: Double) extends Predicate {
+    def eval(e: CEvent): Boolean = e.numberOf(attr) == v
+  }
+  final case class GT(attr: String, v: Double) extends Predicate {
+    def eval(e: CEvent): Boolean = e.numberOf(attr) > v
+  }
+  final case class GTE(attr: String, v: Double) extends Predicate {
+    def eval(e: CEvent): Boolean = e.numberOf(attr) >= v
+  }
+  final case class LT(attr: String, v: Double) extends Predicate {
+    def eval(e: CEvent): Boolean = e.numberOf(attr) < v
+  }
+  final case class LTE(attr: String, v: Double) extends Predicate {
+    def eval(e: CEvent): Boolean = e.numberOf(attr) <= v
+  }
+  /** between, inclusive-exclusive like the reference BT (min <= x < max). */
+  final case class BT(attr: String, lo: Double, hi: Double) extends Predicate {
+    def eval(e: CEvent): Boolean = { val x = e.numberOf(attr); x >= lo && x < hi }
+  }
+  final case class EQStr(attr: String, v: String) extends Predicate {
+    def eval(e: CEvent): Boolean = e.stringOf(attr) == v
+  }
+
+  // ---- spatial predicates (maritime domain); haversine in km like the
+  // reference utils/SpatialUtils.scala (earth radius 6371 km).
+  final case class WithinCircle(lonAttr: String, latAttr: String,
+      cLon: Double, cLat: Double, radiusKm: Double) extends Predicate {
+    def eval(e: CEvent): Boolean =
+      Spatial.haversineKm(e.numberOf(lonAttr), e.numberOf(latAttr), cLon, cLat) < radiusKm
+  }
+  final case class OutsideCircle(lonAttr: String, latAttr: String,
+      cLon: Double, cLat: Double, radiusKm: Double) extends Predicate {
+    def eval(e: CEvent): Boolean =
+      Spatial.haversineKm(e.numberOf(lonAttr), e.numberOf(latAttr), cLon, cLat) >= radiusKm
+  }
+  /** lo <= haversine(point, center) < hi, in km. */
+  final case class DistanceBetween(lonAttr: String, latAttr: String,
+      cLon: Double, cLat: Double, lo: Double, hi: Double) extends Predicate {
+    def eval(e: CEvent): Boolean = {
+      val d = Spatial.haversineKm(e.numberOf(lonAttr), e.numberOf(latAttr), cLon, cLat)
+      d >= lo && d < hi
+    }
+  }
+  /** heading (degrees) points toward the circle of radius r around center. */
+  final case class HeadingTowards(lonAttr: String, latAttr: String, headingAttr: String,
+      cLon: Double, cLat: Double, radiusKm: Double) extends Predicate {
+    def eval(e: CEvent): Boolean = {
+      val lon = e.numberOf(lonAttr); val lat = e.numberOf(latAttr)
+      val bearing = Spatial.initialBearingDeg(lon, lat, cLon, cLat)
+      val dist = Spatial.haversineKm(lon, lat, cLon, cLat)
+      // angular half-width subtended by the target circle at this distance
+      val half =
+        if (dist <= radiusKm) 180.0
+        else math.toDegrees(math.asin((radiusKm / dist).min(1.0)))
+      val diff = math.abs(Spatial.angleDiffDeg(e.numberOf(headingAttr), bearing))
+      diff <= half
+    }
+  }
+
+  /** Build a predicate from its pattern-text name + argument strings — the
+    * reference resolves these by reflection (PredicateConstructor); we use an
+    * explicit registry so the set of predicates is a closed, testable ADT.
+    */
+  def fromName(name: String, args: List[String]): Predicate = {
+    def d(i: Int) = args(i).toDouble
+    val base = name.stripSuffix("Predicate")
+    base match {
+      case "IsEventType"     => IsEventType(args.head)
+      case "True"            => True
+      case "EQ"              => EQ(args(0), d(1))
+      case "GT"              => GT(args(0), d(1))
+      case "GTE"             => GTE(args(0), d(1))
+      case "LT"              => LT(args(0), d(1))
+      case "LTE"             => LTE(args(0), d(1))
+      case "BT"              => BT(args(0), d(1), d(2))
+      case "EQStr"           => EQStr(args(0), args(1))
+      case "WithinCircle"    => WithinCircle(args(0), args(1), d(2), d(3), d(4))
+      case "OutsideCircle"   => OutsideCircle(args(0), args(1), d(2), d(3), d(4))
+      case "DistanceBetween" => DistanceBetween(args(0), args(1), d(2), d(3), d(4), d(5))
+      case "HeadingTowards"  => HeadingTowards(args(0), args(1), args(2), d(3), d(4), d(5))
+      case other => throw new IllegalArgumentException(s"unknown predicate '$other'")
+    }
+  }
+}
+
+object Spatial {
+  private val EarthRadiusKm = 6371.0
+
+  def haversineKm(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon / 2), 2)
+    2 * EarthRadiusKm * math.asin(math.sqrt(a))
+  }
+
+  /** Initial great-circle bearing from (lon1,lat1) to (lon2,lat2), degrees [0,360). */
+  def initialBearingDeg(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dl = math.toRadians(lon2 - lon1)
+    val y = math.sin(dl) * math.cos(p2)
+    val x = math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dl)
+    (math.toDegrees(math.atan2(y, x)) + 360.0) % 360.0
+  }
+
+  /** Signed smallest difference between two angles in degrees, in (-180, 180]. */
+  def angleDiffDeg(a: Double, b: Double): Double = {
+    val d = (a - b) % 360.0
+    if (d > 180.0) d - 360.0 else if (d <= -180.0) d + 360.0 else d
+  }
+}
+
+/** Boolean sentences over predicates, with the pattern language's ^ | -
+  * connectives (reference fsm/symbolic/logic/Sentence.scala).
+  */
+sealed trait Sentence extends Product with Serializable {
+  def eval(e: CEvent): Boolean
+  /** truth value under a fixed assignment of atomic predicates. */
+  def evalUnder(assign: Map[Predicate, Boolean]): Boolean
+  def predicates: Set[Predicate]
+}
+
+object Sentence {
+  final case class Atomic(p: Predicate) extends Sentence {
+    def eval(e: CEvent): Boolean = p.eval(e)
+    def evalUnder(assign: Map[Predicate, Boolean]): Boolean = assign(p)
+    def predicates: Set[Predicate] = Set(p)
+  }
+  final case class And(ss: List[Sentence]) extends Sentence {
+    def eval(e: CEvent): Boolean = ss.forall(_.eval(e))
+    def evalUnder(a: Map[Predicate, Boolean]): Boolean = ss.forall(_.evalUnder(a))
+    def predicates: Set[Predicate] = ss.flatMap(_.predicates).toSet
+  }
+  final case class Or(ss: List[Sentence]) extends Sentence {
+    def eval(e: CEvent): Boolean = ss.exists(_.eval(e))
+    def evalUnder(a: Map[Predicate, Boolean]): Boolean = ss.exists(_.evalUnder(a))
+    def predicates: Set[Predicate] = ss.flatMap(_.predicates).toSet
+  }
+  final case class Not(s: Sentence) extends Sentence {
+    def eval(e: CEvent): Boolean = !s.eval(e)
+    def evalUnder(a: Map[Predicate, Boolean]): Boolean = !s.evalUnder(a)
+    def predicates: Set[Predicate] = s.predicates
+  }
+  val True: Sentence = Atomic(Predicate.True)
+}
+
+/** The minterm alphabet + event→symbol mapping.
+  *
+  * The reference builds minterms over whole transition *sentences*
+  * (LogicUtils.scala:45-296) and keeps a bijection minterm↔symbol
+  * (model/vmm/mapper/Isomorphism.scala:41-80). We build them over atomic
+  * *predicates* instead: an alphabet symbol is one satisfiable truth
+  * assignment of all predicates appearing in the automaton's guards. This is
+  * finer-grained but semantically equivalent, and lets arbitrarily complex
+  * guards (including determinized complement guards) be evaluated uniformly
+  * via [[Sentence.evalUnder]].
+  *
+  * Exclusives ("~(...)" declarations, docs/lang.md §Declarations) prune
+  * assignments where two predicates of the same exclusive set are both true.
+  * All IsEventType predicates are auto-exclusive: an event has exactly one
+  * type, so assignments with two of them true are unsatisfiable.
+  */
+final case class Isomorphism(
+    predicates: Vector[Predicate],
+    minterms: Vector[Map[Predicate, Boolean]]) {
+
+  val size: Int = minterms.size
+  private val index: Map[Vector[Boolean], Int] =
+    minterms.zipWithIndex.map { case (m, i) => predicates.map(m) -> i }.toMap
+
+  /** event → unique symbol: evaluate each base predicate once, look up. */
+  def evaluate(e: CEvent): Int = {
+    val vec = predicates.map(_.eval(e))
+    index.getOrElse(vec,
+      // can only happen when exclusives pruned an assignment that the data
+      // then violated (a mis-declared exclusive); fall back like the
+      // reference would to "no minterm" = -1
+      -1)
+  }
+
+  def sentenceOf(symbol: Int): Sentence = {
+    val m = minterms(symbol)
+    Sentence.And(predicates.toList.map(p =>
+      if (m(p)) Sentence.Atomic(p) else Sentence.Not(Sentence.Atomic(p))))
+  }
+}
+
+object Isomorphism {
+
+  /** All satisfiable assignments over `preds`, pruned by `exclusives`. */
+  def build(preds: Set[Predicate], exclusives: Set[Set[Predicate]]): Isomorphism = {
+    val ps = preds.toVector.sortBy(_.toString)
+    val autoExcl: Set[Set[Predicate]] = {
+      val evtTypes = ps.collect { case p: Predicate.IsEventType => (p: Predicate) }.toSet
+      if (evtTypes.size >= 2) Set(evtTypes) else Set.empty
+    }
+    val allExcl = (exclusives ++ autoExcl).map(_.intersect(preds)).filter(_.size >= 2)
+    def ok(assign: Map[Predicate, Boolean]): Boolean =
+      allExcl.forall(ex => ex.count(assign.getOrElse(_, false)) <= 1) &&
+        assign.getOrElse(Predicate.True, true) // True can never be false
+    val assigns = ps.foldLeft(Vector(Map.empty[Predicate, Boolean])) { (acc, p) =>
+      acc.flatMap(m => Vector(m.updated(p, true), m.updated(p, false)))
+    }.filter(ok)
+    Isomorphism(ps, assigns)
+  }
+}

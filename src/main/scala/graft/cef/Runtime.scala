@@ -1,0 +1,176 @@
+package graft.cef
+
+import scala.collection.mutable
+
+/** A completed detection: the point in the stream where the deterministic
+  * run reached a final state.
+  */
+final case class Detection(
+    partition: String,
+    counter: Long,
+    eventId: Long,
+    timestamp: Long,
+    state: Int)
+
+/** A fully enumerated match from the nondeterministic runtime. */
+final case class MatchOut(
+    partition: String,
+    eventIds: Seq[Long],
+    counters: Seq[Long],
+    firstTimestamp: Long,
+    lastTimestamp: Long)
+
+/** Deterministic run over the streaming SDFA — the inner loop of the keyed
+  * stateful operator (reference fsm/runtime/Run.scala:161-300 processEventDet).
+  *
+  * Keeps: current state, an event counter, and the running match's min
+  * counter/timestamp for the window check. On window violation the run
+  * resets to start and reprocesses the event from there (the reference's
+  * "nowhere to go" branch, Run.scala:221-238). Reset events return the run to
+  * its start state and clear the match (Run.scala:305-327).
+  *
+  * Mutable by design: one instance per partition key lives inside
+  * mapPartitions / flatMapGroupsWithState state.
+  */
+final class DetRun(cp: CompiledPattern, val partition: String) extends Serializable {
+  private val sdfa = cp.sdfa
+  private var state: Int = sdfa.start
+  private var counter: Long = 0L
+  // min counter / timestamp of the running match; -1 = empty match
+  private var minCounter: Long = -1L
+  private var minTs: Long = -1L
+
+  def currentState: Int = state
+  def eventCounter: Long = counter
+
+  def reset(): Unit = { state = sdfa.start; minCounter = -1L; minTs = -1L }
+
+  /** Restore from a snapshot (state kept across micro-batches in streaming —
+    * the reference's 5-tuple snapshot, WayebEngine.java:276-287). */
+  def restore(s: DetRunState): Unit = {
+    state = s.state; counter = s.counter; minCounter = s.minCounter; minTs = s.minTs
+  }
+  def snapshot: DetRunState = DetRunState(state, counter, minCounter, minTs)
+
+  private def windowOk(ts: Long): Boolean =
+    cp.window == 0L || minCounter == -1L || {
+      val diff = cp.windowKind match {
+        case WindowKind.Count => counter - minCounter
+        case WindowKind.Time  => math.abs(ts - minTs)
+      }
+      diff < cp.window
+    }
+
+  /** Process one event; returns Some(detection) when a final state is hit. */
+  def step(e: CEvent): Option[Detection] = {
+    if (e.isReset) { reset(); return None }
+    counter += 1
+    if (!windowOk(e.timestamp)) reset()
+    val sym = sdfa.iso.evaluate(e)
+    if (sym < 0) return None
+    val take = sdfa.takes(state)(sym)
+    state = sdfa.delta(state)(sym)
+    if (take && minCounter == -1L) { minCounter = counter; minTs = e.timestamp }
+    if (sdfa.isFinal(state)) {
+      val d = Detection(partition, counter, e.id, e.timestamp, state)
+      // full match detected: clear the match, keep the counter running
+      // (reference Run.scala emitForecasts: "Do not reset counter")
+      minCounter = -1L; minTs = -1L
+      Some(d)
+    } else None
+  }
+}
+
+/** Serializable snapshot of a [[DetRun]] — the streaming GroupState payload. */
+final case class DetRunState(state: Int, counter: Long, minCounter: Long, minTs: Long)
+
+/** Nondeterministic match-enumeration runtime over the ε-free SNFA
+  * (reference engine/ERFEngine.scala:287-340 run cloning + fsm/runtime/
+  * Match.scala). Each active thread is a (state, taken events) tuple; a
+  * fresh thread is seeded at every event, which together with thread cloning
+  * yields the OVERLAP count policy: every distinct full match is reported.
+  *
+  * Threads are deduplicated per step on (state, taken ids); threads whose
+  * state cannot reach a final state are dropped (the reference kills dead
+  * runs, ERFEngine.scala:300-305); count/time windows additionally prune
+  * threads whose match span exceeds the window, bounding the thread
+  * population for windowed patterns.
+  */
+final class MatchRun(cp: CompiledPattern, val partition: String) extends Serializable {
+  private val nfa = cp.snfa
+  private var threads: List[MatchRun.Thread] = Nil
+  private var counter: Long = 0L
+
+  /** states from which some final state is reachable */
+  private val coReachable: Set[Int] = {
+    val byDst = nfa.trans.groupBy(_.dst).withDefaultValue(Nil)
+    var reach = nfa.finals
+    var grew = true
+    while (grew) {
+      val nxt = reach ++ reach.flatMap(s => byDst(s).map(_.src))
+      grew = nxt.size != reach.size
+      reach = nxt
+    }
+    reach
+  }
+
+  def activeThreads: Int = threads.size
+  def reset(): Unit = { threads = Nil }
+
+  def restore(s: MatchRunState): Unit = {
+    counter = s.counter
+    threads = s.threads.map(t =>
+      MatchRun.Thread(t.state, t.ids.toList, t.counters.toList, t.tss.toList)).toList
+  }
+  def snapshot: MatchRunState =
+    MatchRunState(counter, threads.map(t => ThreadState(t.state, t.ids, t.counters, t.tss)))
+
+  /** Process one event; returns the matches completed AT this event. */
+  def step(e: CEvent): List[MatchOut] = {
+    if (e.isReset) { reset(); return Nil }
+    counter += 1
+    val out = mutable.ListBuffer[MatchOut]()
+    val cand = MatchRun.Thread(nfa.start, Nil, Nil, Nil) :: threads
+    val seen = mutable.HashSet[(Int, List[Long])]()
+    val nextThreads = mutable.ListBuffer[MatchRun.Thread]()
+    cand.foreach { th =>
+      val windowOk = cp.window == 0L || th.counters.isEmpty || {
+        val diff = cp.windowKind match {
+          case WindowKind.Count => counter - th.counters.head
+          case WindowKind.Time  => math.abs(e.timestamp - th.tss.head)
+        }
+        diff < cp.window
+      }
+      if (windowOk) {
+        nfa.bySrc(th.state).foreach { t =>
+          if (coReachable.contains(t.dst) && t.guard.exists(_.eval(e))) {
+            val nt =
+              if (t.take) MatchRun.Thread(t.dst, e.id :: th.ids, counter :: th.counters, e.timestamp :: th.tss)
+              else MatchRun.Thread(t.dst, th.ids, th.counters, th.tss)
+            if (seen.add((nt.state, nt.ids))) {
+              nextThreads += nt
+              if (nfa.finals.contains(nt.state) && nt.ids.nonEmpty)
+                out += MatchOut(partition, nt.ids.reverse, nt.counters.reverse, nt.tss.last, nt.tss.head)
+            }
+          }
+        }
+      }
+    }
+    threads = nextThreads.toList
+    out.toList.distinct
+  }
+}
+
+object MatchRun {
+  private[cef] final case class Thread(
+      state: Int, ids: List[Long], counters: List[Long], tss: List[Long])
+
+  /** Convenience: run a whole (sorted) event iterator through a fresh run. */
+  def run(cp: CompiledPattern, partition: String, events: Iterator[CEvent]): Iterator[MatchOut] = {
+    val r = new MatchRun(cp, partition)
+    events.flatMap(r.step)
+  }
+}
+
+final case class ThreadState(state: Int, ids: Seq[Long], counters: Seq[Long], tss: Seq[Long])
+final case class MatchRunState(counter: Long, threads: Seq[ThreadState])

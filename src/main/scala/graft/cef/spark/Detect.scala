@@ -1,0 +1,82 @@
+package graft.cef.spark
+
+import graft.cef._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Batch pattern detection over DataFrames — the Spark-native face of the
+  * CEF engine (reference wiring: InferenceJob.java:215-216 keyBy(mmsi) →
+  * WayebEngine; SURVEY.md §2.3 K1/K5, §2.5 R1).
+  *
+  * Scale design: ONE hash shuffle on the partition attribute, then an
+  * external (spillable) sort within partitions on (partition, ts, id), then
+  * a single streaming pass with `mapPartitions` that keeps O(1) state per
+  * key (the secondary-sort pattern). No per-group materialization — a key
+  * with millions of events never lives in memory at once; at 1000 executors
+  * the keys spread across tasks and the compiled automaton rides along in
+  * the task closure (it is a small immutable value).
+  */
+object Detect {
+
+  implicit private val eventEnc: Encoder[CEvent] = Encoders.product[CEvent]
+  implicit private val detEnc: Encoder[Detection] = Encoders.product[Detection]
+  implicit private val matchEnc: Encoder[MatchOut] = Encoders.product[MatchOut]
+
+  /** Adapt a DataFrame to the engine's event model. `tsCol` must be a
+    * timestamp column (converted to epoch micros) or integral epoch column.
+    */
+  def toEvents(
+      df: DataFrame,
+      idCol: String,
+      typeCol: String,
+      tsCol: String,
+      partitionCol: String,
+      numAttrs: Seq[String] = Nil,
+      strAttrs: Seq[String] = Nil): Dataset[CEvent] = {
+    val tsExpr = df.schema(tsCol).dataType.typeName match {
+      case "timestamp" => unix_micros(col(tsCol))
+      case _           => col(tsCol).cast("long")
+    }
+    val numMap =
+      if (numAttrs.isEmpty) map().cast("map<string,double>")
+      else map(numAttrs.flatMap(a => Seq(lit(a), col(a).cast("double"))): _*)
+    val strMap =
+      if (strAttrs.isEmpty) map().cast("map<string,string>")
+      else map(strAttrs.flatMap(a => Seq(lit(a), col(a).cast("string"))): _*)
+    df.select(
+      col(idCol).cast("long").as("id"),
+      col(typeCol).cast("string").as("eventType"),
+      tsExpr.as("timestamp"),
+      col(partitionCol).cast("string").as("partition"),
+      numMap.as("num"),
+      strMap.as("str"))
+      .as[CEvent]
+  }
+
+  /** Detection points from the deterministic streaming-SDFA runtime. */
+  def detections(events: Dataset[CEvent], cp: CompiledPattern): Dataset[Detection] =
+    perKeyScan(events)(key => new DetRun(cp, key))((run, e) => run.step(e).iterator)
+
+  /** Full match enumeration from the nondeterministic runtime. */
+  def matches(events: Dataset[CEvent], cp: CompiledPattern): Dataset[MatchOut] =
+    perKeyScan(events)(key => new MatchRun(cp, key))((run, e) => run.step(e).iterator)
+
+  /** Shuffle by key, external-sort by (key, ts, id), stream per-key runs. */
+  private def perKeyScan[R, O: Encoder](events: Dataset[CEvent])(
+      mkRun: String => R)(stepFn: (R, CEvent) => Iterator[O]): Dataset[O] = {
+    events
+      .repartition(col("partition"))
+      .sortWithinPartitions(col("partition"), col("timestamp"), col("id"))
+      .mapPartitions { rows =>
+        var currentKey: String = null
+        var run: R = null.asInstanceOf[R]
+        rows.flatMap { e =>
+          if (e.partition != currentKey) {
+            currentKey = e.partition
+            run = mkRun(currentKey)
+          }
+          stepFn(run, e)
+        }
+      }
+  }
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.cef.{Compiler, CompiledPattern}
+import graft.cef.spark.Detect
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CEF pattern queries over the `events` table — the engine's capability
+  * surface (SURVEY.md §2.4-2.5) exposed as driver-checkable queries.
+  *
+  * Each query compiles an SRE pattern (reference language:
+  * Wayeb/docs/lang.md) and runs one of the two runtimes:
+  *   - `matches`    — nondeterministic full-match enumeration,
+  *   - `detections` — deterministic streaming-SDFA detection points.
+  * The DuckDB oracles restate the same semantics with window functions /
+  * joins, which is exactly how strict-contiguity, skip-till-any and
+  * skip-till-next project onto SQL.
+  */
+object Cef {
+
+  /** Patterns are compiled once on the driver (plan time), not per query run. */
+  private lazy val pSeq2 = Compiler.compile(
+    ";(IsEventTypePredicate(error),IsEventTypePredicate(purchase))")
+  private lazy val pSeq3 = Compiler.compile(
+    ";(IsEventTypePredicate(signup),IsEventTypePredicate(click),IsEventTypePredicate(purchase))")
+  private lazy val pChoice = Compiler.compile(
+    ";(+(IsEventTypePredicate(click),IsEventTypePredicate(view)),IsEventTypePredicate(purchase))")
+  private lazy val pIter = Compiler.compile(
+    ";(IsEventTypePredicate(signup),*(IsEventTypePredicate(click)),IsEventTypePredicate(purchase))")
+  private lazy val pSkipAnyWin = Compiler.compile(
+    "#(;(IsEventTypePredicate(error),IsEventTypePredicate(purchase))){window:10}{windowType:count}")
+  private lazy val pSkipNext = Compiler.compile(
+    "@(;(IsEventTypePredicate(signup),IsEventTypePredicate(purchase)))")
+  private lazy val pSkipAny = Compiler.compile(
+    "#(;(IsEventTypePredicate(error),IsEventTypePredicate(purchase)))")
+  private lazy val pValue = Compiler.compile(
+    ";(GTPredicate(value,120.0),LTPredicate(value,10.0))")
+
+  private def events(s: SparkSession, dir: String) =
+    Detect.toEvents(Tables(s, dir, "events"),
+      idCol = "event_id", typeCol = "event_type", tsCol = "ts",
+      partitionCol = "user_id", numAttrs = Seq("value"))
+
+  private def matches2(s: SparkSession, dir: String, cp: CompiledPattern): DataFrame =
+    Detect.matches(events(s, dir), cp).toDF()
+      .select(
+        col("partition").cast("long").as("user_id"),
+        element_at(col("eventIds"), 1).as("id_a"),
+        element_at(col("eventIds"), 2).as("id_b"))
+      .orderBy(col("user_id"), col("id_a"), col("id_b"))
+
+  /** Shared oracle scaffold: per-user stream order = (ts, event_id). */
+  private val RnCte =
+    """WITH b AS (
+      |  SELECT event_id, user_id, event_type, value, ts,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // ------------------------------------------------- strict sequence (2)
+    Q("cef01_seq2_strict",
+      s"""$RnCte,
+         |c AS (SELECT user_id, event_type, event_id,
+         |             lag(event_type) OVER w AS p_type, lag(event_id) OVER w AS p_id
+         |      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+         |SELECT user_id, p_id AS id_a, event_id AS id_b
+         |FROM c WHERE event_type = 'purchase' AND p_type = 'error'
+         |ORDER BY user_id, id_a, id_b""".stripMargin) { (s, dir) =>
+      matches2(s, dir, pSeq2)
+    },
+
+    // ------------------------------------------------- strict sequence (3)
+    Q("cef02_seq3_strict",
+      s"""$RnCte,
+         |c AS (SELECT user_id, event_type, event_id,
+         |             lag(event_type, 2) OVER w AS p2_type, lag(event_id, 2) OVER w AS p2_id,
+         |             lag(event_type, 1) OVER w AS p1_type, lag(event_id, 1) OVER w AS p1_id
+         |      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+         |SELECT user_id, p2_id AS id_a, p1_id AS id_b, event_id AS id_c
+         |FROM c
+         |WHERE event_type = 'purchase' AND p1_type = 'click' AND p2_type = 'signup'
+         |ORDER BY user_id, id_a, id_b, id_c""".stripMargin) { (s, dir) =>
+      Detect.matches(events(s, dir), pSeq3).toDF()
+        .select(
+          col("partition").cast("long").as("user_id"),
+          element_at(col("eventIds"), 1).as("id_a"),
+          element_at(col("eventIds"), 2).as("id_b"),
+          element_at(col("eventIds"), 3).as("id_c"))
+        .orderBy(col("user_id"), col("id_a"), col("id_b"), col("id_c"))
+    },
+
+    // ------------------------------------------- choice inside a sequence
+    Q("cef03_choice_strict",
+      s"""$RnCte,
+         |c AS (SELECT user_id, event_type, event_id,
+         |             lag(event_type) OVER w AS p_type, lag(event_id) OVER w AS p_id
+         |      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+         |SELECT user_id, p_id AS id_a, event_id AS id_b
+         |FROM c WHERE event_type = 'purchase' AND p_type IN ('click', 'view')
+         |ORDER BY user_id, id_a, id_b""".stripMargin) { (s, dir) =>
+      matches2(s, dir, pChoice)
+    },
+
+    // ------------------------------------------------ iteration (Kleene *)
+    Q("cef04_iter_strict",
+      s"""$RnCte,
+         |c AS (SELECT user_id, event_type, event_id, rn,
+         |             last_value(CASE WHEN event_type <> 'click' THEN event_id END IGNORE NULLS)
+         |               OVER wp AS p_id,
+         |             last_value(CASE WHEN event_type <> 'click' THEN event_type END IGNORE NULLS)
+         |               OVER wp AS p_type,
+         |             last_value(CASE WHEN event_type <> 'click' THEN rn END IGNORE NULLS)
+         |               OVER wp AS p_rn
+         |      FROM b WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, p_id AS first_id, event_id AS last_id, rn - p_rn + 1 AS n_events
+         |FROM c WHERE event_type = 'purchase' AND p_type = 'signup'
+         |ORDER BY user_id, first_id, last_id""".stripMargin) { (s, dir) =>
+      Detect.matches(events(s, dir), pIter).toDF()
+        .select(
+          col("partition").cast("long").as("user_id"),
+          element_at(col("eventIds"), 1).as("first_id"),
+          element_at(col("eventIds"), -1).as("last_id"),
+          size(col("eventIds")).cast("long").as("n_events"))
+        .orderBy(col("user_id"), col("first_id"), col("last_id"))
+    },
+
+    // ----------------------------- skip-till-any with a count window of 10
+    Q("cef05_skipany_win",
+      s"""$RnCte
+         |SELECT a.user_id, a.event_id AS id_a, p.event_id AS id_b
+         |FROM b a JOIN b p
+         |  ON a.user_id = p.user_id AND p.rn > a.rn AND p.rn - a.rn < 10
+         |WHERE a.event_type = 'error' AND p.event_type = 'purchase'
+         |ORDER BY a.user_id, id_a, id_b""".stripMargin) { (s, dir) =>
+      matches2(s, dir, pSkipAnyWin)
+    },
+
+    // ---------------------------------- skip-till-next (first next match)
+    Q("cef06_skipnext",
+      s"""$RnCte,
+         |s AS (SELECT user_id, event_id AS id_a, rn AS rn_a FROM b WHERE event_type = 'signup'),
+         |p AS (SELECT user_id, event_id AS id_b, rn AS rn_b FROM b WHERE event_type = 'purchase')
+         |SELECT s.user_id, s.id_a, arg_min(p.id_b, p.rn_b) AS id_b
+         |FROM s JOIN p ON p.user_id = s.user_id AND p.rn_b > s.rn_a
+         |GROUP BY s.user_id, s.id_a
+         |ORDER BY s.user_id, id_a, id_b""".stripMargin) { (s, dir) =>
+      matches2(s, dir, pSkipNext)
+    },
+
+    // --------------------- deterministic detection points (streaming SDFA)
+    Q("cef07_det_points",
+      s"""$RnCte,
+         |c AS (SELECT user_id, event_type, event_id, rn, ts,
+         |             count(CASE WHEN event_type = 'error' THEN 1 END)
+         |               OVER (PARTITION BY user_id ORDER BY rn
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_err
+         |      FROM b)
+         |SELECT user_id, event_id, rn AS counter, epoch_us(ts) AS ts_us
+         |FROM c WHERE event_type = 'purchase' AND n_err > 0
+         |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      Detect.detections(events(s, dir), pSkipAny).toDF()
+        .select(
+          col("partition").cast("long").as("user_id"),
+          col("eventId").as("event_id"),
+          col("counter"),
+          col("timestamp").as("ts_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // --------------------------------- numeric predicates on `value`
+    Q("cef08_value_pred",
+      s"""$RnCte,
+         |c AS (SELECT user_id, event_id, value,
+         |             lag(value) OVER w AS p_value, lag(event_id) OVER w AS p_id
+         |      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+         |SELECT user_id, p_id AS id_a, event_id AS id_b
+         |FROM c WHERE p_value > 120.0 AND value < 10.0
+         |ORDER BY user_id, id_a, id_b""".stripMargin) { (s, dir) =>
+      matches2(s, dir, pValue)
+    }
+  )
+}

@@ -5,5 +5,5 @@ import graft.Q
 /** Aggregates every query suite into the driver-facing registry. */
 object Registry {
   def all: Seq[Q] =
-    Relational.queries
+    Relational.queries ++ Pipeline.queries ++ Cef.queries
 }

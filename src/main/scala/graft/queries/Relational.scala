@@ -75,8 +75,10 @@ object Relational {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+      // customer scales with SF — let AQE pick its join strategy; only the
+      // fixed-size dims (nation 25 rows, region 5 rows) are force-broadcast.
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
@@ -101,7 +103,7 @@ object Relational {
 
     // ------------------------------------------------------------------
     // Narrow projection + selective predicate: both reach the parquet
-    // scan (PushedFilters / ReadSchema — verified in PlanSpec).
+    // scan (PushedFilters / ReadSchema — asserted in graft.PlanSpec).
     Q("q04_filter_scan",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
