@@ -1,0 +1,144 @@
+package graft.cef.spark
+
+import graft.cef._
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed model training (reference SURVEY.md §2.7 T1-T3).
+  *
+  * The reference replays the training stream single-threaded to build one
+  * CounterSuffixTree (VMMUtils.scala:308-424) and to count SDFA transitions
+  * for the MLE matrix (MLEEstimator.scala:26-160). Here both become genuine
+  * Spark aggregations:
+  *
+  *   - CST: per key, emit the symbol window ending at every position
+  *     (length ≤ order+1), then ONE groupBy(window).count — an n-gram count,
+  *     the canonical map-side-combinable aggregation. The tiny distinct-
+  *     window result set is collected and folded into a driver-side CST.
+  *   - MLE: per key, emit (state, nextState) transitions, groupBy.count.
+  *
+  * Both scale: the shuffle carries (window → partial count) pairs, bounded
+  * by the alphabet size and order, not by the data volume.
+  */
+object Train {
+
+  /** A symbol window (most-recent-first) with its occurrence count. */
+  final case class WindowCount(word: Seq[Int], n: Long)
+
+  implicit private val wcEnc: Encoder[WindowCount] = Encoders.product[WindowCount]
+  implicit private val wEnc: Encoder[Window] = Encoders.product[Window]
+  private final case class Window(word: Seq[Int])
+  implicit private val pairEnc: Encoder[(Int, Int)] =
+    Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
+
+  /** Count symbol windows of length ≤ maxLen per partition key. */
+  def countWindows(events: Dataset[CEvent], cp: CompiledPattern, maxLen: Int): Dataset[WindowCount] = {
+    val iso = cp.iso
+    events
+      .repartition(col("partition"))
+      .sortWithinPartitions(col("partition"), col("timestamp"), col("id"))
+      .mapPartitions { rows =>
+        var key: String = null
+        var buf: SymbolBuffer = null
+        rows.flatMap { e =>
+          if (e.partition != key) { key = e.partition; buf = new SymbolBuffer(maxLen) }
+          if (e.isReset) { buf.clear(); Iterator.empty }
+          else {
+            val sym = iso.evaluate(e)
+            if (sym < 0) Iterator.empty
+            else { buf.push(sym); Iterator.single(Window(buf.pop)) }
+          }
+        }
+      }
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .as[WindowCount]
+  }
+
+  /** Build the driver-side CST from the aggregated window counts. */
+  def cstFromCounts(counts: Iterable[WindowCount]): Cst = {
+    val cst = new Cst
+    counts.foreach { wc => cst.add(wc.word.toList, wc.n) }
+    cst
+  }
+
+  /** T1: full learnSPST pipeline — distributed window counts → driver-side
+    * PST learning → SPST product model (reference SPSTTask.scala:70-85).
+    */
+  def learnSpst(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      order: Int,
+      pMin: Double = 0.001,
+      alpha: Double = 0.05,
+      gammaMin: Double = 0.001,
+      r: Double = 1.05): Spst = {
+    val counts = countWindows(events, cp, order + 1).collect()
+    val cst = cstFromCounts(counts)
+    val pst = PstLearner.learn(cst, order, pMin, alpha, gammaMin, r)
+    Spst(cp.sdfa, pst, order)
+  }
+
+  /** T3: MLE transition matrix — replay each key through the SDFA emitting
+    * (state, nextState), then ONE groupBy().count() (the aggregation the
+    * survey singles out as "a natural groupBy in Spark", SURVEY.md §2.7).
+    */
+  def countTransitions(events: Dataset[CEvent], cp: CompiledPattern): Dataset[((Int, Int), Long)] = {
+    implicit val kvEnc: Encoder[((Int, Int), Long)] =
+      Encoders.tuple(pairEnc, Encoders.scalaLong)
+    val sdfa = cp.sdfa
+    events
+      .repartition(col("partition"))
+      .sortWithinPartitions(col("partition"), col("timestamp"), col("id"))
+      .mapPartitions { rows =>
+        var key: String = null
+        var state = sdfa.start
+        rows.flatMap { e =>
+          if (e.partition != key) { key = e.partition; state = sdfa.start }
+          if (e.isReset) { state = sdfa.start; Iterator.empty }
+          else {
+            val sym = sdfa.iso.evaluate(e)
+            if (sym < 0) Iterator.empty
+            else {
+              val prev = state
+              state = sdfa.delta(prev)(sym)
+              Iterator.single((prev, state))
+            }
+          }
+        }
+      }
+      .groupByKey(identity)
+      .count()
+  }
+
+  def mleMarkovChain(events: Dataset[CEvent], cp: CompiledPattern): MarkovChain = {
+    val counts = countTransitions(events, cp).collect()
+    MarkovChain.mle(cp.sdfa.nStates, counts, cp.sdfa.finals)
+  }
+
+  /** Run SPST forecasting + detection over events (batch): per-key
+    * [[SpstRun]] with the same secondary-sort scan as [[Detect]].
+    */
+  def forecasts(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      spst: Spst,
+      method: ForecastMethod,
+      threshold: Double,
+      spread: Int,
+      horizon: Int): Dataset[ForecastOut] = {
+    implicit val fEnc: Encoder[ForecastOut] = Encoders.product[ForecastOut]
+    val table = spst.forecastTable(method, threshold, spread, horizon)
+    events
+      .repartition(col("partition"))
+      .sortWithinPartitions(col("partition"), col("timestamp"), col("id"))
+      .mapPartitions { rows =>
+        var key: String = null
+        var run: SpstRun = null
+        rows.flatMap { e =>
+          if (e.partition != key) { key = e.partition; run = new SpstRun(cp, spst, table, key) }
+          run.step(e)._2.iterator
+        }
+      }
+  }
+}

@@ -1,10 +1,11 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.cef.{Compiler, CompiledPattern}
-import graft.cef.spark.Detect
+import graft.cef.{Compiler, CompiledPattern, ForecastMethod}
+import graft.cef.spark.{Detect, Train}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** CEF pattern queries over the `events` table — the engine's capability
   * surface (SURVEY.md §2.4-2.5) exposed as driver-checkable queries.
@@ -180,6 +181,164 @@ object Cef {
          |FROM c WHERE p_value > 120.0 AND value < 10.0
          |ORDER BY user_id, id_a, id_b""".stripMargin) { (s, dir) =>
       matches2(s, dir, pValue)
+    },
+
+    // ---------------- forecast evaluation: interval join + per-key MCC
+    // (SURVEY.md §2.8 A2/A4). Detections come from the deterministic
+    // engine; the forecast rule here is the SQL-expressible baseline
+    // "an error predicts a detection within the next 10 events" so the
+    // whole evaluation pipeline has an exact DuckDB twin. tp iff positive
+    // ∧ ∃ detection counter in [start,end] — the reference's rule
+    // (ClassificationForecastCollector.scala:104-150); MCC in the
+    // overflow-safe form (ClassificationStatsEstimator.scala:52-85).
+    Q("cef09_forecast_eval",
+      s"""$RnCte,
+         |det AS (
+         |  SELECT user_id, rn AS counter
+         |  FROM (SELECT user_id, event_type, rn,
+         |               count(CASE WHEN event_type = 'error' THEN 1 END)
+         |                 OVER (PARTITION BY user_id ORDER BY rn
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_err
+         |        FROM b)
+         |  WHERE event_type = 'purchase' AND n_err > 0),
+         |fc AS (SELECT user_id, rn, event_type = 'error' AS positive,
+         |              rn + 1 AS fs, rn + 10 AS fe FROM b),
+         |ev AS (
+         |  SELECT fc.user_id, fc.rn, fc.positive,
+         |         max(CASE WHEN det.counter IS NOT NULL THEN 1 ELSE 0 END) = 1 AS hit
+         |  FROM fc LEFT JOIN det
+         |    ON det.user_id = fc.user_id AND det.counter BETWEEN fc.fs AND fc.fe
+         |  GROUP BY fc.user_id, fc.rn, fc.positive),
+         |conf AS (
+         |  SELECT user_id,
+         |         sum(CASE WHEN positive AND hit THEN 1 ELSE 0 END) AS tp,
+         |         sum(CASE WHEN NOT positive AND NOT hit THEN 1 ELSE 0 END) AS tn,
+         |         sum(CASE WHEN positive AND NOT hit THEN 1 ELSE 0 END) AS fp,
+         |         sum(CASE WHEN NOT positive AND hit THEN 1 ELSE 0 END) AS fn
+         |  FROM ev GROUP BY user_id)
+         |SELECT user_id, tp, tn, fp, fn, ${mccSql} AS mcc
+         |FROM conf ORDER BY user_id""".stripMargin) { (s, dir) =>
+      forecastEval(s, dir).orderBy(col("user_id"))
+    },
+
+    // ------------- global tumbling-window report aggregation (A5 shape):
+    // same evaluation, aggregated per day across all keys.
+    Q("cef10_report_agg",
+      s"""$RnCte,
+         |det AS (
+         |  SELECT user_id, rn AS counter
+         |  FROM (SELECT user_id, event_type, rn,
+         |               count(CASE WHEN event_type = 'error' THEN 1 END)
+         |                 OVER (PARTITION BY user_id ORDER BY rn
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_err
+         |        FROM b)
+         |  WHERE event_type = 'purchase' AND n_err > 0),
+         |fc AS (SELECT user_id, rn, ts, event_type = 'error' AS positive,
+         |              rn + 1 AS fs, rn + 10 AS fe FROM b),
+         |ev AS (
+         |  SELECT fc.user_id, fc.rn, fc.positive,
+         |         CAST(date_trunc('day', fc.ts) AS DATE) AS day,
+         |         max(CASE WHEN det.counter IS NOT NULL THEN 1 ELSE 0 END) = 1 AS hit
+         |  FROM fc LEFT JOIN det
+         |    ON det.user_id = fc.user_id AND det.counter BETWEEN fc.fs AND fc.fe
+         |  GROUP BY fc.user_id, fc.rn, fc.positive, day),
+         |conf AS (
+         |  SELECT day,
+         |         sum(CASE WHEN positive AND hit THEN 1 ELSE 0 END) AS tp,
+         |         sum(CASE WHEN NOT positive AND NOT hit THEN 1 ELSE 0 END) AS tn,
+         |         sum(CASE WHEN positive AND NOT hit THEN 1 ELSE 0 END) AS fp,
+         |         sum(CASE WHEN NOT positive AND hit THEN 1 ELSE 0 END) AS fn
+         |  FROM ev GROUP BY day HAVING tp + fp + fn > 0)
+         |SELECT day, tp, tn, fp, fn, ${mccSql} AS mcc
+         |FROM conf ORDER BY day""".stripMargin) { (s, dir) =>
+      // silent windows (tp+fp+fn == 0) suppressed like the reference
+      // MetricsAggregator.java:21-90
+      forecastEvalByDay(s, dir)
+        .filter(col("tp") + col("fp") + col("fn") > 0)
+        .orderBy(col("day"))
+    },
+
+    // ---------------- SPST: distributed training + wt-based forecasts
+    // (T1/T2/F2/F3/F5). Model internals (state ids, tree labels) are not
+    // ANSI-SQL-expressible, so these are rows-only checks for the driver;
+    // the algorithms are unit-tested against brute force in WtSpec/VmmSpec.
+    Q.noOracle("cef11_spst_wt") { (s, dir) =>
+      val ev = events(s, dir)
+      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val rows = spst.pst.leaves.flatMap { leaf =>
+        (0 until spst.sdfa.nStates).map { st =>
+          val wt = spst.wtDistribution(leaf.label, st, horizon = 20)
+          (leaf.label.mkString(":"), st,
+            BigDecimal(wt.wt.values.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(wt.classifyNextK(0.5, 10).prob).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      import s.implicits._
+      rows.toDF("label", "state", "wt_mass", "p_next10")
+        .orderBy(col("label"), col("state"))
+    },
+
+    Q.noOracle("cef12_spst_forecasts") { (s, dir) =>
+      val ev = events(s, dir)
+      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      Train.forecasts(ev, pSkipAny, spst, ForecastMethod.ClassifyNextK,
+          threshold = 0.4, spread = 10, horizon = 20).toDF()
+        .select(
+          col("partition").cast("long").as("user_id"),
+          col("counter"), col("eventId").as("event_id"),
+          col("startCounter").as("fs"), col("endCounter").as("fe"),
+          round(col("prob"), 6).as("prob"), col("positive"))
+        .orderBy(col("user_id"), col("counter"))
     }
   )
+
+  /** Overflow-safe MCC as a SQL expression over tp/tn/fp/fn columns —
+    * TEXTUALLY shared between the Spark plan (via expr) and the DuckDB
+    * oracle so both engines evaluate the identical IEEE formula.
+    */
+  private def mccSql: String =
+    """CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0 THEN 0.0
+      |     ELSE round(
+      |       sqrt((CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn))
+      |          * (CAST(tn AS DOUBLE)/(tn+fp)) * (CAST(tn AS DOUBLE)/(tn+fn)))
+      |     - sqrt((1 - CAST(tp AS DOUBLE)/(tp+fp)) * (1 - CAST(tp AS DOUBLE)/(tp+fn))
+      |          * (1 - CAST(tn AS DOUBLE)/(tn+fp)) * (1 - CAST(tn AS DOUBLE)/(tn+fn))), 4)
+      |END""".stripMargin.replace('\n', ' ')
+
+  /** Shared Spark side of cef09/cef10: engine detections + rule-based
+    * forecasts + interval join + confusion counts.
+    */
+  private def withEval(s: SparkSession, dir: String): DataFrame = {
+    val evd = Tables(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val fc = evd
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("rn"), col("ts"),
+        (col("event_type") === "error").as("positive"),
+        (col("rn") + 1).as("fs"), (col("rn") + 10).as("fe"))
+    val det = Detect.detections(events(s, dir), pSkipAny).toDF()
+      .select(col("partition").cast("long").as("d_user"), col("counter").as("d_counter"))
+    fc.join(det,
+        col("d_user") === col("user_id") &&
+          col("d_counter").between(col("fs"), col("fe")), "left")
+      .groupBy(col("user_id"), col("rn"), col("positive"), col("ts"))
+      .agg((max(when(col("d_counter").isNotNull, 1).otherwise(0)) === 1).as("hit"))
+  }
+
+  private def confAgg(ev: DataFrame, keys: Seq[org.apache.spark.sql.Column]): DataFrame =
+    ev.groupBy(keys: _*)
+      .agg(
+        sum(when(col("positive") && col("hit"), 1).otherwise(0)).as("tp"),
+        sum(when(!col("positive") && !col("hit"), 1).otherwise(0)).as("tn"),
+        sum(when(col("positive") && !col("hit"), 1).otherwise(0)).as("fp"),
+        sum(when(!col("positive") && col("hit"), 1).otherwise(0)).as("fn"))
+      .withColumn("mcc", expr(mccSql))
+
+  private def forecastEval(s: SparkSession, dir: String): DataFrame =
+    confAgg(withEval(s, dir), Seq(col("user_id")))
+
+  private def forecastEvalByDay(s: SparkSession, dir: String): DataFrame =
+    confAgg(
+      withEval(s, dir).withColumn("day", date_trunc("day", col("ts")).cast("date")),
+      Seq(col("day")))
 }

@@ -271,7 +271,19 @@ object Pipeline {
     },
 
     // ------------------------------------------------- multimodal plumbing
-    Q.noOracle("p12_mm_features") { (s, dir) =>
+    // Oracle: the payload is the UTF-8 byte string of `text`; DuckDB gets
+    // at the bytes via hex(encode(text)) and recomputes the checksum /
+    // first / last byte arithmetic exactly.
+    Q("p12_mm_features", {
+      s"""WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |                  octet_length(encode(text)) AS n_bytes FROM documents),
+         |b AS (SELECT media_id, n_bytes, $HexBytesSql AS bytes FROM h)
+         |SELECT media_id, 'text/fake' AS kind, n_bytes,
+         |       CAST(coalesce(list_sum(bytes), 0) % 1000000007 AS BIGINT) AS checksum,
+         |       CAST(CASE WHEN n_bytes > 0 THEN bytes[1] ELSE -1 END AS INT) AS first_byte,
+         |       CAST(CASE WHEN n_bytes > 0 THEN bytes[n_bytes] ELSE -1 END AS INT) AS last_byte
+         |FROM b ORDER BY media_id""".stripMargin
+    }) { (s, dir) =>
       import s.implicits._
       val media = MultimodalOps.asMedia(t(s, dir, "documents"), "doc_id", "text")
         .as[MultimodalOps.MediaRow]
@@ -281,7 +293,18 @@ object Pipeline {
         .orderBy(col("media_id"))
     },
 
-    Q.noOracle("p13_mm_frames") { (s, dir) =>
+    Q("p13_mm_frames", {
+      s"""WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |                  octet_length(encode(text)) AS n_bytes FROM documents),
+         |b AS (SELECT media_id, n_bytes, $HexBytesSql AS bytes FROM h),
+         |f AS (SELECT media_id, n_bytes, bytes, unnest(range(4)) AS frame_no FROM b)
+         |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+         |       CAST(frame_no * n_bytes // 4 AS BIGINT) AS offset,
+         |       CAST(coalesce(list_sum(
+         |         bytes[(frame_no * n_bytes // 4 + 1):((frame_no + 1) * n_bytes // 4)]
+         |       ), 0) % 1000000007 AS BIGINT) AS frame_checksum
+         |FROM f ORDER BY media_id, frame_no""".stripMargin
+    }) { (s, dir) =>
       import s.implicits._
       val media = MultimodalOps.asMedia(t(s, dir, "documents"), "doc_id", "text")
         .as[MultimodalOps.MediaRow]
@@ -289,4 +312,13 @@ object Pipeline {
         .orderBy(col("media_id"), col("frame_no"))
     }
   )
+
+  /** DuckDB list of byte values from a hex string column `hx` (uppercase).
+    * A def, not a val: it is interpolated inside the `queries` val above,
+    * which initializes first.
+    */
+  private def HexBytesSql: String =
+    """list_transform(range(1, n_bytes + 1), i ->
+      |  (strpos('0123456789ABCDEF', substring(hx, 2*i - 1, 1)) - 1) * 16 +
+      |  (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1))""".stripMargin
 }
