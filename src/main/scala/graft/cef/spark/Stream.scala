@@ -1,0 +1,61 @@
+package graft.cef.spark
+
+import graft.cef._
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming inference (SURVEY.md §7.1.2): the keyed stateful
+  * operator that mirrors the reference's Flink engine
+  * (java/.../WayebEngine.java:225-320) —
+  *
+  *   kafka/socket/memory source → parse → groupByKey(partitionAttr)
+  *     → flatMapGroupsWithState[RunState, Output]
+  *
+  * GroupState persists exactly what the reference snapshots into Flink
+  * ValueState (WayebEngine.java:276-287): automaton state, event counter,
+  * running-match bounds, and (for forecasting runs) the symbol buffer.
+  *
+  * Events within a micro-batch are sorted by (timestamp, id) per key before
+  * stepping the automaton — Spark gives no intra-batch order guarantee, and
+  * automaton determinism requires event-time totality within a key
+  * (SURVEY.md §7.4). Cross-batch reordering is NOT absorbed: like the
+  * reference (which trusts Flink's keyed in-order delivery after the 60 s
+  * watermark), callers should feed watermarked, de-duplicated input.
+  */
+object Stream {
+
+  implicit private val detEnc: Encoder[Detection] = Encoders.product[Detection]
+  implicit private val matchEnc: Encoder[MatchOut] = Encoders.product[MatchOut]
+  implicit private val stringEnc: Encoder[String] = Encoders.STRING
+  implicit private val detStateEnc: Encoder[DetRunState] = Encoders.product[DetRunState]
+  implicit private val matchStateEnc: Encoder[MatchRunState] = Encoders.product[MatchRunState]
+
+  /** Deterministic detection-point stream (R1 over the streaming SDFA). */
+  def detections(events: Dataset[CEvent], cp: CompiledPattern): Dataset[Detection] =
+    events.groupByKey(_.partition)
+      .flatMapGroupsWithState[DetRunState, Detection](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CEvent], state: GroupState[DetRunState]) =>
+          val run = new DetRun(cp, key)
+          state.getOption.foreach(run.restore)
+          val out = rows.toSeq.sortBy(e => (e.timestamp, e.id)).flatMap(run.step)
+          state.update(run.snapshot)
+          out.iterator
+      }
+
+  /** Full match-enumeration stream (R4): thread pool lives in GroupState,
+    * like the reference's run pool registered per (fsmId, partition value)
+    * (ERFEngine.scala:230-266, RunPool.scala:33-211).
+    */
+  def matches(events: Dataset[CEvent], cp: CompiledPattern): Dataset[MatchOut] =
+    events.groupByKey(_.partition)
+      .flatMapGroupsWithState[MatchRunState, MatchOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CEvent], state: GroupState[MatchRunState]) =>
+          val run = new MatchRun(cp, key)
+          state.getOption.foreach(run.restore)
+          val out = rows.toSeq.sortBy(e => (e.timestamp, e.id)).flatMap(run.step)
+          state.update(run.snapshot)
+          out.iterator
+      }
+}

@@ -193,31 +193,50 @@ object Pipeline {
     },
 
     // ------------------------------------------- dedup: n-gram jaccard NN
-    // For every doc: its nearest neighbor by 3-gram shingle Jaccard
-    // within the same source block (blocked O(block²), not O(n²)).
+    // For every doc: its nearest neighbor by 3-gram shingle Jaccard among
+    // its MinHash-LSH candidates (docs sharing at least one band key).
+    // The candidate join is an equi-join on (band, key) — O(candidates),
+    // never all-pairs; the SQL oracle states the identical semantics with
+    // the shared deterministic minhash/band formulas.
     Q("p08_dd_ngram_nn", {
       val sh = DedupOps.shingleHashesSql("text", 3)
+      val sig = minHashSigSql("sh")
+      val bands = bandKeysSql("sig")
       val jac = jaccardSql("a.sh", "b.sh")
       s"""WITH sh AS (
-         |  SELECT doc_id, source, sh
-         |  FROM (SELECT doc_id, source, $sh AS sh
-         |        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks, text FROM documents))),
+         |  SELECT doc_id, sh, $bands AS bands
+         |  FROM (SELECT doc_id, sh, $sig AS sig
+         |        FROM (SELECT doc_id, $sh AS sh
+         |              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM (SELECT doc_id, unnest(bands) AS key, unnest(range(4)) AS band FROM sh) a
+         |  JOIN (SELECT doc_id, unnest(bands) AS key, unnest(range(4)) AS band FROM sh) b
+         |    ON a.key = b.key AND a.band = b.band AND a.doc_id <> b.doc_id),
          |pairs AS (
-         |  SELECT a.doc_id AS doc_id, b.doc_id AS nn_id, $jac AS jac,
-         |         row_number() OVER (PARTITION BY a.doc_id
-         |                            ORDER BY $jac DESC, b.doc_id) AS rnk
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id <> b.doc_id)
+         |  SELECT id_a AS doc_id, id_b AS nn_id, $jac AS jac,
+         |         row_number() OVER (PARTITION BY id_a ORDER BY $jac DESC, id_b) AS rnk
+         |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
          |SELECT doc_id, nn_id, jac FROM pairs WHERE rnk = 1 ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val sh = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), shingleHashes(col("text"), 3).as("sh"))
-      val w = Window.partitionBy(col("a.doc_id")).orderBy(col("jac").desc, col("b.doc_id"))
-      sh.as("a").join(sh.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") =!= col("b.doc_id"))
-        .withColumn("jac", jaccard(col("a.sh"), col("b.sh")))
+        .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+        .withColumn("bands", bandKeys(minHashSig(col("sh"))))
+      val exploded = sh.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+      val cand = exploded.as("x")
+        .join(exploded.as("y"),
+          col("x.key") === col("y.key") && col("x.band") === col("y.band")
+            && col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val w = Window.partitionBy(col("id_a")).orderBy(col("jac").desc, col("id_b"))
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
-        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nn_id"), col("jac"))
+        .select(col("id_a").as("doc_id"), col("id_b").as("nn_id"), col("jac"))
         .orderBy(col("doc_id"))
     },
 
@@ -237,21 +256,27 @@ object Pipeline {
         .orderBy(col("query_id"), col("rnk"))
     },
 
-    // ------------------------------------- similarity: embedding NN in block
+    // ---------------------------- similarity: embedding near-dup NN via LSH
+    // Nearest neighbor within the deterministic hyperplane-LSH bucket —
+    // an equi-join on the bucket id, never all-pairs (the 100 TB shape:
+    // shuffle keyed on bucket, bucket-local candidates only).
     Q("p10_dd_embed_nn", {
       val cos = cosineSql("a.embedding", "b.embedding")
-      s"""WITH pairs AS (
+      val bucket = lshBucketSql("embedding")
+      s"""WITH eb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |pairs AS (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, $cos AS cos,
          |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cos DESC, b.vec_id) AS rnk
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |  FROM eb a JOIN eb b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
          |SELECT vec_id, nn_id, cos, cos >= 0.95 AS is_neardup
          |FROM pairs WHERE rnk = 1 ORDER BY vec_id""".stripMargin
     }) { (s, dir) =>
       val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
       val w = Window.partitionBy(col("a.vec_id")).orderBy(col("cos").desc, col("b.vec_id"))
       e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
         .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)

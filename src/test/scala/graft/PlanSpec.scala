@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan assertions for the scale-critical queries: predicate/
+  * projection pushdown reaching the parquet scan, broadcast only for the
+  * fixed-size dims, and no all-pairs (cartesian / nested-loop) joins in the
+  * LSH-routed similarity queries.
+  */
+class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def planOf(name: String): String = {
+    val q = SparkEntry.queries(name)
+    q(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  "q04_filter_scan" should "push filters and prune columns at the parquet scan" in {
+    val plan = planOf("q04_filter_scan")
+    plan should include("PushedFilters")
+    plan should include regex "(?i)PushedFilters: \\[.*GreaterThan"
+    // projection pruning: the scan must not read all 16 lineitem columns
+    plan should include regex "ReadSchema: struct<l_orderkey"
+    plan should not include "l_comment"
+  }
+
+  "q02_join_revenue" should "broadcast the fixed-size dims, never the SF-scaled customer" in {
+    val plan = planOf("q02_join_revenue")
+    plan should include("BroadcastHashJoin")
+    // the fact-side joins shuffle on their keys; customer must not carry a
+    // planner-forced broadcast hint from our code. (AQE may still choose a
+    // broadcast at tiny SF — what we assert is the absence of the hint in
+    // the optimized logical plan.)
+    val logical = SparkEntry.queries("q02_join_revenue")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // exactly two user-forced broadcast hints: nation and region
+    "(?i)ResolvedHint".r.findAllIn(logical).size should be <= 2
+  }
+
+  "p08_dd_ngram_nn" should "contain no cartesian or nested-loop join" in {
+    val plan = planOf("p08_dd_ngram_nn")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "p10_dd_embed_nn" should "contain no cartesian or nested-loop join" in {
+    val plan = planOf("p10_dd_embed_nn")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "cef07_det_points" should "shuffle exactly once (the partition-key repartition)" in {
+    val plan = planOf("cef07_det_points")
+    // one Exchange for repartition(partition); the final orderBy adds a
+    // rangepartitioning Exchange — allow those two, nothing more
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    exchanges should be <= 2
+  }
+
+  "q03_topk" should "compile to TakeOrderedAndProject" in {
+    planOf("q03_topk") should include("TakeOrderedAndProject")
+  }
+}
