@@ -102,6 +102,8 @@ final class SpstRun(
   private val det = new DetRun(cp, partition)
   private val buffer = new SymbolBuffer(math.max(1, spst.order))
 
+  def eventCounter: Long = det.eventCounter
+
   def step(e: CEvent): (Option[Detection], Option[ForecastOut]) = {
     if (e.isReset) { det.reset(); buffer.clear(); return (None, None) }
     val sym = cp.iso.evaluate(e)

@@ -1,0 +1,104 @@
+package graft.cef
+
+import graft.cef.spark.Sources
+import org.apache.spark.sql.SparkSession
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Parser specs (SURVEY.md §2.2 P1-P4): maritime JSONL field mapping +
+  * reverse-positional bitstring expansion, maritime/generic CSV, generic
+  * JSONL attribute mapping.
+  */
+class SourcesSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]").appName("sources-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpFile(suffix: String, lines: Seq[String]): String = {
+    val f = Files.createTempFile("src", suffix)
+    Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  "the maritime JSONL parser" should "map fields, rename trh→heading, and expand the bitstring" in {
+    val path = tmpFile(".jsonl", Seq(
+      """{"timestamp": 1443650402, "mmsi": "227592820", "lon": -4.47, "lat": 48.38, "speed": 0.1, "cog": 196.9, "trh": 311.0, "entry_nearcoast": 1.0, "exit_fishing": 1.0, "next_timestamp": 1443650500, "critical_bitstring": "10000001"}""",
+      """{"timestamp": -1, "mmsi": "227592820", "critical_bitstring": "-1"}""",
+      """not json at all"""))
+    val df = Sources.maritimeJson(spark, path)
+    val rows = df.orderBy("timestamp").collect()
+    rows.length shouldBe 2 // unparsable line dropped (null timestamp)
+
+    val r = rows(1)
+    r.getAs[String]("mmsi") shouldBe "227592820"
+    r.getAs[Double]("heading") shouldBe 311.0 // trh renamed
+    r.getAs[Double]("entryNearcoast") shouldBe 1.0
+    r.getAs[Double]("exitFishing") shouldBe 1.0
+    r.getAs[Long]("nextCETimestamp") shouldBe 1443650500L
+    r.getAs[Double]("gap_start") shouldBe 0.0
+    r.getAs[String]("eventType") shouldBe "SampledCritical"
+    // bitstring "10000001": reverse-positional — char 7 ('1') → stop_start,
+    // char 0 ('1') → change_in_speed_end (MaritimeParser.java:139-166)
+    r.getAs[Double]("stop_start") shouldBe 1.0
+    r.getAs[Double]("stop_end") shouldBe 0.0
+    r.getAs[Double]("change_in_speed_end") shouldBe 1.0
+    r.getAs[Double]("change_in_heading") shouldBe 0.0
+
+    // gap row: timestamp -1 → gap_start 1.0; "-1" bitstring → all flags -1
+    val g = rows(0)
+    g.getAs[Double]("gap_start") shouldBe 1.0
+    Sources.BitstringFlags.foreach { f => g.getAs[Double](f) shouldBe -1.0 }
+  }
+
+  it should "feed spatial predicates end-to-end via maritimeEvents" in {
+    val path = tmpFile(".jsonl", Seq(
+      """{"timestamp": 100, "mmsi": "m1", "lon": 23.60, "lat": 37.94, "speed": 5.0, "trh": 0.0, "critical_bitstring": "00000000"}""",
+      """{"timestamp": 200, "mmsi": "m1", "lon": 23.64, "lat": 37.95, "speed": 9.0, "trh": 0.0, "critical_bitstring": "00000000"}"""))
+    val events = Sources.maritimeEvents(spark, path).collect().sortBy(_.timestamp)
+    events.length shouldBe 2
+    events.head.partition shouldBe "m1"
+    // a WithinCircle predicate over the parsed lon/lat evaluates correctly
+    val near = Predicate.WithinCircle("lon", "lat", 23.64, 37.94, 10.0)
+    near.eval(events.head) shouldBe true
+    val far = Predicate.WithinCircle("lon", "lat", 0.0, 0.0, 10.0)
+    far.eval(events.head) shouldBe false
+    Predicate.GT("speed", 7.0).eval(events(1)) shouldBe true
+  }
+
+  "the generic CSV parser" should "parse eventType,timestamp demo streams" in {
+    val path = tmpFile(".csv", Seq("A,1", "B,3", "A,4"))
+    val df = Sources.genericCsv(spark, path)
+    df.count() shouldBe 3
+    df.orderBy("timestamp").collect().map(_.getAs[String]("eventType")).toSeq shouldBe Seq("A", "B", "A")
+  }
+
+  "the maritime CSV parser" should "parse the positional column layout" in {
+    val path = tmpFile(".csv",
+      Seq("1443650402,227592820,-4.47,48.38,0.1,311.0,196.9,stop_start,1443650500"))
+    val r = Sources.maritimeCsv(spark, path).collect().head
+    r.getAs[String]("mmsi") shouldBe "227592820"
+    r.getAs[Double]("heading") shouldBe 311.0
+    r.getAs[String]("annotation") shouldBe "stop_start"
+  }
+
+  "the generic JSONL event source" should "map every field to a typed attribute" in {
+    val path = tmpFile(".jsonl", Seq(
+      """{"type": "click", "ts": 10, "user": "u1", "amount": 4.5, "page": "home"}""",
+      """{"type": "buy", "ts": 20, "user": "u1", "amount": 99.0, "page": "cart"}"""))
+    val events = Sources.genericJsonEvents(spark, path,
+      typeField = "type", tsField = "ts", partitionField = "user")
+      .collect().sortBy(_.timestamp)
+    events.length shouldBe 2
+    events.head.eventType shouldBe "click"
+    events.head.numberOf("amount") shouldBe 4.5
+    events.head.stringOf("page") shouldBe "home"
+    events(1).id should be > events.head.id // arrival-order counter
+  }
+}
