@@ -123,10 +123,19 @@ object DedupOps {
 
   // ---------------------------------------------------------------- jaccard
 
-  /** Jaccard similarity of two distinct-hash arrays. */
+  /** Jaccard similarity of two distinct-hash arrays. The intersection is
+    * evaluated once via a let-style nested transform (array_intersect is the
+    * dominant cost on large candidate sets — computing it twice doubled the
+    * LSH verification stage).
+    */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    // wrap the intersect size in a single-element array so the expression
+    // tree evaluates it exactly once
+    element_at(
+      transform(
+        array(size(array_intersect(a, b)).cast("double")),
+        inter => inter / (size(a) + size(b) - inter)),
+      1)
   }
 
   def jaccardSql(a: String, b: String): String =

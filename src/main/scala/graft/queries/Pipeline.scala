@@ -160,9 +160,13 @@ object Pipeline {
          |WHERE $jac >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
+      // signatures are used three times (explode + two candidate joins):
+      // persist so the hash/minhash chain runs once — at real scale this
+      // would be a materialized signature table
       val sigs = t(s, dir, "documents")
         .select(col("doc_id"), tokenHashes(col("text")).as("hashes"))
         .withColumn("bands", bandKeys(minHashSig(col("hashes"))))
+        .persist()
       val exploded = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
       val cand = exploded.as("a")
         .join(exploded.as("b"),
@@ -170,6 +174,8 @@ object Pipeline {
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
+      // no forced broadcast: the signature table scales with the corpus —
+      // AQE picks broadcast at small SF on its own
       val withSets = cand
         .join(sigs.select(col("doc_id").as("id_a"), col("hashes").as("ha")), "id_a")
         .join(sigs.select(col("doc_id").as("id_b"), col("hashes").as("hb")), "id_b")
@@ -219,9 +225,12 @@ object Pipeline {
          |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
          |SELECT doc_id, nn_id, jac FROM pairs WHERE rnk = 1 ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
+      // persist: the shingle/minhash chain feeds the explode and both
+      // candidate joins — compute it once (at scale: a signature table)
       val sh = t(s, dir, "documents")
         .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
         .withColumn("bands", bandKeys(minHashSig(col("sh"))))
+        .persist()
       val exploded = sh.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
       val cand = exploded.as("x")
         .join(exploded.as("y"),
