@@ -177,6 +177,37 @@ final case class WtDistribution(wt: Map[Int, Double]) {
   }
 }
 
+/** F7: alternative forecasters (reference model/forecaster/NextInterface,
+  * RandomInterface — baselines the SPST path is compared against; the HMM
+  * variant needs the smile library and is out of scope).
+  */
+object Baselines {
+
+  /** Next-symbol forecaster: positive iff the probability that the very
+    * next transition reaches a final state exceeds the threshold. */
+  def nextForecast(
+      spst: Spst,
+      label: List[Int],
+      sdfaState: Int,
+      threshold: Double): ForecastInterval = {
+    val pHit = (0 until spst.sdfa.iso.size).map { sym =>
+      val p = spst.pst.condProbFor(sym, label)
+      if (spst.sdfa.isFinal(spst.sdfa.delta(sdfaState)(sym))) p else 0.0
+    }.sum
+    ForecastInterval(1, 1, 1.0, pHit, positive = pHit >= threshold)
+  }
+
+  /** Seeded random-interval baseline (reference RandomInterface). */
+  final class RandomForecaster(horizon: Int, spread: Int, seed: Long = 42L) extends Serializable {
+    private val rnd = new scala.util.Random(seed)
+    def next(): ForecastInterval = {
+      val start = 1 + rnd.nextInt(math.max(1, horizon - spread))
+      ForecastInterval(start, start + spread, (2 * start + spread) / 2.0,
+        rnd.nextDouble(), positive = rnd.nextBoolean())
+    }
+  }
+}
+
 /** Full-order Markov chain over SDFA states with MLE-estimated transitions
   * (reference model/markov/MarkovChain.scala:58-330 + estimator/
   * MatrixEstimator/MLEEstimator.scala:26-160). For order 0 the chain embeds

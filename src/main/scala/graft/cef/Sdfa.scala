@@ -28,6 +28,35 @@ final case class Sdfa(
     word.foreach { e => s = next(s, iso.evaluate(e)) }
     isFinal(s)
   }
+
+  /** F8: shortest transition distance from each state to any final state
+    * (BFS on the reversed delta graph; unreachable → -1), and the derived
+    * remaining percentage dist/maxDist used for distance-gated forecast
+    * emission (reference fsm/FSMInterface.scala:200-316,
+    * SPSTInterface.scala:251-258).
+    */
+  lazy val shortestPathToFinal: Array[Int] = {
+    val dist = Array.fill(nStates)(-1)
+    val preds = Array.fill(nStates)(List.empty[Int])
+    for (s <- 0 until nStates; m <- delta(s).indices) preds(delta(s)(m)) ::= s
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    finals.foreach { f => dist(f) = 0; queue += f }
+    while (queue.nonEmpty) {
+      val s = queue.dequeue()
+      preds(s).foreach { p =>
+        if (dist(p) == -1) { dist(p) = dist(s) + 1; queue += p }
+      }
+    }
+    dist
+  }
+
+  /** remaining percentage ∈ [0,1]: 0 at finals, 1 at the farthest states;
+    * -1 for states that cannot reach a final. */
+  lazy val remainingPercentage: Array[Double] = {
+    val d = shortestPathToFinal
+    val maxD = d.max
+    d.map(x => if (x < 0) -1.0 else if (maxD == 0) 0.0 else x.toDouble / maxD)
+  }
 }
 
 object Sdfa {

@@ -1,0 +1,177 @@
+package graft.cef.spark
+
+import graft.cef._
+import graft.cef.adapt._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import java.util.concurrent.atomic.AtomicReference
+
+/** The full live-inference topology (SURVEY.md §3.1, reference
+  * InferenceJob.java:57-302): ingest → key by partition attribute →
+  * per-key forecasting engine with pause/play + synchronized model swap →
+  * tagged outputs (detections | forecasts | reports) split by filter —
+  * Spark's substitute for Flink side outputs (SURVEY.md §7.1.2).
+  *
+  * Control plane without broadcast state (§7.1.3): sync/model-report
+  * messages are applied on the DRIVER between micro-batches via a shared
+  * [[ControlHandle]] (updated by a `foreachBatch` over the control stream,
+  * or directly in tests). The swap stays lossless because it is still
+  * gated per key on EVENT time inside the engine state.
+  */
+object Inference {
+
+  /** One tagged output row (kind: detection | forecast | report). */
+  final case class Out(
+      kind: String,
+      partition: String,
+      counter: Long,
+      eventId: Long,
+      timestamp: Long,
+      startCounter: Long,
+      endCounter: Long,
+      prob: Double,
+      positive: Boolean,
+      payload: String)
+
+  /** Driver-side control state shared with executors via task-closure
+    * capture at micro-batch planning time: Spark serializes the referenced
+    * value into each batch's tasks, so updates between batches reach the
+    * next batch — the per-microbatch refresh pattern.
+    */
+  final class ControlHandle extends Serializable {
+    private val state = new AtomicReference[List[SyncCommand]](Nil)
+    def push(cmd: SyncCommand): Unit = state.updateAndGet(cmd :: _)
+    def drain(): List[SyncCommand] = state.getAndSet(Nil).reverse
+    def peek: List[SyncCommand] = state.get().reverse
+  }
+
+  /** Engine state carried in GroupState across micro-batches. */
+  final case class EngineSnapshot(
+      det: DetRunState,
+      buffer: Seq[Int],
+      paused: Boolean,
+      currentModelId: Int,
+      latestModelId: Int,
+      pendingSwapAt: Long)
+
+  implicit private val outEnc: Encoder[Out] = Encoders.product[Out]
+  implicit private val stringEnc: Encoder[String] = Encoders.STRING
+  implicit private val snapEnc: Encoder[EngineSnapshot] = Encoders.product[EngineSnapshot]
+
+  /** Build the streaming inference Dataset. `controls` is read at planning
+    * time of each micro-batch (driver), applied before the batch's events.
+    *
+    * @param loadModel modelId → (spst, forecast table); must be
+    *                  deterministic and serializable (executors call it)
+    */
+  def engine(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      loadModel: Int => (Spst, Map[(List[Int], Int), ForecastInterval]),
+      controls: ControlHandle,
+      initialModelId: Int = 0,
+      swapDelay: Long = 0L,
+      reportingDistance: Long = 3600L): Dataset[Out] = {
+
+    events.groupByKey(_.partition)
+      .flatMapGroupsWithState[EngineSnapshot, Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CEvent], state: GroupState[EngineSnapshot]) =>
+          // restore or create the keyed engine
+          val snap = state.getOption
+          var paused = snap.map(_.paused).getOrElse(false)
+          var currentId = snap.map(_.currentModelId).getOrElse(initialModelId)
+          var latestId = snap.map(_.latestModelId).getOrElse(initialModelId)
+          var pendingAt = snap.map(_.pendingSwapAt).getOrElse(-1L)
+
+          // apply control messages decided since the last batch
+          controls.peek.foreach { c =>
+            c.cmdType match {
+              case "pause" => paused = true
+              case "play"  => paused = false; if (c.modelId >= 0) latestId = c.modelId
+              case _       =>
+            }
+          }
+
+          var (spst, table) = loadModel(currentId)
+          val engineRun = new RestorableSpstRun(cp, spst, table, key)
+          snap.foreach(s => engineRun.restore(s.det, s.buffer))
+
+          val out = scala.collection.mutable.ListBuffer.empty[Out]
+          rows.toSeq.sortBy(e => (e.timestamp, e.id)).foreach { e =>
+            if (!paused) {
+              if (latestId != currentId) {
+                if (pendingAt == -1L) pendingAt = e.timestamp + swapDelay
+                if (e.timestamp >= pendingAt) {
+                  val loaded = loadModel(latestId)
+                  spst = loaded._1; table = loaded._2
+                  engineRun.swapModel(spst, table)
+                  currentId = latestId
+                  pendingAt = -1L
+                }
+              }
+              val (d, f) = engineRun.step(e)
+              d.foreach(x => out += Out("detection", key, x.counter, x.eventId,
+                x.timestamp, 0, 0, 1.0, positive = true, ""))
+              f.foreach(x => out += Out("forecast", key, x.counter, x.eventId,
+                x.timestamp, x.startCounter, x.endCounter, x.prob, x.positive, ""))
+            }
+          }
+          state.update(EngineSnapshot(engineRun.detSnapshot, engineRun.bufferSnapshot,
+            paused, currentId, latestId, pendingAt))
+          out.iterator
+      }
+  }
+
+  /** Split the tagged union into the reference's three sinks
+    * (InferenceJob.java:232-291 side outputs). */
+  def split(out: Dataset[Out]): (Dataset[Out], Dataset[Out], Dataset[Out]) = (
+    out.filter(col("kind") === "detection"),
+    out.filter(col("kind") === "forecast"),
+    out.filter(col("kind") === "report"))
+}
+
+/** SpstRun variant whose internal state (DetRun 4-tuple + symbol buffer)
+  * can be snapshotted/restored and whose model can be swapped in place —
+  * what GroupState needs (reference snapshot: WayebEngine.java:276-287).
+  */
+final class RestorableSpstRun(
+    cp: CompiledPattern,
+    private var spst: Spst,
+    private var table: Map[(List[Int], Int), ForecastInterval],
+    val partition: String) extends Serializable {
+
+  private val det = new DetRun(cp, partition)
+  private var buffer = new SymbolBuffer(math.max(1, spst.order))
+
+  def detSnapshot: DetRunState = det.snapshot
+  def bufferSnapshot: Seq[Int] = buffer.snapshot
+  def restore(d: DetRunState, buf: Seq[Int]): Unit = { det.restore(d); buffer.restore(buf) }
+
+  /** Swap the model; the symbol buffer survives (SPST warm-up across swaps,
+    * reference Run.scala:305-460 + SURVEY.md §7.4). */
+  def swapModel(newSpst: Spst, newTable: Map[(List[Int], Int), ForecastInterval]): Unit = {
+    val keep = buffer.snapshot
+    spst = newSpst
+    table = newTable
+    buffer = new SymbolBuffer(math.max(1, newSpst.order))
+    buffer.restore(keep.takeRight(math.max(1, newSpst.order)))
+  }
+
+  def step(e: CEvent): (Option[Detection], Option[ForecastOut]) = {
+    if (e.isReset) { det.reset(); buffer.clear(); return (None, None) }
+    val sym = cp.iso.evaluate(e)
+    if (sym >= 0) buffer.push(sym)
+    val d = det.step(e)
+    val f =
+      if (buffer.isFull) {
+        val label = spst.pst.nodeFor(buffer.pop).label
+        table.get((label, det.currentState)).filter(_.isValid).map { fi =>
+          ForecastOut(partition, det.eventCounter, e.id, e.timestamp,
+            det.eventCounter + fi.start, det.eventCounter + fi.end, fi.prob, fi.positive)
+        }
+      } else None
+    (d, f)
+  }
+}

@@ -83,10 +83,14 @@ object Train {
     * (state, nextState), then ONE groupBy().count() (the aggregation the
     * survey singles out as "a natural groupBy in Spark", SURVEY.md §2.7).
     */
-  def countTransitions(events: Dataset[CEvent], cp: CompiledPattern): Dataset[((Int, Int), Long)] = {
+  def countTransitions(events: Dataset[CEvent], cp: CompiledPattern): Dataset[((Int, Int), Long)] =
+    countTransitions(events, cp.sdfa)
+
+  /** Transition counting over any SDFA — pass a disambiguated automaton
+    * (Disambiguator, order m) to estimate a full-order-m chain. */
+  def countTransitions(events: Dataset[CEvent], sdfa: Sdfa): Dataset[((Int, Int), Long)] = {
     implicit val kvEnc: Encoder[((Int, Int), Long)] =
       Encoders.tuple(pairEnc, Encoders.scalaLong)
-    val sdfa = cp.sdfa
     events
       .repartition(col("partition"))
       .sortWithinPartitions(col("partition"), col("timestamp"), col("id"))
@@ -114,6 +118,16 @@ object Train {
   def mleMarkovChain(events: Dataset[CEvent], cp: CompiledPattern): MarkovChain = {
     val counts = countTransitions(events, cp).collect()
     MarkovChain.mle(cp.sdfa.nStates, counts, cp.sdfa.finals)
+  }
+
+  /** T3 at order m: disambiguate the SDFA (C8) so a full-order-m chain
+    * embeds on its states, then MLE over the refined transitions
+    * (reference MatrixMLETask.scala:40 with the disambiguated provider).
+    */
+  def mleMarkovChain(events: Dataset[CEvent], cp: CompiledPattern, order: Int): (MarkovChain, Disambiguator.Disambiguated) = {
+    val dis = Disambiguator.disambiguate(cp.sdfa, order)
+    val counts = countTransitions(events, dis.sdfa).collect()
+    (MarkovChain.mle(dis.sdfa.nStates, counts, dis.sdfa.finals), dis)
   }
 
   /** Run SPST forecasting + detection over events (batch): per-key
