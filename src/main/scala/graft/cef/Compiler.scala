@@ -30,10 +30,36 @@ object Compiler {
     val (extras, exclusives) = SreParser.parseDeclarations(declarationsText)
     val rewritten = Selection.rewrite(pat.formula)
     val nfa = Thompson.eliminateEpsilon(Thompson.build(rewritten, exclusives))
+    val reads = nfa.trans.flatMap(_.guard).flatMap(_.registersRead).toSet
+    if (reads.nonEmpty)
+      throw new IllegalArgumentException(
+        s"pattern reads registers ${reads.mkString(",")}: register (SREMO) semantics are " +
+          "runtime-dependent and cannot embed in the SDFA minterm alphabet — " +
+          "use Compiler.compileMatchOnly and the match-enumeration runtime " +
+          "(the reference routes these through NSRA/DSRA the same way, SURVEY.md §2.4 C10)")
     val streamNfa = Thompson.streaming(nfa)
     val preds = streamNfa.predicates ++ extras + Predicate.True
     val iso = Isomorphism.build(preds, exclusives)
     val sdfa = Sdfa.determinize(streamNfa, iso)
     CompiledPattern(pat, nfa, sdfa)
+  }
+
+  /** C10: SREMO (register) patterns compile to the ε-free SNFA only — the
+    * nondeterministic match-enumeration runtime evaluates register
+    * predicates against each thread's valuation (reference NSRA,
+    * fsm/symbolic/sra/nsra/NSRAUtils.scala; windowed DSRA determinization
+    * is not implemented — windows apply directly in the runtime).
+    * The placeholder SDFA rejects everything; only `matches`-style
+    * runtimes are valid for these patterns.
+    */
+  def compileMatchOnly(patternText: String, declarationsText: String = ""): CompiledPattern = {
+    val pat = SreParser.parsePattern(patternText)
+    val (extras, exclusives) = SreParser.parseDeclarations(declarationsText)
+    val rewritten = Selection.rewrite(pat.formula)
+    val nfa = Thompson.eliminateEpsilon(Thompson.build(rewritten, exclusives))
+    val iso = Isomorphism.build(Set(Predicate.True), Set.empty)
+    val reject = Sdfa(Array(Array.fill(iso.size)(0)), Array(Array.fill(iso.size)(false)),
+      0, Set.empty, iso)
+    CompiledPattern(pat, nfa, reject)
   }
 }

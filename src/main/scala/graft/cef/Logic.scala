@@ -10,6 +10,12 @@ package graft.cef
   */
 sealed trait Predicate extends Product with Serializable {
   def eval(e: CEvent): Boolean
+  /** Evaluation under a register valuation (SREMO; reference
+    * fsm/symbolic/Valuation.scala:18 — registers hold stored events).
+    * Register-free predicates ignore it. */
+  def eval(e: CEvent, valuation: Map[String, CEvent]): Boolean = eval(e)
+  /** Registers this predicate reads (empty for ordinary predicates). */
+  def registersRead: Set[String] = Set.empty
 }
 
 object Predicate {
@@ -78,6 +84,32 @@ object Predicate {
     }
   }
 
+  // ---- SREMO register-comparison predicates (reference EQAttr/GTAttr/
+  // LTAttr/EQAttrStr — fsm/symbolic/logic/predicates; docs/lang.md §SREMO).
+  // The second argument names a register; the stored event's attribute is
+  // the comparison target. Absent register → false (no stored event yet).
+  sealed trait RegisterPredicate extends Predicate {
+    def register: String
+    override def registersRead: Set[String] = Set(register)
+    override def eval(e: CEvent): Boolean = false
+  }
+  final case class EQAttr(attr: String, register: String) extends RegisterPredicate {
+    override def eval(e: CEvent, v: Map[String, CEvent]): Boolean =
+      v.get(register).exists(r => e.numberOf(attr) == r.numberOf(attr))
+  }
+  final case class GTAttr(attr: String, register: String) extends RegisterPredicate {
+    override def eval(e: CEvent, v: Map[String, CEvent]): Boolean =
+      v.get(register).exists(r => e.numberOf(attr) > r.numberOf(attr))
+  }
+  final case class LTAttr(attr: String, register: String) extends RegisterPredicate {
+    override def eval(e: CEvent, v: Map[String, CEvent]): Boolean =
+      v.get(register).exists(r => e.numberOf(attr) < r.numberOf(attr))
+  }
+  final case class EQAttrStr(attr: String, register: String) extends RegisterPredicate {
+    override def eval(e: CEvent, v: Map[String, CEvent]): Boolean =
+      v.get(register).exists(r => e.stringOf(attr) == r.stringOf(attr))
+  }
+
   /** Build a predicate from its pattern-text name + argument strings — the
     * reference resolves these by reflection (PredicateConstructor); we use an
     * explicit registry so the set of predicates is a closed, testable ADT.
@@ -95,6 +127,10 @@ object Predicate {
       case "LTE"             => LTE(args(0), d(1))
       case "BT"              => BT(args(0), d(1), d(2))
       case "EQStr"           => EQStr(args(0), args(1))
+      case "EQAttr"          => EQAttr(args(0), args(1))
+      case "GTAttr"          => GTAttr(args(0), args(1))
+      case "LTAttr"          => LTAttr(args(0), args(1))
+      case "EQAttrStr"       => EQAttrStr(args(0), args(1))
       case "WithinCircle"    => WithinCircle(args(0), args(1), d(2), d(3), d(4))
       case "OutsideCircle"   => OutsideCircle(args(0), args(1), d(2), d(3), d(4))
       case "DistanceBetween" => DistanceBetween(args(0), args(1), d(2), d(3), d(4), d(5))
@@ -137,29 +173,36 @@ object Spatial {
   */
 sealed trait Sentence extends Product with Serializable {
   def eval(e: CEvent): Boolean
+  /** Evaluation under a register valuation (SREMO patterns). */
+  def eval(e: CEvent, valuation: Map[String, CEvent]): Boolean
   /** truth value under a fixed assignment of atomic predicates. */
   def evalUnder(assign: Map[Predicate, Boolean]): Boolean
   def predicates: Set[Predicate]
+  def registersRead: Set[String] = predicates.flatMap(_.registersRead)
 }
 
 object Sentence {
   final case class Atomic(p: Predicate) extends Sentence {
     def eval(e: CEvent): Boolean = p.eval(e)
+    def eval(e: CEvent, v: Map[String, CEvent]): Boolean = p.eval(e, v)
     def evalUnder(assign: Map[Predicate, Boolean]): Boolean = assign(p)
     def predicates: Set[Predicate] = Set(p)
   }
   final case class And(ss: List[Sentence]) extends Sentence {
     def eval(e: CEvent): Boolean = ss.forall(_.eval(e))
+    def eval(e: CEvent, v: Map[String, CEvent]): Boolean = ss.forall(_.eval(e, v))
     def evalUnder(a: Map[Predicate, Boolean]): Boolean = ss.forall(_.evalUnder(a))
     def predicates: Set[Predicate] = ss.flatMap(_.predicates).toSet
   }
   final case class Or(ss: List[Sentence]) extends Sentence {
     def eval(e: CEvent): Boolean = ss.exists(_.eval(e))
+    def eval(e: CEvent, v: Map[String, CEvent]): Boolean = ss.exists(_.eval(e, v))
     def evalUnder(a: Map[Predicate, Boolean]): Boolean = ss.exists(_.evalUnder(a))
     def predicates: Set[Predicate] = ss.flatMap(_.predicates).toSet
   }
   final case class Not(s: Sentence) extends Sentence {
     def eval(e: CEvent): Boolean = !s.eval(e)
+    def eval(e: CEvent, v: Map[String, CEvent]): Boolean = !s.eval(e, v)
     def evalUnder(a: Map[Predicate, Boolean]): Boolean = !s.evalUnder(a)
     def predicates: Set[Predicate] = s.predicates
   }

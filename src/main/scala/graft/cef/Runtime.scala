@@ -120,18 +120,19 @@ final class MatchRun(cp: CompiledPattern, val partition: String) extends Seriali
   def restore(s: MatchRunState): Unit = {
     counter = s.counter
     threads = s.threads.map(t =>
-      MatchRun.Thread(t.state, t.ids.toList, t.counters.toList, t.tss.toList)).toList
+      MatchRun.Thread(t.state, t.ids.toList, t.counters.toList, t.tss.toList, t.valuation)).toList
   }
   def snapshot: MatchRunState =
-    MatchRunState(counter, threads.map(t => ThreadState(t.state, t.ids, t.counters, t.tss)))
+    MatchRunState(counter,
+      threads.map(t => ThreadState(t.state, t.ids, t.counters, t.tss, t.valuation)))
 
   /** Process one event; returns the matches completed AT this event. */
   def step(e: CEvent): List[MatchOut] = {
     if (e.isReset) { reset(); return Nil }
     counter += 1
     val out = mutable.ListBuffer[MatchOut]()
-    val cand = MatchRun.Thread(nfa.start, Nil, Nil, Nil) :: threads
-    val seen = mutable.HashSet[(Int, List[Long])]()
+    val cand = MatchRun.Thread(nfa.start, Nil, Nil, Nil, Map.empty) :: threads
+    val seen = mutable.HashSet[(Int, List[Long], List[Long])]()
     val nextThreads = mutable.ListBuffer[MatchRun.Thread]()
     cand.foreach { th =>
       val windowOk = cp.window == 0L || th.counters.isEmpty || {
@@ -143,11 +144,18 @@ final class MatchRun(cp: CompiledPattern, val partition: String) extends Seriali
       }
       if (windowOk) {
         nfa.bySrc(th.state).foreach { t =>
-          if (coReachable.contains(t.dst) && t.guard.exists(_.eval(e))) {
+          if (coReachable.contains(t.dst) && t.guard.exists(_.eval(e, th.valuation))) {
+            // SREMO: a register-declaring transition stores the event
+            val nextVal = t.register match {
+              case Some(r) => th.valuation.updated(r, e)
+              case None    => th.valuation
+            }
             val nt =
-              if (t.take) MatchRun.Thread(t.dst, e.id :: th.ids, counter :: th.counters, e.timestamp :: th.tss)
-              else MatchRun.Thread(t.dst, th.ids, th.counters, th.tss)
-            if (seen.add((nt.state, nt.ids))) {
+              if (t.take) MatchRun.Thread(t.dst, e.id :: th.ids, counter :: th.counters,
+                e.timestamp :: th.tss, nextVal)
+              else th.copy(state = t.dst, valuation = nextVal)
+            val valKey = nt.valuation.values.map(_.id).toList.sorted
+            if (seen.add((nt.state, nt.ids, valKey))) {
               nextThreads += nt
               if (nfa.finals.contains(nt.state) && nt.ids.nonEmpty)
                 out += MatchOut(partition, nt.ids.reverse, nt.counters.reverse, nt.tss.last, nt.tss.head)
@@ -163,7 +171,8 @@ final class MatchRun(cp: CompiledPattern, val partition: String) extends Seriali
 
 object MatchRun {
   private[cef] final case class Thread(
-      state: Int, ids: List[Long], counters: List[Long], tss: List[Long])
+      state: Int, ids: List[Long], counters: List[Long], tss: List[Long],
+      valuation: Map[String, CEvent] = Map.empty)
 
   /** Convenience: run a whole (sorted) event iterator through a fresh run. */
   def run(cp: CompiledPattern, partition: String, events: Iterator[CEvent]): Iterator[MatchOut] = {
@@ -172,5 +181,7 @@ object MatchRun {
   }
 }
 
-final case class ThreadState(state: Int, ids: Seq[Long], counters: Seq[Long], tss: Seq[Long])
+final case class ThreadState(
+    state: Int, ids: Seq[Long], counters: Seq[Long], tss: Seq[Long],
+    valuation: Map[String, CEvent] = Map.empty)
 final case class MatchRunState(counter: Long, threads: Seq[ThreadState])

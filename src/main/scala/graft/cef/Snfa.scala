@@ -5,8 +5,12 @@ package graft.cef
   * Guards are [[Sentence]]s (None = ε). `take` decides whether the event
   * triggering the transition joins the match (TAKE) or not (IGNORE) —
   * reference TransitionOutput, fsm/symbolic/sfa/snfa/SNFAUtils.scala:159.
+  * `register` stores the triggering event into the named SREMO register
+  * (reference NSRA write registers, fsm/symbolic/sra).
   */
-final case class NTrans(src: Int, dst: Int, guard: Option[Sentence], take: Boolean)
+final case class NTrans(
+    src: Int, dst: Int, guard: Option[Sentence], take: Boolean,
+    register: Option[String] = None)
 
 final case class Snfa(
     states: Set[Int],
@@ -29,7 +33,7 @@ final case class Snfa(
       var grew = true
       while (grew) {
         val nxt = cur ++ cur.flatMap(u => bySrc(u).collect {
-          case NTrans(_, d, None, _) => d
+          case t if t.guard.isEmpty => t.dst
         })
         grew = nxt.size != cur.size
         cur = nxt
@@ -39,7 +43,7 @@ final case class Snfa(
     var cur = eclose(Set(start))
     word.foreach { e =>
       cur = eclose(cur.flatMap(u => bySrc(u).collect {
-        case NTrans(_, d, Some(g), _) if g.eval(e) => d
+        case t if t.guard.exists(_.eval(e)) => t.dst
       }))
     }
     cur.exists(finals.contains)
@@ -64,9 +68,9 @@ object Thompson {
   }
 
   private def go(f: Sre, idg: IdGen, excl: Set[Set[Predicate]]): Snfa = f match {
-    case Sre.Sent(s, marked) =>
+    case Sre.Sent(s, marked, register) =>
       val a = idg.next(); val b = idg.next()
-      Snfa(Set(a, b), List(NTrans(a, b, Some(s), marked)), a, Set(b))
+      Snfa(Set(a, b), List(NTrans(a, b, Some(s), marked, register)), a, Set(b))
 
     case Sre.Eps =>
       val a = idg.next(); val b = idg.next()
@@ -128,7 +132,7 @@ object Thompson {
       var cur = Set(s)
       var grew = true
       while (grew) {
-        val nxt = cur ++ cur.flatMap(u => n.bySrc(u).collect { case NTrans(_, d, None, _) => d })
+        val nxt = cur ++ cur.flatMap(u => n.bySrc(u).collect { case t if t.guard.isEmpty => t.dst })
         grew = nxt.size != cur.size
         cur = nxt
       }
@@ -136,7 +140,7 @@ object Thompson {
     }.toMap
     val newTrans = n.states.toList.flatMap { u =>
       closures(u).toList.flatMap(v => n.bySrc(v).collect {
-        case NTrans(_, d, Some(g), take) => NTrans(u, d, Some(g), take)
+        case t if t.guard.isDefined => NTrans(u, t.dst, t.guard, t.take, t.register)
       })
     }.distinct
     val newFinals = n.states.filter(u => closures(u).exists(n.finals.contains))
@@ -162,7 +166,7 @@ object Thompson {
     val q = (n.states.max) + 1
     val loop = NTrans(q, q, Some(Sentence.True), take = false)
     // ε from q to old start, pre-eliminated: copy start's out-edges onto q
-    val copied = n.bySrc(n.start).map(t => NTrans(q, t.dst, t.guard, t.take))
+    val copied = n.bySrc(n.start).map(t => NTrans(q, t.dst, t.guard, t.take, t.register))
     val finals = if (n.finals(n.start)) n.finals + q else n.finals
     Snfa(n.states + q, loop :: copied ::: n.trans, q, finals)
   }

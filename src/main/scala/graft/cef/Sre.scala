@@ -17,8 +17,10 @@ package graft.cef
 sealed trait Sre extends Product with Serializable
 object Sre {
   /** A guard sentence; `marked` decides TAKE vs IGNORE on the transition
-    * (events of unmarked sentences are not added to the match). */
-  final case class Sent(s: Sentence, marked: Boolean = true) extends Sre
+    * (events of unmarked sentences are not added to the match); `register`
+    * is the SREMO register the matching event is stored into
+    * (docs/lang.md §SREMO — `IsEventTypePredicate(A)["x"]`). */
+  final case class Sent(s: Sentence, marked: Boolean = true, register: Option[String] = None) extends Sre
   /** The empty word. */
   case object Eps extends Sre
   final case class Op(op: RegOp, args: List[Sre]) extends Sre
@@ -132,7 +134,19 @@ object SreParser {
             fail(s"$op takes exactly one argument, got $n")
           case _ => Sre.Op(op, args)
         }
-      case _ => Sre.Sent(sentence())
+      case _ =>
+        val snt = sentence()
+        // optional SREMO register declaration: ["x"]
+        if (peek == Some('[')) {
+          i += 1
+          ws()
+          expect('"')
+          val start = i
+          while (i < s.length && s(i) != '"') i += 1
+          val reg = s.substring(start, i)
+          expect('"'); expect(']')
+          Sre.Sent(snt, register = Some(reg))
+        } else Sre.Sent(snt)
     }
 
     def sentence(): Sentence = peek match {

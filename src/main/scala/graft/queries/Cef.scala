@@ -37,6 +37,8 @@ object Cef {
     "#(;(IsEventTypePredicate(error),IsEventTypePredicate(purchase)))")
   private lazy val pValue = Compiler.compile(
     ";(GTPredicate(value,120.0),LTPredicate(value,10.0))")
+  private lazy val pSremo = Compiler.compileMatchOnly(
+    """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""")
 
   private def events(s: SparkSession, dir: String) =
     Detect.toEvents(Tables(s, dir, "events"),
@@ -181,6 +183,20 @@ object Cef {
          |FROM c WHERE p_value > 120.0 AND value < 10.0
          |ORDER BY user_id, id_a, id_b""".stripMargin) { (s, dir) =>
       matches2(s, dir, pValue)
+    },
+
+    // ------------- SREMO register pattern (C10): a value spike > 120
+    // followed within 10 events by a LARGER spike — the second predicate
+    // compares against the event stored in register x, which is exactly a
+    // non-equi self-join in SQL.
+    Q("cef13_sremo_spikes",
+      s"""$RnCte
+         |SELECT a.user_id, a.event_id AS id_a, p.event_id AS id_b
+         |FROM b a JOIN b p
+         |  ON a.user_id = p.user_id AND p.rn > a.rn AND p.rn - a.rn < 10
+         |WHERE a.value > 120.0 AND p.value > a.value
+         |ORDER BY a.user_id, id_a, id_b""".stripMargin) { (s, dir) =>
+      matches2(s, dir, pSremo)
     },
 
     // ---------------- forecast evaluation: interval join + per-key MCC

@@ -11,7 +11,7 @@ package graft.cef
 object Denot {
 
   def matches(f: Sre, w: List[CEvent]): Boolean = f match {
-    case Sre.Sent(s, _) => w.lengthCompare(1) == 0 && s.eval(w.head)
+    case Sre.Sent(s, _, _) => w.lengthCompare(1) == 0 && s.eval(w.head)
     case Sre.Eps        => w.isEmpty
     case Sre.Op(RegOp.SEQ, args) => seqMatch(args, w)
     case Sre.Op(RegOp.CHOICE, args) => args.exists(matches(_, w))
