@@ -33,6 +33,48 @@ final case class ClassStats(tp: Long, tn: Long, fp: Long, fn: Long) {
     }
 }
 
+/** A3: regression-style forecast evaluation — per-state interval-hit
+  * statistics and error of the interval midpoint against the actual
+  * waiting time (reference profiler/regression/RegressionForecastCollector
+  * .scala:29-244, RegressionStatsEstimator.scala:1-312).
+  */
+final class RegressionCollector extends Serializable {
+  import scala.collection.mutable
+  private val byState = mutable.Map.empty[Int, RegressionStats]
+
+  /** @param state          the emitting automaton state
+    * @param start          interval start, relative to the emission point
+    * @param end            interval end
+    * @param middle         interval midpoint estimate (conditional expectation)
+    * @param actualDistance events until the next detection (-1: none came)
+    */
+  def add(state: Int, start: Long, end: Long, middle: Double, actualDistance: Long): Unit = {
+    val s = byState.getOrElseUpdate(state, RegressionStats())
+    s.n += 1
+    s.spreadSum += (end - start)
+    if (actualDistance >= 0) {
+      s.observed += 1
+      if (actualDistance >= start && actualDistance <= end) s.hits += 1
+      s.absErrorSum += math.abs(actualDistance - middle)
+    }
+  }
+
+  def stats: Map[Int, RegressionStats] = byState.toMap
+  def totals: RegressionStats =
+    byState.values.foldLeft(RegressionStats()) { (a, b) =>
+      RegressionStats(a.n + b.n, a.hits + b.hits, a.observed + b.observed,
+        a.spreadSum + b.spreadSum, a.absErrorSum + b.absErrorSum)
+    }
+}
+
+final case class RegressionStats(
+    var n: Long = 0, var hits: Long = 0, var observed: Long = 0,
+    var spreadSum: Long = 0, var absErrorSum: Double = 0.0) {
+  def hitRate: Double = if (observed == 0) -1 else hits.toDouble / observed
+  def avgSpread: Double = if (n == 0) -1 else spreadSum.toDouble / n
+  def meanAbsError: Double = if (observed == 0) -1 else absErrorSum / observed
+}
+
 object Profiler {
 
   /** Evaluate one forecast against a key's detection counters (reference

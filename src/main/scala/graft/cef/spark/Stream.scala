@@ -30,18 +30,37 @@ object Stream {
   implicit private val detStateEnc: Encoder[DetRunState] = Encoders.product[DetRunState]
   implicit private val matchStateEnc: Encoder[MatchRunState] = Encoders.product[MatchRunState]
 
-  /** Deterministic detection-point stream (R1 over the streaming SDFA). */
-  def detections(events: Dataset[CEvent], cp: CompiledPattern): Dataset[Detection] =
+  /** Deterministic detection-point stream (R1 over the streaming SDFA).
+    *
+    * `stateTtl` (milliseconds, 0 = keep forever) expires idle keys — the
+    * Spark analogue of the reference's run-pool expiration GC
+    * (`expirationDeadline`, ERFEngine.scala:95-101, RunPool.scala:186;
+    * SURVEY.md §2.3 K5): a key that receives no events for the TTL loses
+    * its run state and restarts from the automaton's start state.
+    */
+  def detections(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      stateTtl: Long = 0L): Dataset[Detection] = {
+    val timeoutConf =
+      if (stateTtl > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events.groupByKey(_.partition)
       .flatMapGroupsWithState[DetRunState, Detection](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: String, rows: Iterator[CEvent], state: GroupState[DetRunState]) =>
-          val run = new DetRun(cp, key)
-          state.getOption.foreach(run.restore)
-          val out = rows.toSeq.sortBy(e => (e.timestamp, e.id)).flatMap(run.step)
-          state.update(run.snapshot)
-          out.iterator
+          if (state.hasTimedOut) {
+            state.remove() // stale run reclaimed
+            Iterator.empty
+          } else {
+            val run = new DetRun(cp, key)
+            state.getOption.foreach(run.restore)
+            val out = rows.toSeq.sortBy(e => (e.timestamp, e.id)).flatMap(run.step)
+            state.update(run.snapshot)
+            if (stateTtl > 0) state.setTimeoutDuration(stateTtl)
+            out.iterator
+          }
       }
+  }
 
   /** Full match-enumeration stream (R4): thread pool lives in GroupState,
     * like the reference's run pool registered per (fsmId, partition value)

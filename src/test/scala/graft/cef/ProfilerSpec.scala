@@ -48,4 +48,28 @@ class ProfilerSpec extends AnyFlatSpec with Matchers {
     ClassStats(10, 10, 0, 0).mcc shouldBe 1.0 +- 1e-12
     ClassStats(0, 0, 10, 10).mcc shouldBe -1.0 +- 1e-12
   }
+
+  "the regression collector" should "track per-state interval hits and midpoint error (A3)" in {
+    val rc = new RegressionCollector
+    rc.add(state = 3, start = 2, end = 6, middle = 4.0, actualDistance = 5)  // hit, |5-4|=1
+    rc.add(state = 3, start = 2, end = 6, middle = 4.0, actualDistance = 8)  // miss, |8-4|=4
+    rc.add(state = 3, start = 1, end = 3, middle = 2.0, actualDistance = -1) // never detected
+    rc.add(state = 7, start = 1, end = 2, middle = 1.5, actualDistance = 2)  // hit, 0.5
+
+    val s3 = rc.stats(3)
+    s3.n shouldBe 3
+    s3.observed shouldBe 2
+    s3.hits shouldBe 1
+    s3.hitRate shouldBe 0.5 +- 1e-12
+    s3.avgSpread shouldBe (4 + 4 + 2) / 3.0 +- 1e-12
+    s3.meanAbsError shouldBe 2.5 +- 1e-12
+
+    val t = rc.totals
+    t.n shouldBe 4
+    t.hits shouldBe 2
+    t.hitRate shouldBe 2.0 / 3 +- 1e-12
+    // empty collector conventions
+    RegressionStats().hitRate shouldBe -1
+    RegressionStats().meanAbsError shouldBe -1
+  }
 }
