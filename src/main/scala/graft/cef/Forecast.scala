@@ -257,6 +257,38 @@ final case class MarkovChain(
 
 object MarkovChain {
 
+  /** T6 (RemainingTime estimator): expected number of events until the
+    * first final-state visit, per state — solved iteratively from
+    * h = 1 + Q·h over non-final states (reference estimator/
+    * RemainingTimeEstimator). States that cannot reach a final get
+    * Double.PositiveInfinity.
+    */
+  def expectedHittingTime(mc: MarkovChain, iterations: Int = 10000, tol: Double = 1e-12): Array[Double] = {
+    val n = mc.nStates
+    val h = Array.fill(n)(0.0)
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < iterations && delta > tol) {
+      delta = 0.0
+      var i = 0
+      while (i < n) {
+        if (!mc.finals.contains(i)) {
+          var v = 1.0
+          var j = 0
+          while (j < n) {
+            if (!mc.finals.contains(j)) v += mc.probs(i)(j) * h(j)
+            j += 1
+          }
+          delta = math.max(delta, math.abs(v - h(i)))
+          h(i) = v
+        }
+        i += 1
+      }
+      it += 1
+    }
+    if (delta > tol) h.map(x => if (x > 1e9) Double.PositiveInfinity else x) else h
+  }
+
   /** MLE from (state, nextState) transition counts
     * (reference MLEEstimator.scala:26-160): row-normalized counts; rows
     * with no observations fall back to a self-loop.

@@ -294,6 +294,81 @@ object Cef {
         .orderBy(col("label"), col("state"))
     },
 
+    // ------------- T3/F1 with exact oracles: the streaming SDFA of the
+    // skip-till-any error→purchase pattern has exactly three semantically
+    // labelable states — start (no error yet), armed (error seen), final
+    // (detection) — so the MLE transition matrix and the Markov-chain
+    // waiting-time distribution are both recomputable in pure SQL.
+    Q("cef14_mle_matrix",
+      s"""$RnCte,
+         |c AS (SELECT user_id, rn, event_type,
+         |             count(CASE WHEN event_type = 'error' THEN 1 END)
+         |               OVER (PARTITION BY user_id ORDER BY rn) AS err_upto
+         |      FROM b),
+         |st AS (SELECT user_id, rn,
+         |              CASE WHEN err_upto = 0 THEN 'start'
+         |                   WHEN event_type = 'purchase' THEN 'final'
+         |                   ELSE 'armed' END AS to_state
+         |       FROM c),
+         |tr AS (SELECT coalesce(lag(to_state) OVER (PARTITION BY user_id ORDER BY rn),
+         |                       'start') AS from_state, to_state
+         |       FROM st)
+         |SELECT from_state, to_state, count(*) AS n,
+         |       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY from_state), 6) AS p
+         |FROM tr GROUP BY from_state, to_state
+         |ORDER BY from_state, to_state""".stripMargin) { (s, dir) =>
+      mleLabelMatrix(s, dir)
+        .select(col("from_state"), col("to_state"), col("n"), round(col("p"), 6).as("p"))
+        .orderBy(col("from_state"), col("to_state"))
+    },
+
+    Q("cef15_mc_wt",
+      s"""$RnCte,
+         |c AS (SELECT user_id, rn, event_type,
+         |             count(CASE WHEN event_type = 'error' THEN 1 END)
+         |               OVER (PARTITION BY user_id ORDER BY rn) AS err_upto
+         |      FROM b),
+         |st AS (SELECT user_id, rn,
+         |              CASE WHEN err_upto = 0 THEN 'start'
+         |                   WHEN event_type = 'purchase' THEN 'final'
+         |                   ELSE 'armed' END AS to_state
+         |       FROM c),
+         |tr AS (SELECT coalesce(lag(to_state) OVER (PARTITION BY user_id ORDER BY rn),
+         |                       'start') AS from_state, to_state
+         |       FROM st),
+         |probs AS (SELECT from_state, to_state,
+         |                 count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY from_state) AS p
+         |          FROM tr GROUP BY from_state, to_state),
+         |pm AS (SELECT
+         |  coalesce(max(CASE WHEN from_state='start' AND to_state='start' THEN p END), 0) AS p_ss,
+         |  coalesce(max(CASE WHEN from_state='start' AND to_state='armed' THEN p END), 0) AS p_sa,
+         |  coalesce(max(CASE WHEN from_state='start' AND to_state='final' THEN p END), 0) AS p_sf,
+         |  coalesce(max(CASE WHEN from_state='armed' AND to_state='start' THEN p END), 0) AS p_as,
+         |  coalesce(max(CASE WHEN from_state='armed' AND to_state='armed' THEN p END), 0) AS p_aa,
+         |  coalesce(max(CASE WHEN from_state='armed' AND to_state='final' THEN p END), 0) AS p_af
+         |  FROM probs),
+         |rec AS (
+         |  WITH RECURSIVE step(t, ps, pa, hit) AS (
+         |    SELECT 0, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+         |    UNION ALL
+         |    SELECT t + 1,
+         |           ps * p_ss + pa * p_as,
+         |           ps * p_sa + pa * p_aa,
+         |           ps * p_sf + pa * p_af
+         |    FROM step, pm WHERE t < 20)
+         |  SELECT * FROM step)
+         |SELECT t, round(hit, 6) AS p FROM rec WHERE t >= 1 ORDER BY t""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val counts = labelCounts(s, dir)
+      val idx = Map("start" -> 0, "armed" -> 1, "final" -> 2)
+      val mc = graft.cef.MarkovChain.mle(3,
+        counts.map { case ((f, t), n) => ((idx(f), idx(t)), n) }, Set(2))
+      val wt = mc.wtDistribution(0, 20)
+      (1 to 20).map(t => (t, BigDecimal(wt(t)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("t", "p")
+        .orderBy(col("t"))
+    },
+
     Q.noOracle("cef12_spst_forecasts") { (s, dir) =>
       val ev = events(s, dir)
       val spst = Train.learnSpst(ev, pSkipAny, order = 2)
@@ -349,6 +424,27 @@ object Cef {
         sum(when(col("positive") && !col("hit"), 1).otherwise(0)).as("fp"),
         sum(when(!col("positive") && col("hit"), 1).otherwise(0)).as("fn"))
       .withColumn("mcc", expr(mccSql))
+
+  /** Distributed SDFA transition counting (T3) aggregated to the three
+    * semantic labels of the skip-any pattern's streaming automaton.
+    */
+  private def labelCounts(s: SparkSession, dir: String): Seq[((String, String), Long)] = {
+    val sdfa = pSkipAny.sdfa
+    def label(id: Int): String =
+      if (id == sdfa.start) "start" else if (sdfa.finals.contains(id)) "final" else "armed"
+    Train.countTransitions(events(s, dir), pSkipAny).collect()
+      .groupBy { case ((f, t), _) => (label(f), label(t)) }
+      .map { case (k, xs) => k -> xs.map(_._2).sum }
+      .toSeq
+  }
+
+  private def mleLabelMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = labelCounts(s, dir)
+    val totals = counts.groupBy(_._1._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+    counts.map { case ((f, t), n) => (f, t, n, n.toDouble / totals(f)) }
+      .toDF("from_state", "to_state", "n", "p")
+  }
 
   private def forecastEval(s: SparkSession, dir: String): DataFrame =
     confAgg(withEval(s, dir), Seq(col("user_id")))

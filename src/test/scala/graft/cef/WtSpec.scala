@@ -59,6 +59,20 @@ class WtSpec extends AnyFlatSpec with Matchers {
     wt.wt.values.sum shouldBe 1.0 +- 1e-9
   }
 
+  "expected hitting time" should "match the analytic value and the wt-distribution mean" in {
+    // geometric: from state 0, hit final 1 with prob p each step → E = 1/p
+    val p = 0.3
+    val geo = MarkovChain(2, Array(Array(1 - p, p), Array(0.5, 0.5)), Set(1))
+    MarkovChain.expectedHittingTime(geo)(0) shouldBe 1.0 / p +- 1e-9
+
+    // random ergodic chain: E[hit] == Σ t·wt(t)
+    val mc = randomChain(4, Set(3))
+    val h = MarkovChain.expectedHittingTime(mc)
+    val wt = mc.wtDistribution(0, 2000)
+    val mean = wt.wt.map { case (t, pr) => t * pr }.sum
+    h(0) shouldBe mean +- 1e-6
+  }
+
   "SPST wt distributions" should "match brute-force expansion over the product space" in {
     // order-1 PST over a 2-symbol alphabet with hand-set conditionals, and a
     // tiny 3-state SDFA-like delta: 0 -sym1-> 1 -sym1-> 2(final), sym0 resets to 0
