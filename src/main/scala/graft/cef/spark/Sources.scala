@@ -153,6 +153,27 @@ object Sources {
       numAttrs = numFields.filterNot(Set(tsField)), strAttrs = strFields.filterNot(Set(typeField)))
   }
 
+  /** P5: event-time assignment + watermark (reference
+    * InferenceJob.java:134-137 — event time = timestamp seconds × 1000,
+    * bounded out-of-orderness 60 s). Adds an `eventTime` timestamp column
+    * and registers the watermark; use on streaming inputs before the keyed
+    * stateful operator.
+    */
+  def withEventTime(
+      df: DataFrame,
+      tsSecondsCol: String = "timestamp",
+      delay: String = "60 seconds"): DataFrame =
+    df.withColumn("eventTime", timestamp_seconds(col(tsSecondsCol)))
+      .withWatermark("eventTime", delay)
+
+  /** S13: JDBC match sink (reference db/DBConnector.scala via Slick; off by
+    * default — `write2db=false`, ConfigUtils.scala:74). Plain
+    * DataFrameWriter.jdbc; in streaming wrap in foreachBatch.
+    */
+  def jdbcMatchSink(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+
   /** P1 end-to-end: maritime JSONL file → Dataset[CEvent] keyed by mmsi,
     * with all numeric attributes available to spatial predicates.
     */
