@@ -22,12 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Train {
 
-  /** A symbol window (most-recent-first) with its occurrence count. */
-  final case class WindowCount(word: Seq[Int], n: Long)
-
   implicit private val wcEnc: Encoder[WindowCount] = Encoders.product[WindowCount]
-  implicit private val wEnc: Encoder[Window] = Encoders.product[Window]
-  private final case class Window(word: Seq[Int])
+  implicit private val wEnc: Encoder[SymbolWindow] = Encoders.product[SymbolWindow]
   implicit private val pairEnc: Encoder[(Int, Int)] =
     Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
 
@@ -46,7 +42,7 @@ object Train {
           else {
             val sym = iso.evaluate(e)
             if (sym < 0) Iterator.empty
-            else { buf.push(sym); Iterator.single(Window(buf.pop)) }
+            else { buf.push(sym); Iterator.single(SymbolWindow(buf.pop)) }
           }
         }
       }
@@ -156,3 +152,12 @@ object Train {
       }
   }
 }
+
+/** A symbol window (most-recent-first). Top-level so whole-stage codegen
+  * can construct it (nested private case classes break Janino compilation
+  * and silently fall back to interpreted row handling).
+  */
+final case class SymbolWindow(word: Seq[Int])
+
+/** A symbol window with its occurrence count. */
+final case class WindowCount(word: Seq[Int], n: Long)
