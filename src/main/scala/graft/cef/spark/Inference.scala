@@ -46,14 +46,24 @@ object Inference {
     def peek: List[SyncCommand] = state.get().reverse
   }
 
-  /** Engine state carried in GroupState across micro-batches. */
+  /** Engine state carried in GroupState across micro-batches: the run
+    * snapshot plus the reporting state (pending unresolved forecasts,
+    * cumulative + last-reported confusion counts, next report time) —
+    * exactly the reference's keyed state set (WayebEngine.java:103-128).
+    */
   final case class EngineSnapshot(
       det: DetRunState,
       buffer: Seq[Int],
       paused: Boolean,
       currentModelId: Int,
       latestModelId: Int,
-      pendingSwapAt: Long)
+      pendingSwapAt: Long,
+      pendingForecasts: Seq[PendingForecast] = Nil,
+      cum: Seq[Long] = Seq(0L, 0L, 0L, 0L),
+      prev: Seq[Long] = Seq(0L, 0L, 0L, 0L),
+      nextReportTime: Long = -1L)
+
+  final case class PendingForecast(positive: Boolean, start: Long, end: Long)
 
   implicit private val outEnc: Encoder[Out] = Encoders.product[Out]
   implicit private val stringEnc: Encoder[String] = Encoders.STRING
@@ -98,6 +108,17 @@ object Inference {
           val engineRun = new RestorableSpstRun(cp, spst, table, key)
           snap.foreach(s => engineRun.restore(s.det, s.buffer))
 
+          // A1 reporting state: pending forecasts resolve online against
+          // detections (tp/fn) or expiry (fp/tn); cumulative + delta counts
+          // emitted every reportingDistance event-time units
+          val pending = scala.collection.mutable.Queue.empty[PendingForecast]
+          snap.foreach(s => pending ++= s.pendingForecasts)
+          var cum = snap.map(s => ClassStats(s.cum(0), s.cum(1), s.cum(2), s.cum(3)))
+            .getOrElse(ClassStats(0, 0, 0, 0))
+          var prev = snap.map(s => ClassStats(s.prev(0), s.prev(1), s.prev(2), s.prev(3)))
+            .getOrElse(ClassStats(0, 0, 0, 0))
+          var nextReportTime = snap.map(_.nextReportTime).getOrElse(-1L)
+
           val out = scala.collection.mutable.ListBuffer.empty[Out]
           rows.toSeq.sortBy(e => (e.timestamp, e.id)).foreach { e =>
             if (!paused) {
@@ -109,20 +130,58 @@ object Inference {
                   engineRun.swapModel(spst, table)
                   currentId = latestId
                   pendingAt = -1L
+                  // model swap clears stats history (WayebEngine.java:300-315)
+                  cum = ClassStats(0, 0, 0, 0); prev = ClassStats(0, 0, 0, 0)
                 }
               }
               val (d, f) = engineRun.step(e)
               d.foreach(x => out += Out("detection", key, x.counter, x.eventId,
                 x.timestamp, 0, 0, 1.0, positive = true, ""))
-              f.foreach(x => out += Out("forecast", key, x.counter, x.eventId,
-                x.timestamp, x.startCounter, x.endCounter, x.prob, x.positive, ""))
+              f.foreach { x =>
+                out += Out("forecast", key, x.counter, x.eventId,
+                  x.timestamp, x.startCounter, x.endCounter, x.prob, x.positive, "")
+                pending += PendingForecast(x.positive, x.startCounter, x.endCounter)
+              }
+              // resolve pending forecasts
+              d.foreach { det =>
+                pending.dequeueAll(p => p.start <= det.counter && det.counter <= p.end)
+                  .foreach { p =>
+                    cum += (if (p.positive) ClassStats(1, 0, 0, 0) else ClassStats(0, 0, 0, 1))
+                  }
+              }
+              val counter = engineRun.eventCounter
+              pending.dequeueAll(_.end < counter).foreach { p =>
+                cum += (if (p.positive) ClassStats(0, 0, 1, 0) else ClassStats(0, 1, 0, 0))
+              }
+              // periodic report (event-time schedule, WayebEngine.java:370-430)
+              if (nextReportTime == -1L) nextReportTime = e.timestamp + reportingDistance
+              else if (e.timestamp >= nextReportTime) {
+                val batch = ClassStats(cum.tp - prev.tp, cum.tn - prev.tn,
+                  cum.fp - prev.fp, cum.fn - prev.fn)
+                val report = adapt.Report(e.timestamp, key,
+                  adapt.MetricGroup.of(cum), adapt.MetricGroup.ofBatch(batch))
+                out += Out("report", key, counter, e.id, e.timestamp,
+                  batch.tp, batch.fp, report.batch.mcc, positive = batch.tp + batch.fp + batch.fn > 0,
+                  payload = reportJson(report))
+                prev = cum
+                nextReportTime = e.timestamp + reportingDistance
+              }
             }
           }
           state.update(EngineSnapshot(engineRun.detSnapshot, engineRun.bufferSnapshot,
-            paused, currentId, latestId, pendingAt))
+            paused, currentId, latestId, pendingAt,
+            pending.toSeq, Seq(cum.tp, cum.tn, cum.fp, cum.fn),
+            Seq(prev.tp, prev.tn, prev.fp, prev.fn), nextReportTime))
           out.iterator
       }
   }
+
+  private def reportJson(r: adapt.Report): String = adapt.Json.render(
+    "ts" -> r.timestamp, "key" -> r.key,
+    "runtime" -> Map("tp" -> r.runtime.tp, "tn" -> r.runtime.tn, "fp" -> r.runtime.fp,
+      "fn" -> r.runtime.fn, "mcc" -> r.runtime.mcc),
+    "batch" -> Map("tp" -> r.batch.tp, "tn" -> r.batch.tn, "fp" -> r.batch.fp,
+      "fn" -> r.batch.fn, "mcc" -> r.batch.mcc))
 
   /** Split the tagged union into the reference's three sinks
     * (InferenceJob.java:232-291 side outputs). */
@@ -147,6 +206,7 @@ final class RestorableSpstRun(
 
   def detSnapshot: DetRunState = det.snapshot
   def bufferSnapshot: Seq[Int] = buffer.snapshot
+  def eventCounter: Long = det.eventCounter
   def restore(d: DetRunState, buf: Seq[Int]): Unit = { det.restore(d); buffer.restore(buf) }
 
   /** Swap the model; the symbol buffer survives (SPST warm-up across swaps,

@@ -72,4 +72,34 @@ class InferenceSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     r3.count(_.kind == "detection") shouldBe 3
     q.stop()
   }
+
+  it should "emit per-key reports on the event-time schedule with resolved forecast stats" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val train = (1 to 200).map(i => ev(i.toLong, if (i % 2 == 0) "b" else "a", i.toLong))
+    val spst = InMemory.train(train, cp, order = 1, pMin = 0.001, gammaMin = 0.001)
+    val table = spst.forecastTable(ForecastMethod.ClassifyNextK, 0.3, 10, 20)
+    val controls = new Inference.ControlHandle
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CEvent]
+    // reportingDistance 50 event-time units; alternating a/b at ts step 10
+    val q = Inference.engine(mem.toDS(), cp, _ => (spst, table), controls,
+      reportingDistance = 50L)
+      .writeStream.format("memory").queryName("report_out").outputMode("append").start()
+
+    mem.addData((1 to 40).map(i => ev(i.toLong, if (i % 2 == 0) "b" else "a", i.toLong * 10)))
+    q.processAllAvailable()
+    val reports = spark.table("report_out").as[Inference.Out].collect().filter(_.kind == "report")
+    reports.length should be >= 3 // ~400 time units / 50
+    // payload is the reference-shaped JSON with confusion counts + mcc
+    val j = adapt.Json.parse(reports.last.payload)
+    implicit val fmts: org.json4s.Formats = adapt.Json.formats
+    (j \ "key").extract[String] shouldBe "k"
+    val tp = (j \ "runtime" \ "tp").extract[Long]
+    val fp = (j \ "runtime" \ "fp").extract[Long]
+    (tp + fp) should be > 0L // forecasts resolved into real counts
+    val mcc = (j \ "runtime" \ "mcc").extract[Double]
+    mcc should (be >= -1.0 and be <= 1.0)
+    q.stop()
+  }
 }
