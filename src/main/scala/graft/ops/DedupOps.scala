@@ -123,20 +123,15 @@ object DedupOps {
 
   // ---------------------------------------------------------------- jaccard
 
-  /** Jaccard similarity of two distinct-hash arrays. The intersection is
-    * evaluated once via a let-style nested transform (array_intersect is the
-    * dominant cost on large candidate sets — computing it twice doubled the
-    * LSH verification stage).
+  /** Jaccard similarity of two distinct-hash arrays — a native Catalyst
+    * expression counting |a∩b| by hash-set membership without
+    * materializing the intersection array (graftexpr.JaccardSim; this is
+    * the hot loop of LSH candidate verification). Values are identical to
+    * the array_intersect formulation: counts are integers, the division
+    * is one double op.
     */
-  def jaccard(a: Column, b: Column): Column = {
-    // wrap the intersect size in a single-element array so the expression
-    // tree evaluates it exactly once
-    element_at(
-      transform(
-        array(size(array_intersect(a, b)).cast("double")),
-        inter => inter / (size(a) + size(b) - inter)),
-      1)
-  }
+  def jaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftexpr.VectorExprs.jaccardSim(a, b)
 
   def jaccardSql(a: String, b: String): String =
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +

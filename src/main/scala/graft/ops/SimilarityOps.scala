@@ -33,7 +33,12 @@ object SimilarityOps {
 
   def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native fused Catalyst expression (one loop for dot + both norms, full
+    * codegen) — bit-identical to dot/(norm·norm) because each accumulator
+    * runs in element order (graftexpr.CosineSim; verified in ExprSpec).
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftexpr.VectorExprs.cosineSim(a, b)
 
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"

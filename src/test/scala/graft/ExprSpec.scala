@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions.{col, array_intersect}
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+import scala.util.Random
+
+/** Native Catalyst expression specs: the fused CosineSim / JaccardSim
+  * kernels must be bit-identical to the functions._ compositions they
+  * replaced, in both interpreted and whole-stage-codegen evaluation.
+  */
+class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]").appName("expr-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val rnd = new Random(11)
+
+  "CosineSim" should "be bit-identical to the aggregate/zip_with composition" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rows = (1 to 300).map { i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val composed = ops.SimilarityOps.dot(col("a"), col("b")) /
+      (ops.SimilarityOps.norm(col("a")) * ops.SimilarityOps.norm(col("b")))
+    val out = df.select(
+      org.apache.spark.sql.graftexpr.VectorExprs.cosineSim(col("a"), col("b")).as("native"),
+      composed.as("composed")).collect()
+    out.foreach { r =>
+      // bit-exact: both accumulate in element order
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
+  "JaccardSim" should "equal the array_intersect formulation on distinct arrays" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rows = (1 to 300).map { i =>
+      (i,
+        Seq.fill(30)(rnd.nextInt(50).toLong).distinct,
+        Seq.fill(30)(rnd.nextInt(50).toLong).distinct)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val composed = functions.size(array_intersect(col("a"), col("b"))).cast("double") /
+      (functions.size(col("a")) + functions.size(col("b")) - functions.size(array_intersect(col("a"), col("b")))).cast("double")
+    val out = df.select(
+      org.apache.spark.sql.graftexpr.VectorExprs.jaccardSim(col("a"), col("b")).as("native"),
+      composed.as("composed")).collect()
+    out.foreach { r => r.getDouble(0) shouldBe r.getDouble(1) }
+  }
+
+  it should "stay inside whole-stage codegen" in {
+    // spark.range keeps the projection a real codegen stage (a local Seq
+    // would constant-fold to LocalTableScan)
+    val df = spark.range(100)
+      .select(
+        functions.array(col("id"), col("id") + 1).as("a"),
+        functions.array(col("id") + 1, col("id") + 2).as("b"))
+      .select(org.apache.spark.sql.graftexpr.VectorExprs.jaccardSim(col("a"), col("b")).as("j"))
+    // the "*(n)" operator prefix marks a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include regex "\\*\\(1\\) Project \\[jaccardsim"
+    // and the generated code compiles + evaluates (|{i,i+1}∩{i+1,i+2}| = 1 of 3)
+    df.collect().foreach(r => r.getDouble(0) shouldBe (1.0 / 3.0) +- 1e-12)
+  }
+}
