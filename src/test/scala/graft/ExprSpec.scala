@@ -60,6 +60,32 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     out.foreach { r => r.getDouble(0) shouldBe r.getDouble(1) }
   }
 
+  "GraftExtensions" should "expose the kernels as SQL functions" in {
+    spark // force shared-context creation first
+    // extensions apply only at session construction: clear the session
+    // handles so getOrCreate builds a NEW SparkSession over the same
+    // SparkContext with spark.sql.extensions applied (do not stop it)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]").appName("ext-spec")
+      .withExtensions(new org.apache.spark.sql.graftexpr.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT jaccard_sim(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+          |       cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+        .collect()(0)
+      r.getDouble(0) shouldBe 0.5 +- 1e-12
+      r.getDouble(1) shouldBe 1.0 +- 1e-12
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   it should "stay inside whole-stage codegen" in {
     // spark.range keeps the projection a real codegen stage (a local Seq
     // would constant-fold to LocalTableScan)
