@@ -85,6 +85,34 @@ class EquivalenceSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "double complement" should "be an involution on the language" in {
+    for (trial <- 1 to 25) {
+      val f = randFormula(1)
+      val ff = Sre.Op(RegOp.NEG, List(Sre.Op(RegOp.NEG, List(f))))
+      val cpF = Compiler.compilePattern(Pattern(f))
+      val cpFF = Compiler.compilePattern(Pattern(ff))
+      for (_ <- 1 to 12) {
+        val w = randWord(rnd.nextInt(6))
+        withClue(s"trial $trial formula $f word ${w.map(_.eventType)}: ") {
+          cpFF.snfa.accepts(w) shouldBe cpF.snfa.accepts(w)
+        }
+      }
+    }
+  }
+
+  "complement" should "partition all words with the original language" in {
+    for (_ <- 1 to 25) {
+      val f = randFormula(1)
+      val nf = Sre.Op(RegOp.NEG, List(f))
+      val cpF = Compiler.compilePattern(Pattern(f))
+      val cpN = Compiler.compilePattern(Pattern(nf))
+      for (_ <- 1 to 12) {
+        val w = randWord(rnd.nextInt(6))
+        cpN.snfa.accepts(w) shouldBe !cpF.snfa.accepts(w)
+      }
+    }
+  }
+
   "the minterm alphabet" should "map every event to exactly one symbol" in {
     for (_ <- 1 to 40) {
       val f = randFormula(2)
