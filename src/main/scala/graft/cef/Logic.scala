@@ -230,17 +230,40 @@ final case class Isomorphism(
     minterms: Vector[Map[Predicate, Boolean]]) {
 
   val size: Int = minterms.size
-  private val index: Map[Vector[Boolean], Int] =
-    minterms.zipWithIndex.map { case (m, i) => predicates.map(m) -> i }.toMap
 
-  /** event → unique symbol: evaluate each base predicate once, look up. */
+  // Hot-path layout: the truth assignment of the k base predicates packs
+  // into a k-bit mask; a dense Array[Int] maps mask → symbol (-1 for
+  // assignments pruned by exclusives). evaluate() is then k predicate
+  // calls + one array read, zero allocation — this runs once per event in
+  // every runtime. Falls back to a hash map above 20 predicates.
+  private val predArr: Array[Predicate] = predicates.toArray
+  private val nPreds = predArr.length
+  private val useDense = nPreds <= 20
+  private def maskOf(m: Map[Predicate, Boolean]): Int = {
+    var mask = 0
+    var i = 0
+    while (i < nPreds) { if (m(predArr(i))) mask |= 1 << i; i += 1 }
+    mask
+  }
+  private val denseIndex: Array[Int] =
+    if (!useDense) null
+    else {
+      val arr = Array.fill(1 << nPreds)(-1)
+      minterms.zipWithIndex.foreach { case (m, i) => arr(maskOf(m)) = i }
+      arr
+    }
+  private val mapIndex: Map[Int, Int] =
+    if (useDense) null else minterms.zipWithIndex.map { case (m, i) => maskOf(m) -> i }.toMap
+
+  /** event → unique symbol: evaluate each base predicate once, look up.
+    * -1 only when exclusives pruned an assignment the data then violated
+    * (a mis-declared exclusive) — the reference's "no minterm" case.
+    */
   def evaluate(e: CEvent): Int = {
-    val vec = predicates.map(_.eval(e))
-    index.getOrElse(vec,
-      // can only happen when exclusives pruned an assignment that the data
-      // then violated (a mis-declared exclusive); fall back like the
-      // reference would to "no minterm" = -1
-      -1)
+    var mask = 0
+    var i = 0
+    while (i < nPreds) { if (predArr(i).eval(e)) mask |= 1 << i; i += 1 }
+    if (useDense) denseIndex(mask) else mapIndex.getOrElse(mask, -1)
   }
 
   def sentenceOf(symbol: Int): Sentence = {

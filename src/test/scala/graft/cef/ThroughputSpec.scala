@@ -1,0 +1,75 @@
+package graft.cef
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import scala.util.Random
+
+/** Single-thread engine throughput: the deterministic run must process
+  * events at the order of magnitude the reference engine publishes for
+  * DSFA recognition (single-core ~100k-1M events/s depending on pattern,
+  * Wayeb VLDBJ'22 — BASELINE.md §6). This guards the per-event hot path
+  * (symbol lookup + delta step) against accidental allocation/boxing
+  * regressions; per-executor-core throughput is what the 1000-core scale
+  * story multiplies.
+  */
+class ThroughputSpec extends AnyFlatSpec with Matchers {
+
+  private val rnd = new Random(1)
+
+  private def mkEvents(n: Int): Array[CEvent] = {
+    val types = Array("a", "b", "c", "d")
+    Array.tabulate(n) { i =>
+      CEvent(i.toLong, types(rnd.nextInt(4)), i.toLong, "",
+        Map("value" -> rnd.nextInt(200).toDouble), Map.empty)
+    }
+  }
+
+  it should "sustain >100k events/s single-thread on the deterministic runtime" in {
+    val cp = Compiler.compile(
+      ";(IsEventTypePredicate(a),+(IsEventTypePredicate(b),IsEventTypePredicate(c)),GTPredicate(value,100.0))")
+    val events = mkEvents(1000000)
+    // warm-up for JIT
+    val warm = new DetRun(cp, "")
+    var i = 0
+    while (i < 200000) { warm.step(events(i)); i += 1 }
+
+    val run = new DetRun(cp, "")
+    var detections = 0L
+    val t0 = System.nanoTime()
+    i = 0
+    while (i < events.length) {
+      if (run.step(events(i)).isDefined) detections += 1
+      i += 1
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = events.length / secs
+    info(f"deterministic runtime: ${rate / 1e6}%.2f M events/s ($detections detections)")
+    detections should be > 0L
+    rate should be > 100000.0
+  }
+
+  it should "sustain the SPST forecasting runtime at >50k events/s" in {
+    val cp = Compiler.compile("#(;(IsEventTypePredicate(a),IsEventTypePredicate(b)))")
+    val events = mkEvents(300000)
+    val spst = adapt.InMemory.train(events.take(50000).toSeq, cp, order = 2,
+      pMin = 0.001, gammaMin = 0.001)
+    val table = spst.forecastTable(ForecastMethod.ClassifyNextK, 0.4, 10, 20)
+    val warm = new SpstRun(cp, spst, table, "")
+    var i = 0
+    while (i < 50000) { warm.step(events(i)); i += 1 }
+
+    val run = new SpstRun(cp, spst, table, "")
+    var forecasts = 0L
+    val t0 = System.nanoTime()
+    i = 0
+    while (i < events.length) {
+      if (run.step(events(i))._2.isDefined) forecasts += 1
+      i += 1
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = events.length / secs
+    info(f"SPST forecasting runtime: ${rate / 1e6}%.2f M events/s ($forecasts forecasts)")
+    forecasts should be > 0L
+    rate should be > 50000.0
+  }
+}
