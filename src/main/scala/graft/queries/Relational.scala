@@ -316,6 +316,68 @@ object Relational {
           when(col("p_size") >= 25, "large").when(col("p_size") >= 10, "mid")
             .otherwise("small").as("size_class"))
         .orderBy(col("p_partkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // As-of join: each purchase picks up the user's LATEST click within
+    // one day. Spark lacks this natively; graft.ops.AsofOps implements it
+    // as union + tagged window (one shuffle, linear — never a range-join
+    // pair explosion). The oracle states the identical union+window form.
+    Q("q16_asof",
+      """WITH ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu FROM events),
+        |u AS (
+        |  SELECT user_id, tsu, 1 AS tag, event_id,
+        |         CAST(NULL AS BIGINT) AS rts, CAST(NULL AS BIGINT) AS r_id,
+        |         CAST(NULL AS DOUBLE) AS r_value
+        |  FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, tsu, 0 AS tag, NULL, tsu, event_id, value
+        |  FROM ev WHERE event_type = 'click'),
+        |f AS (
+        |  SELECT user_id, tsu, tag, event_id,
+        |         last_value(rts IGNORE NULLS) OVER w AS asof_ts,
+        |         last_value(r_id IGNORE NULLS) OVER w AS c_id,
+        |         last_value(r_value IGNORE NULLS) OVER w AS c_value
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY tsu, tag
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, tsu AS ts_us,
+        |       CASE WHEN asof_ts IS NOT NULL AND tsu - asof_ts <= 86400000000
+        |            THEN c_id END AS click_id,
+        |       CASE WHEN asof_ts IS NOT NULL AND tsu - asof_ts <= 86400000000
+        |            THEN round(c_value, 2) END AS click_value
+        |FROM f WHERE tag = 1 ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("tsu"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("tsu"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("value"), col("tsu"))
+      graft.ops.AsofOps.asofJoin(purchases, clicks,
+          by = "user_id", ts = "tsu", valueCols = Seq("event_id", "value"),
+          tolerance = 86400000000L)
+        .select(col("user_id"), col("event_id"), col("tsu").as("ts_us"),
+          col("asof_event_id").as("click_id"),
+          round(col("asof_value"), 2).as("click_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // ------------------------------------------------------------------
+    Q("q17_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_price"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }
   )
 }

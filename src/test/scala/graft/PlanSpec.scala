@@ -73,4 +73,11 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   "q03_topk" should "compile to TakeOrderedAndProject" in {
     planOf("q03_topk") should include("TakeOrderedAndProject")
   }
+
+  "q16_asof" should "contain no join at all (union + window form)" in {
+    val plan = planOf("q16_asof")
+    plan should not include "Join"
+    plan should include("Window")
+    plan should include("Union")
+  }
 }
