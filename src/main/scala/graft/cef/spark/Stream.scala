@@ -2,7 +2,8 @@ package graft.cef.spark
 
 import graft.cef._
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Structured Streaming inference (SURVEY.md §7.1.2): the keyed stateful
   * operator that mirrors the reference's Flink engine
@@ -77,4 +78,44 @@ object Stream {
           state.update(run.snapshot)
           out.iterator
       }
+
+  /** The same deterministic runtime on Spark 4's transformWithState
+    * operator — the successor to flatMapGroupsWithState (typed state
+    * variables, native TTL, RocksDB-only backend). Functionally identical
+    * to [[detections]]; both are kept because transformWithState requires
+    * the RocksDB state store while flatMapGroupsWithState runs anywhere.
+    */
+  def detectionsTws(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      stateTtl: Long = 0L): Dataset[Detection] =
+    events.groupByKey(_.partition)
+      .transformWithState(
+        new DetProcessor(cp, stateTtl), TimeMode.None(), OutputMode.Append())
+}
+
+/** StatefulProcessor wrapping [[DetRun]]: the run snapshot lives in a typed
+  * ValueState with optional native TTL (K5 run-pool expiry).
+  */
+final class DetProcessor(cp: CompiledPattern, stateTtl: Long)
+    extends StatefulProcessor[String, CEvent, Detection] {
+
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[DetRunState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttl = if (stateTtl > 0) TTLConfig(java.time.Duration.ofMillis(stateTtl)) else TTLConfig.NONE
+    state = getHandle.getValueState[DetRunState](
+      "detRun", Encoders.product[DetRunState], ttl)
+  }
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[CEvent],
+      timerValues: TimerValues): Iterator[Detection] = {
+    val run = new DetRun(cp, key)
+    Option(state.get()).foreach(run.restore)
+    val out = rows.toSeq.sortBy(e => (e.timestamp, e.id)).flatMap(run.step)
+    state.update(run.snapshot)
+    out.iterator
+  }
 }

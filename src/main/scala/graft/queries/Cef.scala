@@ -39,11 +39,24 @@ object Cef {
     ";(GTPredicate(value,120.0),LTPredicate(value,10.0))")
   private lazy val pSremo = Compiler.compileMatchOnly(
     """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""")
+  private lazy val pJsonAttr = Compiler.compile(
+    ";(GTPredicate(k,80.0),LTPredicate(k,20.0))")
 
   private def events(s: SparkSession, dir: String) =
     Detect.toEvents(Tables(s, dir, "events"),
       idCol = "event_id", typeCol = "event_type", tsCol = "ts",
       partitionCol = "user_id", numAttrs = Seq("value"))
+
+  /** Open-schema variant (P2 semantics): the JSON `props` bag is projected
+    * into a typed attribute before entering the engine — schema-on-read
+    * feeding predicate evaluation.
+    */
+  private def eventsWithProps(s: SparkSession, dir: String) =
+    Detect.toEvents(
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double")),
+      idCol = "event_id", typeCol = "event_type", tsCol = "ts",
+      partitionCol = "user_id", numAttrs = Seq("value", "k"))
 
   private def matches2(s: SparkSession, dir: String, cp: CompiledPattern): DataFrame =
     Detect.matches(events(s, dir), cp).toDF()
@@ -183,6 +196,29 @@ object Cef {
          |FROM c WHERE p_value > 120.0 AND value < 10.0
          |ORDER BY user_id, id_a, id_b""".stripMargin) { (s, dir) =>
       matches2(s, dir, pValue)
+    },
+
+    // --------- open-schema attributes (P2): the pattern predicates read a
+    // field parsed out of the JSON props bag — a high-k event immediately
+    // followed by a low-k event, per user.
+    Q("cef16_json_attr",
+      s"""$RnCte,
+         |c AS (SELECT user_id, event_id, rn,
+         |             CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS k
+         |      FROM (SELECT b.*, e.props FROM b
+         |            JOIN events e USING (event_id))),
+         |d AS (SELECT user_id, event_id, k,
+         |             lag(k) OVER w AS p_k, lag(event_id) OVER w AS p_id
+         |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+         |SELECT user_id, p_id AS id_a, event_id AS id_b
+         |FROM d WHERE p_k > 80.0 AND k < 20.0
+         |ORDER BY user_id, id_a, id_b""".stripMargin) { (s, dir) =>
+      Detect.matches(eventsWithProps(s, dir), pJsonAttr).toDF()
+        .select(
+          col("partition").cast("long").as("user_id"),
+          element_at(col("eventIds"), 1).as("id_a"),
+          element_at(col("eventIds"), 2).as("id_b"))
+        .orderBy(col("user_id"), col("id_a"), col("id_b"))
     },
 
     // ------------- SREMO register pattern (C10): a value spike > 120

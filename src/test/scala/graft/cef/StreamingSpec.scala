@@ -55,6 +55,31 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     streamOut shouldBe batchOut
   }
 
+  it should "produce identical detections on the transformWithState runtime (RocksDB store)" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val events = mkEvents
+
+    val batchOut = Detect.detections(events.toDS(), cpDet).collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store (bundled
+    // rocksdbjni); session-conf is read at query start
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[CEvent]
+    val q = Stream.detectionsTws(mem.toDS(), cpDet)
+      .writeStream.format("memory").queryName("det_tws_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws-ckpt").toString)
+      .outputMode("append").start()
+    events.grouped(40).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    val streamOut = spark.table("det_tws_stream").as[Detection].collect().toSet
+    q.stop()
+
+    streamOut shouldBe batchOut
+  }
+
   it should "produce identical matches streaming vs batch (windowed skip-till-any)" in {
     val sparkS = spark
     import sparkS.implicits._
