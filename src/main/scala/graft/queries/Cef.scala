@@ -41,6 +41,8 @@ object Cef {
     """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""")
   private lazy val pJsonAttr = Compiler.compile(
     ";(GTPredicate(k,80.0),LTPredicate(k,20.0))")
+  private lazy val pComplexSent = Compiler.compile(
+    ";(^(IsEventTypePredicate(view),BTPredicate(value,50.0,100.0)),|(IsEventTypePredicate(purchase),IsEventTypePredicate(signup)))")
 
   private def events(s: SparkSession, dir: String) =
     Detect.toEvents(Tables(s, dir, "events"),
@@ -196,6 +198,23 @@ object Cef {
          |FROM c WHERE p_value > 120.0 AND value < 10.0
          |ORDER BY user_id, id_a, id_b""".stripMargin) { (s, dir) =>
       matches2(s, dir, pValue)
+    },
+
+    // --------- complex sentences (P7): conjunction + between on the first
+    // element, disjunction on the second — a view with value in [50,100)
+    // immediately followed by a purchase or signup.
+    Q("cef17_complex_sentence",
+      s"""$RnCte,
+         |c AS (SELECT user_id, event_id, event_type, value,
+         |             lag(event_type) OVER w AS p_type, lag(value) OVER w AS p_value,
+         |             lag(event_id) OVER w AS p_id
+         |      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+         |SELECT user_id, p_id AS id_a, event_id AS id_b
+         |FROM c
+         |WHERE event_type IN ('purchase', 'signup')
+         |  AND p_type = 'view' AND p_value >= 50.0 AND p_value < 100.0
+         |ORDER BY user_id, id_a, id_b""".stripMargin) { (s, dir) =>
+      matches2(s, dir, pComplexSent)
     },
 
     // --------- open-schema attributes (P2): the pattern predicates read a
