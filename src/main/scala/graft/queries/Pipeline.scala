@@ -163,8 +163,11 @@ object Pipeline {
       // signatures are used three times (explode + two candidate joins):
       // persist so the hash/minhash chain runs once — at real scale this
       // would be a materialized signature table
+      // hashes sorted ONCE per doc so pair verification is a two-pointer
+      // merge (jaccardSortedSim) instead of a per-pair hash build; minhash
+      // and band keys are order-independent
       val sigs = t(s, dir, "documents")
-        .select(col("doc_id"), tokenHashes(col("text")).as("hashes"))
+        .select(col("doc_id"), sort_array(tokenHashes(col("text"))).as("hashes"))
         .withColumn("bands", bandKeys(minHashSig(col("hashes"))))
         .persist()
       val exploded = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
@@ -179,7 +182,8 @@ object Pipeline {
       val withSets = cand
         .join(sigs.select(col("doc_id").as("id_a"), col("hashes").as("ha")), "id_a")
         .join(sigs.select(col("doc_id").as("id_b"), col("hashes").as("hb")), "id_b")
-        .withColumn("jaccard", jaccard(col("ha"), col("hb")))
+        .withColumn("jaccard",
+          org.apache.spark.sql.graftexpr.VectorExprs.jaccardSortedSim(col("ha"), col("hb")))
         .filter(col("jaccard") >= 0.4)
       withSets.select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -228,7 +232,7 @@ object Pipeline {
       // persist: the shingle/minhash chain feeds the explode and both
       // candidate joins — compute it once (at scale: a signature table)
       val sh = t(s, dir, "documents")
-        .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+        .select(col("doc_id"), sort_array(shingleHashes(col("text"), 3)).as("sh"))
         .withColumn("bands", bandKeys(minHashSig(col("sh"))))
         .persist()
       val exploded = sh.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
@@ -242,7 +246,8 @@ object Pipeline {
       cand
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+        .withColumn("jac",
+          org.apache.spark.sql.graftexpr.VectorExprs.jaccardSortedSim(col("sh_a"), col("sh_b")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
         .select(col("id_a").as("doc_id"), col("id_b").as("nn_id"), col("jac"))

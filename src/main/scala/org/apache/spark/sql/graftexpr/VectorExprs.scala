@@ -29,6 +29,11 @@ object VectorExprs {
 
   def jaccardSim(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Requires both arrays SORTED ascending + distinct (sort once per row
+    * upstream, merge per pair). */
+  def jaccardSortedSim(a: Column, b: Column): Column =
+    Bridge.column(JaccardSortedSim(Bridge.expression(a), Bridge.expression(b)))
 }
 
 /** cos(a, b) over array<float> with double accumulation in element order. */
@@ -102,10 +107,51 @@ final case class JaccardSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Jaccard over SORTED distinct bigint arrays: two-pointer merge, O(n+m)
+  * with zero allocation per pair — the cheapest possible verification
+  * kernel when the signature table is sorted once upstream.
+  */
+final case class JaccardSortedSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardKernel.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.JaccardKernel.jaccardSorted($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedSim =
+    copy(left = l, right = r)
+}
+
 /** Primitive long-set intersection kernel: power-of-two open addressing
   * with linear probing, no boxing. Inputs are distinct-element arrays.
   */
 object JaccardKernel {
+
+  /** Two-pointer merge intersection over sorted distinct arrays. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val nx = a.numElements()
+    val ny = b.numElements()
+    if (nx == 0 && ny == 0) return 1.0
+    if (nx == 0 || ny == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (nx + ny - inter).toDouble
+  }
 
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val nx = a.numElements()
