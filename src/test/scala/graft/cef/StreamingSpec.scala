@@ -80,6 +80,47 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     streamOut shouldBe batchOut
   }
 
+  it should "evaluate forecasts against detections as a stream-stream interval join (A2)" in {
+    // SURVEY.md §2.8 A2 names this the Spark-native form of the reference's
+    // nested-loop forecast×detection matching: two watermarked streams
+    // joined on key + event-time interval.
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+
+    implicit val sqlCtx = spark.sqlContext
+    val fcMem = MemoryStream[(String, Long, Long, Long)] // key, fcTime, startTs, endTs
+    val detMem = MemoryStream[(String, Long)]            // key, detTime
+
+    val fc = fcMem.toDS().toDF("key", "fc_ts", "start_ts", "end_ts")
+      .withColumn("fcTime", timestamp_seconds(col("fc_ts")))
+      .withColumn("startTime", timestamp_seconds(col("start_ts")))
+      .withColumn("endTime", timestamp_seconds(col("end_ts")))
+      .withWatermark("fcTime", "10 seconds")
+    val det = detMem.toDS().toDF("dkey", "det_ts")
+      .withColumn("detTime", timestamp_seconds(col("det_ts")))
+      .withWatermark("detTime", "10 seconds")
+
+    val joined = fc.join(det,
+      expr("key = dkey AND detTime >= startTime AND detTime <= endTime AND " +
+        "detTime >= fcTime AND detTime <= fcTime + interval 60 seconds"))
+
+    val q = joined.select(col("key"), col("fc_ts"), col("det_ts"))
+      .writeStream.format("memory").queryName("a2_join").outputMode("append").start()
+
+    fcMem.addData(Seq(
+      ("k", 100L, 105L, 115L), // will be hit at 110
+      ("k", 100L, 130L, 140L), // no detection inside
+      ("j", 100L, 105L, 115L)))
+    detMem.addData(Seq(("k", 110L), ("k", 145L), ("j", 120L)))
+    q.processAllAvailable()
+    val rows = spark.table("a2_join").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+
+    rows shouldBe Set(("k", 100L, 110L)) // exactly the tp pair
+  }
+
   it should "produce identical matches streaming vs batch (windowed skip-till-any)" in {
     val sparkS = spark
     import sparkS.implicits._
