@@ -57,6 +57,23 @@ object Detect {
   def detections(events: Dataset[CEvent], cp: CompiledPattern): Dataset[Detection] =
     perKeyScan(events)(key => new DetRun(cp, key))((run, e) => run.step(e).iterator)
 
+  /** Multi-pattern detection (a `&`-separated pattern file, docs/lang.md):
+    * one pass over the data drives ALL automata per key — the reference's
+    * run pool registered per (fsmId, partition value)
+    * (ERFEngine.scala:230-266). Output rows carry the pattern index.
+    */
+  def detectionsMulti(
+      events: Dataset[CEvent],
+      cps: Seq[CompiledPattern]): Dataset[(Int, Detection)] = {
+    implicit val enc: Encoder[(Int, Detection)] =
+      Encoders.tuple(Encoders.scalaInt, detEnc)
+    perKeyScan(events)(key => cps.map(cp => new DetRun(cp, key)).toArray) {
+      (runs, e) => runs.iterator.zipWithIndex.flatMap {
+        case (run, fsmId) => run.step(e).map(fsmId -> _)
+      }
+    }
+  }
+
   /** Full match enumeration from the nondeterministic runtime. */
   def matches(events: Dataset[CEvent], cp: CompiledPattern): Dataset[MatchOut] =
     perKeyScan(events)(key => new MatchRun(cp, key))((run, e) => run.step(e).iterator)

@@ -98,6 +98,22 @@ class EngineSpec extends AnyFlatSpec with Matchers {
     out.map(_.eventIds) shouldBe List(Seq(1L, 2L), Seq(3L, 4L))
   }
 
+  "multi-pattern files" should "compile and run all patterns in one pass" in {
+    val pats = SreParser.parseAll(
+      """;(IsEventTypePredicate(a),IsEventTypePredicate(b)){order:1}
+        |&
+        |;(IsEventTypePredicate(b),IsEventTypePredicate(a))""".stripMargin)
+    pats.size shouldBe 2
+    val cps = pats.map(Compiler.compilePattern(_))
+    val s = List(ev(1, "a"), ev(2, "b"), ev(3, "a"), ev(4, "b"))
+    // pattern 0 (a;b) detects at 2 and 4; pattern 1 (b;a) at 3
+    val runs = cps.map(new DetRun(_, ""))
+    val dets = s.flatMap(e => runs.zipWithIndex.flatMap {
+      case (r, i) => r.step(e).map(i -> _.eventId)
+    })
+    dets shouldBe List(0 -> 2L, 1 -> 3L, 0 -> 4L)
+  }
+
   "numeric predicates" should "gate transitions on attribute values" in {
     def nev(id: Long, v: Double) =
       CEvent(id, "m", id, "", Map("value" -> v), Map.empty)
