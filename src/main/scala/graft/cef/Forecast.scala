@@ -265,18 +265,58 @@ object MarkovChain {
     */
   def expectedHittingTime(mc: MarkovChain, iterations: Int = 10000, tol: Double = 1e-12): Array[Double] = {
     val n = mc.nStates
-    val h = Array.fill(n)(0.0)
+    // U = states that cannot reach a final (a closed set: leaving U would
+    // contradict membership). E[hit | i] is infinite iff i can reach U
+    // with positive probability — detected structurally; value iteration
+    // alone would crawl to ~#iterations and look plausibly finite.
+    val canHit = Array.fill(n)(false)
+    mc.finals.foreach(f => canHit(f) = true)
+    var grew = true
+    while (grew) {
+      grew = false
+      var i = 0
+      while (i < n) {
+        if (!canHit(i)) {
+          var j = 0
+          while (j < n) {
+            if (mc.probs(i)(j) > 0 && canHit(j)) { canHit(i) = true; grew = true }
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    val canReachU = Array.tabulate(n)(i => !canHit(i))
+    grew = true
+    while (grew) {
+      grew = false
+      var i = 0
+      while (i < n) {
+        if (!canReachU(i) && !mc.finals.contains(i)) {
+          var j = 0
+          while (j < n) {
+            if (mc.probs(i)(j) > 0 && canReachU(j)) { canReachU(i) = true; grew = true }
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    val finite = Array.tabulate(n)(i => mc.finals.contains(i) || !canReachU(i))
+    val h = Array.tabulate(n)(i => if (finite(i)) 0.0 else Double.PositiveInfinity)
     var it = 0
     var delta = Double.MaxValue
     while (it < iterations && delta > tol) {
       delta = 0.0
       var i = 0
       while (i < n) {
-        if (!mc.finals.contains(i)) {
+        if (!mc.finals.contains(i) && finite(i)) {
           var v = 1.0
           var j = 0
           while (j < n) {
-            if (!mc.finals.contains(j)) v += mc.probs(i)(j) * h(j)
+            // finite states never transition into U, so all non-final mass
+            // stays within the finite subchain
+            if (!mc.finals.contains(j) && finite(j)) v += mc.probs(i)(j) * h(j)
             j += 1
           }
           delta = math.max(delta, math.abs(v - h(i)))
@@ -286,7 +326,7 @@ object MarkovChain {
       }
       it += 1
     }
-    if (delta > tol) h.map(x => if (x > 1e9) Double.PositiveInfinity else x) else h
+    h
   }
 
   /** MLE from (state, nextState) transition counts

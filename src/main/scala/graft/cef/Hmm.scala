@@ -48,10 +48,20 @@ final case class Hmm(pi: Array[Double], a: Array[Array[Double]], b: Array[Array[
     ll
   }
 
-  /** Filtered hidden-state belief after observing the sequence. */
+  /** Filtered hidden-state belief after observing the sequence — same
+    * convention as the forward algorithm and Baum-Welch: pi is the state
+    * distribution AT the first observation (no transition before the first
+    * emission).
+    */
   def belief(obs: Seq[Int]): Array[Double] = {
-    var alpha = Array.tabulate(nStates)(i => pi(i))
-    obs.foreach { o =>
+    if (obs.isEmpty) return pi.clone()
+    var alpha = Array.tabulate(nStates)(i => pi(i) * b(i)(obs.head))
+    def normalize(): Unit = {
+      val s = alpha.sum
+      alpha = if (s == 0) Array.fill(nStates)(1.0 / nStates) else alpha.map(_ / s)
+    }
+    normalize()
+    obs.tail.foreach { o =>
       val next = new Array[Double](nStates)
       var j = 0
       while (j < nStates) {
@@ -61,8 +71,8 @@ final case class Hmm(pi: Array[Double], a: Array[Array[Double]], b: Array[Array[
         next(j) = acc * b(j)(o)
         j += 1
       }
-      val s = next.sum
-      alpha = if (s == 0) Array.fill(nStates)(1.0 / nStates) else next.map(_ / s)
+      alpha = next
+      normalize()
     }
     alpha
   }

@@ -62,11 +62,16 @@ final class DetRun(cp: CompiledPattern, val partition: String) extends Serializa
     }
 
   /** Process one event; returns Some(detection) when a final state is hit. */
-  def step(e: CEvent): Option[Detection] = {
+  def step(e: CEvent): Option[Detection] = step(e, Int.MinValue)
+
+  /** Variant taking the event's pre-evaluated symbol (Int.MinValue =
+    * evaluate here) — forecasting runs already evaluate it for the buffer,
+    * and predicate evaluation is the per-event hot path. */
+  def step(e: CEvent, precomputedSym: Int): Option[Detection] = {
     if (e.isReset) { reset(); return None }
     counter += 1
     if (!windowOk(e.timestamp)) reset()
-    val sym = sdfa.iso.evaluate(e)
+    val sym = if (precomputedSym == Int.MinValue) sdfa.iso.evaluate(e) else precomputedSym
     if (sym < 0) return None
     val take = sdfa.takes(state)(sym)
     state = sdfa.delta(state)(sym)
@@ -135,10 +140,13 @@ final class MatchRun(cp: CompiledPattern, val partition: String) extends Seriali
     val seen = mutable.HashSet[(Int, List[Long], List[Long])]()
     val nextThreads = mutable.ListBuffer[MatchRun.Thread]()
     cand.foreach { th =>
+      // window span measures from the FIRST taken event (the lists are
+      // prepended, so .last is the match's first element — same semantics
+      // as DetRun's minCounter and the reference's Match.getMinCounter)
       val windowOk = cp.window == 0L || th.counters.isEmpty || {
         val diff = cp.windowKind match {
-          case WindowKind.Count => counter - th.counters.head
-          case WindowKind.Time  => math.abs(e.timestamp - th.tss.head)
+          case WindowKind.Count => counter - th.counters.last
+          case WindowKind.Time  => math.abs(e.timestamp - th.tss.last)
         }
         diff < cp.window
       }

@@ -108,7 +108,7 @@ final class SpstRun(
     if (e.isReset) { det.reset(); buffer.clear(); return (None, None) }
     val sym = cp.iso.evaluate(e)
     if (sym >= 0) buffer.push(sym)
-    val d = det.step(e)
+    val d = det.step(e, sym) // symbol already evaluated for the buffer
     val f =
       if (buffer.isFull) {
         val label = spst.pst.nodeFor(buffer.pop).label

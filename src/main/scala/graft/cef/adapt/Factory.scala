@@ -102,13 +102,24 @@ final class Factory(
   private var iterCounter = 0
   private var modelCounter = 0
 
-  def onDataset(version: Int, events: Seq[CEvent]): AssemblyAck = {
+  def onDataset(version: Int, events: Seq[CEvent]): AssemblyAck =
+    onDataset(version, events, datasetId = version, bucketsRange = Nil)
+
+  /** O7: register a dataset version and ACK back the notification's bucket
+    * range — the ACK is what drives the Collector's O6 GC
+    * (Collector.java:139-166), so it must echo the range, not be empty.
+    */
+  def onDataset(version: Int, events: Seq[CEvent], datasetId: Int, bucketsRange: List[Long]): AssemblyAck = {
     datasets += version -> events
     latestVersion = math.max(latestVersion, version)
-    // O7: delete stale unlocked datasets (ModelFactoryEngine.java:514-580)
+    // delete stale unlocked datasets (ModelFactoryEngine.java:514-580)
     datasets = datasets.filter { case (v, _) => v == latestVersion || v == lockedVersion }
-    AssemblyAck(version, version, Nil)
+    AssemblyAck(datasetId, version, bucketsRange)
   }
+
+  /** Convenience: assemble from a Collector notification. */
+  def onNotification(n: DatasetNotification, events: Seq[CEvent]): AssemblyAck =
+    onDataset(n.version, events, n.datasetId, n.bucketsRange)
 
   /** Chronological train/test split (reference python/split_dataset.py:28). */
   private def split(events: Seq[CEvent]): (Seq[CEvent], Seq[CEvent]) = {

@@ -38,12 +38,25 @@ object Inference {
     * capture at micro-batch planning time: Spark serializes the referenced
     * value into each batch's tasks, so updates between batches reach the
     * next batch — the per-microbatch refresh pattern.
+    *
+    * Commands are COMPACTED into the target state they encode (paused flag
+    * + latest model id): pause/play are idempotent state targets, so
+    * replaying history per key per batch is equivalent to reading the
+    * consolidated summary — and the summary stays O(1) over any uptime
+    * instead of growing with every optimization round.
     */
   final class ControlHandle extends Serializable {
-    private val state = new AtomicReference[List[SyncCommand]](Nil)
-    def push(cmd: SyncCommand): Unit = state.updateAndGet(cmd :: _)
-    def drain(): List[SyncCommand] = state.getAndSet(Nil).reverse
-    def peek: List[SyncCommand] = state.get().reverse
+    final case class Summary(paused: Boolean, latestModelId: Int)
+    private val state = new AtomicReference[Summary](Summary(paused = false, latestModelId = -1))
+    def push(cmd: SyncCommand): Unit = state.updateAndGet { s =>
+      cmd.cmdType match {
+        case "pause" => s.copy(paused = true)
+        case "play"  => Summary(paused = false,
+          if (cmd.modelId >= 0) cmd.modelId else s.latestModelId)
+        case _       => s
+      }
+    }
+    def current: Summary = state.get()
   }
 
   /** Engine state carried in GroupState across micro-batches: the run
@@ -95,14 +108,10 @@ object Inference {
           var latestId = snap.map(_.latestModelId).getOrElse(initialModelId)
           var pendingAt = snap.map(_.pendingSwapAt).getOrElse(-1L)
 
-          // apply control messages decided since the last batch
-          controls.peek.foreach { c =>
-            c.cmdType match {
-              case "pause" => paused = true
-              case "play"  => paused = false; if (c.modelId >= 0) latestId = c.modelId
-              case _       =>
-            }
-          }
+          // apply the consolidated control state decided since the last batch
+          val ctl = controls.current
+          paused = ctl.paused
+          if (ctl.latestModelId >= 0) latestId = ctl.latestModelId
 
           var (spst, table) = loadModel(currentId)
           val engineRun = new RestorableSpstRun(cp, spst, table, key)
@@ -210,20 +219,23 @@ final class RestorableSpstRun(
   def restore(d: DetRunState, buf: Seq[Int]): Unit = { det.restore(d); buffer.restore(buf) }
 
   /** Swap the model; the symbol buffer survives (SPST warm-up across swaps,
-    * reference Run.scala:305-460 + SURVEY.md §7.4). */
+    * reference Run.scala:305-460 + SURVEY.md §7.4). The snapshot is
+    * most-recent-first; SymbolBuffer.restore keeps the newest `size`
+    * symbols on overflow, so it is passed unchanged.
+    */
   def swapModel(newSpst: Spst, newTable: Map[(List[Int], Int), ForecastInterval]): Unit = {
     val keep = buffer.snapshot
     spst = newSpst
     table = newTable
     buffer = new SymbolBuffer(math.max(1, newSpst.order))
-    buffer.restore(keep.takeRight(math.max(1, newSpst.order)))
+    buffer.restore(keep)
   }
 
   def step(e: CEvent): (Option[Detection], Option[ForecastOut]) = {
     if (e.isReset) { det.reset(); buffer.clear(); return (None, None) }
     val sym = cp.iso.evaluate(e)
     if (sym >= 0) buffer.push(sym)
-    val d = det.step(e)
+    val d = det.step(e, sym) // symbol already evaluated for the buffer
     val f =
       if (buffer.isFull) {
         val label = spst.pst.nodeFor(buffer.pop).label

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** As-of (backward) join — the time-series primitive Spark lacks natively
   * (pandas merge_asof / DuckDB ASOF JOIN): for every left row, attach the
@@ -10,18 +11,25 @@ import org.apache.spark.sql.functions._
   * within a tolerance.
   *
   * Implementation is the scale-correct union+window form: tag both sides,
-  * union, and carry the right columns forward with last(ignoreNulls) over
-  * (key, ts, tag). ONE shuffle on the key, an in-partition sort, no join —
-  * a naive range join would explode on (key, ts-window) pairs; this stays
-  * linear and AQE-friendly at any fact size. Right rows sort before left
-  * rows at equal timestamps, giving the standard <= semantics.
+  * union, and carry the right row forward as ONE struct with
+  * last(ignoreNulls) over (key, ts, tag, tiebreakers). ONE shuffle on the
+  * key, an in-partition sort, no join — a naive range join would explode
+  * on (key, ts-window) pairs; this stays linear and AQE-friendly at any
+  * fact size. Right rows sort before left rows at equal timestamps (<=
+  * semantics); carrying a single struct keeps the attached columns from
+  * one right row even when some of its values are null (per-column
+  * backfill would stitch attributes of different rows together).
   */
 object AsofOps {
 
-  /** @param right     must share `by` and `ts` column names with `left`
-    * @param valueCols right columns to carry (renamed `asof_<name>`)
-    * @param tolerance max allowed left.ts - right.ts (same unit as `ts`);
-    *                  0 = unbounded
+  /** @param right       must share `by` and `ts` column names with `left`
+    * @param valueCols   right columns to carry (exposed as `asof_<name>`,
+    *                    plus `asof_ts` = the matched right timestamp)
+    * @param tolerance   max allowed left.ts - right.ts (same unit as `ts`);
+    *                    0 = unbounded
+    * @param tieBreakers right columns (subset of valueCols) appended to the
+    *                    window ordering so equal-timestamp right rows
+    *                    resolve deterministically
     */
   def asofJoin(
       left: DataFrame,
@@ -29,40 +37,42 @@ object AsofOps {
       by: String,
       ts: String,
       valueCols: Seq[String],
-      tolerance: Long = 0L): DataFrame = {
-    val carried = valueCols.map(c => s"asof_$c")
+      tolerance: Long = 0L,
+      tieBreakers: Seq[String] = Nil): DataFrame = {
+    val payloadType = StructType(
+      StructField("__ats", LongType) +:
+        valueCols.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("__tag", lit(1))
-      .withColumn("__rts", lit(null).cast("long"))
-      .withColumns(carried.map(c => c -> lit(null).cast(
-        right.schema(valueCols(carried.indexOf(c))).dataType)).toMap)
-    val r0 = right.select(
-      (col(by) +: col(ts).as(ts) +: valueCols.map(c => col(c).as(s"asof_$c"))): _*)
-    val r = l.columns.foldLeft(r0) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else c match {
-        case "__tag" => df.withColumn("__tag", lit(0))
-        case "__rts" => df.withColumn("__rts", col(ts).cast("long"))
-        case other   => df.withColumn(other, lit(null).cast(l.schema(other).dataType))
-      }
-    }.select(l.columns.map(col): _*)
-
-    val w = Window.partitionBy(col(by))
-      .orderBy(col(ts), col("__tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (("__rts" +: carried)).foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      .withColumn("__asof", lit(null).cast(payloadType))
+    val r = {
+      val base = right.select(
+        col(by), col(ts),
+        struct(col(ts).cast("long").as("__ats") +: valueCols.map(col): _*).as("__asof"))
+        .withColumn("__tag", lit(0))
+      // align to the left schema: missing left columns become nulls
+      l.columns.foldLeft(base) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
+      }.select(l.columns.map(col): _*)
     }
-    val matched =
+
+    val order: Seq[Column] =
+      Seq(col(ts), col("__tag")) ++ tieBreakers.map(c => col("__asof").getField(c))
+    val w = Window.partitionBy(col(by))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+    val gated =
       if (tolerance <= 0) filled
-      else {
-        // outside tolerance: null the carried columns
-        val ok = col("__rts").isNotNull && (col(ts).cast("long") - col("__rts") <= tolerance)
-        carried.foldLeft(filled)((df, c) =>
-          df.withColumn(c, when(ok, col(c))))
-          .withColumn("__rts", when(ok, col("__rts")))
-      }
-    matched.filter(col("__tag") === 1).drop("__tag")
-      .withColumnRenamed("__rts", "asof_ts")
+      else filled.withColumn("__asof",
+        when(col(ts).cast("long") - col("__asof").getField("__ats") <= tolerance, col("__asof")))
+
+    val projected = valueCols.foldLeft(
+      gated.withColumn("asof_ts", col("__asof").getField("__ats"))) { (df, c) =>
+      df.withColumn(s"asof_$c", col("__asof").getField(c))
+    }
+    projected.filter(col("__tag") === 1).drop("__tag", "__asof")
   }
 }

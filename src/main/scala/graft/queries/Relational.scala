@@ -338,7 +338,7 @@ object Relational {
         |         last_value(rts IGNORE NULLS) OVER w AS asof_ts,
         |         last_value(r_id IGNORE NULLS) OVER w AS c_id,
         |         last_value(r_value IGNORE NULLS) OVER w AS c_value
-        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY tsu, tag
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY tsu, tag, r_id
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, event_id, tsu AS ts_us,
         |       CASE WHEN asof_ts IS NOT NULL AND tsu - asof_ts <= 86400000000
@@ -355,7 +355,7 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("value"), col("tsu"))
       graft.ops.AsofOps.asofJoin(purchases, clicks,
           by = "user_id", ts = "tsu", valueCols = Seq("event_id", "value"),
-          tolerance = 86400000000L)
+          tolerance = 86400000000L, tieBreakers = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("tsu").as("ts_us"),
           col("asof_event_id").as("click_id"),
           round(col("asof_value"), 2).as("click_value"))

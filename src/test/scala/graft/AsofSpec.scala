@@ -51,4 +51,33 @@ class AsofSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       (100L, None),      // 100-20 = 80 > 15
       (30L, Some(1.0)))  // 30-20 = 10 ≤ 15
   }
+
+  it should "attach one coherent right row even when its values are null" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // latest right row has a NULL price: the result must carry THAT row's
+    // null, never backfill the price from an older row (row integrity)
+    val left = Seq(("k", 10L, "l1")).toDF("key", "tsu", "lname")
+    val right = Seq(("k", 1L, Some(5.0), 100L), ("k", 2L, None, 200L))
+      .toDF("key", "tsu", "price", "rid")
+    val r = AsofOps.asofJoin(left, right, "key", "tsu", Seq("price", "rid"))
+      .select("asof_ts", "asof_price", "asof_rid").collect()(0)
+    r.getLong(0) shouldBe 2L
+    Option(r.get(1)) shouldBe None // c2's null, NOT c1's 5.0
+    r.getLong(2) shouldBe 200L
+  }
+
+  it should "break equal-timestamp ties deterministically via tieBreakers" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val left = Seq(("k", 10L, "l1")).toDF("key", "tsu", "lname")
+    val right = Seq(("k", 10L, 1.0, 7L), ("k", 10L, 2.0, 3L))
+      .toDF("key", "tsu", "price", "rid")
+    val r = AsofOps.asofJoin(left, right, "key", "tsu", Seq("price", "rid"),
+        tieBreakers = Seq("rid"))
+      .select("asof_rid", "asof_price").collect()(0)
+    // highest tiebreaker sorts last in the window → wins
+    r.getLong(0) shouldBe 7L
+    r.getDouble(1) shouldBe 1.0
+  }
 }

@@ -70,7 +70,11 @@ class ClosedLoopSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     notifications should not be empty
     val ds = collector.readDataset(notifications.last)
     ds.size should be >= 50 // above the factory's MIN_DATA_THRESHOLD
-    factory.onDataset(notifications.last.version, ds)
+    // the ACK echoes the notification's bucket range → the Collector's O6
+    // GC can actually fire on old buckets
+    val ack = factory.onNotification(notifications.last, ds)
+    ack.bucketsRange shouldBe notifications.last.bucketsRange
+    collector.onAck(ack) // deletes buckets older than the acked range
 
     // ---- phase 2: optimize instruction → pause reaches the live engine
     val ins = Instruction(0, 1300L, "optimize", "dynamic_v0", Map("f_val" -> -0.05))

@@ -72,6 +72,17 @@ class EngineSpec extends AnyFlatSpec with Matchers {
     out.map(_.eventIds).toSet shouldBe Set(Seq(3L, 4L), Seq(3L, 5L))
   }
 
+  it should "measure the window span from the FIRST taken event (3-element match)" in {
+    // #( a;b;c ) with count window 4: a@1,b@3,c@5 spans 5-1=4 >= 4 → pruned;
+    // a@2..c@5 spans 3 → kept. (Regression: the span was measured from the
+    // most recent taken event, silently widening windows for 3+ matches.)
+    val cp2 = Compiler.compile(
+      "#(;(IsEventTypePredicate(a),IsEventTypePredicate(b),IsEventTypePredicate(c))){window:4}{windowType:count}")
+    val s = List(ev(1, "a"), ev(2, "a"), ev(3, "b"), ev(4, "x"), ev(5, "c"))
+    val out = MatchRun.run(cp2, "", s.iterator).toList
+    out.map(_.eventIds).toSet shouldBe Set(Seq(2L, 3L, 5L))
+  }
+
   it should "respect a time window" in {
     val cp2 = Compiler.compile(
       "#(;(IsEventTypePredicate(a),IsEventTypePredicate(b))){window:10}{windowType:time}")

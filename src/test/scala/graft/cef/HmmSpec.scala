@@ -91,4 +91,18 @@ class HmmSpec extends AnyFlatSpec with Matchers {
     bel.sum shouldBe 1.0 +- 1e-9
     hmm.wtDistribution(bel, sdfa, 0, 5).wt.values.sum should be <= 1.0 + 1e-9
   }
+
+  "belief" should "use the same first-observation convention as the forward algorithm" in {
+    // pi concentrated on state 0: the first observation must be scored
+    // under state 0's emissions, with no transition beforehand
+    val hmm = Hmm(
+      pi = Array(1.0, 0.0),
+      a = Array(Array(0.0, 1.0), Array(1.0, 0.0)), // deterministic alternation
+      b = Array(Array(0.9, 0.1), Array(0.1, 0.9)))
+    val bel1 = hmm.belief(Seq(0))
+    // still in state 0 right after the first observation (no pre-transition)
+    bel1(0) shouldBe 1.0 +- 1e-9
+    // likelihood consistency: P(obs) from belief recursion == forward
+    hmm.logLikelihood(Seq(0)) shouldBe math.log(0.9) +- 1e-9
+  }
 }

@@ -73,6 +73,21 @@ class WtSpec extends AnyFlatSpec with Matchers {
     h(0) shouldBe mean +- 1e-6
   }
 
+  it should "be infinite for states that can miss the final forever" in {
+    // state 2 is absorbing non-final; state 0 can fall into it
+    val mc = MarkovChain(3, Array(
+      Array(0.5, 0.3, 0.2),
+      Array(0.0, 0.0, 1.0),
+      Array(0.0, 0.0, 1.0)), Set(1))
+    val h = MarkovChain.expectedHittingTime(mc)
+    h(2).isPosInfinity shouldBe true
+    h(0).isPosInfinity shouldBe true // reaches the dead set w.p. > 0
+    h(1) shouldBe 0.0
+    // a clean geometric state stays finite
+    val ok = MarkovChain(2, Array(Array(0.5, 0.5), Array(0.0, 1.0)), Set(1))
+    MarkovChain.expectedHittingTime(ok)(0) shouldBe 2.0 +- 1e-9
+  }
+
   "SPST wt distributions" should "match brute-force expansion over the product space" in {
     // order-1 PST over a 2-symbol alphabet with hand-set conditionals, and a
     // tiny 3-state SDFA-like delta: 0 -sym1-> 1 -sym1-> 2(final), sym0 resets to 0
