@@ -21,15 +21,20 @@ final case class Hmm(pi: Array[Double], a: Array[Array[Double]], b: Array[Array[
   val nStates: Int = pi.length
   val nSymbols: Int = b(0).length
 
-  /** Log-likelihood of an observation sequence (scaled forward algorithm). */
+  /** Log-likelihood of an observation sequence (scaled forward algorithm).
+    * A zero-probability step (e.g. a held-out symbol with no emission mass)
+    * contributes log(MinPositiveValue) and the belief resets to uniform
+    * rather than poisoning the rest of the sequence with NaN.
+    */
   def logLikelihood(obs: Seq[Int]): Double = {
+    if (obs.isEmpty) return 0.0
     var alpha = Array.tabulate(nStates)(i => pi(i) * b(i)(obs.head))
     var ll = 0.0
     def scale(): Unit = {
       val s = alpha.sum
       ll += math.log(math.max(s, Double.MinPositiveValue))
-      var i = 0
-      while (i < nStates) { alpha(i) /= s; i += 1 }
+      if (s == 0) { var i = 0; while (i < nStates) { alpha(i) = 1.0 / nStates; i += 1 } }
+      else { var i = 0; while (i < nStates) { alpha(i) /= s; i += 1 } }
     }
     scale()
     obs.tail.foreach { o =>

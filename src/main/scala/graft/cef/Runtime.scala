@@ -124,8 +124,11 @@ final class MatchRun(cp: CompiledPattern, val partition: String) extends Seriali
 
   def restore(s: MatchRunState): Unit = {
     counter = s.counter
-    threads = s.threads.map(t =>
-      MatchRun.Thread(t.state, t.ids.toList, t.counters.toList, t.tss.toList, t.valuation)).toList
+    threads = s.threads.map { t =>
+      MatchRun.Thread(t.state, t.ids.toList, t.counters.toList, t.tss.toList, t.valuation,
+        if (t.counters.isEmpty) -1L else t.counters.last,
+        if (t.tss.isEmpty) -1L else t.tss.last)
+    }.toList
   }
   def snapshot: MatchRunState =
     MatchRunState(counter,
@@ -136,17 +139,17 @@ final class MatchRun(cp: CompiledPattern, val partition: String) extends Seriali
     if (e.isReset) { reset(); return Nil }
     counter += 1
     val out = mutable.ListBuffer[MatchOut]()
-    val cand = MatchRun.Thread(nfa.start, Nil, Nil, Nil, Map.empty) :: threads
+    val cand = MatchRun.Thread(nfa.start, Nil, Nil, Nil, Map.empty, -1L, -1L) :: threads
     val seen = mutable.HashSet[(Int, List[Long], List[Long])]()
     val nextThreads = mutable.ListBuffer[MatchRun.Thread]()
     cand.foreach { th =>
-      // window span measures from the FIRST taken event (the lists are
-      // prepended, so .last is the match's first element — same semantics
-      // as DetRun's minCounter and the reference's Match.getMinCounter)
-      val windowOk = cp.window == 0L || th.counters.isEmpty || {
+      // window span measures from the FIRST taken event (DetRun's
+      // minCounter semantics; cached O(1) on the thread rather than
+      // walking the prepended lists)
+      val windowOk = cp.window == 0L || th.firstCounter == -1L || {
         val diff = cp.windowKind match {
-          case WindowKind.Count => counter - th.counters.last
-          case WindowKind.Time  => math.abs(e.timestamp - th.tss.last)
+          case WindowKind.Count => counter - th.firstCounter
+          case WindowKind.Time  => math.abs(e.timestamp - th.firstTs)
         }
         diff < cp.window
       }
@@ -160,7 +163,9 @@ final class MatchRun(cp: CompiledPattern, val partition: String) extends Seriali
             }
             val nt =
               if (t.take) MatchRun.Thread(t.dst, e.id :: th.ids, counter :: th.counters,
-                e.timestamp :: th.tss, nextVal)
+                e.timestamp :: th.tss, nextVal,
+                if (th.firstCounter == -1L) counter else th.firstCounter,
+                if (th.firstCounter == -1L) e.timestamp else th.firstTs)
               else th.copy(state = t.dst, valuation = nextVal)
             val valKey = nt.valuation.values.map(_.id).toList.sorted
             if (seen.add((nt.state, nt.ids, valKey))) {
@@ -178,9 +183,12 @@ final class MatchRun(cp: CompiledPattern, val partition: String) extends Seriali
 }
 
 object MatchRun {
+  /** firstCounter/firstTs cache the match's first taken event (-1 = empty
+    * match) so the window check stays O(1) per step. */
   private[cef] final case class Thread(
       state: Int, ids: List[Long], counters: List[Long], tss: List[Long],
-      valuation: Map[String, CEvent] = Map.empty)
+      valuation: Map[String, CEvent] = Map.empty,
+      firstCounter: Long = -1L, firstTs: Long = -1L)
 
   /** Convenience: run a whole (sorted) event iterator through a fresh run. */
   def run(cp: CompiledPattern, partition: String, events: Iterator[CEvent]): Iterator[MatchOut] = {

@@ -46,12 +46,15 @@ object Inference {
     * instead of growing with every optimization round.
     */
   final class ControlHandle extends Serializable {
-    final case class Summary(paused: Boolean, latestModelId: Int)
-    private val state = new AtomicReference[Summary](Summary(paused = false, latestModelId = -1))
+    /** paused = None until the first command arrives: a fresh handle after
+      * a driver restart must NOT override the checkpointed per-key paused
+      * state (a paused engine stays paused until an explicit play). */
+    final case class Summary(paused: Option[Boolean], latestModelId: Int)
+    private val state = new AtomicReference[Summary](Summary(paused = None, latestModelId = -1))
     def push(cmd: SyncCommand): Unit = state.updateAndGet { s =>
       cmd.cmdType match {
-        case "pause" => s.copy(paused = true)
-        case "play"  => Summary(paused = false,
+        case "pause" => s.copy(paused = Some(true))
+        case "play"  => Summary(paused = Some(false),
           if (cmd.modelId >= 0) cmd.modelId else s.latestModelId)
         case _       => s
       }
@@ -108,9 +111,11 @@ object Inference {
           var latestId = snap.map(_.latestModelId).getOrElse(initialModelId)
           var pendingAt = snap.map(_.pendingSwapAt).getOrElse(-1L)
 
-          // apply the consolidated control state decided since the last batch
+          // apply the consolidated control state decided since the last batch;
+          // an opinion-less handle (fresh after restart) leaves the
+          // checkpointed paused state untouched
           val ctl = controls.current
-          paused = ctl.paused
+          ctl.paused.foreach(paused = _)
           if (ctl.latestModelId >= 0) latestId = ctl.latestModelId
 
           var (spst, table) = loadModel(currentId)

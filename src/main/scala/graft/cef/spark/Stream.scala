@@ -88,10 +88,14 @@ object Stream {
   def detectionsTws(
       events: Dataset[CEvent],
       cp: CompiledPattern,
-      stateTtl: Long = 0L): Dataset[Detection] =
+      stateTtl: Long = 0L): Dataset[Detection] = {
+    // Spark 4 rejects TTLConfig outside ProcessingTime mode
+    // (StatefulProcessorHandleImpl.validateTTLConfig)
+    val timeMode = if (stateTtl > 0) TimeMode.ProcessingTime() else TimeMode.None()
     events.groupByKey(_.partition)
       .transformWithState(
-        new DetProcessor(cp, stateTtl), TimeMode.None(), OutputMode.Append())
+        new DetProcessor(cp, stateTtl), timeMode, OutputMode.Append())
+  }
 }
 
 /** StatefulProcessor wrapping [[DetRun]]: the run snapshot lives in a typed

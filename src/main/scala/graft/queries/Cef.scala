@@ -56,7 +56,11 @@ object Cef {
   private def eventsWithProps(s: SparkSession, dir: String) =
     Detect.toEvents(
       Tables(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("double")),
+        // a props bag without 'k' becomes NaN, which fails every comparison
+        // predicate (matching the oracle's NULL-filtering semantics) and
+        // keeps the map<string,double> encoder free of nulls
+        .withColumn("k",
+          coalesce(get_json_object(col("props"), "$.k").cast("double"), lit(Double.NaN))),
       idCol = "event_id", typeCol = "event_type", tsCol = "ts",
       partitionCol = "user_id", numAttrs = Seq("value", "k"))
 

@@ -327,24 +327,22 @@ object Relational {
       """WITH ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu FROM events),
         |u AS (
         |  SELECT user_id, tsu, 1 AS tag, event_id,
-        |         CAST(NULL AS BIGINT) AS rts, CAST(NULL AS BIGINT) AS r_id,
-        |         CAST(NULL AS DOUBLE) AS r_value
+        |         CAST(NULL AS STRUCT(ats BIGINT, id BIGINT, val DOUBLE)) AS r_struct
         |  FROM ev WHERE event_type = 'purchase'
         |  UNION ALL
-        |  SELECT user_id, tsu, 0 AS tag, NULL, tsu, event_id, value
+        |  SELECT user_id, tsu, 0 AS tag, NULL,
+        |         {'ats': tsu, 'id': event_id, 'val': value}
         |  FROM ev WHERE event_type = 'click'),
         |f AS (
         |  SELECT user_id, tsu, tag, event_id,
-        |         last_value(rts IGNORE NULLS) OVER w AS asof_ts,
-        |         last_value(r_id IGNORE NULLS) OVER w AS c_id,
-        |         last_value(r_value IGNORE NULLS) OVER w AS c_value
-        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY tsu, tag, r_id
+        |         last_value(r_struct IGNORE NULLS) OVER w AS m
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY tsu, tag, (r_struct).id
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, event_id, tsu AS ts_us,
-        |       CASE WHEN asof_ts IS NOT NULL AND tsu - asof_ts <= 86400000000
-        |            THEN c_id END AS click_id,
-        |       CASE WHEN asof_ts IS NOT NULL AND tsu - asof_ts <= 86400000000
-        |            THEN round(c_value, 2) END AS click_value
+        |       CASE WHEN m IS NOT NULL AND tsu - (m).ats <= 86400000000
+        |            THEN (m).id END AS click_id,
+        |       CASE WHEN m IS NOT NULL AND tsu - (m).ats <= 86400000000
+        |            THEN round((m).val, 2) END AS click_value
         |FROM f WHERE tag = 1 ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
