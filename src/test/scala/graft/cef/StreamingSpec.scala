@@ -80,6 +80,31 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     streamOut shouldBe batchOut
   }
 
+  it should "start and run the transformWithState runtime with a state TTL" in {
+    // regression: TTLConfig under TimeMode.None throws at query start;
+    // with a TTL the processor must select ProcessingTime mode
+    val sparkS = spark
+    import sparkS.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CEvent]
+    val q = Stream.detectionsTws(mem.toDS(), cpDet, stateTtl = 60000L)
+      .writeStream.format("memory").queryName("det_tws_ttl")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws-ttl-ckpt").toString)
+      .outputMode("append").start()
+    mem.addData(Seq(
+      CEvent.simple(1, "a", 10), CEvent.simple(2, "b", 20)))
+    // ProcessingTime mode schedules continuous batches (TTL eviction
+    // ticks), so processAllAvailable never settles — poll with a deadline
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("det_tws_ttl").count() < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    spark.table("det_tws_ttl").count() shouldBe 1L
+    q.stop()
+  }
+
   it should "evaluate forecasts against detections as a stream-stream interval join (A2)" in {
     // SURVEY.md §2.8 A2 names this the Spark-native form of the reference's
     // nested-loop forecast×detection matching: two watermarked streams
