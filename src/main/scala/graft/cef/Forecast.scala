@@ -112,13 +112,18 @@ final case class WtDistribution(wt: Map[Int, Double]) {
     var right = maxi
     var area = maxprob
     var exhausted = false
+    // one side per iteration — take the higher-probability neighbor and
+    // re-check the threshold after each single-step extension, so the
+    // interval never overshoots θ by a double expansion (reference
+    // getForecastArgMax expands largest-probability-first).
     while (area < threshold && !exhausted) {
       val nl = left - 1
       val nr = right + 1
-      var moved = false
-      if (wt.contains(nl)) { area += apply(nl); left = nl; moved = true }
-      if (wt.contains(nr)) { area += apply(nr); right = nr; moved = true }
-      if (!moved) exhausted = true
+      val pl = if (wt.contains(nl)) apply(nl) else -1.0
+      val pr = if (wt.contains(nr)) apply(nr) else -1.0
+      if (pl < 0.0 && pr < 0.0) exhausted = true
+      else if (pr > pl) { area += pr; right = nr }
+      else { area += pl; left = nl }
     }
     if (maxSpread >= right - left) ForecastInterval(left, right, maxi.toDouble, area)
     else ForecastInterval.invalid

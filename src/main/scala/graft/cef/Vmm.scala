@@ -148,7 +148,10 @@ object PstLearner {
     val root = new Pst(Nil, cst.distributionFor(Nil, alphabet))
     val retained = mutable.Set.empty[List[Int]] // contexts that earned a node
     val frontier = mutable.Queue.empty[List[Int]]
-    alphabet.foreach { s => if (cst.probFor(List(s)) >= pMin) frontier += List(s) }
+    // maxOrder == 0 ⇒ root-only tree: no depth-1 contexts may enter the
+    // frontier (they'd otherwise leak into Psa.fromPst leaves).
+    if (maxOrder >= 1)
+      alphabet.foreach { s => if (cst.probFor(List(s)) >= pMin) frontier += List(s) }
 
     while (frontier.nonEmpty) {
       val s = frontier.dequeue()

@@ -45,11 +45,15 @@ final class Collector(
     Files.createDirectories(Paths.get(s"$dir/buckets"))
     grouped.groupBy(e => e.timestamp - (e.timestamp % bucketSizeSec)).toSeq.sortBy(_._1)
       .foreach { case (bucket, evs) =>
-        if (currentBucket != -1L && bucket != currentBucket) {
-          history += currentBucket
+        if (currentBucket == -1L) currentBucket = bucket
+        else if (bucket > currentBucket) {
+          // rotation: the finished bucket joins history exactly once
+          if (!history.contains(currentBucket)) history += currentBucket
           out += notification(evs.head.timestamp)
+          currentBucket = bucket
         }
-        currentBucket = bucket
+        // bucket < currentBucket: late arrival for an already-rotated
+        // bucket — append to its existing file, no rotation/notify
         val lines = evs.map(eventJson).mkString("", "\n", "\n")
         Files.write(bucketPath(bucket), lines.getBytes("UTF-8"),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)

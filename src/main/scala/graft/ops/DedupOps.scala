@@ -52,43 +52,87 @@ object DedupOps {
 
   // ---------------------------------------------------------------- minhash
 
-  /** MinHash parameters: K independent linear hashes (a*h + b) % M.
-    * Fixed primes so Spark and the SQL oracle agree.
+  /** MinHash parameters: K = 64 independent linear hashes (a*h + b) % M
+    * from the universal family, with deterministically derived distinct
+    * coefficients so Spark and the SQL oracle agree (the SQL twins embed
+    * the same values as literals). a ≤ 64M and h < M ≈ 2³⁰ keep a*h + b
+    * far below 2⁶³ — DuckDB errors on overflow where Spark wraps.
     */
-  val MinHashA: Seq[Long] = Seq(7, 11, 13, 17, 19, 23, 29, 31)
-  val MinHashB: Seq[Long] = Seq(3, 5, 101, 407, 13, 89, 971, 271)
-  val NumBands = 4 // 8 hashes → 4 bands × 2 rows
+  val MinHashK = 64
+  val MinHashA: Seq[Long] = (0 until MinHashK).map(i => (1000003L * (i + 1) + 12345L) % HashMod)
+  val MinHashB: Seq[Long] = (0 until MinHashK).map(i => (999983L * (i + 7) + 54321L) % HashMod)
 
-  /** K-wide MinHash signature of a distinct-hash set column. */
+  /** Band plans, tuned per use (s-curve threshold ≈ (1/bands)^(rows/K)):
+    *   - near-dup pairs (p06): 4 bands × 16 rows → threshold ≈ 0.92,
+    *     matched to the 0.9 Jaccard filter so candidates ≈ true pairs;
+    *   - NN candidates (p08): 16 bands × 4 rows → threshold ≈ 0.5,
+    *     recall-leaning for nearest-neighbor search.
+    */
+  val PairBands = 4
+  val NnBands = 16
+
+  /** Hot-bucket probe limit: any (band, key) bucket larger than this is
+    * split into deterministic salt blocks and candidates only form
+    * within a block — bounds every LSH self-join at O(cap²) per bucket
+    * regardless of how degenerate the corpus is (the 100 TB guard).
+    */
+  val BandBucketCap = 1000
+
+  /** K-wide MinHash signature of a distinct-hash set column — a native
+    * fused Catalyst expression (one pass over the hashes for all 64
+    * lanes, whole-stage codegen; value-identical to the
+    * array_min(transform(...)) per-lane formulation, ExprSpec-pinned).
+    */
   def minHashSig(hashes: Column): Column =
-    array((0 until MinHashA.size).map { i =>
-      array_min(transform(hashes, h => (lit(MinHashA(i)) * h + MinHashB(i)) % HashMod))
-    }: _*)
+    org.apache.spark.sql.graftexpr.VectorExprs.minHashSig(hashes, MinHashA, MinHashB, HashMod)
 
   def minHashSigSql(hashesExpr: String): String =
-    (0 until MinHashA.size).map { i =>
+    (0 until MinHashK).map { i =>
       s"list_min(list_transform($hashesExpr, h -> (${MinHashA(i)} * h + ${MinHashB(i)}) % $HashMod))"
     }.mkString("[", ", ", "]")
 
-  /** LSH band keys from a K-wide signature: NumBands values, each the
-    * poly-combination of its rows — docs sharing any band key are
-    * candidate pairs.
+  /** LSH band keys from a K-wide signature: `bands` values, each the
+    * poly-combination of its K/bands rows — docs sharing any band key
+    * are candidate pairs.
     */
-  def bandKeys(sig: Column): Column = {
-    val rows = MinHashA.size / NumBands
-    array((0 until NumBands).map { b =>
+  def bandKeys(sig: Column, bands: Int): Column = {
+    val rows = MinHashK / bands
+    array((0 until bands).map { b =>
       (0 until rows).foldLeft(lit(b.toLong): Column)((acc, r) =>
         (acc * 31 + element_at(sig, b * rows + r + 1)) % HashMod)
     }: _*)
   }
 
-  def bandKeysSql(sigExpr: String): String = {
-    val rows = MinHashA.size / NumBands
-    (0 until NumBands).map { b =>
+  def bandKeysSql(sigExpr: String, bands: Int): String = {
+    val rows = MinHashK / bands
+    (0 until bands).map { b =>
       (0 until rows).foldLeft(s"CAST($b AS BIGINT)")((acc, r) =>
         s"(($acc) * 31 + $sigExpr[${b * rows + r + 1}]) % $HashMod")
     }.mkString("[", ", ", "]")
   }
+
+  /** Explode a `bands` array column into (id, band, key, salt) rows with
+    * the deterministic hot-bucket salt: rank within the (band, key)
+    * bucket by id, blocked into groups of [[BandBucketCap]]. Joining on
+    * (band, key, salt) bounds any bucket's contribution to cap² pairs.
+    * The row_number shuffle is keyed identically to the candidate join
+    * that follows, so it adds no extra exchange of the big table.
+    */
+  def saltedBands(sigs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("key")).orderBy(col(idCol))
+    sigs.select(col(idCol), posexplode(col("bands")).as(Seq("band", "key")))
+      .withColumn("salt",
+        floor((row_number().over(w) - lit(1)) / lit(BandBucketCap)).cast("long"))
+  }
+
+  /** DuckDB twin of [[saltedBands]], from a CTE exposing (idCol, bands). */
+  def saltedBandsSql(fromCte: String, idCol: String, bands: Int): String =
+    s"""SELECT $idCol, band, key,
+       |       CAST(floor((row_number() OVER (PARTITION BY band, key ORDER BY $idCol) - 1)
+       |            / $BandBucketCap.0) AS BIGINT) AS salt
+       |FROM (SELECT $idCol, unnest(range($bands)) AS band, unnest(bands) AS key
+       |      FROM $fromCte)""".stripMargin
 
   // ---------------------------------------------------------------- simhash
 

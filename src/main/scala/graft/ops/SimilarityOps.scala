@@ -61,37 +61,50 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
   }
 
-  /** Number of random hyperplanes for the LSH scale path. */
-  val NumPlanes = 8
+  /** Hyperplane-LSH amplification: 16 planes per table (2¹⁶-bucket
+    * universe per table — the bucket count grows with the plane count,
+    * not a 256-bucket cap) OR-amplified across 4 independent tables for
+    * recall. A hot-bucket salt (same mechanism as the MinHash band cap,
+    * [[DedupOps.BandBucketCap]]) bounds any bucket's self-join.
+    */
+  val NumPlanes = 16
+  val NumTables = 4
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * integer-hash folded to (-0.5, 0.5). Same closed form is used in the
-    * SQL oracle, so buckets agree exactly.
+    * SQL oracle, so buckets agree exactly. `plane` is the GLOBAL plane
+    * index (table * NumPlanes + p).
     */
   def planeComponent(plane: Int, dim: Column): Column =
     ((lit(plane.toLong * 31L) + dim) * 2654435761L % 1000003L).cast("double") / 1000003d - 0.5
 
-  /** LSH bucket id of an embedding: sign pattern against NumPlanes
-    * deterministic hyperplanes, packed into a long.
+  /** All NumTables LSH bucket ids of an embedding: per table, the sign
+    * pattern against its NumPlanes deterministic hyperplanes packed into
+    * a long — one fused native expression (whole-stage codegen, one pass
+    * over the embedding; ExprSpec pins equality with the per-plane
+    * aggregate(zip_with(...)) formulation).
     */
-  def lshBucket(emb: Column): Column =
-    (0 until NumPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0L), size(emb).cast("long") - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0d), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def lshBuckets(emb: Column): Column =
+    org.apache.spark.sql.graftexpr.VectorExprs.hyperplaneBuckets(emb, NumPlanes, NumTables)
 
-  def lshBucketSql(emb: String): String = {
+  /** Table-0 bucket — the single-table view (p11's output shape). */
+  def lshBucket(emb: Column): Column = element_at(lshBuckets(emb), 1)
+
+  /** SQL twin of one table's bucket id. */
+  def lshBucketSql(emb: String, table: Int = 0): String = {
     val bits = (0 until NumPlanes).map { p =>
-      val comp = s"(CAST((($p * 31 + p2[2] - 1) * 2654435761) % 1000003 AS DOUBLE) / 1000003 - 0.5)"
+      val g = table * NumPlanes + p
+      val comp = s"(CAST((($g * 31 + p2[2] - 1) * 2654435761) % 1000003 AS DOUBLE) / 1000003 - 0.5)"
       s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(list_zip($emb, range(1, len($emb) + 1)), p2 -> CAST(p2[1] AS DOUBLE) * $comp)),
          |  (x, y) -> x + y) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
     }
     bits.mkString("(", " + ", ")")
   }
+
+  /** SQL twin of [[lshBuckets]] (all tables). */
+  def lshBucketsSql(emb: String): String =
+    (0 until NumTables).map(t => lshBucketSql(emb, t)).mkString("[", ", ", "]")
 
   /** Bucketed ANN: join queries to corpus on the LSH bucket, then
     * top-k within the candidate set. At scale this replaces the full

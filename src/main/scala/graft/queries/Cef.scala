@@ -444,15 +444,22 @@ object Cef {
 
   /** Overflow-safe MCC as a SQL expression over tp/tn/fp/fn columns —
     * TEXTUALLY shared between the Spark plan (via expr) and the DuckDB
-    * oracle so both engines evaluate the identical IEEE formula.
+    * oracle so both engines evaluate the identical IEEE formula. Emitted
+    * as a ×10⁴ integer (floor half-up) because `round(double, 4)` is
+    * engine-specific on binary doubles (Spark re-rounds via HALF_UP
+    * decimal conversion, DuckDB rounds the double directly); every op
+    * below — divide, multiply, sqrt, subtract, floor — is a correctly
+    * rounded IEEE-754 primitive, identical in both engines. The real
+    * fractional MCC stays unit-pinned in ProfilerSpec.
     */
   private def mccSql: String =
-    """CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0 THEN 0.0
-      |     ELSE round(
+    """CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0 THEN CAST(0 AS BIGINT)
+      |     ELSE CAST(floor((
       |       sqrt((CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn))
       |          * (CAST(tn AS DOUBLE)/(tn+fp)) * (CAST(tn AS DOUBLE)/(tn+fn)))
       |     - sqrt((1 - CAST(tp AS DOUBLE)/(tp+fp)) * (1 - CAST(tp AS DOUBLE)/(tp+fn))
-      |          * (1 - CAST(tn AS DOUBLE)/(tn+fp)) * (1 - CAST(tn AS DOUBLE)/(tn+fn))), 4)
+      |          * (1 - CAST(tn AS DOUBLE)/(tn+fp)) * (1 - CAST(tn AS DOUBLE)/(tn+fn)))
+      |     ) * 10000 + 0.5) AS BIGINT)
       |END""".stripMargin.replace('\n', ' ')
 
   /** Shared Spark side of cef09/cef10: engine detections + rule-based

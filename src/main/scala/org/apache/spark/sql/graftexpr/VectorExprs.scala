@@ -1,9 +1,10 @@
 package org.apache.spark.sql
 package graftexpr
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
@@ -34,11 +35,21 @@ object VectorExprs {
     * upstream, merge per pair). */
   def jaccardSortedSim(a: Column, b: Column): Column =
     Bridge.column(JaccardSortedSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** K-lane MinHash signature in one codegen'd pass (replaces K
+    * array_min(transform(...)) higher-order chains). */
+  def minHashSig(hashes: Column, a: Seq[Long], b: Seq[Long], mod: Long): Column =
+    Bridge.column(MinHashSig(Bridge.expression(hashes), a.toArray, b.toArray, mod))
+
+  /** All hyperplane-LSH table buckets of an embedding in one codegen'd
+    * pass (replaces numTables×numPlanes aggregate(zip_with(...)) chains). */
+  def hyperplaneBuckets(emb: Column, numPlanes: Int, numTables: Int): Column =
+    Bridge.column(HyperplaneBuckets(Bridge.expression(emb), numPlanes, numTables))
 }
 
 /** cos(a, b) over array<float> with double accumulation in element order. */
 final case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
@@ -90,7 +101,7 @@ final case class CosineSim(left: Expression, right: Expression)
   * whole loop is JIT-compiled primitive code.
   */
 final case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
@@ -112,7 +123,7 @@ final case class JaccardSim(left: Expression, right: Expression)
   * kernel when the signature table is sorted once upstream.
   */
 final case class JaccardSortedSim(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
@@ -127,6 +138,149 @@ final case class JaccardSortedSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedSim =
     copy(left = l, right = r)
+}
+
+/** K-lane MinHash signature of a bigint-hash array: lane i is
+  * min_h (a(i)*h + b(i)) % mod. One pass over the input per row — the
+  * fused form of K array_min(transform(...)) chains, value-identical
+  * including the empty-input case (each lane null, matching
+  * array_min(empty) = null and DuckDB's list_min([]) = NULL).
+  */
+final case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], mod: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](a.length))
+    val out = new Array[Long](a.length)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var k = 0
+      while (k < a.length) {
+        val v = (a(k) * h + b(k)) % mod
+        if (v < out(k)) out(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $xs.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new Object[${a.length}]);
+         |} else {
+         |  long[] $out = new long[${a.length}];
+         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $xs.getLong($i);
+         |    for (int $k = 0; $k < ${a.length}; $k++) {
+         |      long $v = ($aRef[$k] * $h + $bRef[$k]) % ${mod}L;
+         |      if ($v < $out[$k]) $out[$k] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** All `numTables` hyperplane-LSH buckets of a float embedding in one
+  * fused pass: table t's bucket packs the sign bits of the projections
+  * onto planes g = t*numPlanes+p, where component (g, i) is the
+  * deterministic hash ((g*31 + i) * 2654435761 % 1000003)/1000003 - 0.5.
+  * Projection accumulates in element order — bit-identical to the
+  * aggregate(zip_with(...)) formulation and the DuckDB list_reduce twin.
+  */
+final case class HyperplaneBuckets(child: Expression, numPlanes: Int, numTables: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        val g = t * numPlanes + p
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          val comp = ((g * 31L + i) * 2654435761L % 1000003L).toDouble / 1000003d - 0.5
+          proj += xs.getFloat(i).toDouble * comp
+          i += 1
+        }
+        if (proj > 0) bucket += (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val g = ctx.freshName("g")
+      val i = ctx.freshName("i")
+      val proj = ctx.freshName("proj")
+      val comp = ctx.freshName("comp")
+      val bucket = ctx.freshName("bucket")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $xs.numElements();
+         |long[] $out = new long[$numTables];
+         |for (int $t = 0; $t < $numTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $numPlanes; $p++) {
+         |    long $g = (long) $t * $numPlanes + $p;
+         |    double $proj = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $comp = (double) (($g * 31L + $i) * 2654435761L % 1000003L) / 1000003d - 0.5;
+         |      $proj += (double) $xs.getFloat($i) * $comp;
+         |    }
+         |    if ($proj > 0) $bucket += (1L << $p);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBuckets =
+    copy(child = c)
 }
 
 /** Primitive long-set intersection kernel: power-of-two open addressing

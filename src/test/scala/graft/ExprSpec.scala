@@ -86,6 +86,47 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  "MinHashSig" should "be value-identical to the array_min/transform composition" in {
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    import ops.DedupOps._
+    import ops.TextOps.HashMod
+    val rows = (1 to 200).map { i =>
+      (i, Seq.fill(rnd.nextInt(40) + 1)(rnd.nextLong().abs % HashMod).distinct)
+    } :+ (0, Seq.empty[Long]) // empty input: every lane null
+    val df = rows.toDF("id", "hashes")
+    val composed = array((0 until MinHashK).map { i =>
+      array_min(transform(col("hashes"),
+        h => (lit(MinHashA(i)) * h + MinHashB(i)) % HashMod))
+    }: _*)
+    val out = df.select(
+      minHashSig(col("hashes")).as("native"), composed.as("composed")).collect()
+    out.foreach { r => r.getSeq[Any](0) shouldBe r.getSeq[Any](1) }
+  }
+
+  "HyperplaneBuckets" should "be value-identical to the aggregate/zip_with composition" in {
+    import org.apache.spark.sql.functions._
+    import ops.SimilarityOps.{planeComponent, lshBuckets, NumPlanes, NumTables}
+    val sparkS = spark
+    import sparkS.implicits._
+    val rows = (1 to 200).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "emb")
+    val composed = array((0 until NumTables).map { tbl =>
+      (0 until NumPlanes).map { p =>
+        val proj = aggregate(
+          zip_with(col("emb"),
+            sequence(lit(0L), functions.size(col("emb")).cast("long") - 1),
+            (x, i) => x.cast("double") * planeComponent(tbl * NumPlanes + p, i)),
+          lit(0d), (acc, v) => acc + v)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val out = df.select(
+      lshBuckets(col("emb")).as("native"), composed.as("composed")).collect()
+    out.foreach { r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1) }
+  }
+
   it should "stay inside whole-stage codegen" in {
     // spark.range keeps the projection a real codegen stage (a local Seq
     // would constant-fold to LocalTableScan)

@@ -28,6 +28,25 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     q(spark, sfDir).queryExecution.executedPlan.toString
   }
 
+  "saltedBands" should "bound every (band, key, salt) bucket at BandBucketCap" in {
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    import ops.DedupOps._
+    // adversarial corpus: 2500 identical docs all land in the same band
+    // buckets — without the salt the self-join would be O(n²) on one key
+    val docs = (1 to 2500).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val sigs = docs
+      .select(col("doc_id"), sort_array(ops.TextOps.tokenHashes(col("text"))).as("hashes"))
+      .withColumn("bands", bandKeys(minHashSig(col("hashes")), PairBands))
+    val sizes = saltedBands(sigs, "doc_id")
+      .groupBy(col("band"), col("key"), col("salt")).count()
+    sizes.agg(max(col("count"))).collect()(0).getLong(0) should be <= BandBucketCap.toLong
+    // and the salt actually split the hot bucket (2500 docs > cap)
+    sizes.filter(col("salt") > 0).count() should be > 0L
+  }
+
   "q04_filter_scan" should "push filters and prune columns at the parquet scan" in {
     val plan = planOf("q04_filter_scan")
     plan should include("PushedFilters")
