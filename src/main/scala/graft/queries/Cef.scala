@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.cef.{Compiler, CompiledPattern, ForecastMethod}
+import graft.cef.{CEvent, Compiler, CompiledPattern, ForecastMethod}
 import graft.cef.spark.{Detect, Train}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -334,18 +334,20 @@ object Cef {
     },
 
     // ---------------- SPST: distributed training + wt-based forecasts
-    // (T1/T2/F2/F3/F5). Model internals (state ids, tree labels) are not
-    // ANSI-SQL-expressible, so these are rows-only checks for the driver;
-    // the algorithms are unit-tested against brute force in WtSpec/VmmSpec.
-    Q.noOracle("cef11_spst_wt") { (s, dir) =>
+    // (T1/T2/F2/F3/F5). The full pipeline — n-gram counting, PST learning,
+    // wt recursion, per-event replay — is restated in DuckDB SQL by
+    // [[SpstOracle]]; probabilities emitted as ×10⁶ integers (engine-exact,
+    // see mccSql). The algorithms stay unit-tested against brute force in
+    // WtSpec/VmmSpec.
+    Q("cef11_spst_wt", SpstOracle.sql11) { (s, dir) =>
       val ev = events(s, dir)
       val spst = Train.learnSpst(ev, pSkipAny, order = 2)
       val rows = spst.pst.leaves.flatMap { leaf =>
         (0 until spst.sdfa.nStates).map { st =>
           val wt = spst.wtDistribution(leaf.label, st, horizon = 20)
           (leaf.label.mkString(":"), st,
-            BigDecimal(wt.wt.values.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-            BigDecimal(wt.classifyNextK(0.5, 10).prob).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            math.floor(wt.wt.values.sum * 1000000 + 0.5).toLong,
+            math.floor(wt.classifyNextK(0.5, 10).prob * 1000000 + 0.5).toLong)
         }
       }
       import s.implicits._
@@ -428,7 +430,7 @@ object Cef {
         .orderBy(col("t"))
     },
 
-    Q.noOracle("cef12_spst_forecasts") { (s, dir) =>
+    Q("cef12_spst_forecasts", SpstOracle.sql12) { (s, dir) =>
       val ev = events(s, dir)
       val spst = Train.learnSpst(ev, pSkipAny, order = 2)
       Train.forecasts(ev, pSkipAny, spst, ForecastMethod.ClassifyNextK,
@@ -437,7 +439,7 @@ object Cef {
           col("partition").cast("long").as("user_id"),
           col("counter"), col("eventId").as("event_id"),
           col("startCounter").as("fs"), col("endCounter").as("fe"),
-          round(col("prob"), 6).as("prob"), col("positive"))
+          (floor(col("prob") * 1000000 + 0.5)).cast("long").as("prob"), col("positive"))
         .orderBy(col("user_id"), col("counter"))
     }
   )
@@ -519,4 +521,196 @@ object Cef {
     confAgg(
       withEval(s, dir).withColumn("day", date_trunc("day", col("ts")).cast("date")),
       Seq(col("day")))
+
+  /** DuckDB oracles for the SPST queries (cef11/cef12): the full pipeline —
+    * n-gram counting (Train.countWindows), PST learning (PstLearner.learn,
+    * Ron/Singer/Tishby variant), the SPST waiting-time recursion
+    * (Spst.wtDistribution) and the per-event forecast replay (SpstRun) —
+    * restated in pure SQL. The stream enters only through n-gram counts
+    * (window functions), the PST through count-ratio predicates, and the
+    * wt recursion through `horizon` unrolled aggregate-join steps (ANSI SQL
+    * has no aggregation inside recursive CTEs). Automaton constants
+    * (minterm ids, delta, finals) are interpolated from the compiled
+    * pattern at construction time and assertions pin the semantic state
+    * labeling the per-event replay relies on (same technique as cef14).
+    *
+    * Probability outputs are emitted as ×10⁶ integers (floor half-up) for
+    * the same engine-rounding reason as [[mccSql]].
+    */
+  private object SpstOracle {
+    // learner/forecast hyperparameters — must match the cef11/cef12 calls
+    private val pMin = 0.001
+    private val alpha = 0.05
+    private val gammaMin = 0.001
+    private val r = 1.05
+    private val cutoff = 0.001
+    private val horizon = 20
+    private val k10 = 10
+
+    private val iso = pSkipAny.iso
+    private val sdfa = pSkipAny.sdfa
+    private def symOf(t: String) = iso.evaluate(CEvent.simple(1, t, 1))
+    private val E = symOf("error")
+    private val P = symOf("purchase")
+    private val O = symOf("view")
+    require(symOf("click") == O && symOf("signup") == O && Set(E, P, O).size == 3
+      && iso.size == 3, "skip-any minterm alphabet must be {error, purchase, other}")
+
+    // Semantic state ids for the per-event replay (verified, not assumed):
+    // start (no error yet), first-error, error-again, final (purchase after
+    // error), other-after-error. All armed states share one delta row.
+    private val s0 = sdfa.start
+    private val sFE = sdfa.delta(s0)(E)
+    private val sE = sdfa.delta(sFE)(E)
+    private val sF = sdfa.delta(sFE)(P)
+    private val sO = sdfa.delta(sFE)(O)
+    require(sdfa.delta(s0)(P) == s0 && sdfa.delta(s0)(O) == s0,
+      "start state must loop on non-error symbols")
+    require(Seq(sFE, sE, sF, sO).forall(st =>
+      sdfa.delta(st)(E) == sE && sdfa.delta(st)(P) == sF && sdfa.delta(st)(O) == sO),
+      "armed/final states must share the armed delta row")
+    require(sdfa.finals == Set(sF) && !sdfa.isFinal(s0)
+      && Set(s0, sFE, sE, sF, sO).size == sdfa.nStates,
+      "state space must be exactly the five semantic states")
+
+    private val deltaRows = (for {
+      st <- 0 until sdfa.nStates
+      sy <- 0 until iso.size
+    } yield s"($st, $sy, ${sdfa.delta(st)(sy)}, ${sdfa.isFinal(sdfa.delta(st)(sy))})").mkString(", ")
+    private val stateRows = (0 until sdfa.nStates).map(s => s"($s)").mkString(", ")
+
+    // (1+alpha)*gammaMin and 1/r evaluated here so DuckDB parses the exact
+    // double the Scala learner compares against
+    private val thresh = (1 + alpha) * gammaMin
+    private val rInv = 1 / r
+
+    private val steps = (1 to horizon).map { t =>
+      val prev = s"f${t - 1}"
+      val h =
+        s"""h$t AS MATERIALIZED (
+           |  SELECT lbl0, st0, sum(f.mass * x.p) AS hit
+           |  FROM $prev f JOIN trx x ON x.lbl = f.lbl AND x.st = f.st
+           |  WHERE x.hit GROUP BY lbl0, st0)""".stripMargin
+      val fc =
+        if (t == horizon) ""
+        else
+          s""",
+             |f$t AS MATERIALIZED (
+             |  SELECT lbl0, st0, x.nlbl AS lbl, x.nst AS st, sum(f.mass * x.p) AS mass
+             |  FROM $prev f JOIN trx x ON x.lbl = f.lbl AND x.st = f.st
+             |  WHERE NOT x.hit AND f.mass * x.p > $cutoff
+             |  GROUP BY lbl0, st0, x.nlbl, x.nst)""".stripMargin
+      h + fc
+    }.mkString(",\n")
+    private val hitsUnion =
+      (1 to horizon).map(t => s"SELECT lbl0, st0, hit, $t AS t FROM h$t").mkString("\nUNION ALL ")
+
+    /** Shared CTE chain ending at `ft(lbl, st, mass_all, prob)` — the
+      * forecast table over every (leaf label × SDFA state) pair.
+      */
+    private val core =
+      s"""WITH b AS (
+         |  SELECT event_id, user_id, event_type, ts,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |sym AS MATERIALIZED (SELECT user_id, rn, event_id,
+         |        CASE event_type WHEN 'error' THEN $E WHEN 'purchase' THEN $P ELSE $O END AS s
+         |        FROM b),
+         |w AS MATERIALIZED (SELECT user_id, rn, s,
+         |        lag(s, 1) OVER (PARTITION BY user_id ORDER BY rn) AS s1,
+         |        lag(s, 2) OVER (PARTITION BY user_id ORDER BY rn) AS s2
+         |      FROM sym),
+         |n0 AS MATERIALIZED (SELECT count(*) AS c FROM w),
+         |n1 AS MATERIALIZED (SELECT s AS a, count(*) AS c FROM w GROUP BY s),
+         |n2 AS MATERIALIZED (SELECT s AS a, s1 AS b, count(*) AS c FROM w WHERE s1 IS NOT NULL GROUP BY s, s1),
+         |n3 AS MATERIALIZED (SELECT s AS a, s1 AS b, s2 AS d, count(*) AS c FROM w WHERE s2 IS NOT NULL GROUP BY s, s1, s2),
+         |al AS MATERIALIZED (SELECT DISTINCT s FROM w),
+         |ksz AS MATERIALIZED (SELECT count(*) AS k FROM al),
+         |ret2 AS MATERIALIZED (
+         |  SELECT c2.a, c2.b
+         |  FROM n2 c2 JOIN n1 ca ON ca.a = c2.a CROSS JOIN n0
+         |  WHERE CAST(ca.c AS DOUBLE) / n0.c >= $pMin
+         |    AND CAST(c2.c AS DOUBLE) / (n0.c - 1) >= $pMin
+         |    AND EXISTS (
+         |      SELECT 1 FROM n3 JOIN n2 sx ON sx.a = n3.a AND sx.b = n3.b
+         |      WHERE n3.b = c2.a AND n3.d = c2.b
+         |        AND CAST(n3.c AS DOUBLE) / c2.c >= $thresh
+         |        AND ((CAST(n3.c AS DOUBLE) / c2.c) / (CAST(sx.c AS DOUBLE) / ca.c) >= $r
+         |          OR (CAST(n3.c AS DOUBLE) / c2.c) / (CAST(sx.c AS DOUBLE) / ca.c) <= $rInv))),
+         |int1 AS MATERIALIZED (SELECT DISTINCT a FROM ret2),
+         |lv AS MATERIALIZED (
+         |  SELECT CAST(a.s AS VARCHAR) || ':' || CAST(bb.s AS VARCHAR) AS lbl,
+         |         a.s AS h, bb.s AS h2, 2 AS dep
+         |  FROM int1 i JOIN al a ON a.s = i.a CROSS JOIN al bb
+         |  UNION ALL
+         |  SELECT CAST(a.s AS VARCHAR) AS lbl, a.s AS h, NULL AS h2, 1 AS dep
+         |  FROM al a WHERE a.s NOT IN (SELECT a FROM int1)),
+         |s2s AS MATERIALIZED (SELECT b AS ctx, sum(c) AS sc FROM n2 GROUP BY b),
+         |s3s AS MATERIALIZED (SELECT b AS c1, d AS c2, sum(c) AS sc FROM n3 GROUP BY b, d),
+         |nd AS MATERIALIZED (
+         |  SELECT l.lbl, l.h, al.s AS sig,
+         |    (CASE
+         |      WHEN l.dep = 2 AND EXISTS (SELECT 1 FROM n2 WHERE n2.a = l.h AND n2.b = l.h2)
+         |        THEN coalesce((SELECT CAST(n3.c AS DOUBLE) FROM n3
+         |                       WHERE n3.a = al.s AND n3.b = l.h AND n3.d = l.h2)
+         |                      / (SELECT CAST(sc AS DOUBLE) FROM s3s WHERE c1 = l.h AND c2 = l.h2), 0.0)
+         |      ELSE coalesce((SELECT CAST(n2.c AS DOUBLE) FROM n2 WHERE n2.a = al.s AND n2.b = l.h)
+         |                    / (SELECT CAST(sc AS DOUBLE) FROM s2s WHERE ctx = l.h), 0.0)
+         |    END) * (1.0 - CAST(ksz.k AS DOUBLE) * $gammaMin) + $gammaMin AS p
+         |  FROM lv l CROSS JOIN al CROSS JOIN ksz),
+         |dl(st, sy, nst, hit) AS (VALUES $deltaRows),
+         |sts(st) AS (VALUES $stateRows),
+         |tr AS MATERIALIZED (
+         |  SELECT nd.lbl, nd.sig, nd.p,
+         |         CASE WHEN nd.sig IN (SELECT a FROM int1)
+         |              THEN CAST(nd.sig AS VARCHAR) || ':' || CAST(nd.h AS VARCHAR)
+         |              ELSE CAST(nd.sig AS VARCHAR) END AS nlbl
+         |  FROM nd),
+         |trx AS MATERIALIZED (SELECT t.lbl, d.st, t.sig, t.p, t.nlbl, d.nst, d.hit
+         |        FROM tr t JOIN dl d ON d.sy = t.sig),
+         |f0 AS MATERIALIZED (SELECT l.lbl AS lbl0, s.st AS st0, l.lbl AS lbl, s.st AS st,
+         |              CAST(1.0 AS DOUBLE) AS mass
+         |       FROM lv l CROSS JOIN sts s),
+         |$steps,
+         |hh AS MATERIALIZED ($hitsUnion),
+         |wts AS MATERIALIZED (SELECT lbl0, st0, sum(hit) AS mass_all,
+         |               sum(CASE WHEN t <= $k10 THEN hit ELSE 0.0 END) AS mass_10
+         |        FROM hh GROUP BY lbl0, st0),
+         |ft AS MATERIALIZED (SELECT l.lbl, s.st,
+         |              coalesce(ww.mass_all, 0.0) AS mass_all,
+         |              coalesce(ww.mass_10, 0.0) AS prob
+         |       FROM lv l CROSS JOIN sts s
+         |       LEFT JOIN wts ww ON ww.lbl0 = l.lbl AND ww.st0 = s.st)""".stripMargin
+
+    val sql11: String =
+      s"""$core
+         |SELECT f.lbl AS label, f.st AS state,
+         |       CAST(floor(f.mass_all * 1000000 + 0.5) AS BIGINT) AS wt_mass,
+         |       CAST(floor(f.prob * 1000000 + 0.5) AS BIGINT) AS p_next10
+         |FROM ft f ORDER BY label, state""".stripMargin
+
+    val sql12: String =
+      s"""$core,
+         |ev AS MATERIALIZED (SELECT user_id, rn, event_id, s,
+         |              lag(s) OVER (PARTITION BY user_id ORDER BY rn) AS s1,
+         |              count(CASE WHEN s = $E THEN 1 END)
+         |                OVER (PARTITION BY user_id ORDER BY rn) AS errs
+         |       FROM sym),
+         |evl AS MATERIALIZED (SELECT user_id, rn, event_id,
+         |               CASE WHEN s IN (SELECT a FROM int1)
+         |                    THEN CAST(s AS VARCHAR) || ':' || CAST(s1 AS VARCHAR)
+         |                    ELSE CAST(s AS VARCHAR) END AS lbl,
+         |               CASE WHEN errs = 0 THEN $s0
+         |                    WHEN s = $E AND errs = 1 THEN $sFE
+         |                    WHEN s = $E THEN $sE
+         |                    WHEN s = $P THEN $sF
+         |                    ELSE $sO END AS st
+         |        FROM ev WHERE s1 IS NOT NULL)
+         |SELECT e.user_id, e.rn AS counter, e.event_id,
+         |       e.rn + 1 AS fs, e.rn + $k10 AS fe,
+         |       CAST(floor(f.prob * 1000000 + 0.5) AS BIGINT) AS prob,
+         |       f.prob >= 0.4 AS positive
+         |FROM evl e JOIN ft f ON f.lbl = e.lbl AND f.st = e.st
+         |ORDER BY user_id, counter""".stripMargin
+  }
 }
