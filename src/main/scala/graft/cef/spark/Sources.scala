@@ -112,6 +112,66 @@ object Sources {
       .csv(path)
       .filter(col("eventType").isNotNull)
 
+  /** Key=value token projection for the `TYPE(id=1, k=v, ...)` CSV domains
+    * (stock/homes/taxi): token i is `key=value`, last token carries a
+    * trailing `)`.
+    */
+  private def kv(c: Column): Column = split(c, "=").getItem(1)
+  private def kvLast(c: Column): Column = regexp_replace(kv(c), "[)]$", "")
+  private def rawCsv(spark: SparkSession, path: String, n: Int): DataFrame =
+    spark.read
+      .schema(StructType((0 until n).map(i => StructField(s"c$i", StringType))))
+      .csv(path)
+
+  /** P3: stock CSV `BUY(id=.., name=.., volume=.., price=.., timestamp=..)`
+    * / `SELL(...)` (reference stream/domain/stock/StockLineParser.scala:
+    * 8-55). Non-BUY/SELL lines are dropped (the reference throws).
+    */
+  def stockCsv(spark: SparkSession, path: String): DataFrame =
+    rawCsv(spark, path, 5)
+      .filter(col("c0").rlike("^(BUY|SELL)\\("))
+      .select(
+        regexp_extract(col("c0"), "^(BUY|SELL)", 1).as("eventType"),
+        kv(col("c0")).cast("long").as("eventId"),
+        kv(col("c1")).as("name"),
+        kv(col("c2")).cast("double").as("volume"),
+        kv(col("c3")).cast("double").as("price"),
+        kvLast(col("c4")).cast("long").as("timestamp"))
+
+  /** P3: smart-homes CSV `LOAD(id=.., plug_timestamp=.., value=.., ..,
+    * household_id=..)` (reference stream/domain/homes/HomesLineParser
+    * .scala:8-41; column 3 unused there too). Event time = plug_timestamp.
+    */
+  def homesCsv(spark: SparkSession, path: String): DataFrame =
+    rawCsv(spark, path, 5)
+      .filter(col("c0").rlike("^LOAD\\("))
+      .select(
+        lit("LOAD").as("eventType"),
+        kv(col("c0")).cast("long").as("eventId"),
+        kv(col("c1")).as("plug_timestamp"),
+        kv(col("c2")).cast("double").as("value"),
+        kvLast(col("c4")).cast("long").as("householdId"),
+        kv(col("c1")).cast("long").as("timestamp"))
+
+  /** P3: taxi CSV `TRIP(id=.., medallion=.., hack_license=..,
+    * pickup_datetime=.., dropoff_datetime=.., trip_time_in_secs=..,
+    * trip_distance=.., pickup_zone=.., dropoff_zone=.., payment_type=..,
+    * fare_amount=.., surcharge=.., mta_tax=.., tip_amount=..,
+    * tolls_amount=.., total_amount=..)` (reference stream/domain/taxi/
+    * TaxiLineParser.scala:9-50): zones stripped of whitespace and slashes,
+    * event time = dropoff_datetime.
+    */
+  def taxiCsv(spark: SparkSession, path: String): DataFrame =
+    rawCsv(spark, path, 16)
+      .filter(col("c0").rlike("^TRIP\\("))
+      .select(
+        lit("TRIP").as("eventType"),
+        kv(col("c0")).cast("long").as("eventId"),
+        regexp_replace(kv(col("c7")), "[\\s/]", "").as("pickupZone"),
+        regexp_replace(kv(col("c8")), "[\\s/]", "").as("dropoffZone"),
+        kvLast(col("c15")).cast("double").as("totalAmount"),
+        kv(col("c4")).cast("long").as("timestamp"))
+
   /** S6/P2: generic JSONL — every JSON field becomes an attribute, with
     * configurable id and timestamp fields (reference JsonEventParser
     * .java:30-110). Numeric fields land in the event's num map, the rest in

@@ -88,6 +88,51 @@ class SourcesSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     r.getAs[String]("annotation") shouldBe "stop_start"
   }
 
+  "the stock CSV parser" should "parse BUY/SELL key=value lines" in {
+    val path = tmpFile(".csv", Seq(
+      "BUY(id=1, name=IBM, volume=100, price=12.5, timestamp=50)",
+      "SELL(id=2, name=MSFT, volume=30, price=9.75, timestamp=60)",
+      "noise line"))
+    val rows = Sources.stockCsv(spark, path).orderBy("eventId").collect()
+    rows.length shouldBe 2 // unparsable line dropped
+    val b = rows(0)
+    b.getAs[String]("eventType") shouldBe "BUY"
+    b.getAs[Long]("eventId") shouldBe 1L
+    b.getAs[String]("name") shouldBe "IBM"
+    b.getAs[Double]("volume") shouldBe 100.0
+    b.getAs[Double]("price") shouldBe 12.5
+    b.getAs[Long]("timestamp") shouldBe 50L
+    rows(1).getAs[String]("eventType") shouldBe "SELL"
+    rows(1).getAs[Double]("price") shouldBe 9.75
+  }
+
+  "the homes CSV parser" should "parse LOAD lines with plug_timestamp event time" in {
+    val path = tmpFile(".csv", Seq(
+      "LOAD(id=7, plug_timestamp=1377986401, value=42.5, plug_id=3, household_id=11)"))
+    val r = Sources.homesCsv(spark, path).collect().head
+    r.getAs[String]("eventType") shouldBe "LOAD"
+    r.getAs[Long]("eventId") shouldBe 7L
+    r.getAs[String]("plug_timestamp") shouldBe "1377986401"
+    r.getAs[Double]("value") shouldBe 42.5
+    r.getAs[Long]("householdId") shouldBe 11L
+    r.getAs[Long]("timestamp") shouldBe 1377986401L
+  }
+
+  "the taxi CSV parser" should "parse TRIP lines and sanitize zone names" in {
+    val path = tmpFile(".csv", Seq(
+      "TRIP(id=3, medallion=m1, hack_license=h1, pickup_datetime=100, dropoff_datetime=160," +
+        " trip_time_in_secs=60, trip_distance=1.2, pickup_zone=Upper East/Side," +
+        " dropoff_zone=Midtown West, payment_type=CSH, fare_amount=10.0, surcharge=0.5," +
+        " mta_tax=0.5, tip_amount=1.0, tolls_amount=0.0, total_amount=12.0)"))
+    val r = Sources.taxiCsv(spark, path).collect().head
+    r.getAs[String]("eventType") shouldBe "TRIP"
+    r.getAs[Long]("eventId") shouldBe 3L
+    r.getAs[String]("pickupZone") shouldBe "UpperEastSide" // \s and / stripped
+    r.getAs[String]("dropoffZone") shouldBe "MidtownWest"
+    r.getAs[Double]("totalAmount") shouldBe 12.0
+    r.getAs[Long]("timestamp") shouldBe 160L
+  }
+
   "the generic JSONL event source" should "map every field to a typed attribute" in {
     val path = tmpFile(".jsonl", Seq(
       """{"type": "click", "ts": 10, "user": "u1", "amount": 4.5, "page": "home"}""",
