@@ -275,7 +275,24 @@ final case class Isomorphism(
 
 object Isomorphism {
 
-  /** All satisfiable assignments over `preds`, pruned by `exclusives`. */
+  /** All satisfiable assignments over `preds`, pruned by `exclusives` and by
+    * closed-form interval reasoning (C6): assignments whose same-attribute
+    * numeric constraints contradict — GT(x,120) ∧ LT(x,10), ¬GT(x,10) ∧
+    * ¬LT(x,20), an EQ outside a BT band — never enter the alphabet. This is
+    * the decision procedure the reference runs a SAT solver for
+    * (LogicUtils.scala:236-340, `withsat` default on, ConfigUtils.scala:46):
+    * its clauses are exactly single-attribute comparison literals, so
+    * interval intersection decides them without a solver.
+    *
+    * The enumeration backtracks predicate-by-predicate and prunes
+    * contradictory prefixes immediately: a pattern with k same-attribute
+    * comparisons compiles in O(#satisfiable minterms), not O(2^k).
+    *
+    * Like the reference, satisfiability is over real-valued attributes; an
+    * event carrying NaN (which fails every comparison) can realize an
+    * assignment the algebra pruned — that maps to symbol -1, the
+    * reference's "no minterm" case.
+    */
   def build(preds: Set[Predicate], exclusives: Set[Set[Predicate]]): Isomorphism = {
     val ps = preds.toVector.sortBy(_.toString)
     val autoExcl: Set[Set[Predicate]] = {
@@ -283,12 +300,101 @@ object Isomorphism {
       if (evtTypes.size >= 2) Set(evtTypes) else Set.empty
     }
     val allExcl = (exclusives ++ autoExcl).map(_.intersect(preds)).filter(_.size >= 2)
-    def ok(assign: Map[Predicate, Boolean]): Boolean =
-      allExcl.forall(ex => ex.count(assign.getOrElse(_, false)) <= 1) &&
-        assign.getOrElse(Predicate.True, true) // True can never be false
-    val assigns = ps.foldLeft(Vector(Map.empty[Predicate, Boolean])) { (acc, p) =>
-      acc.flatMap(m => Vector(m.updated(p, true), m.updated(p, false)))
-    }.filter(ok)
-    Isomorphism(ps, assigns)
+    def exclOk(assign: Map[Predicate, Boolean]): Boolean =
+      allExcl.forall(ex => ex.count(assign.getOrElse(_, false)) <= 1)
+
+    import IntervalAlgebra._
+    val out = Vector.newBuilder[Map[Predicate, Boolean]]
+    def rec(i: Int, assign: Map[Predicate, Boolean], regions: Map[String, Region]): Unit = {
+      if (i == ps.length) { out += assign; () }
+      else {
+        val p = ps(i)
+        var t = true
+        var continue = true
+        while (continue) {
+          if (p != Predicate.True || t) { // True can never be false
+            val a2 = assign.updated(p, t)
+            if (exclOk(a2)) constraintOf(p, t) match {
+              case Some((key, reg)) =>
+                val r2 = intersect(regions.getOrElse(key, initRegion(key)), reg)
+                if (r2.nonEmpty) rec(i + 1, a2, regions.updated(key, r2))
+              case None => rec(i + 1, a2, regions)
+            }
+          }
+          if (t) t = false else continue = false
+        }
+      }
+    }
+    rec(0, Map.empty, Map.empty)
+    Isomorphism(ps, out.result())
+  }
+}
+
+/** Closed-form satisfiability for conjunctions of same-attribute comparison
+  * literals: each (predicate, truth) pair is a union of at most two real
+  * intervals; a conjunction is satisfiable iff the running intersection per
+  * attribute stays nonempty. Spatial circle/ring predicates sharing the
+  * same (lon, lat, center) reduce to the same algebra over the (implicitly
+  * non-negative) distance axis. Predicates outside the algebra constrain
+  * nothing (conservative: never prunes a satisfiable assignment).
+  */
+private[cef] object IntervalAlgebra {
+
+  /** One interval; `loIncl`/`hiIncl` are the endpoint inclusions. */
+  final case class Iv(lo: Double, loIncl: Boolean, hi: Double, hiIncl: Boolean) {
+    def isEmpty: Boolean = lo > hi || (lo == hi && !(loIncl && hiIncl))
+  }
+  /** A union of disjoint intervals. */
+  type Region = List[Iv]
+
+  private val inf = Double.PositiveInfinity
+  private val DistPrefix = "dist("
+
+  def initRegion(key: String): Region =
+    if (key.startsWith(DistPrefix)) List(Iv(0.0, true, inf, false)) // distances are >= 0
+    else List(Iv(-inf, false, inf, false))
+
+  def intersect(a: Region, b: Region): Region =
+    for {
+      x <- a
+      y <- b
+      iv = Iv(
+        math.max(x.lo, y.lo),
+        if (x.lo == y.lo) x.loIncl && y.loIncl else if (x.lo > y.lo) x.loIncl else y.loIncl,
+        math.min(x.hi, y.hi),
+        if (x.hi == y.hi) x.hiIncl && y.hiIncl else if (x.hi < y.hi) x.hiIncl else y.hiIncl)
+      if !iv.isEmpty
+    } yield iv
+
+  private def ge(v: Double): Region = List(Iv(v, true, inf, false))
+  private def gt(v: Double): Region = List(Iv(v, false, inf, false))
+  private def le(v: Double): Region = List(Iv(-inf, false, v, true))
+  private def lt(v: Double): Region = List(Iv(-inf, false, v, false))
+  private def between(lo: Double, hi: Double): Region = List(Iv(lo, true, hi, false)) // lo <= x < hi
+  private def outside(lo: Double, hi: Double): Region = lt(lo) ++ ge(hi)
+
+  private def distKey(lon: String, lat: String, cLon: Double, cLat: Double): String =
+    s"$DistPrefix$lon,$lat,$cLon,$cLat)"
+
+  /** The region an attribute must lie in for `p` to evaluate to `truth`;
+    * None when `p` is outside the algebra.
+    */
+  def constraintOf(p: Predicate, truth: Boolean): Option[(String, Region)] = {
+    import Predicate._
+    p match {
+      case GT(a, v)      => Some(a -> (if (truth) gt(v) else le(v)))
+      case GTE(a, v)     => Some(a -> (if (truth) ge(v) else lt(v)))
+      case LT(a, v)      => Some(a -> (if (truth) lt(v) else ge(v)))
+      case LTE(a, v)     => Some(a -> (if (truth) le(v) else gt(v)))
+      case EQ(a, v)      => Some(a -> (if (truth) List(Iv(v, true, v, true)) else lt(v) ++ gt(v)))
+      case BT(a, lo, hi) => Some(a -> (if (truth) between(lo, hi) else outside(lo, hi)))
+      case WithinCircle(lon, lat, cl, ct, r) =>
+        Some(distKey(lon, lat, cl, ct) -> (if (truth) lt(r) else ge(r)))
+      case OutsideCircle(lon, lat, cl, ct, r) =>
+        Some(distKey(lon, lat, cl, ct) -> (if (truth) ge(r) else lt(r)))
+      case DistanceBetween(lon, lat, cl, ct, lo, hi) =>
+        Some(distKey(lon, lat, cl, ct) -> (if (truth) between(lo, hi) else outside(lo, hi)))
+      case _ => None
+    }
   }
 }
