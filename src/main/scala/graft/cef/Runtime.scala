@@ -101,10 +101,14 @@ final case class DetRunState(state: Int, counter: Long, minCounter: Long, minTs:
   * threads whose match span exceeds the window, bounding the thread
   * population for windowed patterns.
   */
-final class MatchRun(cp: CompiledPattern, val partition: String) extends Serializable {
+final class MatchRun(
+    cp: CompiledPattern,
+    val partition: String,
+    maxThreads: Int = MatchRun.DefaultMaxThreads) extends Serializable {
   private val nfa = cp.snfa
   private var threads: List[MatchRun.Thread] = Nil
   private var counter: Long = 0L
+  private var evicted: Long = 0L
 
   /** states from which some final state is reachable */
   private val coReachable: Set[Int] = {
@@ -120,6 +124,8 @@ final class MatchRun(cp: CompiledPattern, val partition: String) extends Seriali
   }
 
   def activeThreads: Int = threads.size
+  /** Threads dropped by the population guard since construction. */
+  def evictedThreads: Long = evicted
   def reset(): Unit = { threads = Nil }
 
   def restore(s: MatchRunState): Unit = {
@@ -178,11 +184,29 @@ final class MatchRun(cp: CompiledPattern, val partition: String) extends Seriali
       }
     }
     threads = nextThreads.toList
+    // Population guard: dedup + co-reachability + windows bound threads for
+    // well-formed patterns, but an unwindowed skip-till-any pattern on an
+    // adversarial key grows partial matches without limit — at scale that
+    // OOMs the executor holding the hot key. Cap the pool per key, evicting
+    // the OLDEST partial matches first (the analogue of the reference
+    // RunPool's expirationDeadline, RunPool.scala): recent partials are the
+    // ones a future event can still complete inside any realistic horizon.
+    if (threads.size > maxThreads) {
+      val sorted = threads.sortBy(t => if (t.firstCounter == -1L) -counter else -t.firstCounter)
+      threads = sorted.take(maxThreads)
+      evicted += sorted.size - maxThreads
+    }
     out.toList.distinct
   }
 }
 
 object MatchRun {
+  /** Default per-key thread cap. 10k threads ≈ a few MB per hot key —
+    * far above anything a windowed or well-formed pattern produces, small
+    * enough that a thousand hot keys per executor cannot OOM it.
+    */
+  val DefaultMaxThreads: Int = 10000
+
   /** firstCounter/firstTs cache the match's first taken event (-1 = empty
     * match) so the window check stays O(1) per step. */
   private[cef] final case class Thread(

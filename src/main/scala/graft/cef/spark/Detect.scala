@@ -74,9 +74,14 @@ object Detect {
     }
   }
 
-  /** Full match enumeration from the nondeterministic runtime. */
-  def matches(events: Dataset[CEvent], cp: CompiledPattern): Dataset[MatchOut] =
-    perKeyScan(events)(key => new MatchRun(cp, key))((run, e) => run.step(e).iterator)
+  /** Full match enumeration from the nondeterministic runtime.
+    * `maxThreads` caps the per-key thread pool (MatchRun population guard).
+    */
+  def matches(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      maxThreads: Int = MatchRun.DefaultMaxThreads): Dataset[MatchOut] =
+    perKeyScan(events)(key => new MatchRun(cp, key, maxThreads))((run, e) => run.step(e).iterator)
 
   /** Shuffle by key, external-sort by (key, ts, id), stream per-key runs. */
   private def perKeyScan[R, O: Encoder](events: Dataset[CEvent])(

@@ -67,12 +67,15 @@ object Stream {
     * like the reference's run pool registered per (fsmId, partition value)
     * (ERFEngine.scala:230-266, RunPool.scala:33-211).
     */
-  def matches(events: Dataset[CEvent], cp: CompiledPattern): Dataset[MatchOut] =
+  def matches(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      maxThreads: Int = MatchRun.DefaultMaxThreads): Dataset[MatchOut] =
     events.groupByKey(_.partition)
       .flatMapGroupsWithState[MatchRunState, MatchOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[CEvent], state: GroupState[MatchRunState]) =>
-          val run = new MatchRun(cp, key)
+          val run = new MatchRun(cp, key, maxThreads)
           state.getOption.foreach(run.restore)
           val out = rows.toSeq.sortBy(e => (e.timestamp, e.id)).flatMap(run.step)
           state.update(run.snapshot)

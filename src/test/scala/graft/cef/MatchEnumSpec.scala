@@ -79,4 +79,27 @@ class MatchEnumSpec extends AnyFlatSpec with Matchers {
     }
     info(s"$checked pattern×stream match-set equivalence checks")
   }
+
+  "the thread-population guard" should "bound memory on adversarial unwindowed skip-till-any streams" in {
+    // #(;(a, b)) with no window: every 'a' leaves a live partial match
+    // forever — the population grows linearly without the guard
+    val cp = Compiler.compile("#(;(IsEventTypePredicate(a),IsEventTypePredicate(b)))")
+    val cap = 50
+    val run = new MatchRun(cp, "k", maxThreads = cap)
+    (1 to 400).foreach { i =>
+      run.step(CEvent.simple(i, "a", i))
+      run.activeThreads should be <= cap
+    }
+    run.evictedThreads shouldBe 350L // oldest partials dropped, newest kept
+    // a closing 'b' completes one match per surviving partial
+    val ms = run.step(CEvent.simple(401, "b", 401))
+    ms.size shouldBe cap
+    // the survivors are the MOST RECENT 'a's (RunPool-expiration analogue)
+    ms.map(_.eventIds.head).toSet shouldBe (351L to 400L).toSet
+    // default leaves ordinary runs untouched
+    val unguarded = new MatchRun(cp, "k")
+    (1 to 400).foreach(i => unguarded.step(CEvent.simple(i, "a", i)))
+    unguarded.evictedThreads shouldBe 0L
+    unguarded.step(CEvent.simple(401, "b", 401)).size shouldBe 400
+  }
 }
