@@ -59,6 +59,11 @@ object Inference {
         case _       => s
       }
     }
+    /** Register a newly trained model without touching the paused flag —
+      * the model_reports half of the control plane; a later play command
+      * (or the running engine, if not paused) picks it up. */
+    def pushModel(modelId: Int): Unit =
+      state.updateAndGet(s => s.copy(latestModelId = modelId))
     def current: Summary = state.get()
   }
 

@@ -1,7 +1,8 @@
 package graft.cef.spark
 
 import graft.cef.CEvent
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.cef.adapt.{FactoryReport, SyncCommand}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -33,7 +34,8 @@ object Kafka {
       .option("startingOffsets", "earliest")
       .load()
       .select(col("value").cast("string").as("value"),
-        col("timestamp").as("kafka_ts"))
+        col("timestamp").as("kafka_ts"),
+        col("partition").as("kafka_partition"), col("offset").as("kafka_offset"))
 
   /** S2: the control source — one stream over both control topics
     * (InferenceJob.java:145-159), with the topic column kept so the
@@ -61,17 +63,44 @@ object Kafka {
 
   /** Maritime events end-to-end: Kafka value strings → parsed maritime
     * frame → typed CEvents keyed by mmsi (streaming equivalent of
-    * [[Sources.maritimeEvents]]; ids come from the per-batch arrival order
-    * since Kafka carries no global counter).
+    * [[Sources.maritimeEvents]]). `idCol` must be unique and
+    * arrival-monotone per key; `monotonically_increasing_id` is NOT legal
+    * on streaming plans, so the overload derives the id from Kafka's
+    * (offset, partition) pair — unique and offset-monotone within each
+    * Kafka partition for up to 4096 partitions.
     */
-  def maritimeEventStream(raw: DataFrame): Dataset[CEvent] = {
+  def maritimeEventStream(raw: DataFrame, idCol: Column): Dataset[CEvent] = {
     val parsed = Sources.maritimeFromJson(
-      raw.select(from_json(col("value"), Sources.maritimeJsonSchema).as("j")).select(col("j.*")))
+      raw
+        .select(from_json(col("value"), Sources.maritimeJsonSchema).as("j"),
+          idCol.cast("long").as("__id"))
+        .select(col("j.*"), col("__id")),
+      extra = Seq(col("__id")))
     val numCols = parsed.schema.fields.collect {
       case f if f.dataType.typeName == "double" => f.name
     }.toSeq
-    Detect.toEvents(
-      parsed.withColumn("__id", monotonically_increasing_id()),
-      "__id", "eventType", "timestamp", "mmsi", numAttrs = numCols)
+    Detect.toEvents(parsed, "__id", "eventType", "timestamp", "mmsi", numAttrs = numCols)
   }
+
+  /** [[eventSource]] output → events, with the Kafka arrival id. */
+  def maritimeEventStream(raw: DataFrame): Dataset[CEvent] =
+    maritimeEventStream(raw, col("kafka_offset") * lit(4096L) + col("kafka_partition"))
+
+  /** S2 consumer: dispatch one control micro-batch of (topic, value) rows
+    * to the driver-side handle between micro-batches — enginesync carries
+    * SyncCommands; a "trained" model report registers the new model id
+    * that a later play command activates (reference
+    * InferenceJob.java:145-208 merges the two topics the same way). Use as
+    * `controlStream.writeStream.foreachBatch(controlDispatch(handle))`.
+    */
+  def controlDispatch(handle: Inference.ControlHandle)(batch: DataFrame, batchId: Long): Unit =
+    batch.select(col("topic"), col("value")).collect().foreach { row =>
+      row.getString(0) match {
+        case "enginesync"    => handle.push(SyncCommand.fromJson(row.getString(1)))
+        case "model_reports" =>
+          val rep = FactoryReport.fromJson(row.getString(1))
+          if (rep.reportType == "trained" && rep.modelId >= 0) handle.pushModel(rep.modelId)
+        case _ => ()
+      }
+    }
 }

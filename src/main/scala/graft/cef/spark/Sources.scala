@@ -54,7 +54,7 @@ object Sources {
     * Works identically on a batch json scan and on
     * `from_json(kafka value)` — pass the value column for streams.
     */
-  def maritimeFromJson(df: DataFrame): DataFrame = {
+  def maritimeFromJson(df: DataFrame, extra: Seq[Column] = Nil): DataFrame = {
     val renames = Map(
       "entry_nearcoast" -> "entryNearcoast", "entry_nearcoast5k" -> "entryNearcoast5k",
       "entry_fishing" -> "entryFishing", "entry_natura" -> "entryNatura",
@@ -78,7 +78,7 @@ object Sources {
         coalesce(col("next_timestamp"), lit(0L)).as("nextCETimestamp"),
         when(col("timestamp") === -1L, 1.0).otherwise(0.0).as("gap_start"),
         lit("SampledCritical").as("eventType")) ++
-      bitstringCols(coalesce(col("critical_bitstring"), lit("")))
+      bitstringCols(coalesce(col("critical_bitstring"), lit(""))) ++ extra
     df.select(cols: _*).filter(col("timestamp").isNotNull)
   }
 
