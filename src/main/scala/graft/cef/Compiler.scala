@@ -47,9 +47,10 @@ object Compiler {
   /** C10: SREMO (register) patterns compile to the ε-free SNFA only — the
     * nondeterministic match-enumeration runtime evaluates register
     * predicates against each thread's valuation (reference NSRA,
-    * fsm/symbolic/sra/nsra/NSRAUtils.scala; windowed DSRA determinization
-    * is not implemented — windows apply directly in the runtime).
-    * The placeholder SDFA rejects everything; only `matches`-style
+    * fsm/symbolic/sra/nsra/NSRAUtils.scala). Count-windowed register
+    * patterns additionally run on the deterministic staggered-copies DSRA
+    * runtime ([[DsraRun]], reference dsra/DSRAStreaming.scala).
+    * The placeholder SDFA rejects everything; only `matches`/DSRA-style
     * runtimes are valid for these patterns.
     */
   def compileMatchOnly(patternText: String, declarationsText: String = ""): CompiledPattern = {

@@ -1,0 +1,97 @@
+package graft.cef
+
+import scala.collection.mutable
+
+/** C10: deterministic streaming runtime for count-windowed register (SREMO)
+  * patterns — the DSRA path.
+  *
+  * The reference makes register patterns forecastable by unrolling the NSRA
+  * over the window and determinizing to a DSRA, then running WINDOW
+  * staggered copies of it whose per-copy state forms a hyper-state
+  * (fsm/symbolic/sra/nsra/NSRAUtils.scala:1-637,
+  * dsra/DSRAStreaming.scala:58-315): copy w restarts at stream positions
+  * ≡ w (mod window), so every window-aligned block is owned by exactly one
+  * copy and any match whose span fits the window lies inside some copy's
+  * current block.
+  *
+  * This runtime keeps the same staggered-copies shape but performs the
+  * determinization LAZILY: each copy holds the set of reachable
+  * (state, valuation) configurations, advanced as a pure function of the
+  * event — the execution strategy symbolic-automata determinization uses
+  * when the alphabet is infinite (and what the reference's Configuration
+  * objects carry at runtime, DSRAStreaming.scala:115-236). Unlike the
+  * enumeration runtime there are no per-match threads: the configuration
+  * population is bounded by |Q| × (window+1)^registers per copy regardless
+  * of how many matches overlap, which is what makes the path deterministic
+  * and forecast-ready.
+  *
+  * Supported class: the surface language's windowed SREMO patterns (whose
+  * only non-TAKE transitions are self-loops). [[graft.cef.spark.Detect.
+  * detectionsDsra]] runs it per key; DsraSpec pins detection-point
+  * equivalence against the enumeration runtime.
+  */
+final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializable {
+  require(cp.window > 0 && cp.windowKind == WindowKind.Count,
+    "the DSRA path needs a count window — unwindowed register patterns are not determinizable " +
+      "(reference DSRAStreaming unrolls over the window)")
+
+  private val W = cp.window.toInt
+  private val nfa = cp.snfa
+  private var counter = 0L
+
+  /** One deterministic configuration: NSRA state, concrete registers, and
+    * whether the run has consumed a TAKE event (final + taken = a match).
+    */
+  private final case class Config(state: Int, valuation: Map[String, CEvent], taken: Boolean)
+  private type Key = (Int, List[(String, Long)], Boolean)
+  private def keyOf(c: Config): Key =
+    (c.state, c.valuation.view.mapValues(_.id).toList.sortBy(_._1), c.taken)
+
+  private val startConfig = Config(nfa.start, Map.empty, taken = false)
+  private val copies: Array[mutable.LinkedHashMap[Key, Config]] =
+    Array.fill(W)(mutable.LinkedHashMap.empty)
+
+  /** Total live configurations across copies (boundedness is asserted in
+    * DsraSpec: ≤ |Q| × (window+1)^registers per copy). */
+  def activeConfigs: Int = copies.map(_.size).sum
+
+  def reset(): Unit = copies.foreach(_.clear())
+
+  /** Process one event; a detection marks that ≥1 window-bounded match
+    * completes AT this event (the deterministic runtime reports completion
+    * points, not match enumerations — exactly like the SDFA path's DetRun).
+    */
+  def step(e: CEvent): Option[Detection] = {
+    if (e.isReset) { reset(); return None }
+    counter += 1
+    var detected: Option[Detection] = None
+    var w = 0
+    while (w < W) {
+      val copy = copies(w)
+      if ((counter - 1) % W == w) copy.clear() // block boundary: fresh start
+      val next = mutable.LinkedHashMap.empty[Key, Config]
+      val sources = Iterator.single(startConfig) ++ copy.valuesIterator
+      sources.foreach { c =>
+        nfa.bySrc(c.state).foreach { t =>
+          if (nfa.coReachable.contains(t.dst) && t.guard.exists(_.eval(e, c.valuation))) {
+            val nv = t.register match {
+              case Some(r) => c.valuation.updated(r, e)
+              case None    => c.valuation
+            }
+            val nc = Config(t.dst, nv, c.taken || t.take)
+            val k = keyOf(nc)
+            if (!next.contains(k)) {
+              next(k) = nc
+              if (detected.isEmpty && nfa.finals.contains(nc.state) && nc.taken)
+                detected = Some(Detection(partition, counter, e.id, e.timestamp, nc.state))
+            }
+          }
+        }
+      }
+      copy.clear()
+      copy ++= next
+      w += 1
+    }
+    detected
+  }
+}

@@ -111,17 +111,7 @@ final class MatchRun(
   private var evicted: Long = 0L
 
   /** states from which some final state is reachable */
-  private val coReachable: Set[Int] = {
-    val byDst = nfa.trans.groupBy(_.dst).withDefaultValue(Nil)
-    var reach = nfa.finals
-    var grew = true
-    while (grew) {
-      val nxt = reach ++ reach.flatMap(s => byDst(s).map(_.src))
-      grew = nxt.size != reach.size
-      reach = nxt
-    }
-    reach
-  }
+  private val coReachable: Set[Int] = nfa.coReachable
 
   def activeThreads: Int = threads.size
   /** Threads dropped by the population guard since construction. */

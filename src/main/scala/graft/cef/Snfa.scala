@@ -20,6 +20,21 @@ final case class Snfa(
 
   lazy val bySrc: Map[Int, List[NTrans]] = trans.groupBy(_.src).withDefaultValue(Nil)
 
+  /** States from which some final state is reachable — runtimes drop dead
+    * configurations (the reference kills dead runs, ERFEngine.scala:300-305).
+    */
+  lazy val coReachable: Set[Int] = {
+    val byDst = trans.groupBy(_.dst).withDefaultValue(Nil)
+    var reach = finals
+    var grew = true
+    while (grew) {
+      val nxt = reach ++ reach.flatMap(s => byDst(s).map(_.src))
+      grew = nxt.size != reach.size
+      reach = nxt
+    }
+    reach
+  }
+
   def guardSentences: Set[Sentence] = trans.flatMap(_.guard).toSet
   def predicates: Set[Predicate] = guardSentences.flatMap(_.predicates)
 

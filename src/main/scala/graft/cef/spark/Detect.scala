@@ -74,6 +74,14 @@ object Detect {
     }
   }
 
+  /** C10: deterministic detection for count-windowed register (SREMO)
+    * patterns via the staggered-copies DSRA runtime ([[graft.cef.DsraRun]]):
+    * detection points with a bounded per-key configuration population —
+    * the forecast-ready alternative to match enumeration.
+    */
+  def detectionsDsra(events: Dataset[CEvent], cp: CompiledPattern): Dataset[Detection] =
+    perKeyScan(events)(key => new DsraRun(cp, key))((run, e) => run.step(e).iterator)
+
   /** Full match enumeration from the nondeterministic runtime.
     * `maxThreads` caps the per-key thread pool (MatchRun population guard).
     */

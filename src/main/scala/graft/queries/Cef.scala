@@ -258,6 +258,24 @@ object Cef {
       matches2(s, dir, pSremo)
     },
 
+    // C10 deterministic path: the same SREMO pattern through the
+    // staggered-copies DSRA runtime — detection points (one per completing
+    // event) instead of match enumerations, with a bounded per-key
+    // configuration population (DsraRun; cross-runtime equivalence pinned
+    // in DsraSpec).
+    Q("cef18_sremo_det",
+      s"""$RnCte
+         |SELECT DISTINCT a.user_id AS user_id, p.rn AS counter, p.event_id AS event_id
+         |FROM b a JOIN b p
+         |  ON a.user_id = p.user_id AND p.rn > a.rn AND p.rn - a.rn < 10
+         |WHERE a.value > 120.0 AND p.value > a.value
+         |ORDER BY a.user_id, counter""".stripMargin) { (s, dir) =>
+      Detect.detectionsDsra(events(s, dir), pSremo).toDF()
+        .select(col("partition").cast("long").as("user_id"),
+          col("counter"), col("eventId").as("event_id"))
+        .orderBy(col("user_id"), col("counter"))
+    },
+
     // ---------------- forecast evaluation: interval join + per-key MCC
     // (SURVEY.md §2.8 A2/A4). Detections come from the deterministic
     // engine; the forecast rule here is the SQL-expressible baseline

@@ -1,0 +1,73 @@
+package graft.cef
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import scala.util.Random
+
+/** C10 cross-runtime equivalence: on windowed SREMO patterns the
+  * deterministic DSRA runtime must detect at exactly the stream positions
+  * where the enumeration runtime completes ≥1 match, while its
+  * configuration population stays bounded regardless of match overlap —
+  * the property that makes the deterministic path scale (and forecast).
+  */
+class DsraSpec extends AnyFlatSpec with Matchers {
+
+  private val rnd = new Random(7)
+
+  private def stream(n: Int): Seq[CEvent] =
+    (1 to n).map(i =>
+      CEvent(i.toLong, "v", i.toLong, "k", Map("value" -> rnd.nextInt(200).toDouble), Map.empty))
+
+  private val patterns = Seq(
+    """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""",
+    """#(;(GTPredicate(value,100.0)["x"],EQAttrPredicate(value,"x"))){window:5}{windowType:count}""",
+    """#(;(GTPredicate(value,80.0)["x"],GTAttrPredicate(value,"x"),LTAttrPredicate(value,"x"))){window:8}{windowType:count}""")
+
+  "the DSRA runtime" should "detect exactly the enumeration runtime's completion points" in {
+    patterns.foreach { pt =>
+      val cp = Compiler.compileMatchOnly(pt)
+      val W = cp.window.toInt
+      (1 to 20).foreach { _ =>
+        val events = stream(60 + rnd.nextInt(60))
+        val mr = new MatchRun(cp, "k")
+        val completions = events.zipWithIndex.flatMap { case (e, i) =>
+          if (mr.step(e).nonEmpty) Some((i + 1).toLong) else None
+        }.toSet
+
+        val dr = new DsraRun(cp, "k")
+        var maxCfg = 0
+        val detections = events.flatMap { e =>
+          val d = dr.step(e)
+          maxCfg = math.max(maxCfg, dr.activeConfigs)
+          d
+        }
+        detections.map(_.counter).toSet shouldBe completions
+        // deterministic population bound: |Q| × (W+1) valuations × taken
+        // flag per copy, W copies — independent of match overlap
+        maxCfg should be <= 2 * cp.snfa.states.size * (W + 1) * W
+      }
+    }
+  }
+
+  it should "stay bounded under adversarial full-overlap streams" in {
+    // strictly ascending high values: every in-window pair matches, so the
+    // enumeration runtime's match count is ~W·n while the deterministic
+    // configuration population must stay flat
+    val cp = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""")
+    val events = (1 to 300).map(i =>
+      CEvent(i.toLong, "v", i.toLong, "k", Map("value" -> (121.0 + i)), Map.empty))
+    val dr = new DsraRun(cp, "k")
+    val counts = events.map { e => dr.step(e); dr.activeConfigs }
+    counts.max should be <= 2 * cp.snfa.states.size * 11 * 10
+    // every event from the second on completes a match
+    val dr2 = new DsraRun(cp, "k")
+    events.count(e => dr2.step(e).isDefined) shouldBe 299
+  }
+
+  it should "reject unwindowed register patterns" in {
+    val cp = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x")))""")
+    an[IllegalArgumentException] should be thrownBy new DsraRun(cp, "k")
+  }
+}
