@@ -31,17 +31,15 @@ object DedupOps {
   // --------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (distinct), hashed. Shingle count is
-    * `len - n` on both engines (guarded: Spark's `sequence` would go
-    * descending on an empty range, DuckDB's `range` returns []).
+    * `len - n` on both engines. Native fused pass (tokenize → window →
+    * roll the hash across the window's chars → dedup, zero intermediate
+    * strings; ExprSpec pins value equality against the HOF formulation);
+    * the null-text → empty-array case of the old when() guard is kept.
     */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n - 1),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    when(size(toks) > n, array_distinct(transform(grams, g => polyHash(g))))
+  def shingleHashes(text: Column, n: Int): Column =
+    when(text.isNotNull,
+      org.apache.spark.sql.graftexpr.VectorExprs.shingleHashes(text, n, HashMod))
       .otherwise(array().cast("array<bigint>"))
-  }
 
   def shingleHashesSql(expr: String, n: Int): String = {
     val parts = (0 until n).map(j => s"toks[i + $j + 1]").mkString(" || ' ' || ")

@@ -25,11 +25,13 @@ object TextOps {
 
   /** Polynomial rolling hash of a string: fold (acc*31 + ascii(c)) % M
     * over its characters. Used as the document fingerprint and as the
-    * per-token hash primitive for MinHash/SimHash.
+    * per-token hash primitive for MinHash/SimHash. Native codegen'd char
+    * loop (the aggregate(split(s, ""), ...) formulation it replaces built
+    * one string PER CHARACTER — it dominated the signature tables;
+    * ExprSpec pins value equality against it).
     */
   def polyHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L),
-      (acc, c) => (acc * 31 + ascii(c)) % HashMod)
+    org.apache.spark.sql.graftexpr.VectorExprs.polyHash(s, HashMod)
 
   /** SQL twin of [[polyHash]] for DuckDB oracles. */
   def polyHashSql(expr: String): String =
@@ -38,10 +40,10 @@ object TextOps {
       s"(a, b) -> (a * 31 + b) % $HashMod)"
 
   /** Distinct token hashes of a document (the "set" view used by
-    * MinHash and Jaccard).
+    * MinHash and Jaccard) — one fused pass per document.
     */
   def tokenHashes(text: Column): Column =
-    array_distinct(transform(tokens(text), t => polyHash(t)))
+    org.apache.spark.sql.graftexpr.VectorExprs.tokenHashes(text, HashMod)
 
   def tokenHashesSql(expr: String): String =
     s"list_distinct(list_transform(string_split($expr, ' '), t -> ${polyHashSql("t")}))"

@@ -45,6 +45,22 @@ object VectorExprs {
     * pass (replaces numTables×numPlanes aggregate(zip_with(...)) chains). */
   def hyperplaneBuckets(emb: Column, numPlanes: Int, numTables: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(emb), numPlanes, numTables))
+
+  /** Rolling polynomial string hash in one codegen'd char loop (replaces
+    * aggregate(split(s, ""), ...) — a per-CHARACTER array of strings plus a
+    * higher-order fold, the dominant cost of the signature tables). */
+  def polyHash(s: Column, mod: Long): Column =
+    Bridge.column(PolyHash(Bridge.expression(s), mod))
+
+  /** Distinct per-token hashes of a document in one fused pass. */
+  def tokenHashes(text: Column, mod: Long): Column =
+    Bridge.column(TokenHashes(Bridge.expression(text), mod))
+
+  /** Distinct hashed word n-gram shingles in one fused pass — tokenize,
+    * window, roll the hash across the window's chars (separator spaces
+    * included) and dedup, with zero intermediate strings. */
+  def shingleHashes(text: Column, n: Int, mod: Long): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), n, mod))
 }
 
 /** cos(a, b) over array<float> with double accumulation in element order. */
@@ -281,6 +297,128 @@ final case class HyperplaneBuckets(child: Expression, numPlanes: Int, numTables:
 
   override protected def withNewChildInternal(c: Expression): HyperplaneBuckets =
     copy(child = c)
+}
+
+/** text → long polynomial hash: acc = (acc*31 + char) % mod over the chars
+  * — value-identical to aggregate(split(s, ""), 0, (acc, c) =>
+  * (acc*31 + ascii(c)) % mod) on the oracle charset (ExprSpec-pinned),
+  * without materializing a string per character.
+  */
+final case class PolyHash(child: Expression, mod: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernel.polyHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextHashKernel.polyHash($s, ${mod}L);")
+
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
+}
+
+/** text → distinct per-token hashes (first-occurrence order), the fused
+  * form of array_distinct(transform(split(text, " "), polyHash)).
+  */
+final case class TokenHashes(child: Expression, mod: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernel.tokenHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextHashKernel.tokenHashes($s, ${mod}L);")
+
+  override protected def withNewChildInternal(c: Expression): TokenHashes = copy(child = c)
+}
+
+/** text → distinct hashed word n-gram shingles (first-occurrence order):
+  * the window hash rolls across the tokens' chars with the joining spaces
+  * folded in, value-identical to hashing the concat_ws(" ", ...) gram.
+  * Windows are i = 0..len-n-1 (the shingle count is len-n, matching the
+  * SQL twin); len ≤ n yields the empty array.
+  */
+final case class ShingleHashes(child: Expression, n: Int, mod: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernel.shingleHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextHashKernel.shingleHashes($s, $n, ${mod}L);")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+/** Primitive text-hashing kernel shared by eval and codegen. */
+object TextHashKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def polyHash(s: UTF8String, mod: Long): Long = {
+    val js = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < js.length) { acc = (acc * 31 + js.charAt(i)) % mod; i += 1 }
+    acc
+  }
+
+  def tokenHashes(s: UTF8String, mod: Long): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val out = new Array[Long](toks.length)
+    var cnt = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var acc = 0L
+      var c = 0
+      while (c < t.length) { acc = (acc * 31 + t.charAt(c)) % mod; c += 1 }
+      var k = 0
+      var dup = false
+      while (k < cnt && !dup) { if (out(k) == acc) dup = true; k += 1 }
+      if (!dup) { out(cnt) = acc; cnt += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
+  }
+
+  def shingleHashes(s: UTF8String, n: Int, mod: Long): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    if (toks.length <= n)
+      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val m = toks.length - n
+    val out = new Array[Long](m)
+    var cnt = 0
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) acc = (acc * 31 + ' ') % mod
+        val t = toks(i + j)
+        var c = 0
+        while (c < t.length) { acc = (acc * 31 + t.charAt(c)) % mod; c += 1 }
+        j += 1
+      }
+      var k = 0
+      var dup = false
+      while (k < cnt && !dup) { if (out(k) == acc) dup = true; k += 1 }
+      if (!dup) { out(cnt) = acc; cnt += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
+  }
 }
 
 /** Primitive long-set intersection kernel: power-of-two open addressing

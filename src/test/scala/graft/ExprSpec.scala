@@ -141,4 +141,38 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // and the generated code compiles + evaluates (|{i,i+1}∩{i+1,i+2}| = 1 of 3)
     df.collect().foreach(r => r.getDouble(0) shouldBe (1.0 / 3.0) +- 1e-12)
   }
+
+  "the text hash expressions" should "match the higher-order formulations value-for-value" in {
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val mod = ops.TextOps.HashMod
+    val words = Vector("the", "cat", "sat", "on", "a", "mat", "x1", "zz!", "", "q-9")
+    def randText(): String =
+      (1 to (rnd.nextInt(12))).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val texts = ((1 to 200).map(_ => randText()) ++
+      Seq("", " ", "a", "a b", "a  b", "one two three", "a b c d ")).zipWithIndex
+    val df = texts.map { case (t, i) => (i, t) }.toDF("id", "t")
+
+    // the replaced HOF formulations, verbatim
+    def hofPoly(s: org.apache.spark.sql.Column) =
+      aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % mod)
+    val hofTokens = array_distinct(transform(split(col("t"), " "), x => hofPoly(x)))
+    val toks = split(col("t"), " ")
+    val grams = transform(
+      sequence(lit(0), functions.size(toks) - 3 - 1),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+    val hofShingles = when(functions.size(toks) > 3, array_distinct(transform(grams, g => hofPoly(g))))
+      .otherwise(array().cast("array<bigint>"))
+
+    val out = df.select(
+      ops.TextOps.polyHash(col("t")).as("p_new"), hofPoly(col("t")).as("p_old"),
+      ops.TextOps.tokenHashes(col("t")).as("t_new"), hofTokens.as("t_old"),
+      ops.DedupOps.shingleHashes(col("t"), 3).as("s_new"), hofShingles.as("s_old")).collect()
+    out.foreach { r =>
+      r.getLong(0) shouldBe r.getLong(1)
+      r.getSeq[Long](2) shouldBe r.getSeq[Long](3)
+      r.getSeq[Long](4) shouldBe r.getSeq[Long](5)
+    }
+  }
 }
