@@ -57,6 +57,22 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
 
   def reset(): Unit = copies.foreach(_.clear())
 
+  /** Snapshot/restore for streaming GroupState (the hyper-state +
+    * valuations, reference DSRAStreaming Configuration payloads). */
+  def snapshot: DsraRunState =
+    DsraRunState(counter, copies.zipWithIndex.toSeq.flatMap { case (m, w) =>
+      m.values.map(c => DsraConfigState(w, c.state, c.valuation, c.taken))
+    })
+
+  def restore(s: DsraRunState): Unit = {
+    counter = s.counter
+    reset()
+    s.configs.foreach { cs =>
+      val c = Config(cs.state, cs.registers, cs.taken)
+      copies(cs.copy).update(keyOf(c), c)
+    }
+  }
+
   /** Process one event; a detection marks that ≥1 window-bounded match
     * completes AT this event (the deterministic runtime reports completion
     * points, not match enumerations — exactly like the SDFA path's DetRun).
@@ -95,3 +111,10 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
     detected
   }
 }
+
+/** One serialized DSRA configuration (copy index + state + registers). */
+final case class DsraConfigState(
+    copy: Int, state: Int, registers: Map[String, CEvent], taken: Boolean)
+
+/** Serializable snapshot of a [[DsraRun]] — the streaming GroupState payload. */
+final case class DsraRunState(counter: Long, configs: Seq[DsraConfigState])

@@ -63,6 +63,24 @@ object Stream {
       }
   }
 
+  /** C10 deterministic register-pattern stream: the DSRA hyper-state
+    * (staggered copies + valuations) lives in GroupState, mirroring the
+    * reference's DSRAStreaming Configuration payloads.
+    */
+  def detectionsDsra(events: Dataset[CEvent], cp: CompiledPattern): Dataset[Detection] = {
+    implicit val dsraStateEnc: Encoder[DsraRunState] = Encoders.product[DsraRunState]
+    events.groupByKey(_.partition)
+      .flatMapGroupsWithState[DsraRunState, Detection](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CEvent], state: GroupState[DsraRunState]) =>
+          val run = new DsraRun(cp, key)
+          state.getOption.foreach(run.restore)
+          val out = rows.toSeq.sortBy(e => (e.timestamp, e.id)).flatMap(run.step)
+          state.update(run.snapshot)
+          out.iterator
+      }
+  }
+
   /** Full match-enumeration stream (R4): thread pool lives in GroupState,
     * like the reference's run pool registered per (fsmId, partition value)
     * (ERFEngine.scala:230-266, RunPool.scala:33-211).

@@ -164,4 +164,31 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
     streamOut.map(m => (m.partition, m.eventIds)) shouldBe batchOut.map(m => (m.partition, m.eventIds))
   }
+
+  it should "produce identical DSRA register-pattern detections streaming vs batch" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(13)
+    val events = (1 to 150).map { i =>
+      CEvent(i.toLong, "v", i.toLong * 10, s"u${rnd.nextInt(3)}",
+        Map("value" -> rnd.nextInt(200).toDouble), Map.empty)
+    }
+    val cpR = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""")
+
+    val batchOut = Detect.detectionsDsra(events.toDS(), cpR).collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CEvent]
+    val q = Stream.detectionsDsra(mem.toDS(), cpR)
+      .writeStream.format("memory").queryName("dsra_stream")
+      .outputMode("append").start()
+    // micro-batch splits land mid-window for every key
+    events.grouped(35).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    val streamOut = spark.table("dsra_stream").as[Detection].collect().toSet
+    q.stop()
+
+    streamOut shouldBe batchOut
+    batchOut should not be empty
+  }
 }
