@@ -129,8 +129,13 @@ object Inference {
 
           // A1 reporting state: pending forecasts resolve online against
           // detections (tp/fn) or expiry (fp/tn); cumulative + delta counts
-          // emitted every reportingDistance event-time units
-          val pending = scala.collection.mutable.Queue.empty[PendingForecast]
+          // emitted every reportingDistance event-time units. Min-end heap:
+          // expiry pops exactly the expired entries (amortized O(log n))
+          // instead of scanning every pending on every event — bounded work
+          // under forecast storms (detections still drain the heap, but
+          // they are rare relative to events).
+          val pending = scala.collection.mutable.PriorityQueue.empty[PendingForecast](
+            Ordering.by((p: PendingForecast) => -p.end))
           snap.foreach(s => pending ++= s.pendingForecasts)
           var cum = snap.map(s => ClassStats(s.cum(0), s.cum(1), s.cum(2), s.cum(3)))
             .getOrElse(ClassStats(0, 0, 0, 0))
@@ -163,13 +168,17 @@ object Inference {
               }
               // resolve pending forecasts
               d.foreach { det =>
-                pending.dequeueAll(p => p.start <= det.counter && det.counter <= p.end)
-                  .foreach { p =>
+                val kept = pending.dequeueAll.filter { p =>
+                  if (p.start <= det.counter && det.counter <= p.end) {
                     cum += (if (p.positive) ClassStats(1, 0, 0, 0) else ClassStats(0, 0, 0, 1))
-                  }
+                    false
+                  } else true
+                }
+                pending ++= kept
               }
               val counter = engineRun.eventCounter
-              pending.dequeueAll(_.end < counter).foreach { p =>
+              while (pending.nonEmpty && pending.head.end < counter) {
+                val p = pending.dequeue()
                 cum += (if (p.positive) ClassStats(0, 0, 1, 0) else ClassStats(0, 1, 0, 0))
               }
               // periodic report (event-time schedule, WayebEngine.java:370-430)
