@@ -81,6 +81,90 @@ object Psa {
   }
 }
 
+/** T4 (full): the symbolic PSA — an embedding of a PSA in the streaming
+  * SDFA (reference model/vmm/pst/spsa/SymbolicPSA.scala:27-298,
+  * SPSAUtils.buildSPSA): states are reachable (SDFA state, PSA state)
+  * pairs; on symbol σ, state (q, p) moves to (δ(q,σ), psa.step(p,σ)) with
+  * next-symbol probability Γ((q,p),σ) = psa.prob(p,σ). The language is the
+  * SDFA's, string probabilities are the PSA's — one automaton carrying
+  * both, so waiting-time distributions come from a plain Markov recursion
+  * over its states (no separate symbol buffer at runtime).
+  */
+final case class Spsa(
+    sdfa: Sdfa,
+    psa: Psa,
+    states: Vector[(Int, Int)],
+    index: Map[(Int, Int), Int],
+    trans: Vector[Map[Int, (Int, Double)]]) { // state → σ → (nextState, Γ)
+
+  def nStates: Int = states.size
+  def isFinal(s: Int): Boolean = sdfa.isFinal(states(s)._1)
+
+  /** The embedded state for an observed context (most-recent-first, at
+    * least as long as the deepest PSA label) at an SDFA state reached by
+    * the same history. */
+  def stateFor(context: List[Int], sdfaState: Int): Int =
+    index((sdfaState, psa.deepestStateFor(context)))
+
+  def step(s: Int, sym: Int): Int = trans(s)(sym)._1
+  def prob(s: Int, sym: Int): Double = trans(s).get(sym).map(_._2).getOrElse(0.0)
+
+  /** P(first SDFA-final visit at exactly t | embedded state) — the same
+    * recursion as [[Spst.wtDistribution]] but over the product's states
+    * (reference forecasting with SPSA providers, WtDistributionBuilder).
+    */
+  def wtDistribution(from: Int, horizon: Int, cutoff: Double = 0.0): WtDistribution = {
+    var frontier: List[(Int, Double)] = List((from, 1.0))
+    val wt = scala.collection.mutable.Map.empty[Int, Double]
+    var t = 1
+    while (t <= horizon && frontier.nonEmpty) {
+      val expanded = scala.collection.mutable.Map.empty[Int, Double]
+      var hit = 0.0
+      frontier.foreach { case (s, p) =>
+        trans(s).foreach { case (_, (ns, pSym)) =>
+          if (pSym > 0) {
+            val p2 = p * pSym
+            if (isFinal(ns)) hit += p2
+            else if (p2 > cutoff) expanded(ns) = expanded.getOrElse(ns, 0.0) + p2
+          }
+        }
+      }
+      wt(t) = hit
+      frontier = expanded.toList
+      t += 1
+    }
+    WtDistribution(wt.toMap)
+  }
+}
+
+object Spsa {
+
+  /** Reachable-product construction (reference SPSAUtils.buildSPSA:19-60):
+    * frontier BFS from (sdfa.start × every PSA state). */
+  def build(sdfa: Sdfa, psa: Psa): Spsa = {
+    val states = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val index = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    def stateOf(qp: (Int, Int)): Int = index.getOrElseUpdate(qp, { states += qp; states.size - 1 })
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    psa.labels.indices.foreach(p => queue += stateOf((sdfa.start, p)))
+    val trans = scala.collection.mutable.ArrayBuffer.empty[Map[Int, (Int, Double)]]
+    while (queue.nonEmpty) {
+      val s = queue.dequeue()
+      val (q, p) = states(s)
+      val out = psa.next(p).map { case (sym, (np, prob)) =>
+        val nq = sdfa.delta(q)(sym)
+        val before = states.size
+        val ns = stateOf((nq, np))
+        if (states.size > before) queue += ns
+        sym -> (ns, prob)
+      }
+      while (trans.size <= s) trans += Map.empty
+      trans(s) = out
+    }
+    Spsa(sdfa, psa, states.toVector, index.toMap, trans.toVector)
+  }
+}
+
 /** T6 (subset): maximum-order selection by held-out log-loss
   * cross-validation (reference estimator/OrderEstimator): train a PST per
   * candidate order on the head of the symbol stream, score each on the

@@ -85,4 +85,49 @@ class PsaSpec extends AnyFlatSpec with Matchers {
     // selected order's loss is within noise of order 0
     losses(best) shouldBe losses(0) +- 0.02
   }
+
+  "the SPSA embedding" should "carry the SDFA language and the PSA probabilities in one automaton" in {
+    val cp = Compiler.compile(";(IsEventTypePredicate(a),IsEventTypePredicate(b))")
+    val rnd2 = new Random(17)
+    val types = Vector("a", "b", "c")
+    val syms = (1 to 600).map(i => cp.iso.evaluate(CEvent.simple(i.toLong, types(rnd2.nextInt(3)), i.toLong)))
+    val order = 2
+    val cst = cstOf(syms, order + 1)
+    // two identical learns: fromPst mutates its tree (compatibility splits)
+    val pstSpst = PstLearner.learn(cst, order, 0.001, 0.05, 0.001, 1.05)
+    val pstPsa = PstLearner.learn(cst, order, 0.001, 0.05, 0.001, 1.05)
+    val spst = Spst(cp.sdfa, pstSpst, order)
+    val psa = Psa.fromPst(pstPsa, cst.symbols)
+    val spsa = Spsa.build(cp.sdfa, psa)
+
+    // structural: every transition pairs the SDFA delta with the PSA step
+    spsa.states.zipWithIndex.foreach { case ((q, p), s) =>
+      psa.next(p).keys.foreach { sym =>
+        spsa.states(spsa.step(s, sym)) shouldBe
+          ((cp.sdfa.delta(q)(sym), psa.step(p, sym)))
+        spsa.prob(s, sym) shouldBe psa.prob(p, sym)
+      }
+    }
+
+    // replay the stream; at checkpoints the SPSA's waiting-time
+    // distribution must equal the SPST's (same model, embedded form);
+    // cutoff 0 on both so path pruning cannot differ across the two
+    // state aggregations
+    var q = cp.sdfa.start
+    var ctx = List.empty[Int]
+    val maxLabel = psa.labels.map(_.length).max
+    var checked = 0
+    syms.zipWithIndex.foreach { case (s, i) =>
+      q = cp.sdfa.delta(q)(s)
+      ctx = s :: ctx
+      if (i >= maxLabel && i % 37 == 0) {
+        val lbl = pstSpst.nodeFor(ctx.take(order)).label
+        val wtS = spst.wtDistribution(lbl, q, horizon = 15, cutoff = 0.0)
+        val wtP = spsa.wtDistribution(spsa.stateFor(ctx, q), horizon = 15)
+        (1 to 15).foreach(t => wtP(t) shouldBe wtS(t) +- 1e-9)
+        checked += 1
+      }
+    }
+    checked should be > 10
+  }
 }
