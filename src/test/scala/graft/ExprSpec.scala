@@ -140,6 +140,21 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include regex "\\*\\(1\\) Project \\[jaccardsim"
     // and the generated code compiles + evaluates (|{i,i+1}∩{i+1,i+2}| = 1 of 3)
     df.collect().foreach(r => r.getDouble(0) shouldBe (1.0 / 3.0) +- 1e-12)
+
+    // the text-hash kernels too: one codegen'd projection, correct values
+    val tdf = spark.range(50)
+      .select(functions.concat(functions.lit("w"), col("id"), functions.lit(" w"), col("id") + 1,
+        functions.lit(" w"), col("id") + 2, functions.lit(" w"), col("id") + 3).as("t"))
+      .select(
+        ops.TextOps.polyHash(col("t")).as("ph"),
+        ops.TextOps.tokenHashes(col("t")).as("th"),
+        org.apache.spark.sql.graftexpr.VectorExprs.shingleHashes(col("t"), 3, ops.TextOps.HashMod).as("sh"))
+    val tplan = tdf.queryExecution.executedPlan.toString
+    tplan should include regex "\\*\\(1\\) Project \\[polyhash"
+    tdf.collect().foreach { r =>
+      r.getSeq[Long](1).length shouldBe 4 // 4 distinct tokens
+      r.getSeq[Long](2).length shouldBe 1 // len - n = 1 shingle
+    }
   }
 
   "the text hash expressions" should "match the higher-order formulations value-for-value" in {
