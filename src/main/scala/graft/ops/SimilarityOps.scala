@@ -106,6 +106,57 @@ object SimilarityOps {
   def lshBucketsSql(emb: String): String =
     (0 until NumTables).map(t => lshBucketSql(emb, t)).mkString("[", ", ", "]")
 
+  /** IVF parameters: K coarse-quantizer centroids, nProbe probed cells
+    * per query. Centroids here are deterministic seeds (the K smallest
+    * vec_ids) so the DuckDB oracle can reproduce them exactly; a
+    * production deployment would Lloyd-train them (ml.clustering.KMeans)
+    * — the assignment/probe plumbing below is identical either way.
+    */
+  val IvfK = 32
+  val IvfProbes = 2
+
+  /** IVF-style ANN, the second scale path next to hyperplane LSH:
+    *   1. assign every corpus vector to its max-cosine centroid — a
+    *      broadcast of the K-row centroid table plus a partial-aggregable
+    *      argmax (max over (cos, -id) structs): no corpus-wide window, no
+    *      shuffle of the corpus beyond the final groupBy(vec_id);
+    *   2. rank centroids per query (query side is the small one) and keep
+    *      the nProbe nearest cells;
+    *   3. equi-join probes to assignments on the cell id — per query only
+    *      ~nProbe/K of the corpus is scored, top-k within the probed set.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numCentroids: Int = IvfK,
+      nProbe: Int = IvfProbes): DataFrame = {
+    val cent = broadcast(corpus.orderBy(col("vec_id")).limit(numCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+    val asg = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .crossJoin(cent)
+      .withColumn("cc", cosine(col("n_emb"), col("c_emb")))
+      .groupBy(col("neighbor_id"))
+      .agg(first(col("n_emb")).as("n_emb"),
+        max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"))
+      .select(col("neighbor_id"), col("n_emb"), (-col("m.nc")).as("cluster"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qc").desc, col("c_id"))
+    val prb = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(cent)
+      .withColumn("qc", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("prnk", row_number().over(wq))
+      .filter(col("prnk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("c_id").as("cluster"))
+    val wn = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    prb.join(asg, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rnk", row_number().over(wn))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+  }
+
   /** Bucketed ANN: join queries to corpus on the LSH bucket, then
     * top-k within the candidate set. At scale this replaces the full
     * cross product with a bucket-local join (shuffle keyed on bucket).

@@ -22,9 +22,13 @@ object Pipeline {
   val queries: Seq[Q] = Seq(
 
     // ---------------------------------------------------------- text: tokens
+    // n_bpeish: subword-style piece count — letter runs, digit runs and
+    // single punctuation as separate pieces (the BPE-ish pre-tokenizer
+    // rule); the classes are disjoint, so Java-regex and RE2 agree.
     Q("p01_txt_tokens",
       s"""SELECT doc_id,
          |       len(string_split(text, ' ')) AS n_tokens,
+         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish,
          |       length(text) AS n_chars,
          |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
          |         / len(string_split(text, ' ')) AS avg_token_len,
@@ -33,6 +37,8 @@ object Pipeline {
       t(s, dir, "documents").select(
         col("doc_id"),
         size(tokens(col("text"))).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .as("n_bpeish"),
         length(col("text")).as("n_chars"),
         (length(regexp_replace(col("text"), " ", "")).cast("double")
           / size(tokens(col("text")))).as("avg_token_len"),
@@ -335,6 +341,43 @@ object Pipeline {
         .select(col("id_a").as("vec_id"), (-col("m.neg_id")).as("nn_id"),
           col("m.cos").as("cos"), (col("m.cos") >= 0.95).as("is_neardup"))
         .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------- similarity: IVF ANN
+    // The second ANN scale path: a coarse quantizer partitions the corpus
+    // into K cells (argmax-cosine against deterministic seed centroids —
+    // Lloyd-trained in production, identical plumbing), queries probe the
+    // nProbe nearest cells, and only those partitions are scored: a
+    // broadcast of K rows + one equi-join on the cell id, never all-pairs.
+    Q("p14_sim_ivf_topk", {
+      val cosEC = cosineSql("e.embedding", "c.c_emb")
+      val cosQC = cosineSql("q.embedding", "c.c_emb")
+      val cosQN = cosineSql("q.embedding", "n.embedding")
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |              FROM embeddings ORDER BY vec_id LIMIT ${SimilarityOps.IvfK}),
+         |asg AS (
+         |  SELECT neighbor_id, cluster FROM (
+         |    SELECT e.vec_id AS neighbor_id, c.c_id AS cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.c_id) AS rnk
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rnk = 1),
+         |prb AS (
+         |  SELECT query_id, cluster FROM (
+         |    SELECT q.vec_id AS query_id, c.c_id AS cluster,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosQC DESC, c.c_id) AS rnk
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20)
+         |  WHERE rnk <= ${SimilarityOps.IvfProbes}),
+         |scored AS (
+         |  SELECT p.query_id, a.neighbor_id, $cosQN AS cos,
+         |         row_number() OVER (PARTITION BY p.query_id ORDER BY $cosQN DESC, a.neighbor_id) AS rnk
+         |  FROM prb p JOIN asg a ON a.cluster = p.cluster AND a.neighbor_id <> p.query_id
+         |  JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN embeddings n ON n.vec_id = a.neighbor_id)
+         |SELECT query_id, neighbor_id, cos, rnk FROM scored WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5)
+        .orderBy(col("query_id"), col("rnk"))
     },
 
     // --------------------------------------------- similarity: LSH buckets

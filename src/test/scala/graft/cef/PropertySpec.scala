@@ -86,4 +86,32 @@ object PropertySpec extends Properties("graft.cef") {
       sym >= 0 && sym < iso.size && iso.sentenceOf(sym).eval(e)
     }
   }
+
+  property("interval-pruned alphabet is exactly the real-realizable assignments") = {
+    // random comparison predicates over two attributes; for every
+    // real-valued event the evaluated assignment must have a minterm, and
+    // that minterm must state exactly the event's predicate truth values
+    val predGen: Gen[Predicate] = for {
+      attr <- Gen.oneOf("x", "y")
+      v <- Gen.choose(0, 10).map(_ * 10.0)
+      p <- Gen.oneOf[Predicate](
+        Predicate.GT(attr, v), Predicate.GTE(attr, v), Predicate.LT(attr, v),
+        Predicate.LTE(attr, v), Predicate.EQ(attr, v), Predicate.BT(attr, v, v + 25.0))
+    } yield p
+    val caseGen = for {
+      preds <- Gen.listOfN(6, predGen).map(_.toSet)
+      xs <- Gen.listOfN(10, Gen.choose(-5.0, 115.0))
+      ys <- Gen.listOfN(10, Gen.choose(-5.0, 115.0))
+      // include the predicate constants themselves (boundary values)
+    } yield (preds, xs ++ preds.toList.collect { case Predicate.GT(_, v) => v
+      case Predicate.LT(_, v) => v case Predicate.EQ(_, v) => v }, ys)
+    forAll(caseGen) { case (preds, xs, ys) =>
+      val iso = Isomorphism.build(preds, Set.empty)
+      xs.zipAll(ys, 0.0, 0.0).forall { case (x, y) =>
+        val e = CEvent(1, "t", 1, "", Map("x" -> x, "y" -> y), Map.empty)
+        val sym = iso.evaluate(e)
+        sym >= 0 && iso.minterms(sym) == iso.predicates.map(p => p -> p.eval(e)).toMap
+      }
+    }
+  }
 }
