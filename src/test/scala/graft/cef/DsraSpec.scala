@@ -16,7 +16,8 @@ class DsraSpec extends AnyFlatSpec with Matchers {
 
   private def stream(n: Int): Seq[CEvent] =
     (1 to n).map(i =>
-      CEvent(i.toLong, "v", i.toLong, "k", Map("value" -> rnd.nextInt(200).toDouble), Map.empty))
+      if (rnd.nextInt(40) == 0) CEvent.reset("k") // mid-stream resets too
+      else CEvent(i.toLong, "v", i.toLong, "k", Map("value" -> rnd.nextInt(200).toDouble), Map.empty))
 
   private val patterns = Seq(
     """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""",
@@ -30,8 +31,12 @@ class DsraSpec extends AnyFlatSpec with Matchers {
       (1 to 20).foreach { _ =>
         val events = stream(60 + rnd.nextInt(60))
         val mr = new MatchRun(cp, "k")
-        val completions = events.zipWithIndex.flatMap { case (e, i) =>
-          if (mr.step(e).nonEmpty) Some((i + 1).toLong) else None
+        // runtime counters skip reset events — track the same numbering
+        var pos = 0L
+        val completions = events.flatMap { e =>
+          val ms = mr.step(e)
+          if (!e.isReset) pos += 1
+          if (ms.nonEmpty) Some(pos) else None
         }.toSet
 
         val dr = new DsraRun(cp, "k")
