@@ -34,6 +34,29 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
   require(cp.window > 0 && cp.windowKind == WindowKind.Count,
     "the DSRA path needs a count window — unwindowed register patterns are not determinizable " +
       "(reference DSRAStreaming unrolls over the window)")
+  // Enforce the documented supported class rather than silently missing
+  // matches: the block-ownership argument needs every consumed event of a
+  // match inside one window. The window is measured from the first TAKE,
+  // so post-take IGNORE advances (skip-till-any's skip region) are fine;
+  // what breaks it is an IGNORE transition that ADVANCES state while still
+  // pre-take (reachable from start through IGNOREs only) — the match would
+  // consume events before its window starts. The surface language's
+  // windowed SREMO patterns have none; complement-compiled IGNORE chains
+  // at the pattern head do.
+  require({
+    val nfa0 = cp.snfa
+    var preTake = Set(nfa0.start)
+    var grew = true
+    while (grew) {
+      val nxt = preTake ++ nfa0.trans.collect {
+        case t if !t.take && preTake.contains(t.src) => t.dst
+      }
+      grew = nxt.size != preTake.size
+      preTake = nxt
+    }
+    nfa0.trans.forall(t => t.take || !preTake.contains(t.src) || t.src == t.dst)
+  }, "pattern has pre-take state-advancing IGNORE transitions — its consumed span can " +
+    "exceed the window measured from the first TAKE; use the match-enumeration runtime")
 
   private val W = cp.window.toInt
   private val nfa = cp.snfa

@@ -184,6 +184,13 @@ final class MatchRun(
     if (threads.size > maxThreads) {
       val sorted = threads.sortBy(t => if (t.firstCounter == -1L) -counter else -t.firstCounter)
       threads = sorted.take(maxThreads)
+      if (evicted == 0L)
+        // surface the silent-drop once per run: evicted partials mean some
+        // matches will be missing from the output of this key
+        System.err.println(
+          s"[graft] MatchRun key '$partition': thread population exceeded $maxThreads; " +
+            "evicting oldest partial matches (older matches may be dropped — raise " +
+            "maxThreads or add a {window} to the pattern)")
       evicted += sorted.size - maxThreads
     }
     out.toList.distinct

@@ -51,6 +51,14 @@ final class Collector(
           if (!history.contains(currentBucket)) history += currentBucket
           out += notification(evs.head.timestamp)
           currentBucket = bucket
+        } else if (bucket < currentBucket && !history.contains(bucket)) {
+          // late events for a bucket that never passed through
+          // currentBucket (it was empty until now): it is already a
+          // finished bucket — insert into history in order so future
+          // notifications include it and ACK GC can delete its file
+          // (without this the file would be written but orphaned forever)
+          val idx = history.indexWhere(_ > bucket)
+          if (idx < 0) history += bucket else history.insert(idx, bucket)
         }
         // bucket < currentBucket: late arrival for an already-rotated
         // bucket — append to its existing file, no rotation/notify

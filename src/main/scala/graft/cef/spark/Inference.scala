@@ -61,9 +61,12 @@ object Inference {
     }
     /** Register a newly trained model without touching the paused flag —
       * the model_reports half of the control plane; a later play command
-      * (or the running engine, if not paused) picks it up. */
+      * (or the running engine, if not paused) picks it up. Monotonic:
+      * factory model ids increment, so a stale report collected late can
+      * never roll the latest id backwards (an explicit play with a model
+      * id — a deliberate rollback — still wins). */
     def pushModel(modelId: Int): Unit =
-      state.updateAndGet(s => s.copy(latestModelId = modelId))
+      state.updateAndGet(s => s.copy(latestModelId = math.max(s.latestModelId, modelId)))
     def current: Summary = state.get()
   }
 

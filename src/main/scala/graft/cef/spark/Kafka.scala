@@ -47,7 +47,8 @@ object Kafka {
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topics.mkString(","))
       .load()
-      .select(col("topic"), col("value").cast("string").as("value"))
+      .select(col("topic"), col("value").cast("string").as("value"),
+        col("timestamp").as("kafka_ts"))
 
   /** S3/S4: feedback + factory command sources share the same shape. */
   def topicSource(spark: SparkSession, brokers: String, topic: String): DataFrame =
@@ -93,8 +94,15 @@ object Kafka {
     * InferenceJob.java:145-208 merges the two topics the same way). Use as
     * `controlStream.writeStream.foreachBatch(controlDispatch(handle))`.
     */
-  def controlDispatch(handle: Inference.ControlHandle)(batch: DataFrame, batchId: Long): Unit =
-    batch.select(col("topic"), col("value")).collect().foreach { row =>
+  def controlDispatch(handle: Inference.ControlHandle)(batch: DataFrame, batchId: Long): Unit = {
+    // collect() order is partition order, not arrival order — commands
+    // from different Kafka partitions would apply shuffled (pause/play
+    // reversed). Sort by the broker timestamp when the source kept it.
+    val ordered =
+      if (batch.columns.contains("kafka_ts"))
+        batch.sort(col("kafka_ts")).select(col("topic"), col("value")).collect()
+      else batch.select(col("topic"), col("value")).collect()
+    ordered.foreach { row =>
       row.getString(0) match {
         case "enginesync"    => handle.push(SyncCommand.fromJson(row.getString(1)))
         case "model_reports" =>
@@ -103,4 +111,5 @@ object Kafka {
         case _ => ()
       }
     }
+  }
 }

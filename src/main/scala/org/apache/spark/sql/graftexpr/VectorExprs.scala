@@ -171,21 +171,27 @@ final case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], m
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](a.length))
+    // null elements are skipped like the array_min(transform(...)) chain
+    // (a null hash nulls its lane value; array_min ignores nulls)
     val out = new Array[Long](a.length)
     java.util.Arrays.fill(out, Long.MaxValue)
+    var valid = 0
     var i = 0
     while (i < n) {
-      val h = xs.getLong(i)
-      var k = 0
-      while (k < a.length) {
-        val v = (a(k) * h + b(k)) % mod
-        if (v < out(k)) out(k) = v
-        k += 1
+      if (!xs.isNullAt(i)) {
+        valid += 1
+        val h = xs.getLong(i)
+        var k = 0
+        while (k < a.length) {
+          val v = (a(k) * h + b(k)) % mod
+          if (v < out(k)) out(k) = v
+          k += 1
+        }
       }
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    if (valid == 0) new GenericArrayData(new Array[Any](a.length))
+    else UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -198,21 +204,26 @@ final case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], m
       val h = ctx.freshName("h")
       val v = ctx.freshName("v")
       val out = ctx.freshName("out")
+      val valid = ctx.freshName("valid")
       s"""
          |int $n = $xs.numElements();
-         |if ($n == 0) {
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |    new Object[${a.length}]);
-         |} else {
-         |  long[] $out = new long[${a.length}];
-         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
+         |long[] $out = new long[${a.length}];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |int $valid = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$xs.isNullAt($i)) {
+         |    $valid++;
          |    long $h = $xs.getLong($i);
          |    for (int $k = 0; $k < ${a.length}; $k++) {
          |      long $v = ($aRef[$k] * $h + $bRef[$k]) % ${mod}L;
          |      if ($v < $out[$k]) $out[$k] = $v;
          |    }
          |  }
+         |}
+         |if ($valid == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new Object[${a.length}]);
+         |} else {
          |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |    .fromPrimitiveArray($out);
          |}
@@ -241,6 +252,13 @@ final case class HyperplaneBuckets(child: Expression, numPlanes: Int, numTables:
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
     val out = new Array[Long](numTables)
+    // a null element nulls every projection in the zip_with/aggregate
+    // formulation (null > 0 is false) → every bit 0 → all buckets 0
+    var i0 = 0
+    while (i0 < n) {
+      if (xs.isNullAt(i0)) return UnsafeArrayData.fromPrimitiveArray(out)
+      i0 += 1
+    }
     var t = 0
     while (t < numTables) {
       var bucket = 0L
@@ -274,10 +292,16 @@ final case class HyperplaneBuckets(child: Expression, numPlanes: Int, numTables:
       val comp = ctx.freshName("comp")
       val bucket = ctx.freshName("bucket")
       val out = ctx.freshName("out")
+      val anyNull = ctx.freshName("anyNull")
+      val i0 = ctx.freshName("i0")
       s"""
          |int $n = $xs.numElements();
          |long[] $out = new long[$numTables];
-         |for (int $t = 0; $t < $numTables; $t++) {
+         |boolean $anyNull = false;
+         |for (int $i0 = 0; $i0 < $n; $i0++) {
+         |  if ($xs.isNullAt($i0)) { $anyNull = true; break; }
+         |}
+         |for (int $t = 0; !$anyNull && $t < $numTables; $t++) {
          |  long $bucket = 0L;
          |  for (int $p = 0; $p < $numPlanes; $p++) {
          |    long $g = (long) $t * $numPlanes + $p;
@@ -362,35 +386,68 @@ final case class ShingleHashes(child: Expression, n: Int, mod: Long)
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
-/** Primitive text-hashing kernel shared by eval and codegen. */
+/** Primitive text-hashing kernel shared by eval and codegen.
+  *
+  * Character model: one fold step per CODE POINT, adding the code point's
+  * value — exactly what the replaced HOF formulation computed (Spark's
+  * split(s, "") yields one element per code point and ascii() returns the
+  * code point; DuckDB's string_split/ascii twins do the same), so parity
+  * holds on non-BMP text too (ExprSpec pins emoji/accent cases).
+  */
 object TextHashKernel {
   import org.apache.spark.unsafe.types.UTF8String
 
+  /** Fold js[from, until) into acc — one step per code point. */
+  private def foldChars(js: String, from: Int, until: Int, acc0: Long, mod: Long): Long = {
+    var acc = acc0
+    var i = from
+    while (i < until) {
+      val cp = js.codePointAt(i)
+      acc = (acc * 31 + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** First-occurrence-order distinct collector over primitive longs:
+    * open-addressing membership (no boxing, O(1) amortized per element —
+    * a 10k-token document must not pay a quadratic scan).
+    */
+  private final class DistinctLongs(maxSize: Int) {
+    private var cap = 4
+    while (cap < maxSize * 2) cap <<= 1
+    private val mask = cap - 1
+    private val keys = new Array[Long](cap)
+    private val used = new Array[Boolean](cap)
+    val out = new Array[Long](math.max(maxSize, 1))
+    var cnt = 0
+    def add(x: Long): Unit = {
+      var h = {
+        val m = x * -7046029254386353131L
+        ((m ^ (m >>> 32)) & 0x7fffffff).toInt & mask
+      }
+      while (used(h) && keys(h) != x) h = (h + 1) & mask
+      if (!used(h)) { used(h) = true; keys(h) = x; out(cnt) = x; cnt += 1 }
+    }
+    def result: ArrayData =
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
+  }
+
   def polyHash(s: UTF8String, mod: Long): Long = {
     val js = s.toString
-    var acc = 0L
-    var i = 0
-    while (i < js.length) { acc = (acc * 31 + js.charAt(i)) % mod; i += 1 }
-    acc
+    foldChars(js, 0, js.length, 0L, mod)
   }
 
   def tokenHashes(s: UTF8String, mod: Long): ArrayData = {
     val toks = s.toString.split(" ", -1)
-    val out = new Array[Long](toks.length)
-    var cnt = 0
+    val d = new DistinctLongs(toks.length)
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
-      var acc = 0L
-      var c = 0
-      while (c < t.length) { acc = (acc * 31 + t.charAt(c)) % mod; c += 1 }
-      var k = 0
-      var dup = false
-      while (k < cnt && !dup) { if (out(k) == acc) dup = true; k += 1 }
-      if (!dup) { out(cnt) = acc; cnt += 1 }
+      d.add(foldChars(t, 0, t.length, 0L, mod))
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
+    d.result
   }
 
   def shingleHashes(s: UTF8String, n: Int, mod: Long): ArrayData = {
@@ -398,8 +455,7 @@ object TextHashKernel {
     if (toks.length <= n)
       return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
     val m = toks.length - n
-    val out = new Array[Long](m)
-    var cnt = 0
+    val d = new DistinctLongs(m)
     var i = 0
     while (i < m) {
       var acc = 0L
@@ -407,17 +463,13 @@ object TextHashKernel {
       while (j < n) {
         if (j > 0) acc = (acc * 31 + ' ') % mod
         val t = toks(i + j)
-        var c = 0
-        while (c < t.length) { acc = (acc * 31 + t.charAt(c)) % mod; c += 1 }
+        acc = foldChars(t, 0, t.length, acc, mod)
         j += 1
       }
-      var k = 0
-      var dup = false
-      while (k < cnt && !dup) { if (out(k) == acc) dup = true; k += 1 }
-      if (!dup) { out(cnt) = acc; cnt += 1 }
+      d.add(acc)
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
+    d.result
   }
 }
 

@@ -166,7 +166,8 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     def randText(): String =
       (1 to (rnd.nextInt(12))).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
     val texts = ((1 to 200).map(_ => randText()) ++
-      Seq("", " ", "a", "a b", "a  b", "one two three", "a b c d ")).zipWithIndex
+      Seq("", " ", "a", "a b", "a  b", "one two three", "a b c d ",
+        "caf\u00e9 na\u00efve", "a \ud83d\ude00 b", "\ud83d\ude00\ud83d\ude01 x")).zipWithIndex
     val df = texts.map { case (t, i) => (i, t) }.toDF("id", "t")
 
     // the replaced HOF formulations, verbatim

@@ -99,6 +99,27 @@ class AdaptSpec extends AnyFlatSpec with Matchers {
     readBack.map(_.id) shouldBe Seq(4L)
   }
 
+  it should "adopt a late bucket that was empty when current passed it" in {
+    val dir = Files.createTempDirectory("collector-late").toString
+    val c = new Collector(dir, bucketSizeSec = 100L, lastK = 5)
+    def ev(id: Long, ts: Long) = CEvent(id, "x", ts, "k", Map.empty, Map.empty)
+
+    // bucket 0 fills, then bucket 300 arrives (100 and 200 stay empty)
+    c.processBatch(Seq(ev(1, 10)))
+    c.processBatch(Seq(ev(2, 310)))
+    // late events for the never-seen bucket 200: file written AND the
+    // bucket joins history in order — not orphaned
+    c.processBatch(Seq(ev(3, 210))) shouldBe Nil
+    Files.exists(java.nio.file.Paths.get(s"$dir/buckets/bucket_200")) shouldBe true
+    // next rotation's notification includes it, in ascending order
+    val n = c.processBatch(Seq(ev(4, 410)))
+    n.size shouldBe 1
+    n.head.bucketsRange shouldBe List(0L, 200L, 300L)
+    // and ACK GC can now delete its file
+    c.onAck(AssemblyAck(0, 0, List(300L))) shouldBe Seq(0L, 200L)
+    Files.exists(java.nio.file.Paths.get(s"$dir/buckets/bucket_200")) shouldBe false
+  }
+
   "the full adaptation loop" should "pause, run 10 opt steps, finalise the argmin model, and play" in {
     val cp = Compiler.compile("#(;(IsEventTypePredicate(a),IsEventTypePredicate(b)))")
     val modelDir = Files.createTempDirectory("models").toString
