@@ -72,4 +72,31 @@ class ThroughputSpec extends AnyFlatSpec with Matchers {
     forecasts should be > 0L
     rate should be > 50000.0
   }
+
+  it should "sustain the DSRA register runtime at >20k events/s" in {
+    // W staggered copies each advancing a config set: the deterministic
+    // register path must stay in the usable range (the enumeration
+    // runtime is the throughput ceiling; DSRA trades constant work per
+    // event for boundedness under overlap)
+    val cp = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""")
+    val events = mkEvents(120000)
+    val warm = new DsraRun(cp, "")
+    var i = 0
+    while (i < 20000) { warm.step(events(i)); i += 1 }
+
+    val run = new DsraRun(cp, "")
+    var detections = 0L
+    val t0 = System.nanoTime()
+    i = 0
+    while (i < events.length) {
+      if (run.step(events(i)).isDefined) detections += 1
+      i += 1
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = events.length / secs
+    info(f"DSRA runtime: ${rate / 1e3}%.0f k events/s ($detections detections)")
+    detections should be > 0L
+    rate should be > 20000.0
+  }
 }
