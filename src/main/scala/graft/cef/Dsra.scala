@@ -62,16 +62,32 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
   private val nfa = cp.snfa
   private var counter = 0L
 
+  // register names in a fixed order, known at construction: config keys
+  // list ids in THIS order — no per-candidate sorting on the hot path
+  private val regNames: Array[String] =
+    nfa.trans.flatMap(_.register).distinct.sorted.toArray
+
   /** One deterministic configuration: NSRA state, concrete registers, and
     * whether the run has consumed a TAKE event (final + taken = a match).
     */
   private final case class Config(state: Int, valuation: Map[String, CEvent], taken: Boolean)
-  private type Key = (Int, List[(String, Long)], Boolean)
-  private def keyOf(c: Config): Key =
-    (c.state, c.valuation.view.mapValues(_.id).toList.sortBy(_._1), c.taken)
+  private type Key = (Int, List[Long], Boolean)
+  private def keyOf(c: Config): Key = {
+    var ids = List.empty[Long]
+    var i = regNames.length - 1
+    while (i >= 0) {
+      ids = c.valuation.get(regNames(i)).map(_.id).getOrElse(-1L) :: ids
+      i -= 1
+    }
+    (c.state, ids, c.taken)
+  }
 
   private val startConfig = Config(nfa.start, Map.empty, taken = false)
   private val copies: Array[mutable.LinkedHashMap[Key, Config]] =
+    Array.fill(W)(mutable.LinkedHashMap.empty)
+  // double-buffered work map per copy: cleared and swapped each step
+  // instead of allocating a fresh map per copy per event
+  private val work: Array[mutable.LinkedHashMap[Key, Config]] =
     Array.fill(W)(mutable.LinkedHashMap.empty)
 
   /** Total live configurations across copies (boundedness is asserted in
@@ -108,9 +124,9 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
     while (w < W) {
       val copy = copies(w)
       if ((counter - 1) % W == w) copy.clear() // block boundary: fresh start
-      val next = mutable.LinkedHashMap.empty[Key, Config]
-      val sources = Iterator.single(startConfig) ++ copy.valuesIterator
-      sources.foreach { c =>
+      val next = work(w)
+      next.clear()
+      def advance(c: Config): Unit =
         nfa.bySrc(c.state).foreach { t =>
           if (nfa.coReachable.contains(t.dst) && t.guard.exists(_.eval(e, c.valuation))) {
             val nv = t.register match {
@@ -126,9 +142,12 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
             }
           }
         }
-      }
-      copy.clear()
-      copy ++= next
+      advance(startConfig)
+      copy.valuesIterator.foreach(advance)
+      // swap the buffers: next becomes the live set, the old live set is
+      // the next step's (cleared) work map
+      copies(w) = next
+      work(w) = copy
       w += 1
     }
     detected
