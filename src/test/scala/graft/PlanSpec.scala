@@ -99,4 +99,15 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("Window")
     plan should include("Union")
   }
+
+  "p14_sim_ivf_topk" should "cross only against the K-row centroid table, equi-join on the cell" in {
+    val plan = planOf("p14_sim_ivf_topk")
+    // the only nested-loop joins are the broadcasts against the K-row
+    // centroid table (assignment + probe ranking); candidate scoring is
+    // an equi-join on the cell id — never corpus x corpus
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <= 2
+    plan should not include "CartesianProduct"
+    // probe-to-assignment join carries the cluster equi-key
+    plan should include regex "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*cluster"
+  }
 }
