@@ -309,9 +309,7 @@ object Isomorphism {
       if (i == ps.length) { out += assign; () }
       else {
         val p = ps(i)
-        var t = true
-        var continue = true
-        while (continue) {
+        Seq(true, false).foreach { t =>
           if (p != Predicate.True || t) { // True can never be false
             val a2 = assign.updated(p, t)
             if (exclOk(a2)) constraintOf(p, t) match {
@@ -321,7 +319,6 @@ object Isomorphism {
               case None => rec(i + 1, a2, regions)
             }
           }
-          if (t) t = false else continue = false
         }
       }
     }

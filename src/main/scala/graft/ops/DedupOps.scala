@@ -116,10 +116,15 @@ object DedupOps {
     * The row_number shuffle is keyed identically to the candidate join
     * that follows, so it adds no extra exchange of the big table.
     */
-  def saltedBands(sigs: DataFrame, idCol: String): DataFrame = {
+  def saltedBands(
+      sigs: DataFrame,
+      idCol: String,
+      arrCol: String = "bands",
+      posName: String = "band",
+      keyName: String = "key"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("band"), col("key")).orderBy(col(idCol))
-    sigs.select(col(idCol), posexplode(col("bands")).as(Seq("band", "key")))
+    val w = Window.partitionBy(col(posName), col(keyName)).orderBy(col(idCol))
+    sigs.select(col(idCol), posexplode(col(arrCol)).as(Seq(posName, keyName)))
       .withColumn("salt",
         floor((row_number().over(w) - lit(1)) / lit(BandBucketCap)).cast("long"))
   }

@@ -320,11 +320,7 @@ object Pipeline {
       val eb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), lshBuckets(col("embedding")).as("buckets"))
         .persist()
-      val w = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
-      val ex = eb
-        .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-        .withColumn("salt",
-          floor((row_number().over(w) - lit(1)) / lit(DedupOps.BandBucketCap)).cast("long"))
+      val ex = DedupOps.saltedBands(eb, "vec_id", "buckets", "tbl", "bucket")
       val cand = ex.as("x")
         .join(ex.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket")

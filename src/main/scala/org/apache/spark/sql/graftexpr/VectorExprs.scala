@@ -422,10 +422,7 @@ object TextHashKernel {
     val out = new Array[Long](math.max(maxSize, 1))
     var cnt = 0
     def add(x: Long): Unit = {
-      var h = {
-        val m = x * -7046029254386353131L
-        ((m ^ (m >>> 32)) & 0x7fffffff).toInt & mask
-      }
+      var h = JaccardKernel.mix(x) & mask
       while (used(h) && keys(h) != x) h = (h + 1) & mask
       if (!used(h)) { used(h) = true; keys(h) = x; out(cnt) = x; cnt += 1 }
     }
@@ -528,7 +525,7 @@ object JaccardKernel {
     inter.toDouble / (nx + ny - inter).toDouble
   }
 
-  @inline private def mix(x: Long): Int = {
+  @inline private[graftexpr] def mix(x: Long): Int = {
     val h = x * -7046029254386353131L // 0x9E3779B97F4A7C15
     ((h ^ (h >>> 32)) & 0x7fffffff).toInt
   }
