@@ -129,6 +129,48 @@ object DedupOps {
         floor((row_number().over(w) - lit(1)) / lit(BandBucketCap)).cast("long"))
   }
 
+  /** Near-dup grouping: connected components of a pair graph labeled with
+    * each component's min id — the canonicalization step a dedup pipeline
+    * runs after near-dup pair generation (documents without pairs stay
+    * singleton groups). Iterative min-label propagation, one shuffle per
+    * round keyed on the vertex; rounds ≈ component diameter (1-2 for
+    * near-dup cliques), capped at `maxIters` with a convergence check.
+    * The min-label fixpoint is unique, so results are engine-independent
+    * (the DuckDB twin computes the same labels by transitive closure). At
+    * extreme diameters a production run would switch to large-star/
+    * small-star; the shuffle pattern per round is identical.
+    */
+  def neardupGroups(
+      vertices: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("lbl")).persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, col("id") === col("dst"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("lbl").as("group_id"))
+  }
+
   /** DuckDB twin of [[saltedBands]], from a CTE exposing (idCol, bands). */
   def saltedBandsSql(fromCte: String, idCol: String, bands: Int): String =
     s"""SELECT $idCol, band, key,

@@ -19,6 +19,58 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Shared ≥0.9 near-dup pair set (p06/p15). Spark side: signatures
+    * persisted (explode + two candidate joins — at real scale a
+    * materialized signature table); hashes sorted once per doc so pair
+    * verification is a two-pointer merge; no forced broadcast (the
+    * signature table scales with the corpus, AQE picks broadcast at
+    * small SF on its own).
+    */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"), sort_array(tokenHashes(col("text"))).as("hashes"))
+      .withColumn("bands", bandKeys(minHashSig(col("hashes")), PairBands))
+      .persist()
+    val exploded = saltedBands(sigs, "doc_id")
+    val cand = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.key") === col("b.key") && col("a.band") === col("b.band")
+          && col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("hashes").as("ha")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("hashes").as("hb")), "id_b")
+      .withColumn("jaccard",
+        org.apache.spark.sql.graftexpr.VectorExprs.jaccardSortedSim(col("ha"), col("hb")))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** DuckDB twin ending at `prs(id_a, id_b, jaccard)`. */
+  private lazy val NearDupPairsCte: String = {
+    val hashes = tokenHashesSql("text")
+    val sig = minHashSigSql("hashes")
+    val bands = bandKeysSql("sig", PairBands)
+    val jac = jaccardSql("a.hashes", "b.hashes")
+    s"""WITH sigs AS (
+       |  SELECT doc_id, hashes, $bands AS bands
+       |  FROM (SELECT doc_id, hashes, $sig AS sig
+       |        FROM (SELECT doc_id, $hashes AS hashes FROM documents))),
+       |sx AS (${saltedBandsSql("sigs", "doc_id", PairBands)}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sx a JOIN sx b
+       |    ON a.key = b.key AND a.band = b.band AND a.salt = b.salt
+       |   AND a.doc_id < b.doc_id),
+       |prs AS (
+       |  SELECT id_a, id_b, $jac AS jaccard
+       |  FROM cand
+       |  JOIN sigs a ON a.doc_id = id_a
+       |  JOIN sigs b ON b.doc_id = id_b
+       |  WHERE $jac >= 0.9)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---------------------------------------------------------- text: tokens
@@ -151,55 +203,35 @@ object Pipeline {
     // (this corpus is word salad — 86% of pairs exceed Jaccard 0.4, so
     // any lower threshold is inherently quadratic). The hot-bucket salt
     // bounds every band bucket's self-join at cap² pairs.
-    Q("p06_dd_minhash_pairs", {
-      val hashes = tokenHashesSql("text")
-      val sig = minHashSigSql("hashes")
-      val bands = bandKeysSql("sig", PairBands)
-      val jac = jaccardSql("a.hashes", "b.hashes")
-      s"""WITH sigs AS (
-         |  SELECT doc_id, hashes, $bands AS bands
-         |  FROM (SELECT doc_id, hashes, $sig AS sig
-         |        FROM (SELECT doc_id, $hashes AS hashes FROM documents))),
-         |sx AS (${saltedBandsSql("sigs", "doc_id", PairBands)}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sx a JOIN sx b
-         |    ON a.key = b.key AND a.band = b.band AND a.salt = b.salt
-         |   AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, $jac AS jaccard
-         |FROM cand
-         |JOIN sigs a ON a.doc_id = id_a
-         |JOIN sigs b ON b.doc_id = id_b
-         |WHERE $jac >= 0.9
-         |ORDER BY id_a, id_b""".stripMargin
-    }) { (s, dir) =>
-      // signatures are used three times (explode + two candidate joins):
-      // persist so the hash/minhash chain runs once — at real scale this
-      // would be a materialized signature table
-      // hashes sorted ONCE per doc so pair verification is a two-pointer
-      // merge (jaccardSortedSim) instead of a per-pair hash build; minhash
-      // and band keys are order-independent
-      val sigs = t(s, dir, "documents")
-        .select(col("doc_id"), sort_array(tokenHashes(col("text"))).as("hashes"))
-        .withColumn("bands", bandKeys(minHashSig(col("hashes")), PairBands))
-        .persist()
-      val exploded = saltedBands(sigs, "doc_id")
-      val cand = exploded.as("a")
-        .join(exploded.as("b"),
-          col("a.key") === col("b.key") && col("a.band") === col("b.band")
-            && col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      // no forced broadcast: the signature table scales with the corpus —
-      // AQE picks broadcast at small SF on its own
-      val withSets = cand
-        .join(sigs.select(col("doc_id").as("id_a"), col("hashes").as("ha")), "id_a")
-        .join(sigs.select(col("doc_id").as("id_b"), col("hashes").as("hb")), "id_b")
-        .withColumn("jaccard",
-          org.apache.spark.sql.graftexpr.VectorExprs.jaccardSortedSim(col("ha"), col("hb")))
-        .filter(col("jaccard") >= 0.9)
-      withSets.select(col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
+    Q("p06_dd_minhash_pairs",
+      s"""$NearDupPairsCte
+         |SELECT id_a, id_b, jaccard FROM prs ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      nearDupPairs(s, dir).orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ------------------------------------------- dedup: near-dup grouping
+    // Canonicalization over the ≥0.9 pair graph: connected components
+    // labeled with the component's min doc id (docs without pairs are
+    // singleton groups). Spark: iterative min-label propagation (one
+    // shuffle per round, rounds ≈ component diameter); DuckDB: transitive
+    // closure in a recursive CTE — both converge to the same unique
+    // fixpoint.
+    Q("p15_dd_neardup_groups",
+      s"""$NearDupPairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN edges e ON e.a = r.b)
+         |  SELECT * FROM r)
+         |SELECT a AS doc_id, min(b) AS group_id, a = min(b) AS is_canonical
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.neardupGroups(
+          t(s, dir, "documents"), "doc_id", nearDupPairs(s, dir), "id_a", "id_b")
+        .withColumn("is_canonical", col("doc_id") === col("group_id"))
+        .orderBy(col("doc_id"))
     },
 
     // ------------------------------------------------------ dedup: simhash
