@@ -150,7 +150,11 @@ object DedupOps {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("lbl")).persist()
+    // localCheckpoint per round: each iteration's plan embeds the previous
+    // one twice (prop + the left join), so without lineage truncation the
+    // logical plan doubles per round and explodes exponentially
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -158,11 +162,10 @@ object DedupOps {
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(prop, col("id") === col("dst"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next
         .join(labels.select(col("id"), col("lbl").as("old")), "id")
         .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       it += 1
