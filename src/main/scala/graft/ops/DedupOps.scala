@@ -147,8 +147,11 @@ object DedupOps {
       aCol: String,
       bCol: String,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // persist the pair set FIRST: the symmetric union reads it twice, and
+    // upstream it is typically a whole LSH pipeline
+    val p = pairs.persist()
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
     // localCheckpoint per round: each iteration's plan embeds the previous
     // one twice (prop + the left join), so without lineage truncation the
@@ -158,10 +161,21 @@ object DedupOps {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      // neighbor propagation: min label over the 1-hop neighborhood
       val prop = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(prop, col("id") === col("dst"), "left")
+      val stepped = labels.join(prop, col("id") === col("dst"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jumping: label(x) ← label(label(x)) — labels only shrink,
+      // so chasing one hop through the label table each round turns the
+      // O(diameter) rounds of plain propagation into O(log diameter):
+      // each round is a full shuffle at scale, so the round count IS the
+      // cost model (near-dup chains in real corpora are long)
+      val next = stepped.as("n")
+        .join(stepped.select(col("id").as("lid"), col("lbl").as("plbl")),
+          col("n.lbl") === col("lid"), "left")
+        .select(col("n.id").as("id"),
+          least(col("n.lbl"), coalesce(col("plbl"), col("n.lbl"))).as("lbl"))
         .localCheckpoint(true)
       val changed = next
         .join(labels.select(col("id"), col("lbl").as("old")), "id")
@@ -169,8 +183,11 @@ object DedupOps {
       labels = next
       converged = changed == 0
       it += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $it%d changed $changed%d")
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id").as(idCol), col("lbl").as("group_id"))
   }
 
