@@ -71,15 +71,23 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
     * whether the run has consumed a TAKE event (final + taken = a match).
     */
   private final case class Config(state: Int, valuation: Map[String, CEvent], taken: Boolean)
-  private type Key = (Int, List[Long], Boolean)
+  // key = (state, bound-register bitmask, ids in fixed order, taken): the
+  // mask distinguishes an UNBOUND register from any bound event id (ids
+  // come from user data and may legitimately be any long, including the
+  // 0L placeholder used for unbound slots)
+  private type Key = (Int, Int, List[Long], Boolean)
   private def keyOf(c: Config): Key = {
     var ids = List.empty[Long]
+    var mask = 0
     var i = regNames.length - 1
     while (i >= 0) {
-      ids = c.valuation.get(regNames(i)).map(_.id).getOrElse(-1L) :: ids
+      c.valuation.get(regNames(i)) match {
+        case Some(e) => mask |= 1 << i; ids = e.id :: ids
+        case None    => ids = 0L :: ids
+      }
       i -= 1
     }
-    (c.state, ids, c.taken)
+    (c.state, mask, ids, c.taken)
   }
 
   private val startConfig = Config(nfa.start, Map.empty, taken = false)

@@ -188,6 +188,12 @@ object DedupOps {
     }
     edges.unpersist()
     p.unpersist()
+    // fail loudly rather than hand back intermediate labels: two docs of
+    // one component with different group_ids would silently keep
+    // duplicates downstream (pointer jumping converges in O(log diameter)
+    // rounds, so the default cap covers diameters up to ~2^maxIters)
+    require(converged,
+      s"near-dup grouping did not converge within $maxIters rounds — raise maxIters")
     labels.select(col("id").as(idCol), col("lbl").as("group_id"))
   }
 

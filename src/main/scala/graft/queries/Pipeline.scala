@@ -3,7 +3,6 @@ package graft.queries
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Training-data pipeline operators as driver-checkable queries:
@@ -38,13 +37,20 @@ object Pipeline {
           && col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
+    val pairs = cand
       .join(sigs.select(col("doc_id").as("id_a"), col("hashes").as("ha")), "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("hashes").as("hb")), "id_b")
       .withColumn("jaccard",
         org.apache.spark.sql.graftexpr.VectorExprs.jaccardSortedSim(col("ha"), col("hb")))
       .filter(col("jaccard") >= 0.9)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // eager checkpoint: materializes the pair set (reading the cached
+      // signatures three times) and truncates the lineage, so the sigs
+      // cache can be RELEASED here instead of pinning executor storage for
+      // the session (both p06 and p15 call this)
+      .localCheckpoint(true)
+    sigs.unpersist()
+    pairs
   }
 
   /** DuckDB twin ending at `prs(id_a, id_b, jaccard)`. */
