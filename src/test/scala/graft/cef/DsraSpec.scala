@@ -54,6 +54,30 @@ class DsraSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "agree with the enumeration runtime on randomly generated register patterns" in {
+    val ops = Vector("GTAttrPredicate", "LTAttrPredicate", "EQAttrPredicate")
+    (1 to 25).foreach { _ =>
+      val c = 60 + rnd.nextInt(100)
+      val w = 3 + rnd.nextInt(10)
+      val op = ops(rnd.nextInt(ops.size))
+      val extra = // sometimes a 3-step pattern with a second register read
+        if (rnd.nextBoolean()) "" else s""",${ops(rnd.nextInt(ops.size))}(value,"x")"""
+      val pt = s"""#(;(GTPredicate(value,$c.0)["x"],$op(value,"x")$extra)){window:$w}{windowType:count}"""
+      val cp = Compiler.compileMatchOnly(pt)
+      val events = stream(80)
+      val mr = new MatchRun(cp, "k")
+      var pos = 0L
+      val completions = events.flatMap { e =>
+        val ms = mr.step(e)
+        if (!e.isReset) pos += 1
+        if (ms.nonEmpty) Some(pos) else None
+      }.toSet
+      val dr = new DsraRun(cp, "k")
+      val detections = events.flatMap(dr.step).map(_.counter).toSet
+      withClue(s"pattern $pt: ") { detections shouldBe completions }
+    }
+  }
+
   it should "stay bounded under adversarial full-overlap streams" in {
     // strictly ascending high values: every in-window pair matches, so the
     // enumeration runtime's match count is ~W·n while the deterministic
