@@ -51,6 +51,13 @@ def main():
         bad_cols = []
         for c in got.columns:
             g, e = got[c], exp[c]
+            # the driver's hash is dtype-KIND-sensitive: DuckDB HUGEINT →
+            # float64 vs Spark int64 hash-differs on equal values (r3
+            # cef09/cef10), while int32 vs int64 hash-passes (r3 q05/q15/
+            # p01/p09 were green with that diff) — flag kind mismatches only
+            if g.dtype.kind != e.dtype.kind:
+                bad_cols.append(f"{c}(dtype {g.dtype} vs {e.dtype})")
+                continue
             try:
                 if g.dtype.kind == 'f' or e.dtype.kind == 'f':
                     ga, ea = g.astype(float).values, e.astype(float).values

@@ -155,10 +155,21 @@ object DedupOps {
       .persist()
     // localCheckpoint per round: each iteration's plan embeds the previous
     // one twice (prop + the left join), so without lineage truncation the
-    // logical plan doubles per round and explodes exponentially
+    // logical plan doubles per round and explodes exponentially. Each
+    // superseded round's checkpoint blocks are RELEASED immediately
+    // (Bridge.releaseLocalCheckpoint) — at 100 TB a pinned corpus-sized
+    // label table per round is a memory-pressure scale-killer, and in a
+    // shared session the retained blocks tax every later query.
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint(true)
-    var converged = false
+    // Convergence witness: least() only ever decreases a label, so
+    // sum(lbl) strictly decreases until the fixpoint — one cheap scan of
+    // the just-materialized round instead of a join-back + count.
+    // decimal(38,0) keeps the sum exact where sum(id) overflows int64.
+    def lblSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+    var prevSum = lblSum(labels)
+    var converged = prevSum.isEmpty // no vertices ⇒ nothing to propagate
     var it = 0
     while (!converged && it < maxIters) {
       // neighbor propagation: min label over the 1-hop neighborhood
@@ -177,14 +188,20 @@ object DedupOps {
         .select(col("n.id").as("id"),
           least(col("n.lbl"), coalesce(col("plbl"), col("n.lbl"))).as("lbl"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      val s = lblSum(next)
       it += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"[cc] round $it%d changed $changed%d")
+        println(s"[cc] round $it sum ${s.orNull} (prev ${prevSum.orNull})")
+      if (s.zip(prevSum).exists { case (a, b) => a.compareTo(b) == 0 }) {
+        // fixpoint: next is content-identical to labels — drop it and keep
+        // the already-materialized previous round as the result
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(next)
+        converged = true
+      } else {
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(labels)
+        labels = next
+        prevSum = s
+      }
     }
     edges.unpersist()
     p.unpersist()

@@ -118,28 +118,38 @@ object SimilarityOps {
   /** IVF-style ANN, the second scale path next to hyperplane LSH:
     *   1. assign every corpus vector to its max-cosine centroid — a
     *      broadcast of the K-row centroid table plus a partial-aggregable
-    *      argmax (max over (cos, -id) structs): no corpus-wide window, no
-    *      shuffle of the corpus beyond the final groupBy(vec_id);
+    *      argmax (max over (cos, -id) structs). The aggregate carries only
+    *      (id, cos, cluster) — the embedding payload is joined back by id
+    *      AFTER the probe join, so the heavy column is never shuffled
+    *      through the argmax and only candidate embeddings are touched
+    *      (with few queries AQE broadcasts the candidate ids and the
+    *      corpus embedding column is scanned, never shuffled);
     *   2. rank centroids per query (query side is the small one) and keep
     *      the nProbe nearest cells;
     *   3. equi-join probes to assignments on the cell id — per query only
     *      ~nProbe/K of the corpus is scored, top-k within the probed set.
+    *
+    * `centroids` swaps in a trained codebook (e.g. [[lloydCentroids]])
+    * with identical plumbing; by default the K smallest vec_ids seed the
+    * quantizer so the SQL oracle can reproduce the cells exactly.
     */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       numCentroids: Int = IvfK,
-      nProbe: Int = IvfProbes): DataFrame = {
-    val cent = broadcast(corpus.orderBy(col("vec_id")).limit(numCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+      nProbe: Int = IvfProbes,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = broadcast(centroids.getOrElse(
+        corpus.orderBy(col("vec_id")).limit(numCentroids)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+      .select(col("c_id"), col("c_emb")))
     val asg = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
       .crossJoin(cent)
       .withColumn("cc", cosine(col("n_emb"), col("c_emb")))
       .groupBy(col("neighbor_id"))
-      .agg(first(col("n_emb")).as("n_emb"),
-        max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"))
-      .select(col("neighbor_id"), col("n_emb"), (-col("m.nc")).as("cluster"))
+      .agg(max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"))
+      .select(col("neighbor_id"), (-col("m.nc")).as("cluster"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("qc").desc, col("c_id"))
     val prb = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -148,13 +158,53 @@ object SimilarityOps {
       .withColumn("prnk", row_number().over(wq))
       .filter(col("prnk") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("c_id").as("cluster"))
+    val nemb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
     val wn = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     prb.join(asg, Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .join(nemb, Seq("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rnk", row_number().over(wn))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+  }
+
+  /** Lloyd-trained IVF codebook behind the same (c_id, c_emb) interface:
+    * deterministic seed (K smallest vec_ids), then `iters` rounds of
+    * argmax-cosine assignment + elementwise mean. The assignment is the
+    * same broadcast + partial-aggregable argmax as [[ivfTopK]]; the mean
+    * is a posexplode → groupBy(cluster, pos) avg — shuffle rows are
+    * (cluster, pos, value) triples, K·dim per partition after map-side
+    * combine, independent of corpus size. Empty cells keep their previous
+    * centroid.
+    */
+  def lloydCentroids(
+      corpus: DataFrame,
+      numCentroids: Int = IvfK,
+      iters: Int = 5): DataFrame = {
+    var cent = corpus.orderBy(col("vec_id")).limit(numCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_emb"))
+      .localCheckpoint(true)
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    for (_ <- 0 until iters) {
+      val asg = vecs.crossJoin(broadcast(cent))
+        .withColumn("cc", cosine(col("embedding"), col("c_emb")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cluster"))
+      val means = vecs.join(asg, Seq("vec_id"))
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("v")).as("mv"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s.getField("mv")).as("m_emb"))
+      val next = cent.join(means, col("c_id") === col("cluster"), "left")
+        .select(col("c_id"), coalesce(col("m_emb"), col("c_emb")).as("c_emb"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(cent)
+      cent = next
+    }
+    cent
   }
 
   /** Bucketed ANN: join queries to corpus on the LSH bucket, then

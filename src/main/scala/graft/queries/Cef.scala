@@ -304,10 +304,10 @@ object Cef {
          |  GROUP BY fc.user_id, fc.rn, fc.positive),
          |conf AS (
          |  SELECT user_id,
-         |         sum(CASE WHEN positive AND hit THEN 1 ELSE 0 END) AS tp,
-         |         sum(CASE WHEN NOT positive AND NOT hit THEN 1 ELSE 0 END) AS tn,
-         |         sum(CASE WHEN positive AND NOT hit THEN 1 ELSE 0 END) AS fp,
-         |         sum(CASE WHEN NOT positive AND hit THEN 1 ELSE 0 END) AS fn
+         |         CAST(sum(CASE WHEN positive AND hit THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN NOT positive AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |         CAST(sum(CASE WHEN positive AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN NOT positive AND hit THEN 1 ELSE 0 END) AS BIGINT) AS fn
          |  FROM ev GROUP BY user_id)
          |SELECT user_id, tp, tn, fp, fn, ${mccSql} AS mcc
          |FROM conf ORDER BY user_id""".stripMargin) { (s, dir) =>
@@ -337,10 +337,10 @@ object Cef {
          |  GROUP BY fc.user_id, fc.rn, fc.positive, day),
          |conf AS (
          |  SELECT day,
-         |         sum(CASE WHEN positive AND hit THEN 1 ELSE 0 END) AS tp,
-         |         sum(CASE WHEN NOT positive AND NOT hit THEN 1 ELSE 0 END) AS tn,
-         |         sum(CASE WHEN positive AND NOT hit THEN 1 ELSE 0 END) AS fp,
-         |         sum(CASE WHEN NOT positive AND hit THEN 1 ELSE 0 END) AS fn
+         |         CAST(sum(CASE WHEN positive AND hit THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN NOT positive AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |         CAST(sum(CASE WHEN positive AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN NOT positive AND hit THEN 1 ELSE 0 END) AS BIGINT) AS fn
          |  FROM ev GROUP BY day HAVING tp + fp + fn > 0)
          |SELECT day, tp, tn, fp, fn, ${mccSql} AS mcc
          |FROM conf ORDER BY day""".stripMargin) { (s, dir) =>

@@ -234,8 +234,13 @@ object Pipeline {
          |  SELECT * FROM r)
          |SELECT a AS doc_id, min(b) AS group_id, a = min(b) AS is_canonical
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      DedupOps.neardupGroups(
-          t(s, dir, "documents"), "doc_id", nearDupPairs(s, dir), "id_a", "id_b")
+      val prs = nearDupPairs(s, dir)
+      val grouped = DedupOps.neardupGroups(
+        t(s, dir, "documents"), "doc_id", prs, "id_a", "id_b")
+      // grouping is fully materialized (checkpoint-backed) by now — the
+      // pair set's own checkpoint blocks would otherwise outlive the query
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(prs)
+      grouped
         .withColumn("is_canonical", col("doc_id") === col("group_id"))
         .orderBy(col("doc_id"))
     },
