@@ -1,6 +1,5 @@
 package graft.cef
 
-import scala.collection.mutable
 
 /** C10: deterministic streaming runtime for count-windowed register (SREMO)
   * patterns — the DSRA path.
@@ -62,44 +61,235 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
   private val nfa = cp.snfa
   private var counter = 0L
 
-  // register names in a fixed order, known at construction: config keys
-  // list ids in THIS order — no per-candidate sorting on the hot path
+  // register names in a fixed order, known at construction: valuations are
+  // fixed-arity arrays indexed by THIS order (null = unbound) — no Map
+  // allocation or hashing on the hot path
   private val regNames: Array[String] =
     nfa.trans.flatMap(_.register).distinct.sorted.toArray
+  private val regIdx: Map[String, Int] = regNames.zipWithIndex.toMap
+  private val R = regNames.length
 
-  /** One deterministic configuration: NSRA state, concrete registers, and
-    * whether the run has consumed a TAKE event (final + taken = a match).
-    */
-  private final case class Config(state: Int, valuation: Map[String, CEvent], taken: Boolean)
-  // key = (state, bound-register bitmask, ids in fixed order, taken): the
-  // mask distinguishes an UNBOUND register from any bound event id (ids
-  // come from user data and may legitimately be any long, including the
-  // 0L placeholder used for unbound slots)
-  private type Key = (Int, Int, List[Long], Boolean)
-  private def keyOf(c: Config): Key = {
-    var ids = List.empty[Long]
-    var mask = 0
-    var i = regNames.length - 1
-    while (i >= 0) {
-      c.valuation.get(regNames(i)) match {
-        case Some(e) => mask |= 1 << i; ids = e.id :: ids
-        case None    => ids = 0L :: ids
-      }
-      i -= 1
+  // Per-register READ PROJECTION: the attributes guards can ever read from
+  // each register, collected statically from the closed register-predicate
+  // family. Two configurations whose bound events agree on these
+  // projections are future-equivalent — every guard evaluation observes
+  // only the projection — so config identity hashes the projection VALUES
+  // instead of the bound event ids: the live population is bounded by the
+  // read-value domain, not by the window size (binding 1000 different
+  // events with the same read value is ONE configuration). `idKeyed`
+  // degrades to id-based identity if an unknown register-reading predicate
+  // ever appears (none exists in the closed ADT).
+  private val (needNum, needStr, idKeyed) = {
+    val nn = Array.fill(R)(scala.collection.mutable.LinkedHashSet.empty[String])
+    val ns = Array.fill(R)(scala.collection.mutable.LinkedHashSet.empty[String])
+    var unknown = false
+    nfa.trans.flatMap(_.guard).flatMap(_.predicates).foreach {
+      case Predicate.EQAttr(a, r)    => nn(regIdx(r)) += a
+      case Predicate.GTAttr(a, r)    => nn(regIdx(r)) += a
+      case Predicate.LTAttr(a, r)    => nn(regIdx(r)) += a
+      case Predicate.EQAttrStr(a, r) => ns(regIdx(r)) += a
+      case p                         => if (p.registersRead.nonEmpty) unknown = true
     }
-    (c.state, mask, ids, c.taken)
+    (nn.map(_.toArray), ns.map(_.toArray), unknown)
+  }
+  private val numOff: Array[Int] = needNum.scanLeft(0)((acc, a) => acc + a.length)
+  private val strOff: Array[Int] = needStr.scanLeft(0)((acc, a) => acc + a.length)
+  private val totNum: Int = numOff(R)
+  private val totStr: Int = strOff(R)
+
+  // Non-throwing twins of CEvent.numberOf/stringOf for projection capture:
+  // a missing attribute projects to NaN/null (the guard itself still throws
+  // if it actually evaluates the missing attribute, as before).
+  private def numProj(x: CEvent, a: String): Double = a match {
+    case "Id"        => x.id.toDouble
+    case "Timestamp" => x.timestamp.toDouble
+    case _ => x.num.getOrElse(a,
+      x.str.get(a).flatMap(_.toDoubleOption).getOrElse(Double.NaN))
+  }
+  private def strProj(x: CEvent, a: String): String = a match {
+    case "Id"        => x.id.toString
+    case "EventType" => x.eventType
+    case "Timestamp" => x.timestamp.toString
+    case _ => x.str.getOrElse(a, x.num.get(a).map(_.toString).orNull)
+  }
+  private def writeProj(slot: Int, x: CEvent, pn: Array[Double], ps: Array[String]): Unit = {
+    val nn = needNum(slot)
+    var j = 0
+    while (j < nn.length) { pn(numOff(slot) + j) = numProj(x, nn(j)); j += 1 }
+    val ns = needStr(slot)
+    j = 0
+    while (j < ns.length) { ps(strOff(slot) + j) = strProj(x, ns(j)); j += 1 }
   }
 
-  private val startConfig = Config(nfa.start, Map.empty, taken = false)
-  private val copies: Array[mutable.LinkedHashMap[Key, Config]] =
-    Array.fill(W)(mutable.LinkedHashMap.empty)
-  // double-buffered work map per copy: cleared and swapped each step
-  // instead of allocating a fresh map per copy per event
-  private val work: Array[mutable.LinkedHashMap[Key, Config]] =
-    Array.fill(W)(mutable.LinkedHashMap.empty)
+  // ------------------------------------------------- guard compilation
+  // Sentences are compiled ONCE at construction into closures over the
+  // (event, register-array) pair — the per-event path never touches the
+  // Sentence ADT or builds a Map[String, CEvent] (the reference evaluates
+  // formula trees per configuration too, DSRAStreaming.scala:115-236; the
+  // compile-to-closure step is this runtime's throughput lever).
+  private type Guard = (CEvent, Array[CEvent]) => Boolean
 
-  /** Total live configurations across copies (boundedness is asserted in
-    * DsraSpec: ≤ |Q| × (window+1)^registers per copy). */
+  // Register-FREE guard subtrees depend only on the event, so their truth
+  // is computed ONCE per event (the SDFA path's symbol evaluation) instead
+  // of once per configuration per copy: each distinct subtree gets a slot
+  // in `preVals`, refreshed at the top of step(), and the compiled guard
+  // is a slot read. With W staggered copies this removes a W×|configs|
+  // factor from every event-only predicate evaluation.
+  private val preGuards = scala.collection.mutable.ArrayBuffer.empty[CEvent => Boolean]
+  private val preSlots = scala.collection.mutable.HashMap.empty[Sentence, Int]
+  // ... and the EVENT-side attribute read of a register predicate is also
+  // config-invariant: hoist e.numberOf(attr)/e.stringOf(attr) into a
+  // per-event slot so the per-config closure only touches the STORED event
+  private val numAttrs = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val numSlots = scala.collection.mutable.HashMap.empty[String, Int]
+  private val strAttrs = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val strSlots = scala.collection.mutable.HashMap.empty[String, Int]
+  private def numSlot(a: String): Int =
+    numSlots.getOrElseUpdate(a, { numAttrs += a; numAttrs.length - 1 })
+  private def strSlot(a: String): Int =
+    strSlots.getOrElseUpdate(a, { strAttrs += a; strAttrs.length - 1 })
+
+  private def compilePred(p: Predicate): Guard = p match {
+    case Predicate.EQAttr(a, r) =>
+      val i = regIdx(r); val n = numSlot(a)
+      (_, v) => { val x = v(i); x != null && preNums(n) == x.numberOf(a) }
+    case Predicate.GTAttr(a, r) =>
+      val i = regIdx(r); val n = numSlot(a)
+      (_, v) => { val x = v(i); x != null && preNums(n) > x.numberOf(a) }
+    case Predicate.LTAttr(a, r) =>
+      val i = regIdx(r); val n = numSlot(a)
+      (_, v) => { val x = v(i); x != null && preNums(n) < x.numberOf(a) }
+    case Predicate.EQAttrStr(a, r) =>
+      val i = regIdx(r); val n = strSlot(a)
+      (_, v) => { val x = v(i); x != null && preStrs(n) == x.stringOf(a) }
+    case p if p.registersRead.isEmpty =>
+      (e, _) => p.eval(e)
+    case p => // closed-ADT safety net: rebuild the Map view (never hit —
+      // the four register predicates above are the whole register family)
+      (e, v) => {
+        var m = Map.empty[String, CEvent]
+        var i = 0
+        while (i < R) { if (v(i) != null) m = m.updated(regNames(i), v(i)); i += 1 }
+        p.eval(e, m)
+      }
+  }
+
+  private def compileSentence(s: Sentence): Guard =
+    if (s.registersRead.isEmpty) {
+      val slot = preSlots.getOrElseUpdate(s, {
+        preGuards += ((e: CEvent) => s.eval(e))
+        preGuards.length - 1
+      })
+      (_, _) => preVals(slot)
+    } else s match {
+      case Sentence.Atomic(p) => compilePred(p)
+      case Sentence.And(ss) =>
+        val gs = ss.map(compileSentence).toArray
+        (e, v) => { var i = 0; var ok = true; while (ok && i < gs.length) { ok = gs(i)(e, v); i += 1 }; ok }
+      case Sentence.Or(ss) =>
+        val gs = ss.map(compileSentence).toArray
+        (e, v) => { var i = 0; var hit = false; while (!hit && i < gs.length) { hit = gs(i)(e, v); i += 1 }; hit }
+      case Sentence.Not(s0) =>
+        val g = compileSentence(s0); (e, v) => !g(e, v)
+    }
+
+  /** One compiled transition: guard closure + dense metadata. `reg` is the
+    * register slot written (-1 = none); non-co-reachable destinations and
+    * ε-transitions (guard = None never fires on an event) are dropped at
+    * build time instead of re-checked per event.
+    */
+  private final class CTrans(
+      val dst: Int, val take: Boolean, val reg: Int, val isFinal: Boolean, val guard: Guard)
+
+  private val maxState: Int = (nfa.states + nfa.start).max
+  private val byState: Array[Array[CTrans]] = {
+    val a = Array.fill(maxState + 1)(Array.empty[CTrans])
+    nfa.bySrc.foreach { case (src, ts) =>
+      a(src) = ts.collect {
+        case t if t.guard.isDefined && nfa.coReachable.contains(t.dst) =>
+          new CTrans(t.dst, t.take, t.register.map(regIdx).getOrElse(-1),
+            nfa.finals.contains(t.dst), compileSentence(t.guard.get))
+      }.toArray
+    }
+    a
+  }
+
+  // sized AFTER byState compilation registered every slot
+  private val preVals: Array[Boolean] = new Array[Boolean](preGuards.length)
+  private val preGuardArr: Array[CEvent => Boolean] = preGuards.toArray
+  private val preNums: Array[Double] = new Array[Double](numAttrs.length)
+  private val numAttrArr: Array[String] = numAttrs.toArray
+  private val preStrs: Array[String] = new Array[String](strAttrs.length)
+  private val strAttrArr: Array[String] = strAttrs.toArray
+
+  /** One deterministic configuration: NSRA state, concrete registers
+    * (fixed-arity, null = unbound) with their flattened read projections,
+    * and whether the run has consumed a TAKE event (final + taken = a
+    * match). The configuration IS its own dedup key: identity =
+    * (state, taken, per-slot bound-ness, projection values) — see the
+    * projection-table comment above. Unbound slots keep deterministic
+    * zero/null projection sections, so projection equality never confuses
+    * bound and unbound slots (bound-ness is compared first). hashCode is
+    * precomputed at construction; doubles compare bitwise (Arrays.equals),
+    * matching Double.hashCode, so NaN projections dedup consistently.
+    */
+  private final class Config(
+      val state: Int, val regs: Array[CEvent], val taken: Boolean,
+      val projNum: Array[Double], val projStr: Array[String]) {
+    override val hashCode: Int = {
+      var h = state * 31 + (if (taken) 1 else 0)
+      var i = 0
+      while (i < regs.length) {
+        val x = regs(i)
+        h = h * 31 + (if (x == null) 7
+          else if (idKeyed) java.lang.Long.hashCode(x.id) else 13)
+        i += 1
+      }
+      i = 0
+      while (i < projNum.length) { h = h * 31 + java.lang.Double.hashCode(projNum(i)); i += 1 }
+      i = 0
+      while (i < projStr.length) {
+        val x = projStr(i); h = h * 31 + (if (x == null) 0 else x.hashCode); i += 1
+      }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case c: Config => c.state == state && c.taken == taken && sameRegs(c) &&
+        java.util.Arrays.equals(c.projNum, projNum) && sameStr(c.projStr)
+      case _ => false
+    }
+    private def sameRegs(c: Config): Boolean = {
+      var i = 0
+      while (i < regs.length) {
+        val a = regs(i); val b = c.regs(i)
+        if ((a == null) != (b == null)) return false
+        if (idKeyed && a != null && a.id != b.id) return false
+        i += 1
+      }
+      true
+    }
+    private def sameStr(o: Array[String]): Boolean = {
+      var i = 0
+      while (i < projStr.length) { if (projStr(i) != o(i)) return false; i += 1 }
+      true
+    }
+  }
+
+  private val startConfig = new Config(nfa.start, new Array[CEvent](R), taken = false,
+    new Array[Double](totNum), new Array[String](totStr))
+  // java.util.LinkedHashSet of self-keyed Configs: deterministic
+  // insertion-order iteration, add() = dedup + insert in one hash op
+  private val copies: Array[java.util.LinkedHashSet[Config]] =
+    Array.fill(W)(new java.util.LinkedHashSet[Config])
+  // double-buffered work set per copy: cleared and swapped each step
+  // instead of allocating a fresh set per copy per event
+  private val work: Array[java.util.LinkedHashSet[Config]] =
+    Array.fill(W)(new java.util.LinkedHashSet[Config])
+
+  /** Total live configurations across copies. Projection-keyed identity
+    * bounds this by |Q| × (|read-value domain|+1)^registers per copy —
+    * never worse than the (window+1)^registers id-keyed bound asserted in
+    * DsraSpec, and independent of the window when values repeat. */
   def activeConfigs: Int = copies.map(_.size).sum
 
   def reset(): Unit = copies.foreach(_.clear())
@@ -108,15 +298,26 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
     * valuations, reference DSRAStreaming Configuration payloads). */
   def snapshot: DsraRunState =
     DsraRunState(counter, copies.zipWithIndex.toSeq.flatMap { case (m, w) =>
-      m.values.map(c => DsraConfigState(w, c.state, c.valuation, c.taken))
+      import scala.jdk.CollectionConverters._
+      m.asScala.map { c =>
+        val reg = (0 until R).collect {
+          case i if c.regs(i) != null => regNames(i) -> c.regs(i)
+        }.toMap
+        DsraConfigState(w, c.state, reg, c.taken)
+      }
     })
 
   def restore(s: DsraRunState): Unit = {
     counter = s.counter
     reset()
     s.configs.foreach { cs =>
-      val c = Config(cs.state, cs.registers, cs.taken)
-      copies(cs.copy).update(keyOf(c), c)
+      val regs = new Array[CEvent](R)
+      val pn = new Array[Double](totNum)
+      val ps = new Array[String](totStr)
+      cs.registers.foreach { case (n, e) =>
+        val i = regIdx(n); regs(i) = e; writeProj(i, e, pn, ps)
+      }
+      copies(cs.copy).add(new Config(cs.state, regs, cs.taken, pn, ps))
     }
   }
 
@@ -127,6 +328,14 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
   def step(e: CEvent): Option[Detection] = {
     if (e.isReset) { reset(); return None }
     counter += 1
+    // evaluate every register-free guard subtree and event-side attribute
+    // read once for this event
+    var g = 0
+    while (g < preGuardArr.length) { preVals(g) = preGuardArr(g)(e); g += 1 }
+    g = 0
+    while (g < numAttrArr.length) { preNums(g) = e.numberOf(numAttrArr(g)); g += 1 }
+    g = 0
+    while (g < strAttrArr.length) { preStrs(g) = e.stringOf(strAttrArr(g)); g += 1 }
     var detected: Option[Detection] = None
     var w = 0
     while (w < W) {
@@ -134,24 +343,29 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
       if ((counter - 1) % W == w) copy.clear() // block boundary: fresh start
       val next = work(w)
       next.clear()
-      def advance(c: Config): Unit =
-        nfa.bySrc(c.state).foreach { t =>
-          if (nfa.coReachable.contains(t.dst) && t.guard.exists(_.eval(e, c.valuation))) {
-            val nv = t.register match {
-              case Some(r) => c.valuation.updated(r, e)
-              case None    => c.valuation
-            }
-            val nc = Config(t.dst, nv, c.taken || t.take)
-            val k = keyOf(nc)
-            if (!next.contains(k)) {
-              next(k) = nc
-              if (detected.isEmpty && nfa.finals.contains(nc.state) && nc.taken)
-                detected = Some(Detection(partition, counter, e.id, e.timestamp, nc.state))
-            }
+      def advance(c: Config): Unit = {
+        val ts = byState(c.state)
+        var i = 0
+        while (i < ts.length) {
+          val t = ts(i)
+          if (t.guard(e, c.regs)) {
+            val nc =
+              if (t.reg >= 0) {
+                val a = java.util.Arrays.copyOf(c.regs, R); a(t.reg) = e
+                val pn = java.util.Arrays.copyOf(c.projNum, totNum)
+                val ps = java.util.Arrays.copyOf(c.projStr, totStr)
+                writeProj(t.reg, e, pn, ps)
+                new Config(t.dst, a, c.taken || t.take, pn, ps)
+              } else new Config(t.dst, c.regs, c.taken || t.take, c.projNum, c.projStr)
+            if (next.add(nc) && detected.isEmpty && t.isFinal && nc.taken)
+              detected = Some(Detection(partition, counter, e.id, e.timestamp, nc.state))
           }
+          i += 1
         }
+      }
       advance(startConfig)
-      copy.valuesIterator.foreach(advance)
+      val it = copy.iterator()
+      while (it.hasNext) advance(it.next())
       // swap the buffers: next becomes the live set, the old live set is
       // the next step's (cleared) work map
       copies(w) = next

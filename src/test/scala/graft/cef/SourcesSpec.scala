@@ -2,6 +2,7 @@ package graft.cef
 
 import graft.cef.spark.Sources
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.sum
 import org.scalatest.flatspec.AnyFlatSpec
 import org.scalatest.matchers.should.Matchers
 import org.scalatest.BeforeAndAfterAll
@@ -145,5 +146,34 @@ class SourcesSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     events.head.numberOf("amount") shouldBe 4.5
     events.head.stringOf("page") shouldBe "home"
     events(1).id should be > events.head.id // arrival-order counter
+  }
+
+  // S13: the JDBC match sink (reference db/DBConnector.scala, off by
+  // default) — full write → read-back round trip against an embedded
+  // in-memory Derby database (the JDBC stack Spark ships for its own
+  // metastore, so no extra dependency).
+  "the JDBC match sink" should "round-trip detections through an embedded Derby database" in {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftMatches;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // Derby maps StringType to CLOB by default, which it then refuses to
+    // compare against literals — give the string columns concrete VARCHARs
+    props.setProperty("createTableColumnTypes", "key VARCHAR(64), pattern VARCHAR(64)")
+    val matches = Seq(
+      (1L, "227592820", "communicationGap", 1443650402L, 1443650500L),
+      (2L, "227592820", "communicationGap", 1443650600L, 1443650700L),
+      (3L, "259019000", "fishingTrip", 1443650300L, 1443650900L))
+      .toDF("match_id", "key", "pattern", "start_ts", "end_ts")
+    Sources.jdbcMatchSink(matches, url, "matches", props)
+    // append mode: a second batch lands in the same table
+    Sources.jdbcMatchSink(matches.filter($"match_id" === 3L), url, "matches", props)
+
+    val back = spark.read.jdbc(url, "matches", props)
+    back.count() shouldBe 4
+    back.schema.fieldNames.sorted shouldBe Array("end_ts", "key", "match_id", "pattern", "start_ts")
+    back.filter($"match_id" === 3L).count() shouldBe 2
+    back.filter($"key" === "227592820").select(sum($"end_ts" - $"start_ts"))
+      .head.getLong(0) shouldBe 198L
   }
 }

@@ -73,7 +73,7 @@ class ThroughputSpec extends AnyFlatSpec with Matchers {
     rate should be > 50000.0
   }
 
-  it should "sustain the DSRA register runtime at >20k events/s" in {
+  it should "sustain the DSRA register runtime at >150k events/s" in {
     // W staggered copies each advancing a config set: the deterministic
     // register path must stay in the usable range (the enumeration
     // runtime is the throughput ceiling; DSRA trades constant work per
@@ -97,6 +97,8 @@ class ThroughputSpec extends AnyFlatSpec with Matchers {
     val rate = events.length / secs
     info(f"DSRA runtime: ${rate / 1e3}%.0f k events/s ($detections detections)")
     detections should be > 0L
-    rate should be > 20000.0
+    // measured ~350-450k ev/s on this stream after the compiled-guard +
+    // projection-keyed-config pass; guard leaves headroom for slow CI
+    rate should be > 150000.0
   }
 }
