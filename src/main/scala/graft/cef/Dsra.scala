@@ -1,63 +1,52 @@
 package graft.cef
 
 
-/** C10: deterministic streaming runtime for count-windowed register (SREMO)
-  * patterns — the DSRA path.
+/** C10: deterministic streaming runtime for windowed register (SREMO)
+  * patterns — the DSRA path, count AND time windows.
   *
   * The reference makes register patterns forecastable by unrolling the NSRA
   * over the window and determinizing to a DSRA, then running WINDOW
   * staggered copies of it whose per-copy state forms a hyper-state
   * (fsm/symbolic/sra/nsra/NSRAUtils.scala:1-637,
-  * dsra/DSRAStreaming.scala:58-315): copy w restarts at stream positions
-  * ≡ w (mod window), so every window-aligned block is owned by exactly one
-  * copy and any match whose span fits the window lies inside some copy's
-  * current block.
+  * dsra/DSRAStreaming.scala:58-315) — a design tied to count windows
+  * (copies restart every (window)th event) whose cost multiplies by the
+  * window length.
   *
-  * This runtime keeps the same staggered-copies shape but performs the
-  * determinization LAZILY: each copy holds the set of reachable
-  * (state, valuation) configurations, advanced as a pure function of the
-  * event — the execution strategy symbolic-automata determinization uses
-  * when the alphabet is infinite (and what the reference's Configuration
-  * objects carry at runtime, DSRAStreaming.scala:115-236). Unlike the
-  * enumeration runtime there are no per-match threads: the configuration
-  * population is bounded by |Q| × (window+1)^registers per copy regardless
-  * of how many matches overlap, which is what makes the path deterministic
-  * and forecast-ready.
+  * This runtime performs the determinization LAZILY instead: ONE set of
+  * reachable (state, valuation) configurations, advanced as a pure
+  * function of the event (the execution strategy symbolic-automata
+  * determinization uses when the alphabet is infinite, and what the
+  * reference's Configuration objects carry, DSRAStreaming.scala:115-236),
+  * with the window enforced per configuration through the first-TAKE
+  * anchor — exactly the enumeration runtime's windowOk rule
+  * (Runtime.scala `MatchRun.step`): a configuration whose span already
+  * exceeds the window is dead and dropped before advancing. Configurations
+  * that agree on (state, taken, register read-projections) are
+  * future-equivalent and merge keeping the LATEST anchor (the most
+  * window-permissive representative dominates: it detects a superset of
+  * the others' completions, and its completions are genuine matches).
   *
-  * Supported class: the surface language's windowed SREMO patterns (whose
-  * only non-TAKE transitions are self-loops). [[graft.cef.spark.Detect.
-  * detectionsDsra]] runs it per key; DsraSpec pins detection-point
-  * equivalence against the enumeration runtime.
+  * Unlike the enumeration runtime there are no per-match threads: the
+  * population is bounded by |Q| × (|read-value domain|+1)^registers —
+  * independent of the window length AND of match overlap, which is what
+  * makes the path deterministic and forecast-ready. Unlike the reference's
+  * staggered copies there is no ×window work factor, time windows work
+  * identically to count windows, and patterns with pre-take IGNORE
+  * advances are fine (the anchor starts the window at the first TAKE
+  * wherever it happens).
+  *
+  * [[graft.cef.spark.Detect.detectionsDsra]] runs it per key; DsraSpec
+  * pins detection-point equivalence against the enumeration runtime for
+  * both window kinds.
   */
 final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializable {
-  require(cp.window > 0 && cp.windowKind == WindowKind.Count,
-    "the DSRA path needs a count window — unwindowed register patterns are not determinizable " +
-      "(reference DSRAStreaming unrolls over the window)")
-  // Enforce the documented supported class rather than silently missing
-  // matches: the block-ownership argument needs every consumed event of a
-  // match inside one window. The window is measured from the first TAKE,
-  // so post-take IGNORE advances (skip-till-any's skip region) are fine;
-  // what breaks it is an IGNORE transition that ADVANCES state while still
-  // pre-take (reachable from start through IGNOREs only) — the match would
-  // consume events before its window starts. The surface language's
-  // windowed SREMO patterns have none; complement-compiled IGNORE chains
-  // at the pattern head do.
-  require({
-    val nfa0 = cp.snfa
-    var preTake = Set(nfa0.start)
-    var grew = true
-    while (grew) {
-      val nxt = preTake ++ nfa0.trans.collect {
-        case t if !t.take && preTake.contains(t.src) => t.dst
-      }
-      grew = nxt.size != preTake.size
-      preTake = nxt
-    }
-    nfa0.trans.forall(t => t.take || !preTake.contains(t.src) || t.src == t.dst)
-  }, "pattern has pre-take state-advancing IGNORE transitions — its consumed span can " +
-    "exceed the window measured from the first TAKE; use the match-enumeration runtime")
+  require(cp.window > 0,
+    "the DSRA path needs a window ({window:N}{windowType:count|time}) — an unwindowed " +
+      "register pattern keeps every taken configuration alive forever; use the " +
+      "match-enumeration runtime")
 
-  private val W = cp.window.toInt
+  private val W: Long = cp.window
+  private val timeWindowed: Boolean = cp.windowKind == WindowKind.Time
   private val nfa = cp.snfa
   private var counter = 0L
 
@@ -236,6 +225,12 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
   private final class Config(
       val state: Int, val regs: Array[CEvent], val taken: Boolean,
       val projNum: Array[Double], val projStr: Array[String]) {
+    /** counter (count windows) or timestamp (time windows) of the first
+      * TAKE; -1 while pre-take. NOT part of identity: merged equal
+      * configurations keep the max (latest window, dominating
+      * representative). */
+    var anchor: Long = -1L
+
     override val hashCode: Int = {
       var h = state * 31 + (if (taken) 1 else 0)
       var i = 0
@@ -277,35 +272,34 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
 
   private val startConfig = new Config(nfa.start, new Array[CEvent](R), taken = false,
     new Array[Double](totNum), new Array[String](totStr))
-  // java.util.LinkedHashSet of self-keyed Configs: deterministic
-  // insertion-order iteration, add() = dedup + insert in one hash op
-  private val copies: Array[java.util.LinkedHashSet[Config]] =
-    Array.fill(W)(new java.util.LinkedHashSet[Config])
-  // double-buffered work set per copy: cleared and swapped each step
-  // instead of allocating a fresh set per copy per event
-  private val work: Array[java.util.LinkedHashSet[Config]] =
-    Array.fill(W)(new java.util.LinkedHashSet[Config])
+  // java.util.LinkedHashMap keyed by the self-keyed Config: deterministic
+  // insertion-order iteration, putIfAbsent = dedup + insert in one hash op
+  // (map, not set, so a merge can reach the kept config to raise its anchor)
+  private var live = new java.util.LinkedHashMap[Config, Config]
+  // double-buffered work map: cleared and swapped each step instead of
+  // allocating a fresh map per event
+  private var work = new java.util.LinkedHashMap[Config, Config]
 
-  /** Total live configurations across copies. Projection-keyed identity
-    * bounds this by |Q| × (|read-value domain|+1)^registers per copy —
-    * never worse than the (window+1)^registers id-keyed bound asserted in
-    * DsraSpec, and independent of the window when values repeat. */
-  def activeConfigs: Int = copies.map(_.size).sum
+  /** Total live configurations. Projection-keyed identity bounds this by
+    * |Q| × (|read-value domain|+1)^registers — independent of the window
+    * length and of match overlap (DsraSpec asserts the legacy
+    * window-derived bound, which is looser). */
+  def activeConfigs: Int = live.size
 
-  def reset(): Unit = copies.foreach(_.clear())
+  def reset(): Unit = live.clear()
 
-  /** Snapshot/restore for streaming GroupState (the hyper-state +
-    * valuations, reference DSRAStreaming Configuration payloads). */
-  def snapshot: DsraRunState =
-    DsraRunState(counter, copies.zipWithIndex.toSeq.flatMap { case (m, w) =>
-      import scala.jdk.CollectionConverters._
-      m.asScala.map { c =>
-        val reg = (0 until R).collect {
-          case i if c.regs(i) != null => regNames(i) -> c.regs(i)
-        }.toMap
-        DsraConfigState(w, c.state, reg, c.taken)
-      }
+  /** Snapshot/restore for streaming GroupState (the configuration set +
+    * valuations + window anchors, reference DSRAStreaming Configuration
+    * payloads). */
+  def snapshot: DsraRunState = {
+    import scala.jdk.CollectionConverters._
+    DsraRunState(counter, live.keySet.asScala.toSeq.map { c =>
+      val reg = (0 until R).collect {
+        case i if c.regs(i) != null => regNames(i) -> c.regs(i)
+      }.toMap
+      DsraConfigState(c.state, reg, c.taken, c.anchor)
     })
+  }
 
   def restore(s: DsraRunState): Unit = {
     counter = s.counter
@@ -317,7 +311,10 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
       cs.registers.foreach { case (n, e) =>
         val i = regIdx(n); regs(i) = e; writeProj(i, e, pn, ps)
       }
-      copies(cs.copy).add(new Config(cs.state, regs, cs.taken, pn, ps))
+      val c = new Config(cs.state, regs, cs.taken, pn, ps)
+      c.anchor = cs.anchor
+      val prev = live.putIfAbsent(c, c)
+      if (prev != null && cs.anchor > prev.anchor) prev.anchor = cs.anchor
     }
   }
 
@@ -337,48 +334,56 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
     g = 0
     while (g < strAttrArr.length) { preStrs(g) = e.stringOf(strAttrArr(g)); g += 1 }
     var detected: Option[Detection] = None
-    var w = 0
-    while (w < W) {
-      val copy = copies(w)
-      if ((counter - 1) % W == w) copy.clear() // block boundary: fresh start
-      val next = work(w)
-      next.clear()
-      def advance(c: Config): Unit = {
-        val ts = byState(c.state)
-        var i = 0
-        while (i < ts.length) {
-          val t = ts(i)
-          if (t.guard(e, c.regs)) {
-            val nc =
-              if (t.reg >= 0) {
-                val a = java.util.Arrays.copyOf(c.regs, R); a(t.reg) = e
-                val pn = java.util.Arrays.copyOf(c.projNum, totNum)
-                val ps = java.util.Arrays.copyOf(c.projStr, totStr)
-                writeProj(t.reg, e, pn, ps)
-                new Config(t.dst, a, c.taken || t.take, pn, ps)
-              } else new Config(t.dst, c.regs, c.taken || t.take, c.projNum, c.projStr)
-            if (next.add(nc) && detected.isEmpty && t.isFinal && nc.taken)
-              detected = Some(Detection(partition, counter, e.id, e.timestamp, nc.state))
-          }
-          i += 1
-        }
+    val next = work
+    next.clear()
+    def advance(c: Config): Unit = {
+      // the enumeration runtime's windowOk rule (MatchRun.step): a config
+      // whose first-TAKE span already reaches the window cannot complete
+      // any more matches — drop it instead of advancing (dead run)
+      if (c.anchor != -1L) {
+        val diff = if (timeWindowed) math.abs(e.timestamp - c.anchor) else counter - c.anchor
+        if (diff >= W) return
       }
-      advance(startConfig)
-      val it = copy.iterator()
-      while (it.hasNext) advance(it.next())
-      // swap the buffers: next becomes the live set, the old live set is
-      // the next step's (cleared) work map
-      copies(w) = next
-      work(w) = copy
-      w += 1
+      val ts = byState(c.state)
+      var i = 0
+      while (i < ts.length) {
+        val t = ts(i)
+        if (t.guard(e, c.regs)) {
+          val nc =
+            if (t.reg >= 0) {
+              val a = java.util.Arrays.copyOf(c.regs, R); a(t.reg) = e
+              val pn = java.util.Arrays.copyOf(c.projNum, totNum)
+              val ps = java.util.Arrays.copyOf(c.projStr, totStr)
+              writeProj(t.reg, e, pn, ps)
+              new Config(t.dst, a, c.taken || t.take, pn, ps)
+            } else new Config(t.dst, c.regs, c.taken || t.take, c.projNum, c.projStr)
+          nc.anchor =
+            if (c.taken) c.anchor
+            else if (t.take) { if (timeWindowed) e.timestamp else counter }
+            else -1L
+          val prev = next.putIfAbsent(nc, nc)
+          if (prev == null) {
+            if (detected.isEmpty && t.isFinal && nc.taken)
+              detected = Some(Detection(partition, counter, e.id, e.timestamp, nc.state))
+          } else if (nc.anchor > prev.anchor) prev.anchor = nc.anchor // keep the dominating window
+        }
+        i += 1
+      }
     }
+    advance(startConfig)
+    val it = live.values.iterator()
+    while (it.hasNext) advance(it.next())
+    // swap the buffers: next becomes the live set, the old live set is
+    // the next step's (cleared) work map
+    work = live
+    live = next
     detected
   }
 }
 
-/** One serialized DSRA configuration (copy index + state + registers). */
+/** One serialized DSRA configuration (state + registers + window anchor). */
 final case class DsraConfigState(
-    copy: Int, state: Int, registers: Map[String, CEvent], taken: Boolean)
+    state: Int, registers: Map[String, CEvent], taken: Boolean, anchor: Long)
 
 /** Serializable snapshot of a [[DsraRun]] — the streaming GroupState payload. */
 final case class DsraRunState(counter: Long, configs: Seq[DsraConfigState])

@@ -39,6 +39,9 @@ object Cef {
     ";(GTPredicate(value,120.0),LTPredicate(value,10.0))")
   private lazy val pSremo = Compiler.compileMatchOnly(
     """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""")
+  // 200,000 s in engine micros — the DSRA path's time-window variant
+  private lazy val pSremoTime = Compiler.compileMatchOnly(
+    """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:200000000000}{windowType:time}""")
   private lazy val pJsonAttr = Compiler.compile(
     ";(GTPredicate(k,80.0),LTPredicate(k,20.0))")
   private lazy val pComplexSent = Compiler.compile(
@@ -271,6 +274,25 @@ object Cef {
          |WHERE a.value > 120.0 AND p.value > a.value
          |ORDER BY a.user_id, counter""".stripMargin) { (s, dir) =>
       Detect.detectionsDsra(events(s, dir), pSremo).toDF()
+        .select(col("partition").cast("long").as("user_id"),
+          col("counter"), col("eventId").as("event_id"))
+        .orderBy(col("user_id"), col("counter"))
+    },
+
+    // C10 deterministic path, TIME window: the same register pattern with
+    // the window measured on event time (200,000 s in engine micros) —
+    // the per-config first-TAKE anchor enforces it identically to the
+    // count case (reference windowed SREM semantics; DsraSpec pins the
+    // cross-runtime equivalence for both window kinds).
+    Q("cef19_sremo_time",
+      s"""$RnCte
+         |SELECT DISTINCT a.user_id AS user_id, p.rn AS counter, p.event_id AS event_id
+         |FROM b a JOIN b p
+         |  ON a.user_id = p.user_id AND p.rn > a.rn
+         | AND epoch_us(p.ts) - epoch_us(a.ts) < 200000000000
+         |WHERE a.value > 120.0 AND p.value > a.value
+         |ORDER BY a.user_id, counter""".stripMargin) { (s, dir) =>
+      Detect.detectionsDsra(events(s, dir), pSremoTime).toDF()
         .select(col("partition").cast("long").as("user_id"),
           col("counter"), col("eventId").as("event_id"))
         .orderBy(col("user_id"), col("counter"))

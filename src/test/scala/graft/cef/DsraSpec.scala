@@ -22,7 +22,12 @@ class DsraSpec extends AnyFlatSpec with Matchers {
   private val patterns = Seq(
     """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""",
     """#(;(GTPredicate(value,100.0)["x"],EQAttrPredicate(value,"x"))){window:5}{windowType:count}""",
-    """#(;(GTPredicate(value,80.0)["x"],GTAttrPredicate(value,"x"),LTAttrPredicate(value,"x"))){window:8}{windowType:count}""")
+    """#(;(GTPredicate(value,80.0)["x"],GTAttrPredicate(value,"x"),LTAttrPredicate(value,"x"))){window:8}{windowType:count}""",
+    // time windows: the runtime counter skips RESET positions while the
+    // timestamps (= stream position) do not, so count and time windows
+    // genuinely differ on streams with resets
+    """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:time}""",
+    """#(;(GTPredicate(value,90.0)["x"],LTAttrPredicate(value,"x"))){window:6}{windowType:time}""")
 
   "the DSRA runtime" should "detect exactly the enumeration runtime's completion points" in {
     patterns.foreach { pt =>
@@ -62,7 +67,8 @@ class DsraSpec extends AnyFlatSpec with Matchers {
       val op = ops(rnd.nextInt(ops.size))
       val extra = // sometimes a 3-step pattern with a second register read
         if (rnd.nextBoolean()) "" else s""",${ops(rnd.nextInt(ops.size))}(value,"x")"""
-      val pt = s"""#(;(GTPredicate(value,$c.0)["x"],$op(value,"x")$extra)){window:$w}{windowType:count}"""
+      val wt = if (rnd.nextBoolean()) "count" else "time"
+      val pt = s"""#(;(GTPredicate(value,$c.0)["x"],$op(value,"x")$extra)){window:$w}{windowType:$wt}"""
       val cp = Compiler.compileMatchOnly(pt)
       val events = stream(80)
       val mr = new MatchRun(cp, "k")

@@ -73,11 +73,11 @@ class ThroughputSpec extends AnyFlatSpec with Matchers {
     rate should be > 50000.0
   }
 
-  it should "sustain the DSRA register runtime at >150k events/s" in {
-    // W staggered copies each advancing a config set: the deterministic
-    // register path must stay in the usable range (the enumeration
-    // runtime is the throughput ceiling; DSRA trades constant work per
-    // event for boundedness under overlap)
+  it should "sustain the DSRA register runtime at >500k events/s" in {
+    // one projection-keyed config set advanced per event: the
+    // deterministic register path must stay in the usable range (the
+    // enumeration runtime is the throughput ceiling; DSRA trades constant
+    // work per event for boundedness under overlap)
     val cp = Compiler.compileMatchOnly(
       """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""")
     val events = mkEvents(120000)
@@ -97,8 +97,9 @@ class ThroughputSpec extends AnyFlatSpec with Matchers {
     val rate = events.length / secs
     info(f"DSRA runtime: ${rate / 1e3}%.0f k events/s ($detections detections)")
     detections should be > 0L
-    // measured ~350-450k ev/s on this stream after the compiled-guard +
-    // projection-keyed-config pass; guard leaves headroom for slow CI
-    rate should be > 150000.0
+    // measured ~1.8M ev/s on this stream after the compiled-guard +
+    // projection-keyed-config + per-config-anchor pass (no staggered
+    // copies); guard leaves headroom for slow CI
+    rate should be > 500000.0
   }
 }
