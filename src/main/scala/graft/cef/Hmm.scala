@@ -217,3 +217,26 @@ object Hmm {
     (model, lls.toSeq)
   }
 }
+
+/** T6: the FSM-state HMM estimator's model (reference estimator/
+  * HMMEstimator/{FSMStateEstimator,IsoHMM}.scala — there the smile library
+  * fits a supervised HMM; here the supervised fit is exact MLE counting,
+  * distributed in [[graft.cef.spark.Train.learnFsmHmm]]).
+  *
+  * Hidden variable = the minterm symbol that fired (the isomorphism's
+  * encoding); observed variable = the SDFA state reached. Training
+  * sequences are the state/symbol windows ending whenever the run sits in
+  * a final state ("finals-based learning", FSMStateEstimator.scala:60-101),
+  * with depth = longest shortest path to a final + 1 — the unroll depth
+  * the reference derives from the automaton.
+  *
+  * @param hmm    supervised model: pi/a over symbols, b(symbol)(state)
+  * @param depth  training-window depth used at fit time
+  * @param nFsmStates observed-alphabet size (SDFA state count)
+  */
+final case class FsmHmm(hmm: Hmm, depth: Int, nFsmStates: Int) {
+  /** Likelihood of an observed SDFA state window under the fitted model. */
+  def stateWindowLogLikelihood(states: Seq[Int]): Double = hmm.logLikelihood(states)
+  /** Filtered belief over hidden minterm symbols given a state window. */
+  def symbolBelief(states: Seq[Int]): Array[Double] = hmm.belief(states)
+}

@@ -111,6 +111,90 @@ object Train {
       .count()
   }
 
+  /** T6: supervised FSM-state HMM estimator (reference estimator/
+    * HMMEstimator/FSMStateEstimator.scala:34-140) as a distributed count
+    * aggregation. Per key the SDFA is replayed; whenever the run sits in a
+    * final state, the last `depth` (symbol, state) steps form a training
+    * sequence (finals-based learning; depth = longest shortest path to a
+    * final + 1, the reference's unroll rule). Instead of shuffling the
+    * sequences, each emits its MLE count contributions — initial-symbol,
+    * symbol→symbol transition, symbol→state emission — and ONE
+    * groupBy().count() aggregates them (alphabet²-bounded shuffle, like
+    * the MLE matrix). The driver normalizes rows into the [[FsmHmm]].
+    */
+  def learnFsmHmm(events: Dataset[CEvent], cp: CompiledPattern): FsmHmm = {
+    val sdfa = cp.sdfa
+    val nSyms = sdfa.iso.size
+    val nSt = sdfa.nStates
+    val reachable = sdfa.shortestPathToFinal.filter(_ >= 0)
+    val depth = (if (reachable.isEmpty) 1 else reachable.max + 1).max(1)
+    implicit val tripleEnc: Encoder[(Int, Int, Int)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt)
+    val counts = events
+      .repartition(col("partition"))
+      .sortWithinPartitions(col("partition"), col("timestamp"), col("id"))
+      .mapPartitions { rows =>
+        var key: String = null
+        var state = sdfa.start
+        var symBuf: Array[Int] = null
+        var stBuf: Array[Int] = null
+        var len = 0
+        def clear(): Unit = { state = sdfa.start; len = 0 }
+        rows.flatMap { e =>
+          if (e.partition != key) {
+            key = e.partition
+            symBuf = new Array[Int](depth); stBuf = new Array[Int](depth)
+            clear()
+          }
+          if (e.isReset) { clear(); Iterator.empty }
+          else {
+            val sym = sdfa.iso.evaluate(e)
+            if (sym < 0) Iterator.empty
+            else {
+              state = sdfa.delta(state)(sym)
+              if (len == depth) {
+                System.arraycopy(symBuf, 1, symBuf, 0, depth - 1)
+                System.arraycopy(stBuf, 1, stBuf, 0, depth - 1)
+                len -= 1
+              }
+              symBuf(len) = sym; stBuf(len) = state; len += 1
+              if (sdfa.isFinal(state)) {
+                // one training sequence: pi + transition + emission counts
+                val out = List.newBuilder[(Int, Int, Int)]
+                out += ((0, symBuf(0), 0))
+                var i = 0
+                while (i < len) {
+                  out += ((2, symBuf(i), stBuf(i)))
+                  if (i > 0) out += ((1, symBuf(i - 1), symBuf(i)))
+                  i += 1
+                }
+                out.result().iterator
+              } else Iterator.empty
+            }
+          }
+        }
+      }
+      .groupByKey(x => x)
+      .count()
+      .collect() // model-sized: ≤ |Σ| + |Σ|² + |Σ|·|Q| distinct keys
+    def mleRows(n: Int, m: Int, kind: Int): Array[Array[Double]] = {
+      val a = Array.fill(n)(new Array[Double](m))
+      counts.foreach { case ((k, i, j), c) => if (k == kind) a(i)(j) += c.toDouble }
+      a.foreach { row =>
+        val s = row.sum
+        if (s > 0) { var j = 0; while (j < row.length) { row(j) /= s; j += 1 } }
+        else { var j = 0; while (j < row.length) { row(j) = 1.0 / row.length; j += 1 } }
+      }
+      a
+    }
+    val piCounts = new Array[Double](nSyms)
+    counts.foreach { case ((k, i, _), c) => if (k == 0) piCounts(i) += c.toDouble }
+    val piSum = piCounts.sum
+    val pi =
+      if (piSum > 0) piCounts.map(_ / piSum) else Array.fill(nSyms)(1.0 / nSyms)
+    FsmHmm(Hmm(pi, mleRows(nSyms, nSyms, 1), mleRows(nSyms, nSt, 2)), depth, nSt)
+  }
+
   def mleMarkovChain(events: Dataset[CEvent], cp: CompiledPattern): MarkovChain = {
     val counts = countTransitions(events, cp).collect()
     MarkovChain.mle(cp.sdfa.nStates, counts, cp.sdfa.finals)

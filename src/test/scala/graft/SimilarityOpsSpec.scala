@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.SimilarityOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** The trained-codebook IVF path: Lloyd rounds must produce a valid
+  * codebook behind the same (c_id, c_emb) interface, improve (or at least
+  * not worsen) the quantizer's objective vs the deterministic seeds, and
+  * plug into ivfTopK unchanged.
+  */
+class SimilarityOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]").appName("simops-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def emb = Tables(spark, sfDir, "embeddings")
+
+  /** Mean max-cosine of every corpus vector to its nearest centroid —
+    * the (spherical) quantizer objective. */
+  private def objective(cent: org.apache.spark.sql.DataFrame): Double =
+    emb.crossJoin(broadcast(cent))
+      .withColumn("cc", SimilarityOps.cosine(col("embedding"), col("c_emb")))
+      .groupBy(col("vec_id")).agg(max(col("cc")).as("best"))
+      .agg(avg(col("best"))).head.getDouble(0)
+
+  "lloydCentroids" should "train a valid codebook that improves on the seeds" in {
+    val k = 8
+    val seed = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_emb"))
+    val trained = SimilarityOps.lloydCentroids(emb, numCentroids = k, iters = 4)
+
+    trained.count() shouldBe k
+    val dims = trained.select(expr("size(c_emb)")).distinct().collect().map(_.getInt(0))
+    dims shouldBe Array(64)
+    // Lloyd rounds must not worsen the quantizer objective
+    objective(trained) should be >= objective(seed) - 1e-9
+  }
+
+  it should "plug into ivfTopK behind the same interface" in {
+    val trained = SimilarityOps.lloydCentroids(emb, numCentroids = 8, iters = 2)
+    val res = SimilarityOps.ivfTopK(
+      emb, emb.filter(col("vec_id") < 5), k = 3,
+      numCentroids = 8, nProbe = 2, centroids = Some(trained))
+    val rows = res.collect()
+    rows.map(_.getAs[Long]("query_id")).distinct.length shouldBe 5
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      g.map(_.getAs[Int]("rnk")).sorted shouldBe Array(1, 2, 3)
+    }
+  }
+}
