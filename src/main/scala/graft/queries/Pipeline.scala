@@ -24,8 +24,30 @@ object Pipeline {
     * verification is a two-pointer merge; no forced broadcast (the
     * signature table scales with the corpus, AQE picks broadcast at
     * small SF on its own).
+    *
+    * The eager checkpoint is memoized per (session, dir): a dedup
+    * pipeline materializes the pair table once and both the pair query
+    * and the grouping consume it — recomputing the whole LSH chain per
+    * query would double the dominant cost. The grouping query RELEASES
+    * the checkpoint when done (it runs after the pair query in registry
+    * order), so nothing stays pinned for the session.
     */
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  private val pairCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.synchronized {
+      pairCache.getOrElseUpdate((s, dir), nearDupPairsUncached(s, dir))
+    }
+
+  /** Drop the memo entry and free its checkpoint blocks. */
+  private def releaseNearDupPairs(s: SparkSession, dir: String): Unit =
+    pairCache.synchronized {
+      pairCache.remove((s, dir)).foreach(
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint)
+    }
+
+  private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame = {
     val sigs = t(s, dir, "documents")
       .select(col("doc_id"), sort_array(tokenHashes(col("text"))).as("hashes"))
       .withColumn("bands", bandKeys(minHashSig(col("hashes")), PairBands))
@@ -234,12 +256,11 @@ object Pipeline {
          |  SELECT * FROM r)
          |SELECT a AS doc_id, min(b) AS group_id, a = min(b) AS is_canonical
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val prs = nearDupPairs(s, dir)
       val grouped = DedupOps.neardupGroups(
-        t(s, dir, "documents"), "doc_id", prs, "id_a", "id_b")
+        t(s, dir, "documents"), "doc_id", nearDupPairs(s, dir), "id_a", "id_b")
       // grouping is fully materialized (checkpoint-backed) by now — the
       // pair set's own checkpoint blocks would otherwise outlive the query
-      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(prs)
+      releaseNearDupPairs(s, dir)
       grouped
         .withColumn("is_canonical", col("doc_id") === col("group_id"))
         .orderBy(col("doc_id"))
