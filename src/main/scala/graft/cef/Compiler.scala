@@ -48,7 +48,7 @@ object Compiler {
     * nondeterministic match-enumeration runtime evaluates register
     * predicates against each thread's valuation (reference NSRA,
     * fsm/symbolic/sra/nsra/NSRAUtils.scala). Count-windowed register
-    * patterns additionally run on the deterministic staggered-copies DSRA
+    * patterns additionally run on the deterministic anchor-windowed DSRA
     * runtime ([[DsraRun]], reference dsra/DSRAStreaming.scala).
     * The placeholder SDFA rejects everything; only `matches`/DSRA-style
     * runtimes are valid for these patterns.

@@ -122,8 +122,8 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
   // is computed ONCE per event (the SDFA path's symbol evaluation) instead
   // of once per configuration per copy: each distinct subtree gets a slot
   // in `preVals`, refreshed at the top of step(), and the compiled guard
-  // is a slot read. With W staggered copies this removes a W×|configs|
-  // factor from every event-only predicate evaluation.
+  // is a slot read — removing a |configs| factor from every event-only
+  // predicate evaluation.
   private val preGuards = scala.collection.mutable.ArrayBuffer.empty[CEvent => Boolean]
   private val preSlots = scala.collection.mutable.HashMap.empty[Sentence, Int]
   // ... and the EVENT-side attribute read of a register predicate is also

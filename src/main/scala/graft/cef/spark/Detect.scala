@@ -75,7 +75,7 @@ object Detect {
   }
 
   /** C10: deterministic detection for count-windowed register (SREMO)
-    * patterns via the staggered-copies DSRA runtime ([[graft.cef.DsraRun]]):
+    * patterns via the anchor-windowed DSRA runtime ([[graft.cef.DsraRun]]):
     * detection points with a bounded per-key configuration population —
     * the forecast-ready alternative to match enumeration.
     */

@@ -64,7 +64,7 @@ object Stream {
   }
 
   /** C10 deterministic register-pattern stream: the DSRA hyper-state
-    * (staggered copies + valuations) lives in GroupState, mirroring the
+    * (configuration set + valuations + window anchors) lives in GroupState, mirroring the
     * reference's DSRAStreaming Configuration payloads.
     */
   def detectionsDsra(events: Dataset[CEvent], cp: CompiledPattern): Dataset[Detection] = {

@@ -262,7 +262,7 @@ object Cef {
     },
 
     // C10 deterministic path: the same SREMO pattern through the
-    // staggered-copies DSRA runtime — detection points (one per completing
+    // anchor-windowed DSRA runtime — detection points (one per completing
     // event) instead of match enumerations, with a bounded per-key
     // configuration population (DsraRun; cross-runtime equivalence pinned
     // in DsraSpec).
