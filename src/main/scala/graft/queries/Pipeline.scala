@@ -473,6 +473,73 @@ object Pipeline {
         .orderBy(col("media_id"))
     },
 
+    // ------------------------------------------- text: normalization dedup
+    // Fuzzy-dedup preprocessing: character normalization (lowercase, strip
+    // non-alphanumerics, collapse runs of spaces) followed by the
+    // token-sort canonical form (sorted distinct tokens) — the bag-of-words
+    // fingerprint catches reordered/reworded near-duplicates that exact
+    // dedup misses. One groupBy on the fingerprint; the heavy text column
+    // never shuffles (only doc_id + fingerprint).
+    Q("p16_txt_normalize", {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+      s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
+         |h AS (SELECT doc_id, length(norm) AS norm_len,
+         |             ${polyHashSql("array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')")} AS bag_fp
+         |      FROM n),
+         |c AS (SELECT bag_fp, min(doc_id) AS canonical_id FROM h GROUP BY bag_fp)
+         |SELECT doc_id, norm_len, bag_fp, canonical_id,
+         |       doc_id <> canonical_id AS is_dup
+         |FROM h JOIN c USING (bag_fp) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val h = t(s, dir, "documents").select(
+        col("doc_id"),
+        length(norm).as("norm_len"),
+        polyHash(array_join(array_sort(array_distinct(split(norm, " "))), " ")).as("bag_fp"))
+      // canonical id as a window min over the fingerprint: ONE shuffle of
+      // the three narrow columns, and the normalization chain runs once
+      // (the groupBy+join-back shape would recompute it on both sides)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bag_fp"))
+      h.withColumn("canonical_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("norm_len"), col("bag_fp"), col("canonical_id"),
+          (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------- text: benchmark decontamination
+    // Training-data decontamination: flag corpus documents sharing ≥ 5
+    // distinct 3-gram shingles with the benchmark set (here: doc_id < 20
+    // stands in for an eval benchmark). Spark plan: the benchmark shingle
+    // set is tiny → broadcast hash join against the exploded corpus
+    // shingles; the shuffle carries only (doc_id, partial count) pairs —
+    // the 100 TB shape (corpus text scanned once, never shuffled).
+    Q("p17_txt_decontaminate", {
+      val sh = DedupOps.shingleHashesSql("text", 3)
+      s"""WITH sh AS (
+         |  SELECT doc_id, $sh AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |bl AS (SELECT list(DISTINCT h) AS hs
+         |       FROM (SELECT unnest(sh) AS h FROM sh WHERE doc_id < 20))
+         |SELECT doc_id,
+         |       CAST(len(list_intersect(sh, hs)) AS BIGINT) AS n_shared,
+         |       len(list_intersect(sh, hs)) >= 5 AS contaminated
+         |FROM sh CROSS JOIN bl WHERE doc_id >= 20 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.shingleHashes(col("text"), 3).as("sh"))
+      val bench = sh.filter(col("doc_id") < 20)
+        .select(explode(col("sh")).as("h")).distinct()
+      val corpus = sh.filter(col("doc_id") >= 20)
+      val counts = corpus.select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(broadcast(bench), "h")
+        .groupBy(col("doc_id")).agg(count(col("h")).as("n_shared"))
+      corpus.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") >= 5)
+        .orderBy(col("doc_id"))
+    },
+
     Q("p13_mm_frames", {
       s"""WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
          |                  octet_length(encode(text)) AS n_bytes FROM documents),
