@@ -100,6 +100,23 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("Union")
   }
 
+  "p16_txt_normalize" should "dedup via one window shuffle, no self-join" in {
+    val plan = planOf("p16_txt_normalize")
+    // the canonical id is a window min over the fingerprint: no join back
+    // to the normalized table (which would recompute the normalization
+    // chain on both sides)
+    plan should not include "Join"
+    plan should include("Window")
+  }
+
+  "p17_txt_decontaminate" should "broadcast the benchmark shingles against the corpus" in {
+    val plan = planOf("p17_txt_decontaminate")
+    // the benchmark side is broadcast; the corpus is scanned, never
+    // shuffled with its text payload
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
   "p14_sim_ivf_topk" should "cross only against the K-row centroid table, equi-join on the cell" in {
     val plan = planOf("p14_sim_ivf_topk")
     // the only nested-loop joins are the broadcasts against the K-row

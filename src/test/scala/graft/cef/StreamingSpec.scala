@@ -191,4 +191,32 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     streamOut shouldBe batchOut
     batchOut should not be empty
   }
+
+  it should "produce identical TIME-windowed DSRA detections streaming vs batch" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(17)
+    val events = (1 to 150).map { i =>
+      CEvent(i.toLong, "v", i.toLong * 10, s"u${rnd.nextInt(3)}",
+        Map("value" -> rnd.nextInt(200).toDouble), Map.empty)
+    }
+    // window of 80 time units over ts = i*10: spans ~8 events per key
+    // interleaving, so micro-batch boundaries land inside open windows
+    val cpT = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:80}{windowType:time}""")
+
+    val batchOut = Detect.detectionsDsra(events.toDS(), cpT).collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CEvent]
+    val q = Stream.detectionsDsra(mem.toDS(), cpT)
+      .writeStream.format("memory").queryName("dsra_time_stream")
+      .outputMode("append").start()
+    events.grouped(40).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    val streamOut = spark.table("dsra_time_stream").as[Detection].collect().toSet
+    q.stop()
+
+    streamOut shouldBe batchOut
+    batchOut should not be empty
+  }
 }
