@@ -113,6 +113,40 @@ final class MatchRun(
   /** states from which some final state is reachable */
   private val coReachable: Set[Int] = nfa.coReachable
 
+  /** One prepared transition: dead destinations and ε (guard = None never
+    * fires on an event) dropped at build time; `cacheSlot` ≥ 0 marks a
+    * register-FREE guard whose truth is event-only and therefore computed
+    * once per event in `guardVals` instead of once per thread (the
+    * dominant cost on high-overlap windowed patterns — thread counts grow
+    * with overlap, the distinct guard count does not).
+    */
+  private final class PTrans(
+      val t: NTrans, val cacheSlot: Int, val isFinal: Boolean)
+
+  private val cachedGuards = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[Sentence]
+    val idx = scala.collection.mutable.HashMap.empty[Sentence, Int]
+    (b, idx)
+  }
+  private val byState: Array[Array[PTrans]] = {
+    val maxState = (nfa.states + nfa.start).max
+    val a = Array.fill(maxState + 1)(Array.empty[PTrans])
+    nfa.bySrc.foreach { case (src, ts) =>
+      a(src) = ts.collect {
+        case t if t.guard.isDefined && coReachable.contains(t.dst) =>
+          val slot = t.guard.get match {
+            case g if g.registersRead.isEmpty =>
+              cachedGuards._2.getOrElseUpdate(g, { cachedGuards._1 += g; cachedGuards._1.length - 1 })
+            case _ => -1
+          }
+          new PTrans(t, slot, nfa.finals.contains(t.dst))
+      }.toArray
+    }
+    a
+  }
+  private val guardArr: Array[Sentence] = cachedGuards._1.toArray
+  private val guardVals: Array[Boolean] = new Array[Boolean](guardArr.length)
+
   def activeThreads: Int = threads.size
   /** Threads dropped by the population guard since construction. */
   def evictedThreads: Long = evicted
@@ -134,6 +168,9 @@ final class MatchRun(
   def step(e: CEvent): List[MatchOut] = {
     if (e.isReset) { reset(); return Nil }
     counter += 1
+    // event-only guard truth computed once per event, not once per thread
+    var g = 0
+    while (g < guardArr.length) { guardVals(g) = guardArr(g).eval(e); g += 1 }
     val out = mutable.ListBuffer[MatchOut]()
     val cand = MatchRun.Thread(nfa.start, Nil, Nil, Nil, Map.empty, -1L, -1L) :: threads
     val seen = mutable.HashSet[(Int, List[Long], List[Long])]()
@@ -150,8 +187,15 @@ final class MatchRun(
         diff < cp.window
       }
       if (windowOk) {
-        nfa.bySrc(th.state).foreach { t =>
-          if (coReachable.contains(t.dst) && t.guard.exists(_.eval(e, th.valuation))) {
+        val pts = byState(th.state)
+        var i = 0
+        while (i < pts.length) {
+          val pt = pts(i)
+          val t = pt.t
+          val fires =
+            if (pt.cacheSlot >= 0) guardVals(pt.cacheSlot)
+            else t.guard.get.eval(e, th.valuation)
+          if (fires) {
             // SREMO: a register-declaring transition stores the event
             val nextVal = t.register match {
               case Some(r) => th.valuation.updated(r, e)
@@ -163,13 +207,16 @@ final class MatchRun(
                 if (th.firstCounter == -1L) counter else th.firstCounter,
                 if (th.firstCounter == -1L) e.timestamp else th.firstTs)
               else th.copy(state = t.dst, valuation = nextVal)
-            val valKey = nt.valuation.values.map(_.id).toList.sorted
+            val valKey =
+              if (nt.valuation.isEmpty) Nil
+              else nt.valuation.values.map(_.id).toList.sorted
             if (seen.add((nt.state, nt.ids, valKey))) {
               nextThreads += nt
-              if (nfa.finals.contains(nt.state) && nt.ids.nonEmpty)
+              if (pt.isFinal && nt.ids.nonEmpty)
                 out += MatchOut(partition, nt.ids.reverse, nt.counters.reverse, nt.tss.last, nt.tss.head)
             }
           }
+          i += 1
         }
       }
     }
