@@ -68,7 +68,13 @@ class DsraSpec extends AnyFlatSpec with Matchers {
       val extra = // sometimes a 3-step pattern with a second register read
         if (rnd.nextBoolean()) "" else s""",${ops(rnd.nextInt(ops.size))}(value,"x")"""
       val wt = if (rnd.nextBoolean()) "count" else "time"
-      val pt = s"""#(;(GTPredicate(value,$c.0)["x"],$op(value,"x")$extra)){window:$w}{windowType:$wt}"""
+      // selection strategy varies too: skip-till-any (#), skip-till-next
+      // (@) and strict contiguity (no prefix) — the latter two compile
+      // pre-take state-advancing IGNORE transitions, the class the anchor
+      // design admits (the old staggered-copies runtime had to reject it)
+      val sel = Seq("#(%s)", "@(%s)", "%s")(rnd.nextInt(3))
+      val body = s""";(GTPredicate(value,$c.0)["x"],$op(value,"x")$extra)"""
+      val pt = sel.format(body) + s"{window:$w}{windowType:$wt}"
       val cp = Compiler.compileMatchOnly(pt)
       val events = stream(80)
       val mr = new MatchRun(cp, "k")
