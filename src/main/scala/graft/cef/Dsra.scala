@@ -22,9 +22,12 @@ package graft.cef
   * (Runtime.scala `MatchRun.step`): a configuration whose span already
   * exceeds the window is dead and dropped before advancing. Configurations
   * that agree on (state, taken, register read-projections) are
-  * future-equivalent and merge keeping the LATEST anchor (the most
+  * future-equivalent up to the window; for count windows they merge
+  * keeping the LATEST anchor (the counter is monotone, so the most
   * window-permissive representative dominates: it detects a superset of
-  * the others' completions, and its completions are genuine matches).
+  * the others' completions, all genuine), while time windows — whose
+  * abs(ts-anchor) rule has no dominant anchor under out-of-order event
+  * time — merge only configurations whose anchors coincide.
   *
   * Unlike the enumeration runtime there are no per-match threads: the
   * population is bounded by |Q| × (|read-value domain|+1)^registers —
@@ -49,12 +52,19 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
   private val timeWindowed: Boolean = cp.windowKind == WindowKind.Time
   private val nfa = cp.snfa
   private var counter = 0L
+  // monotone per-step stamp for the lazy guard/attribute memos — never
+  // rewound (counter can be, via restore())
+  private var stamp = 0L
 
   // register names in a fixed order, known at construction: valuations are
   // fixed-arity arrays indexed by THIS order (null = unbound) — no Map
-  // allocation or hashing on the hot path
+  // allocation or hashing on the hot path. Read-only registers (referenced
+  // by a guard but never written) get a slot too: the slot stays null and
+  // the predicate evaluates false, exactly the enumeration runtime's
+  // v.get(r) → None behavior.
   private val regNames: Array[String] =
-    nfa.trans.flatMap(_.register).distinct.sorted.toArray
+    (nfa.trans.flatMap(_.register) ++
+      nfa.trans.flatMap(_.guard).flatMap(_.registersRead)).distinct.sorted.toArray
   private val regIdx: Map[String, Int] = regNames.zipWithIndex.toMap
   private val R = regNames.length
 
@@ -119,11 +129,12 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
   private type Guard = (CEvent, Array[CEvent]) => Boolean
 
   // Register-FREE guard subtrees depend only on the event, so their truth
-  // is computed ONCE per event (the SDFA path's symbol evaluation) instead
-  // of once per configuration per copy: each distinct subtree gets a slot
-  // in `preVals`, refreshed at the top of step(), and the compiled guard
-  // is a slot read — removing a |configs| factor from every event-only
-  // predicate evaluation.
+  // is computed at most ONCE per event (the SDFA path's symbol evaluation)
+  // instead of once per configuration: each distinct subtree gets a slot,
+  // filled LAZILY on first use per event (stamp = the event counter) — a
+  // guard that no live configuration reaches is never evaluated, so an
+  // event lacking an attribute referenced elsewhere in the pattern keeps
+  // the old lazy-evaluation behavior (no eager NoSuchElementException).
   private val preGuards = scala.collection.mutable.ArrayBuffer.empty[CEvent => Boolean]
   private val preSlots = scala.collection.mutable.HashMap.empty[Sentence, Int]
   // ... and the EVENT-side attribute read of a register predicate is also
@@ -138,19 +149,28 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
   private def strSlot(a: String): Int =
     strSlots.getOrElseUpdate(a, { strAttrs += a; strAttrs.length - 1 })
 
+  private def num(n: Int, e: CEvent): Double = {
+    if (numStamp(n) != stamp) { preNums(n) = e.numberOf(numAttrArr(n)); numStamp(n) = stamp }
+    preNums(n)
+  }
+  private def str(n: Int, e: CEvent): String = {
+    if (strStamp(n) != stamp) { preStrs(n) = e.stringOf(strAttrArr(n)); strStamp(n) = stamp }
+    preStrs(n)
+  }
+
   private def compilePred(p: Predicate): Guard = p match {
     case Predicate.EQAttr(a, r) =>
       val i = regIdx(r); val n = numSlot(a)
-      (_, v) => { val x = v(i); x != null && preNums(n) == x.numberOf(a) }
+      (e, v) => { val x = v(i); x != null && num(n, e) == x.numberOf(a) }
     case Predicate.GTAttr(a, r) =>
       val i = regIdx(r); val n = numSlot(a)
-      (_, v) => { val x = v(i); x != null && preNums(n) > x.numberOf(a) }
+      (e, v) => { val x = v(i); x != null && num(n, e) > x.numberOf(a) }
     case Predicate.LTAttr(a, r) =>
       val i = regIdx(r); val n = numSlot(a)
-      (_, v) => { val x = v(i); x != null && preNums(n) < x.numberOf(a) }
+      (e, v) => { val x = v(i); x != null && num(n, e) < x.numberOf(a) }
     case Predicate.EQAttrStr(a, r) =>
       val i = regIdx(r); val n = strSlot(a)
-      (_, v) => { val x = v(i); x != null && preStrs(n) == x.stringOf(a) }
+      (e, v) => { val x = v(i); x != null && str(n, e) == x.stringOf(a) }
     case p if p.registersRead.isEmpty =>
       (e, _) => p.eval(e)
     case p => // closed-ADT safety net: rebuild the Map view (never hit —
@@ -169,7 +189,10 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
         preGuards += ((e: CEvent) => s.eval(e))
         preGuards.length - 1
       })
-      (_, _) => preVals(slot)
+      (e, _) => {
+        if (preStamp(slot) != stamp) { preVals(slot) = preGuardArr(slot)(e); preStamp(slot) = stamp }
+        preVals(slot)
+      }
     } else s match {
       case Sentence.Atomic(p) => compilePred(p)
       case Sentence.And(ss) =>
@@ -203,12 +226,17 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
     a
   }
 
-  // sized AFTER byState compilation registered every slot
+  // sized AFTER byState compilation registered every slot; stamps mark
+  // which event (counter value) a slot was last computed for — lazy memo,
+  // no per-event clearing
   private val preVals: Array[Boolean] = new Array[Boolean](preGuards.length)
+  private val preStamp: Array[Long] = Array.fill(preGuards.length)(-1L)
   private val preGuardArr: Array[CEvent => Boolean] = preGuards.toArray
   private val preNums: Array[Double] = new Array[Double](numAttrs.length)
+  private val numStamp: Array[Long] = Array.fill(numAttrs.length)(-1L)
   private val numAttrArr: Array[String] = numAttrs.toArray
   private val preStrs: Array[String] = new Array[String](strAttrs.length)
+  private val strStamp: Array[Long] = Array.fill(strAttrs.length)(-1L)
   private val strAttrArr: Array[String] = strAttrs.toArray
 
   /** One deterministic configuration: NSRA state, concrete registers
@@ -226,9 +254,13 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
       val state: Int, val regs: Array[CEvent], val taken: Boolean,
       val projNum: Array[Double], val projStr: Array[String]) {
     /** counter (count windows) or timestamp (time windows) of the first
-      * TAKE; -1 while pre-take. NOT part of identity: merged equal
-      * configurations keep the max (latest window, dominating
-      * representative). */
+      * TAKE; -1 while pre-take. For COUNT windows it is NOT part of
+      * identity: the counter is monotone, so diff = counter - anchor only
+      * grows and the max anchor dominates — merged configurations keep it.
+      * For TIME windows the rule is abs(ts - anchor) and event time may
+      * arrive out of order (late data across micro-batches), so NO anchor
+      * dominates; it joins the equality check instead (configs merge only
+      * when their windows coincide). */
     var anchor: Long = -1L
 
     override val hashCode: Int = {
@@ -249,7 +281,8 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
       h
     }
     override def equals(o: Any): Boolean = o match {
-      case c: Config => c.state == state && c.taken == taken && sameRegs(c) &&
+      case c: Config => c.state == state && c.taken == taken &&
+        (!timeWindowed || c.anchor == anchor) && sameRegs(c) &&
         java.util.Arrays.equals(c.projNum, projNum) && sameStr(c.projStr)
       case _ => false
     }
@@ -314,7 +347,7 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
       val c = new Config(cs.state, regs, cs.taken, pn, ps)
       c.anchor = cs.anchor
       val prev = live.putIfAbsent(c, c)
-      if (prev != null && cs.anchor > prev.anchor) prev.anchor = cs.anchor
+      if (prev != null && !timeWindowed && cs.anchor > prev.anchor) prev.anchor = cs.anchor
     }
   }
 
@@ -325,14 +358,7 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
   def step(e: CEvent): Option[Detection] = {
     if (e.isReset) { reset(); return None }
     counter += 1
-    // evaluate every register-free guard subtree and event-side attribute
-    // read once for this event
-    var g = 0
-    while (g < preGuardArr.length) { preVals(g) = preGuardArr(g)(e); g += 1 }
-    g = 0
-    while (g < numAttrArr.length) { preNums(g) = e.numberOf(numAttrArr(g)); g += 1 }
-    g = 0
-    while (g < strAttrArr.length) { preStrs(g) = e.stringOf(strAttrArr(g)); g += 1 }
+    stamp += 1
     var detected: Option[Detection] = None
     val next = work
     next.clear()
@@ -365,7 +391,8 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
           if (prev == null) {
             if (detected.isEmpty && t.isFinal && nc.taken)
               detected = Some(Detection(partition, counter, e.id, e.timestamp, nc.state))
-          } else if (nc.anchor > prev.anchor) prev.anchor = nc.anchor // keep the dominating window
+          } else if (!timeWindowed && nc.anchor > prev.anchor)
+            prev.anchor = nc.anchor // count windows: the max anchor dominates
         }
         i += 1
       }

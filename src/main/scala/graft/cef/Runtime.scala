@@ -116,9 +116,12 @@ final class MatchRun(
   /** One prepared transition: dead destinations and ε (guard = None never
     * fires on an event) dropped at build time; `cacheSlot` ≥ 0 marks a
     * register-FREE guard whose truth is event-only and therefore computed
-    * once per event in `guardVals` instead of once per thread (the
+    * at most once per event in `guardVals` instead of once per thread (the
     * dominant cost on high-overlap windowed patterns — thread counts grow
-    * with overlap, the distinct guard count does not).
+    * with overlap, the distinct guard count does not). The memo fills
+    * LAZILY on first use per event: a guard no live thread reaches is
+    * never evaluated, so an event lacking an attribute referenced
+    * elsewhere in the pattern keeps the old lazy-evaluation behavior.
     */
   private final class PTrans(
       val t: NTrans, val cacheSlot: Int, val isFinal: Boolean)
@@ -146,6 +149,8 @@ final class MatchRun(
   }
   private val guardArr: Array[Sentence] = cachedGuards._1.toArray
   private val guardVals: Array[Boolean] = new Array[Boolean](guardArr.length)
+  private val guardStamp: Array[Long] = Array.fill(guardArr.length)(-1L)
+  private var stamp = 0L // monotone per-step memo stamp (never rewound)
 
   def activeThreads: Int = threads.size
   /** Threads dropped by the population guard since construction. */
@@ -168,9 +173,7 @@ final class MatchRun(
   def step(e: CEvent): List[MatchOut] = {
     if (e.isReset) { reset(); return Nil }
     counter += 1
-    // event-only guard truth computed once per event, not once per thread
-    var g = 0
-    while (g < guardArr.length) { guardVals(g) = guardArr(g).eval(e); g += 1 }
+    stamp += 1
     val out = mutable.ListBuffer[MatchOut]()
     val cand = MatchRun.Thread(nfa.start, Nil, Nil, Nil, Map.empty, -1L, -1L) :: threads
     val seen = mutable.HashSet[(Int, List[Long], List[Long])]()
@@ -193,8 +196,13 @@ final class MatchRun(
           val pt = pts(i)
           val t = pt.t
           val fires =
-            if (pt.cacheSlot >= 0) guardVals(pt.cacheSlot)
-            else t.guard.get.eval(e, th.valuation)
+            if (pt.cacheSlot >= 0) {
+              val slot = pt.cacheSlot
+              if (guardStamp(slot) != stamp) {
+                guardVals(slot) = guardArr(slot).eval(e); guardStamp(slot) = stamp
+              }
+              guardVals(slot)
+            } else t.guard.get.eval(e, th.valuation)
           if (fires) {
             // SREMO: a register-declaring transition stores the event
             val nextVal = t.register match {

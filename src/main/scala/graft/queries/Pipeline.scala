@@ -25,12 +25,14 @@ object Pipeline {
     * signature table scales with the corpus, AQE picks broadcast at
     * small SF on its own).
     *
-    * The eager checkpoint is memoized per (session, dir): a dedup
-    * pipeline materializes the pair table once and both the pair query
-    * and the grouping consume it — recomputing the whole LSH chain per
-    * query would double the dominant cost. The grouping query RELEASES
-    * the checkpoint when done (it runs after the pair query in registry
-    * order), so nothing stays pinned for the session.
+    * The materialized pair table is memoized per (session, dir): a dedup
+    * pipeline materializes it once and both the pair query and the
+    * grouping consume it — recomputing the whole LSH chain per query
+    * would double the dominant cost. It is a PERSISTED DataFrame (not a
+    * lineage-truncated checkpoint) so releasing it is always safe: the
+    * grouping query unpersists it when done, and a stale pair DataFrame
+    * executed afterwards silently recomputes from lineage instead of
+    * failing on missing checkpoint blocks.
     */
   private val pairCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
@@ -40,11 +42,10 @@ object Pipeline {
       pairCache.getOrElseUpdate((s, dir), nearDupPairsUncached(s, dir))
     }
 
-  /** Drop the memo entry and free its checkpoint blocks. */
+  /** Drop the memo entry and release its storage (recompute stays legal). */
   private def releaseNearDupPairs(s: SparkSession, dir: String): Unit =
     pairCache.synchronized {
-      pairCache.remove((s, dir)).foreach(
-        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint)
+      pairCache.remove((s, dir)).foreach(_.unpersist(false))
     }
 
   private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame = {
@@ -66,11 +67,11 @@ object Pipeline {
         org.apache.spark.sql.graftexpr.VectorExprs.jaccardSortedSim(col("ha"), col("hb")))
       .filter(col("jaccard") >= 0.9)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      // eager checkpoint: materializes the pair set (reading the cached
-      // signatures three times) and truncates the lineage, so the sigs
-      // cache can be RELEASED here instead of pinning executor storage for
-      // the session (both p06 and p15 call this)
-      .localCheckpoint(true)
+      .persist()
+    // materialize eagerly (reading the cached signatures three times) so
+    // the sigs cache can be RELEASED here instead of pinning executor
+    // storage for the session (both p06 and p15 consume the memo)
+    pairs.count()
     sigs.unpersist()
     pairs
   }
@@ -256,11 +257,19 @@ object Pipeline {
          |  SELECT * FROM r)
          |SELECT a AS doc_id, min(b) AS group_id, a = min(b) AS is_canonical
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val grouped = DedupOps.neardupGroups(
-        t(s, dir, "documents"), "doc_id", nearDupPairs(s, dir), "id_a", "id_b")
-      // grouping is fully materialized (checkpoint-backed) by now — the
-      // pair set's own checkpoint blocks would otherwise outlive the query
+      // private lineage-truncated copy for the iterative loop: every
+      // pointer-jumping round runs actions over the pair set, and each
+      // would re-optimize the full LSH lineage behind the cached table
+      // (the checkpoint's one-node plan is what keeps rounds cheap). It
+      // is created from the cache in one pass, owned solely by this
+      // query, and released the moment grouping materializes; the shared
+      // cache itself is unpersisted too — a stale pair DataFrame simply
+      // recomputes from lineage (PlanSpec pins that interleaving).
+      val prsCp = nearDupPairs(s, dir).localCheckpoint(true)
       releaseNearDupPairs(s, dir)
+      val grouped = DedupOps.neardupGroups(
+        t(s, dir, "documents"), "doc_id", prsCp, "id_a", "id_b")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(prsCp)
       grouped
         .withColumn("is_canonical", col("doc_id") === col("group_id"))
         .orderBy(col("doc_id"))

@@ -111,4 +111,59 @@ class DsraSpec extends AnyFlatSpec with Matchers {
       """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x")))""")
     an[IllegalArgumentException] should be thrownBy new DsraRun(cp, "k")
   }
+
+  it should "not eagerly evaluate attributes of events no configuration reaches" in {
+    // heterogeneous stream: only 'm' events carry the 'value' attribute;
+    // guard evaluation must stay lazy (eager per-event attribute hoisting
+    // would throw NoSuchElementException on every 'other' event)
+    val cp = Compiler.compileMatchOnly(
+      """#(;(^(IsEventTypePredicate(m),GTPredicate(value,120.0))["x"],^(IsEventTypePredicate(m),GTAttrPredicate(value,"x")))){window:10}{windowType:count}""")
+    val events = (1 to 120).map { i =>
+      if (i % 3 == 0) CEvent(i.toLong, "m", i.toLong, "k", Map("value" -> (100.0 + i)), Map.empty)
+      else CEvent(i.toLong, "other", i.toLong, "k", Map.empty, Map.empty)
+    }
+    val mr = new MatchRun(cp, "k")
+    val completions = events.flatMap { e =>
+      if (mr.step(e).nonEmpty) Some(e.id) else None
+    }.toSet
+    val dr = new DsraRun(cp, "k")
+    val detections = events.flatMap(dr.step).map(_.eventId).toSet
+    detections shouldBe completions
+    completions should not be empty
+  }
+
+  it should "agree with the enumeration runtime on OUT-OF-ORDER time-windowed streams" in {
+    // late events: the abs(ts-anchor) rule has no dominant anchor, so
+    // time-windowed configs must not max-merge across different anchors
+    val cp = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:30}{windowType:time}""")
+    (1 to 10).foreach { _ =>
+      val n = 80 + rnd.nextInt(40)
+      val events = (1 to n).map { i =>
+        // timestamps jitter ±25 around the arrival position — late data
+        val ts = i.toLong * 5 + rnd.nextInt(51) - 25
+        CEvent(i.toLong, "v", ts, "k", Map("value" -> rnd.nextInt(200).toDouble), Map.empty)
+      }
+      val mr = new MatchRun(cp, "k")
+      var pos = 0L
+      val completions = events.flatMap { e =>
+        val ms = mr.step(e)
+        pos += 1
+        if (ms.nonEmpty) Some(pos) else None
+      }.toSet
+      val dr = new DsraRun(cp, "k")
+      val detections = events.flatMap(dr.step).map(_.counter).toSet
+      detections shouldBe completions
+    }
+  }
+
+  it should "treat a read-only undeclared register as never bound (no matches, no crash)" in {
+    val cp = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"y"))){window:10}{windowType:count}""")
+    val events = stream(100)
+    val dr = new DsraRun(cp, "k") // the old regIdx build crashed here
+    events.flatMap(dr.step) shouldBe empty
+    val mr = new MatchRun(cp, "k")
+    events.flatMap(e => mr.step(e)) shouldBe empty
+  }
 }
