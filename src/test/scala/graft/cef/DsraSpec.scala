@@ -106,6 +106,20 @@ class DsraSpec extends AnyFlatSpec with Matchers {
     events.count(e => dr2.step(e).isDefined) shouldBe 299
   }
 
+  it should "stay bounded by in-window span on adversarial TIME-windowed streams" in {
+    // time windows carry the anchor in config identity (no dominant anchor
+    // under the abs() rule), so the worst-case population is proportional
+    // to the events inside one window span — not to total stream length
+    val cp = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:40}{windowType:time}""")
+    // ts advances by 4 per event ⇒ ≤ 10 events inside any window span
+    val events = (1 to 400).map(i =>
+      CEvent(i.toLong, "v", i.toLong * 4, "k", Map("value" -> (121.0 + i)), Map.empty))
+    val dr = new DsraRun(cp, "k")
+    val counts = events.map { e => dr.step(e); dr.activeConfigs }
+    counts.max should be <= 2 * cp.snfa.states.size * 11
+  }
+
   it should "reject unwindowed register patterns" in {
     val cp = Compiler.compileMatchOnly(
       """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x")))""")
