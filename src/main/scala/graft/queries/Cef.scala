@@ -42,6 +42,10 @@ object Cef {
   // 200,000 s in engine micros — the DSRA path's time-window variant
   private lazy val pSremoTime = Compiler.compileMatchOnly(
     """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:200000000000}{windowType:time}""")
+  // string-register variant: the follow-up spike must carry the SAME event
+  // type as the stored event (EQAttrStr over the virtual EventType attr)
+  private lazy val pSremoStr = Compiler.compileMatchOnly(
+    """#(;(GTPredicate(value,120.0)["x"],^(GTAttrPredicate(value,"x"),EQAttrStrPredicate(EventType,"x")))){window:10}{windowType:count}""")
   private lazy val pJsonAttr = Compiler.compile(
     ";(GTPredicate(k,80.0),LTPredicate(k,20.0))")
   private lazy val pComplexSent = Compiler.compile(
@@ -293,6 +297,25 @@ object Cef {
          |WHERE a.value > 120.0 AND p.value > a.value
          |ORDER BY a.user_id, counter""".stripMargin) { (s, dir) =>
       Detect.detectionsDsra(events(s, dir), pSremoTime).toDF()
+        .select(col("partition").cast("long").as("user_id"),
+          col("counter"), col("eventId").as("event_id"))
+        .orderBy(col("user_id"), col("counter"))
+    },
+
+    // C10 deterministic path, STRING register read: the follow-up spike
+    // must exceed the stored value AND repeat the stored event's TYPE —
+    // a conjunction of a numeric and a string register predicate over the
+    // virtual EventType attribute (the projection-keyed config identity
+    // carries both the numeric and the string read projections).
+    Q("cef20_sremo_str",
+      s"""$RnCte
+         |SELECT DISTINCT a.user_id AS user_id, p.rn AS counter, p.event_id AS event_id
+         |FROM b a JOIN b p
+         |  ON a.user_id = p.user_id AND p.rn > a.rn AND p.rn - a.rn < 10
+         |WHERE a.value > 120.0 AND p.value > a.value
+         |  AND p.event_type = a.event_type
+         |ORDER BY a.user_id, counter""".stripMargin) { (s, dir) =>
+      Detect.detectionsDsra(events(s, dir), pSremoStr).toDF()
         .select(col("partition").cast("long").as("user_id"),
           col("counter"), col("eventId").as("event_id"))
         .orderBy(col("user_id"), col("counter"))

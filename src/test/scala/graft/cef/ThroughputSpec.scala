@@ -73,6 +73,29 @@ class ThroughputSpec extends AnyFlatSpec with Matchers {
     rate should be > 50000.0
   }
 
+  it should "sustain the match-enumeration runtime at >300k events/s on a windowed pattern" in {
+    // high-overlap windowed skip-till-any — the thread-heavy shape; the
+    // per-event guard memo keeps distinct-guard evaluation off the
+    // thread-count axis (measured ~1.4M ev/s; headroom for slow CI)
+    val cp = Compiler.compile(
+      "#(;(IsEventTypePredicate(a),IsEventTypePredicate(b))){window:10}{windowType:count}")
+    val events = mkEvents(200000)
+    val warm = new MatchRun(cp, "")
+    var i = 0
+    while (i < 40000) { warm.step(events(i)); i += 1 }
+
+    val run = new MatchRun(cp, "")
+    var matches = 0L
+    val t0 = System.nanoTime()
+    i = 0
+    while (i < events.length) { matches += run.step(events(i)).size; i += 1 }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = events.length / secs
+    info(f"match enumeration: ${rate / 1e6}%.2f M events/s ($matches matches)")
+    matches should be > 0L
+    rate should be > 300000.0
+  }
+
   it should "sustain the DSRA register runtime at >500k events/s" in {
     // one projection-keyed config set advanced per event: the
     // deterministic register path must stay in the usable range (the
