@@ -54,7 +54,7 @@ object AsofOps {
       l.columns.foldLeft(base) { (df, c) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
-      }.select(l.columns.map(col): _*)
+      }.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(l.columns.map(col)): _*)
     }
 
     val order: Seq[Column] =

@@ -167,7 +167,7 @@ object DedupOps {
     // the just-materialized round instead of a join-back + count.
     // decimal(38,0) keeps the sum exact where sum(id) overflows int64.
     def lblSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
     var prevSum = lblSum(labels)
     var converged = prevSum.isEmpty // no vertices ⇒ nothing to propagate
     var it = 0
