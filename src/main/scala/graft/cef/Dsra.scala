@@ -365,8 +365,12 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
     def advance(c: Config): Unit = {
       // the enumeration runtime's windowOk rule (MatchRun.step): a config
       // whose first-TAKE span already reaches the window cannot complete
-      // any more matches — drop it instead of advancing (dead run)
-      if (c.anchor != -1L) {
+      // any more matches — drop it instead of advancing (dead run).
+      // Anchored-ness is keyed on `taken` (anchor set exactly at the first
+      // TAKE), NOT on an anchor sentinel value — a genuine event timestamp
+      // of -1 must not disable the window check (MatchRun keys the same
+      // rule on firstCounter for the same reason).
+      if (c.taken) {
         val diff = if (timeWindowed) math.abs(e.timestamp - c.anchor) else counter - c.anchor
         if (diff >= W) return
       }

@@ -171,6 +171,22 @@ class DsraSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "enforce the time window when the first TAKE's timestamp is -1" in {
+    // a genuine event timestamp of -1 must not collide with the pre-take
+    // anchor sentinel and disable the window check (found by fuzzing:
+    // anchored-ness is keyed on `taken`, not the anchor value)
+    val cp = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,67.0)["x"],LTAttrPredicate(value,"x"),GTAttrPredicate(value,"x"))){window:50}{windowType:time}""")
+    val events = Seq(
+      CEvent(1L, "u", -1L, "k", Map("value" -> 69.0), Map.empty),  // take, ts = -1
+      CEvent(2L, "u", 11L, "k", Map("value" -> 41.0), Map.empty),  // 41 < 69
+      CEvent(3L, "u", 49L, "k", Map("value" -> 79.0), Map.empty))  // 79 > 69, BUT abs(49-(-1)) = 50 >= 50
+    val mr = new MatchRun(cp, "k")
+    events.flatMap(e => mr.step(e)) shouldBe empty
+    val dr = new DsraRun(cp, "k")
+    events.flatMap(dr.step) shouldBe empty
+  }
+
   it should "treat a read-only undeclared register as never bound (no matches, no crash)" in {
     val cp = Compiler.compileMatchOnly(
       """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"y"))){window:10}{windowType:count}""")
