@@ -227,12 +227,16 @@ object DedupOps {
   val SimHashBits = 31
 
   /** SimHash over token hashes: bit j of the result is set iff more
-    * token hashes have bit j set than unset. Computed as 31 independent
-    * majority votes folded back into one long — all in codegen'd array
-    * expressions (bit positions are compile-time constants, so the
-    * whole thing is one wide projection).
+    * token hashes have bit j set than unset. One fused native pass over
+    * the hashes with a vote counter per bit (graftexpr.SimHashPack;
+    * ExprSpec pins value equality — incl. null/negative edge semantics —
+    * against the 31 aggregate() majority votes it replaces).
     */
   def simHash(hashes: Column): Column =
+    org.apache.spark.sql.graftexpr.VectorExprs.simHashPack(hashes, SimHashBits)
+
+  /** The HOF formulation the native expression replaces (ExprSpec pin). */
+  def simHashHof(hashes: Column): Column =
     (0 until SimHashBits).map { j =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))

@@ -515,6 +515,59 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // ------------------------------------------- dedup: simhash band pairs
+    // Near-dup pairs by SimHash: the 31-bit signature splits into 4 bands
+    // (8+8+8+7 bits); by pigeonhole, any pair within hamming distance 3
+    // shares at least one band — the band equi-join has EXACT recall for
+    // the ≤3 threshold and touches only colliding buckets (with the same
+    // hot-bucket salt cap as the MinHash LSH family). Verification is one
+    // xor + popcount per candidate.
+    Q("p18_dd_simhash_pairs", {
+      val hashes = tokenHashesSql("text")
+      val sim = simHashSql("hashes")
+      val bandsSql = (0 until 4).map { b =>
+        val off = b * 8; val w = if (b == 3) 7 else 8
+        s"(sim >> $off) & ${(1 << w) - 1}"
+      }.mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id, sim, $bandsSql AS bands
+         |  FROM (SELECT doc_id, $sim AS sim
+         |        FROM (SELECT doc_id, $hashes AS hashes FROM documents))),
+         |sx AS (${DedupOps.saltedBandsSql("sh", "doc_id", 4)}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sx a JOIN sx b
+         |    ON a.key = b.key AND a.band = b.band AND a.salt = b.salt
+         |   AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), simHash(tokenHashes(col("text"))).as("sim"))
+        .withColumn("bands", array((0 until 4).map { b =>
+          val off = b * 8; val w = if (b == 3) 7 else 8
+          shiftright(col("sim"), off).bitwiseAND(lit((1L << w) - 1))
+        }: _*))
+        .persist()
+      val exploded = DedupOps.saltedBands(sh, "doc_id")
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.key") === col("b.key") && col("a.band") === col("b.band")
+            && col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+        .withColumn("hamming", DedupOps.hamming(col("sim_a"), col("sim_b")).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---------------------------------------- text: benchmark decontamination
     // Training-data decontamination: flag corpus documents sharing ≥ 5
     // distinct 3-gram shingles with the benchmark set (here: doc_id < 20

@@ -36,6 +36,11 @@ object VectorExprs {
   def jaccardSortedSim(a: Column, b: Column): Column =
     Bridge.column(JaccardSortedSim(Bridge.expression(a), Bridge.expression(b)))
 
+  /** SimHash in one codegen'd pass (replaces 31 aggregate() majority
+    * votes). */
+  def simHashPack(hashes: Column, bits: Int): Column =
+    Bridge.column(SimHashPack(Bridge.expression(hashes), bits))
+
   /** K-lane MinHash signature in one codegen'd pass (replaces K
     * array_min(transform(...)) higher-order chains). */
   def minHashSig(hashes: Column, a: Seq[Long], b: Seq[Long], mod: Long): Column =
@@ -232,6 +237,78 @@ final case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], m
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** SimHash of a bigint-hash array in ONE pass: bit j of the result is
+  * set iff more elements have bit j set than unset. Fused form of the 31
+  * independent aggregate(...) majority votes it replaces (one loop, a
+  * vote counter per bit) — value-identical including the edge semantics
+  * of the Column formulation: a null element votes -1 on every bit
+  * (when(null,1).otherwise(-1)), and a negative shifted value's `% 2`
+  * remainder is -1, which is != 1 and also votes -1 (ExprSpec-pinned).
+  */
+final case class SimHashPack(child: Expression, bits: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) {
+        var j = 0
+        while (j < bits) { votes(j) -= 1; j += 1 }
+      } else {
+        val h = xs.getLong(i)
+        var j = 0
+        while (j < bits) {
+          if (((h >> j) % 2) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $xs.numElements();
+         |int[] $votes = new int[$bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($xs.isNullAt($i)) {
+         |    for (int $j = 0; $j < $bits; $j++) $votes[$j]--;
+         |  } else {
+         |    long $h = $xs.getLong($i);
+         |    for (int $j = 0; $j < $bits; $j++) {
+         |      if ((($h >> $j) % 2) == 1L) $votes[$j]++; else $votes[$j]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  if ($votes[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHashPack =
     copy(child = c)
 }
 

@@ -105,6 +105,23 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     out.foreach { r => r.getSeq[Any](0) shouldBe r.getSeq[Any](1) }
   }
 
+  "SimHashPack" should "be value-identical to the 31 aggregate() majority votes" in {
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    import ops.DedupOps._
+    import ops.TextOps.HashMod
+    // includes NEGATIVE longs (the % 2 == 1 remainder edge) and empties
+    val rows = (1 to 200).map { i =>
+      (i, Seq.fill(rnd.nextInt(40))(
+        if (rnd.nextInt(5) == 0) -rnd.nextLong().abs else rnd.nextLong().abs % HashMod))
+    } :+ (0, Seq.empty[Long])
+    val df = rows.toDF("id", "hashes")
+    val out = df.select(
+      simHash(col("hashes")).as("native"), simHashHof(col("hashes")).as("hof")).collect()
+    out.foreach { r => r.getLong(0) shouldBe r.getLong(1) }
+  }
+
   "HyperplaneBuckets" should "be value-identical to the aggregate/zip_with composition" in {
     import org.apache.spark.sql.functions._
     import ops.SimilarityOps.{planeComponent, lshBuckets, NumPlanes, NumTables}
