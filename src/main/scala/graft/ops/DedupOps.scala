@@ -121,10 +121,15 @@ object DedupOps {
       idCol: String,
       arrCol: String = "bands",
       posName: String = "band",
-      keyName: String = "key"): DataFrame = {
+      keyName: String = "key",
+      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(posName), col(keyName)).orderBy(col(idCol))
-    sigs.select(col(idCol), posexplode(col(arrCol)).as(Seq(posName, keyName)))
+    // `carry` rides narrow payload columns (a simhash long, a norm) through
+    // the explode so candidate verification can run directly on the band
+    // join instead of joining back to the signature table
+    sigs.select(col(idCol) +: carry.map(col) :+
+        posexplode(col(arrCol)).as(Seq(posName, keyName)): _*)
       .withColumn("salt",
         floor((row_number().over(w) - lit(1)) / lit(BandBucketCap)).cast("long"))
   }

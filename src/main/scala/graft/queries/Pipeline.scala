@@ -317,11 +317,14 @@ object Pipeline {
          |SELECT doc_id, nn_id, jac FROM pairs WHERE rnk = 1 ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       // persist: the shingle/minhash chain feeds the explode and both
-      // candidate joins — compute it once (at scale: a signature table)
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), sort_array(shingleHashes(col("text"), 3)).as("sh"))
-        .withColumn("bands", bandKeys(minHashSig(col("sh")), NnBands))
-        .persist()
+      // candidate joins — compute it once (at scale: a signature table).
+      // The shingle ARRAYS stay out of the explode (16 band rows/doc
+      // would multiply them); the two join-backs fetch them by id, and
+      // the cache auto-releases when the query's action completes.
+      val sh = graft.ops.Release.afterFirstUse(
+        t(s, dir, "documents")
+          .select(col("doc_id"), sort_array(shingleHashes(col("text"), 3)).as("sh"))
+          .withColumn("bands", bandKeys(minHashSig(col("sh")), NnBands)))
       val exploded = saltedBands(sh, "doc_id")
       val cand = exploded.as("x")
         .join(exploded.as("y"),
@@ -390,9 +393,12 @@ object Pipeline {
          |SELECT vec_id, nn_id, cos, cos >= 0.95 AS is_neardup
          |FROM pairs WHERE rnk = 1 ORDER BY vec_id""".stripMargin
     }) { (s, dir) =>
-      val eb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), lshBuckets(col("embedding")).as("buckets"))
-        .persist()
+      // embeddings stay out of the explode (NumTables rows/vec would
+      // multiply the payload); join-backs fetch them by id, and the cache
+      // auto-releases when the query's action completes
+      val eb = graft.ops.Release.afterFirstUse(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), lshBuckets(col("embedding")).as("buckets")))
       val ex = DedupOps.saltedBands(eb, "vec_id", "buckets", "tbl", "bucket")
       val cand = ex.as("x")
         .join(ex.as("y"),
@@ -545,26 +551,30 @@ object Pipeline {
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), simHash(tokenHashes(col("text"))).as("sim"))
-        .withColumn("bands", array((0 until 4).map { b =>
-          val off = b * 8; val w = if (b == 3) 7 else 8
-          shiftright(col("sim"), off).bitwiseAND(lit((1L << w) - 1))
-        }: _*))
-        .persist()
-      val exploded = DedupOps.saltedBands(sh, "doc_id")
-      val cand = exploded.as("a")
+      // the 8-byte signature rides through the explode (`carry`), so
+      // verification is one xor+popcount ON the band join itself — zero
+      // join-backs to the signature table. The hamming filter runs BEFORE
+      // the distinct, so the pair-dedup shuffle carries only true
+      // near-dup pairs, not every band collision. The signature chain is
+      // persisted (both self-join sides read it) and auto-released when
+      // the query's action completes.
+      val sh = graft.ops.Release.afterFirstUse(
+        t(s, dir, "documents")
+          .select(col("doc_id"), simHash(tokenHashes(col("text"))).as("sim"))
+          .withColumn("bands", array((0 until 4).map { b =>
+            val off = b * 8; val w = if (b == 3) 7 else 8
+            shiftright(col("sim"), off).bitwiseAND(lit((1L << w) - 1))
+          }: _*)))
+      val exploded = DedupOps.saltedBands(sh, "doc_id", carry = Seq("sim"))
+      exploded.as("a")
         .join(exploded.as("b"),
           col("a.key") === col("b.key") && col("a.band") === col("b.band")
             && col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
-        .withColumn("hamming", DedupOps.hamming(col("sim_a"), col("sim_b")).cast("long"))
+        .withColumn("hamming",
+          DedupOps.hamming(col("a.sim"), col("b.sim")).cast("long"))
         .filter(col("hamming") <= 3)
-        .select(col("id_a"), col("id_b"), col("hamming"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
+        .distinct()
         .orderBy(col("id_a"), col("id_b"))
     },
 

@@ -109,6 +109,32 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     p06.count() should be > 0L
   }
 
+  "p08/p10/p18 signature caches" should "not survive their query's execution" in {
+    // each query persists its signature table for the duration of its own
+    // action and auto-releases it via the execution-listener hook
+    // (Release.afterFirstUse) — no storage block may outlive the query
+    for (name <- Seq("p08_dd_ngram_nn", "p10_dd_embed_nn", "p18_dd_simhash_pairs")) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(name)(spark, sfDir).count()
+      // the listener bus delivers asynchronously — poll for the release
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      while (leaked.nonEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      }
+      withClue(s"$name leaked persistent RDDs: ") { leaked shouldBe empty }
+    }
+  }
+
+  "p18_dd_simhash_pairs" should "verify candidates on the band join itself (no join-backs)" in {
+    val plan = planOf("p18_dd_simhash_pairs")
+    // one self-join of the exploded band table, nothing else: the simhash
+    // rides through the explode, so there is no join back to the
+    // signature table for verification
+    "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(plan).size shouldBe 1
+  }
+
   "p16_txt_normalize" should "dedup via one window shuffle, no self-join" in {
     val plan = planOf("p16_txt_normalize")
     // the canonical id is a window min over the fingerprint: no join back
