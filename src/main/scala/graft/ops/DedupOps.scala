@@ -141,9 +141,11 @@ object DedupOps {
     * round keyed on the vertex; rounds ≈ component diameter (1-2 for
     * near-dup cliques), capped at `maxIters` with a convergence check.
     * The min-label fixpoint is unique, so results are engine-independent
-    * (the DuckDB twin computes the same labels by transitive closure). At
-    * extreme diameters a production run would switch to large-star/
-    * small-star; the shuffle pattern per round is identical.
+    * (the DuckDB twin computes the same labels by transitive closure).
+    * `algo = "star"` switches to alternating large-star/small-star
+    * ([[neardupGroupsStar]]) — the production choice at extreme
+    * diameters, where its shrinking edge frontier beats a |V|-sized
+    * label table per round.
     */
   def neardupGroups(
       vertices: DataFrame,
@@ -151,7 +153,10 @@ object DedupOps {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      algo: String = "pointer"): DataFrame = {
+    if (algo == "star")
+      return neardupGroupsStar(vertices, idCol, pairs, aCol, bCol, maxIters)
     // persist the pair set FIRST: the symmetric union reads it twice, and
     // upstream it is typically a whole LSH pipeline
     val p = pairs.persist()
@@ -217,6 +222,92 @@ object DedupOps {
     require(converged,
       s"near-dup grouping did not converge within $maxIters rounds — raise maxIters")
     labels.select(col("id").as(idCol), col("lbl").as("group_id"))
+  }
+
+  /** Alternating large-star/small-star connected components — the
+    * production switch for EXTREME component diameters where even
+    * pointer jumping's O(log d) rounds of corpus-wide shuffles hurt
+    * (the MapReduce CC algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round is two
+    * groupBy-min passes over the edge set; the edge set itself shrinks
+    * toward the final star forest (size ≤ #non-root vertices of
+    * non-singleton components), unlike label propagation whose table
+    * stays |V| every round — at 100 TB the shrinking frontier is the
+    * difference. Converges to the same min-label fixpoint as
+    * [[neardupGroups]] (each component collapses to a star rooted at
+    * its min id).
+    *
+    *   - large-star: every node v > u in Γ(u) re-attaches to
+    *     m(u) = min(Γ(u) ∪ u) — strictly-decreasing larger endpoints,
+    *     no self-loops (m ≤ u < v);
+    *   - small-star: every smaller neighbor of u (and u itself)
+    *     re-attaches to m(u) = min(Γ⁻(u) ∪ u).
+    *
+    * Edge sets are kept canonical (u > v, distinct), so the fixpoint
+    * test is exact set equality (equal counts + empty `except`), not a
+    * collision-prone checksum. Fixpoints of the alternation are star
+    * forests: each non-root points at its component root.
+    */
+  def neardupGroupsStar(
+      vertices: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 30): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("cu"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, col("u") === col("cu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // m ≤ u < v ⇒ canonical
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical input: Γ⁻(u) is exactly the v side
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val moved = e.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // m = min ⇒ v > m
+      moved.union(m.select(col("u"), col("m").as("v"))) // u > m
+        .distinct()
+    }
+
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // both sides are distinct canonical sets: equal counts + empty
+      // difference ⇔ set equality (the exact fixpoint test)
+      val unchanged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      it += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc-star] round $it edges ${next.count()}")
+      if (unchanged) {
+        Bridge.releaseLocalCheckpoint(next)
+        converged = true
+      } else {
+        Bridge.releaseLocalCheckpoint(edges)
+        edges = next
+      }
+    }
+    require(converged,
+      s"star CC did not converge within $maxIters rounds — raise maxIters")
+    vertices.select(col(idCol).as("id"))
+      .join(edges.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("group_id"))
   }
 
   /** DuckDB twin of [[saltedBands]], from a CTE exposing (idCol, bands). */

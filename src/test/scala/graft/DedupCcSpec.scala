@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.DedupOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** The two connected-components engines behind near-dup grouping must
+  * agree on the (unique) min-label fixpoint — including on the
+  * adversarial shape each is weakest at: a long path graph (maximum
+  * diameter per edge) and a random graph with singletons.
+  */
+class DedupCcSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("dedup-cc-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def labelsOf(
+      algo: String, n: Int, edges: Seq[(Long, Long)], maxIters: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    val vertices = (1L to n.toLong).toDF("doc_id")
+    val pairs = edges.toDF("id_a", "id_b")
+    DedupOps.neardupGroups(vertices, "doc_id", pairs, "id_a", "id_b", maxIters, algo)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  "large-star/small-star CC" should "collapse a 10k-node path graph in bounded rounds, agreeing with pointer jumping" in {
+    val n = 10000
+    val path = (1L until n.toLong).map(i => (i, i + 1))
+    // star CC: diameter 9999, rounds bounded well below the O(log² n)
+    // worst case — the maxIters cap IS the bound assertion (require
+    // fails the test if exceeded)
+    val star = labelsOf("star", n, path, maxIters = 25)
+    star.size shouldBe n
+    all(star.values) shouldBe 1L
+    // pointer jumping on the same graph: O(log d) rounds
+    val pointer = labelsOf("pointer", n, path, maxIters = 20)
+    star shouldBe pointer
+  }
+
+  it should "agree with pointer jumping on a random graph with singletons" in {
+    val rnd = new scala.util.Random(42)
+    val n = 500
+    // ~300 random edges over the first 400 ids; ids 401-500 stay
+    // singletons; self-pairs and duplicates included deliberately
+    val edges = Seq.fill(300)((rnd.nextInt(400) + 1L, rnd.nextInt(400) + 1L))
+    val star = labelsOf("star", n, edges, maxIters = 25)
+    val pointer = labelsOf("pointer", n, edges, maxIters = 20)
+    star shouldBe pointer
+    // singletons label themselves
+    (401L to 500L).foreach(id => star(id) shouldBe id)
+  }
+
+  it should "handle an empty pair set (all singletons)" in {
+    val star = labelsOf("star", 5, Seq.empty, maxIters = 5)
+    star shouldBe (1L to 5L).map(i => i -> i).toMap
+  }
+}
