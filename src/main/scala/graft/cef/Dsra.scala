@@ -42,7 +42,10 @@ package graft.cef
   * pins detection-point equivalence against the enumeration runtime for
   * both window kinds.
   */
-final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializable {
+final class DsraRun(
+    cp: CompiledPattern,
+    val partition: String,
+    maxConfigs: Int = DsraRun.DefaultMaxConfigs) extends Serializable {
   require(cp.window > 0,
     "the DSRA path needs a window ({window:N}{windowType:count|time}) — an unwindowed " +
       "register pattern keeps every taken configuration alive forever; use the " +
@@ -318,8 +321,45 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
     * length and of match overlap (DsraSpec asserts the legacy
     * window-derived bound, which is looser). */
   def activeConfigs: Int = live.size
+  /** Configurations dropped by the population guard since construction. */
+  def evictedConfigs: Long = evicted
+  private var evicted: Long = 0L
 
   def reset(): Unit = live.clear()
+
+  /** Population guard: the projection-keyed identity bounds the live set
+    * by the read-value DOMAIN — but an adversarial domain (every event
+    * carries a fresh read value) grows it linearly within the window,
+    * and at scale that OOMs the executor holding the hot key. Cap the
+    * population per key, evicting the OLDEST window anchors first
+    * (mirroring MatchRun's thread-pool guard, the analogue of the
+    * reference RunPool's expirationDeadline): recent anchors are the
+    * configurations a future event can still complete inside any
+    * realistic horizon. Pre-take configurations rank newest (they carry
+    * no window debt). Survivors keep their insertion order, so the
+    * runtime stays fully deterministic.
+    */
+  private def enforceCap(): Unit = {
+    if (live.size() <= maxConfigs) return
+    import scala.jdk.CollectionConverters._
+    val arr = live.values.asScala.toArray
+    def age(c: Config): Long = if (c.taken) c.anchor else Long.MaxValue
+    val survivors = arr.zipWithIndex
+      .sortBy { case (c, i) => (-age(c), -i) }
+      .take(maxConfigs)
+      .sortBy(_._2)
+    val kept = new java.util.LinkedHashMap[Config, Config]
+    survivors.foreach { case (c, _) => kept.put(c, c) }
+    if (evicted == 0L)
+      // surface the silent-drop once per run: evicted configurations mean
+      // some detections may be missing from this key's output
+      System.err.println(
+        s"[graft] DsraRun key '$partition': configuration population exceeded " +
+          s"$maxConfigs; evicting oldest window anchors (detections may be " +
+          "dropped — raise maxConfigs or tighten the pattern's window)")
+    evicted += arr.length - maxConfigs
+    live = kept
+  }
 
   /** Snapshot/restore for streaming GroupState (the configuration set +
     * valuations + window anchors, reference DSRAStreaming Configuration
@@ -349,6 +389,7 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
       val prev = live.putIfAbsent(c, c)
       if (prev != null && !timeWindowed && cs.anchor > prev.anchor) prev.anchor = cs.anchor
     }
+    enforceCap()
   }
 
   /** Process one event; a detection marks that ≥1 window-bounded match
@@ -408,8 +449,18 @@ final class DsraRun(cp: CompiledPattern, val partition: String) extends Serializ
     // the next step's (cleared) work map
     work = live
     live = next
+    enforceCap()
     detected
   }
+}
+
+object DsraRun {
+  /** Default per-key configuration cap — same sizing rationale as
+    * [[MatchRun.DefaultMaxThreads]]: far above what any well-behaved
+    * read-value domain produces inside a window, small enough that a
+    * thousand hot keys per executor cannot OOM it.
+    */
+  val DefaultMaxConfigs: Int = 10000
 }
 
 /** One serialized DSRA configuration (state + registers + window anchor). */

@@ -120,6 +120,41 @@ class DsraSpec extends AnyFlatSpec with Matchers {
     counts.max should be <= 2 * cp.snfa.states.size * 11
   }
 
+  it should "cap the population on adversarial read domains, exactly equivalent below the cap" in {
+    // adversarial READ DOMAIN: every event carries a fresh value, so every
+    // taken configuration has a distinct projection — inside a huge window
+    // the population grows linearly with the stream and no dedup helps
+    val cp = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,0.0)["x"],EQAttrPredicate(value,"x"))){window:100000}{windowType:count}""")
+    val events = (1 to 600).map(i =>
+      CEvent(i.toLong, "v", i.toLong, "k", Map("value" -> i.toDouble), Map.empty))
+    // uncapped-equivalent run (cap not reached): the population really is
+    // unbounded-ish — it tracks the stream length
+    val free = new DsraRun(cp, "k", maxConfigs = 1000000)
+    events.foreach(free.step)
+    free.activeConfigs should be >= 600
+    free.evictedConfigs shouldBe 0L
+    // capped run: population never exceeds the cap, evictions are counted
+    val capped = new DsraRun(cp, "k", maxConfigs = 100)
+    val counts = events.map { e => capped.step(e); capped.activeConfigs }
+    counts.max should be <= 100
+    capped.evictedConfigs should be > 0L
+    // below the cap the guard must be a no-op: same detections as the
+    // enumeration runtime on a stream whose population stays under it
+    val small = stream(100)
+    val mr = new MatchRun(cp, "k")
+    var pos = 0L
+    val completions = small.flatMap { e =>
+      val ms = mr.step(e)
+      if (!e.isReset) pos += 1
+      if (ms.nonEmpty) Some(pos) else None
+    }.toSet
+    val dr = new DsraRun(cp, "k", maxConfigs = 2000)
+    val detections = small.flatMap(dr.step).map(_.counter).toSet
+    dr.evictedConfigs shouldBe 0L
+    detections shouldBe completions
+  }
+
   it should "reject unwindowed register patterns" in {
     val cp = Compiler.compileMatchOnly(
       """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x")))""")
