@@ -325,6 +325,26 @@ final class DsraRun(
   def evictedConfigs: Long = evicted
   private var evicted: Long = 0L
 
+  /** Events processed (resets excluded) — the runtime's position counter. */
+  def eventCounter: Long = counter
+
+  /** The NEWEST window anchor among live taken configurations (-1 if no
+    * taken configuration is live) — counter units for count windows,
+    * event time for time windows. This is the deterministic observable
+    * the SPSTm-style forecaster keys its state abstraction on: together
+    * with the per-event symbol it summarizes the hyper-state's window
+    * debt (see [[graft.cef.spark.Detect.dsraTrace]]).
+    */
+  def newestTakenAnchor: Long = {
+    var m = -1L
+    val it = live.values.iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c.taken && c.anchor > m) m = c.anchor
+    }
+    m
+  }
+
   def reset(): Unit = live.clear()
 
   /** Population guard: the projection-keyed identity bounds the live set
@@ -462,6 +482,11 @@ object DsraRun {
     */
   val DefaultMaxConfigs: Int = 10000
 }
+
+/** One symbolized step of the DSRA runtime's observable trace (symbol +
+  * anchor-age state, see [[graft.cef.spark.Detect.dsraTrace]]). */
+final case class DsraStep(
+    partition: String, counter: Long, eventId: Long, symbol: Int, state: Int)
 
 /** One serialized DSRA configuration (state + registers + window anchor). */
 final case class DsraConfigState(

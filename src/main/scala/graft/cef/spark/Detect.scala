@@ -82,6 +82,40 @@ object Detect {
   def detectionsDsra(events: Dataset[CEvent], cp: CompiledPattern): Dataset[Detection] =
     perKeyScan(events)(key => new DsraRun(cp, key))((run, e) => run.step(e).iterator)
 
+  /** SPSTm symbolization of the DSRA runtime (T1/F2 for register
+    * patterns): one row per event carrying the runtime's deterministic
+    * observables — the 3-letter symbol (detection [[SpstM.SymD]] / new
+    * window anchor [[SpstM.SymA]] / other [[SpstM.SymO]]) and the
+    * anchor-age abstract state (age of the newest live taken anchor,
+    * capped at the window; W = idle). The reference symbolizes dSRA
+    * transitions (model/vmm/mapper/SymbolExtractorFromDSRA.scala); the
+    * lazy config-set runtime symbolizes its observable trace instead —
+    * both are deterministic per-event functions, which is what VMM
+    * training needs. Count-windowed patterns only (the age is measured
+    * in events).
+    */
+  def dsraTrace(events: Dataset[CEvent], cp: CompiledPattern): Dataset[DsraStep] = {
+    implicit val stepEnc: Encoder[DsraStep] = Encoders.product[DsraStep]
+    require(cp.windowKind == WindowKind.Count,
+      "dsraTrace symbolizes count-windowed register patterns (age in events)")
+    val w = cp.window
+    perKeyScan(events)(key => new DsraRun(cp, key)) { (run, e) =>
+      if (e.isReset) { run.step(e); Iterator.empty }
+      else {
+        val det = run.step(e)
+        val counter = run.eventCounter
+        val anchor = run.newestTakenAnchor
+        val sym =
+          if (det.isDefined) SpstM.SymD
+          else if (anchor == counter) SpstM.SymA
+          else SpstM.SymO
+        val state =
+          if (anchor < 0) w else math.min(counter - anchor, w)
+        Iterator.single(DsraStep(run.partition, counter, e.id, sym, state.toInt))
+      }
+    }
+  }
+
   /** Full match enumeration from the nondeterministic runtime.
     * `maxThreads` caps the per-key thread pool (MatchRun population guard).
     */

@@ -75,6 +75,49 @@ object Train {
     Spst(cp.sdfa, pst, order)
   }
 
+  /** T1 for REGISTER patterns (SPSTm parity, reference SPSTmTask.scala):
+    * symbolize the stream through the DSRA runtime's observable trace
+    * ([[Detect.dsraTrace]]), count symbol n-grams per key, learn the PST
+    * on the driver and pair it with the anchor-age abstraction of the
+    * pattern's count window. The per-key trace is a distributed scan
+    * (same secondary-sort shape as detection); the n-gram windows come
+    * from lag() over the trace, so the shuffle carries only (window →
+    * partial count) pairs — alphabet³-bounded, like [[countWindows]].
+    */
+  def learnSpstm(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      order: Int,
+      pMin: Double = 0.001,
+      alpha: Double = 0.05,
+      gammaMin: Double = 0.001,
+      r: Double = 1.05): SpstM = {
+    val trace = Detect.dsraTrace(events, cp)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("partition")).orderBy(col("counter"))
+    // growing-buffer windows (most-recent-first), exactly countWindows'
+    // SymbolBuffer semantics: position 1 emits [s], position 2 [s, s1], …
+    val lags = (1 to order).map(i => lag(col("symbol"), i).over(wk).as(s"s$i"))
+    def wordOf(len: Int) = array(col("symbol") +: (1 to len).map(i => col(s"s$i")): _*)
+    val wordCol =
+      if (order == 0) wordOf(0)
+      else {
+        var c = when(col(s"s$order").isNotNull, wordOf(order))
+        for (len <- order - 1 to 1 by -1)
+          c = c.when(col(s"s$len").isNotNull, wordOf(len))
+        c.otherwise(wordOf(0))
+      }
+    val counts = trace.toDF()
+      .select(col("symbol") +: lags: _*)
+      .select(wordCol.as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .as[WindowCount]
+      .collect()
+    val pst = PstLearner.learn(cstFromCounts(counts), order, pMin, alpha, gammaMin, r)
+    val (delta, hit) = SpstM.anchorAgeTables(cp.window.toInt)
+    SpstM(pst, order, delta, hit)
+  }
+
   /** T3: MLE transition matrix — replay each key through the SDFA emitting
     * (state, nextState), then ONE groupBy().count() (the aggregation the
     * survey singles out as "a natural groupBy in Spark", SURVEY.md §2.7).

@@ -504,6 +504,32 @@ object Cef {
           col("startCounter").as("fs"), col("endCounter").as("fe"),
           (floor(col("prob") * 1000000 + 0.5)).cast("long").as("prob"), col("positive"))
         .orderBy(col("user_id"), col("counter"))
+    },
+
+    // ---------------- SPSTm: forecasting for REGISTER patterns over the
+    // DSRA runtime (reference SPSTmTask.scala / SPSTmInterface.scala).
+    // The runtime's deterministic observables symbolize the stream
+    // (detection / new window anchor / other) and the anchor-age
+    // abstraction of the count window is the state; a PST trained on the
+    // distributed symbol trace drives the same wt recursion as cef11. The
+    // oracle restates the WHOLE pipeline: detection points (the cef18
+    // self-join), symbolization, n-gram counts, PST learning and the
+    // unrolled wt recursion — automaton constants interpolated from the
+    // same SpstM.anchorAgeTables the Spark side runs.
+    Q("cef21_spstm_wt", SpstmOracle.sql21) { (s, dir) =>
+      val ev = events(s, dir)
+      val m = Train.learnSpstm(ev, pSremo, order = 2)
+      val rows = m.pst.leaves.flatMap { leaf =>
+        (0 until m.nStates).map { st =>
+          val wt = m.wtDistribution(leaf.label, st, horizon = 20)
+          (leaf.label.mkString(":"), st,
+            math.floor(wt.wt.values.sum * 1000000 + 0.5).toLong,
+            math.floor(wt.classifyNextK(0.5, 10).prob * 1000000 + 0.5).toLong)
+        }
+      }
+      import s.implicits._
+      rows.toDF("label", "state", "wt_mass", "p_next10")
+        .orderBy(col("label"), col("state"))
     }
   )
 
@@ -600,47 +626,22 @@ object Cef {
     * Probability outputs are emitted as ×10⁶ integers (floor half-up) for
     * the same engine-rounding reason as [[mccSql]].
     */
-  private object SpstOracle {
-    // learner/forecast hyperparameters — must match the cef11/cef12 calls
-    private val pMin = 0.001
-    private val alpha = 0.05
-    private val gammaMin = 0.001
-    private val r = 1.05
-    private val cutoff = 0.001
-    private val horizon = 20
-    private val k10 = 10
-
-    private val iso = pSkipAny.iso
-    private val sdfa = pSkipAny.sdfa
-    private def symOf(t: String) = iso.evaluate(CEvent.simple(1, t, 1))
-    private val E = symOf("error")
-    private val P = symOf("purchase")
-    private val O = symOf("view")
-    require(symOf("click") == O && symOf("signup") == O && Set(E, P, O).size == 3
-      && iso.size == 3, "skip-any minterm alphabet must be {error, purchase, other}")
-
-    // Semantic state ids for the per-event replay (verified, not assumed):
-    // start (no error yet), first-error, error-again, final (purchase after
-    // error), other-after-error. All armed states share one delta row.
-    private val s0 = sdfa.start
-    private val sFE = sdfa.delta(s0)(E)
-    private val sE = sdfa.delta(sFE)(E)
-    private val sF = sdfa.delta(sFE)(P)
-    private val sO = sdfa.delta(sFE)(O)
-    require(sdfa.delta(s0)(P) == s0 && sdfa.delta(s0)(O) == s0,
-      "start state must loop on non-error symbols")
-    require(Seq(sFE, sE, sF, sO).forall(st =>
-      sdfa.delta(st)(E) == sE && sdfa.delta(st)(P) == sF && sdfa.delta(st)(O) == sO),
-      "armed/final states must share the armed delta row")
-    require(sdfa.finals == Set(sF) && !sdfa.isFinal(s0)
-      && Set(s0, sFE, sE, sF, sO).size == sdfa.nStates,
-      "state space must be exactly the five semantic states")
-
-    private val deltaRows = (for {
-      st <- 0 until sdfa.nStates
-      sy <- 0 until iso.size
-    } yield s"($st, $sy, ${sdfa.delta(st)(sy)}, ${sdfa.isFinal(sdfa.delta(st)(sy))})").mkString(", ")
-    private val stateRows = (0 until sdfa.nStates).map(s => s"($s)").mkString(", ")
+  /** Shared SQL machinery for the PST-based forecasters (cef11/cef12/
+    * cef21): given a CTE prefix ending at `sym(user_id, rn, event_id, s)`
+    * and the deterministic automaton as (state, symbol, nextState, hit)
+    * VALUES rows, emits the CTE chain that learns the order-2 PST from
+    * n-gram counts and unrolls the waiting-time recursion to
+    * `ft(lbl, st, mass_all, prob)`. The learner/forecast hyperparameters
+    * are fixed here and MUST match the Scala training calls.
+    */
+  private object PstSql {
+    val pMin = 0.001
+    val alpha = 0.05
+    val gammaMin = 0.001
+    val r = 1.05
+    val cutoff = 0.001
+    val horizon = 20
+    val k10 = 10
 
     // (1+alpha)*gammaMin and 1/r evaluated here so DuckDB parses the exact
     // double the Scala learner compares against
@@ -668,17 +669,8 @@ object Cef {
     private val hitsUnion =
       (1 to horizon).map(t => s"SELECT lbl0, st0, hit, $t AS t FROM h$t").mkString("\nUNION ALL ")
 
-    /** Shared CTE chain ending at `ft(lbl, st, mass_all, prob)` — the
-      * forecast table over every (leaf label × SDFA state) pair.
-      */
-    private val core =
-      s"""WITH b AS (
-         |  SELECT event_id, user_id, event_type, ts,
-         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-         |  FROM events),
-         |sym AS MATERIALIZED (SELECT user_id, rn, event_id,
-         |        CASE event_type WHEN 'error' THEN $E WHEN 'purchase' THEN $P ELSE $O END AS s
-         |        FROM b),
+    def core(prefix: String, deltaRows: String, stateRows: String): String =
+      s"""$prefix,
          |w AS MATERIALIZED (SELECT user_id, rn, s,
          |        lag(s, 1) OVER (PARTITION BY user_id ORDER BY rn) AS s1,
          |        lag(s, 2) OVER (PARTITION BY user_id ORDER BY rn) AS s2
@@ -745,12 +737,66 @@ object Cef {
          |       FROM lv l CROSS JOIN sts s
          |       LEFT JOIN wts ww ON ww.lbl0 = l.lbl AND ww.st0 = s.st)""".stripMargin
 
+    /** ft → the cef11/cef21 output shape (×10⁶ integers). */
+    val tableSelect: String =
+      """SELECT f.lbl AS label, f.st AS state,
+        |       CAST(floor(f.mass_all * 1000000 + 0.5) AS BIGINT) AS wt_mass,
+        |       CAST(floor(f.prob * 1000000 + 0.5) AS BIGINT) AS p_next10
+        |FROM ft f ORDER BY label, state""".stripMargin
+  }
+
+  private object SpstOracle {
+    import PstSql.k10
+
+    private val iso = pSkipAny.iso
+    private val sdfa = pSkipAny.sdfa
+    private def symOf(t: String) = iso.evaluate(CEvent.simple(1, t, 1))
+    private val E = symOf("error")
+    private val P = symOf("purchase")
+    private val O = symOf("view")
+    require(symOf("click") == O && symOf("signup") == O && Set(E, P, O).size == 3
+      && iso.size == 3, "skip-any minterm alphabet must be {error, purchase, other}")
+
+    // Semantic state ids for the per-event replay (verified, not assumed):
+    // start (no error yet), first-error, error-again, final (purchase after
+    // error), other-after-error. All armed states share one delta row.
+    private val s0 = sdfa.start
+    private val sFE = sdfa.delta(s0)(E)
+    private val sE = sdfa.delta(sFE)(E)
+    private val sF = sdfa.delta(sFE)(P)
+    private val sO = sdfa.delta(sFE)(O)
+    require(sdfa.delta(s0)(P) == s0 && sdfa.delta(s0)(O) == s0,
+      "start state must loop on non-error symbols")
+    require(Seq(sFE, sE, sF, sO).forall(st =>
+      sdfa.delta(st)(E) == sE && sdfa.delta(st)(P) == sF && sdfa.delta(st)(O) == sO),
+      "armed/final states must share the armed delta row")
+    require(sdfa.finals == Set(sF) && !sdfa.isFinal(s0)
+      && Set(s0, sFE, sE, sF, sO).size == sdfa.nStates,
+      "state space must be exactly the five semantic states")
+
+    private val deltaRows = (for {
+      st <- 0 until sdfa.nStates
+      sy <- 0 until iso.size
+    } yield s"($st, $sy, ${sdfa.delta(st)(sy)}, ${sdfa.isFinal(sdfa.delta(st)(sy))})").mkString(", ")
+    private val stateRows = (0 until sdfa.nStates).map(s => s"($s)").mkString(", ")
+
+    private val prefix =
+      s"""WITH b AS (
+         |  SELECT event_id, user_id, event_type, ts,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |sym AS MATERIALIZED (SELECT user_id, rn, event_id,
+         |        CASE event_type WHEN 'error' THEN $E WHEN 'purchase' THEN $P ELSE $O END AS s
+         |        FROM b)""".stripMargin
+
+    /** CTE chain ending at `ft(lbl, st, mass_all, prob)` — the forecast
+      * table over every (leaf label × SDFA state) pair ([[PstSql.core]]).
+      */
+    private val core: String = PstSql.core(prefix, deltaRows, stateRows)
+
     val sql11: String =
       s"""$core
-         |SELECT f.lbl AS label, f.st AS state,
-         |       CAST(floor(f.mass_all * 1000000 + 0.5) AS BIGINT) AS wt_mass,
-         |       CAST(floor(f.prob * 1000000 + 0.5) AS BIGINT) AS p_next10
-         |FROM ft f ORDER BY label, state""".stripMargin
+         |${PstSql.tableSelect}""".stripMargin
 
     val sql12: String =
       s"""$core,
@@ -775,5 +821,45 @@ object Cef {
          |       f.prob >= 0.4 AS positive
          |FROM evl e JOIN ft f ON f.lbl = e.lbl AND f.st = e.st
          |ORDER BY user_id, counter""".stripMargin
+  }
+
+  /** DuckDB oracle for the SPSTm query (cef21): the register pattern's
+    * detection points (the cef18 windowed self-join), the runtime-trace
+    * symbolization (detection / new anchor / other) and the anchor-age
+    * state machine, fed through the shared PST + wt machinery
+    * ([[PstSql.core]]). The (delta, hit) VALUES rows are interpolated
+    * from the SAME [[graft.cef.SpstM.anchorAgeTables]] the Spark query
+    * runs, so the two sides share one definition of the abstraction.
+    */
+  private object SpstmOracle {
+    import graft.cef.SpstM
+
+    /** pSremo's count window. */
+    private val W = 10
+
+    private val (delta, hit) = SpstM.anchorAgeTables(W)
+    private val deltaRows = (for {
+      st <- 0 to W
+      sy <- 0 until SpstM.NumSymbols
+    } yield s"($st, $sy, ${delta(st)(sy)}, ${hit(st)(sy)})").mkString(", ")
+    private val stateRows = (0 to W).map(s => s"($s)").mkString(", ")
+
+    private val prefix =
+      s"""$RnCte,
+         |det AS MATERIALIZED (
+         |  SELECT DISTINCT a.user_id AS user_id, p.rn AS rn
+         |  FROM b a JOIN b p
+         |    ON a.user_id = p.user_id AND p.rn > a.rn AND p.rn - a.rn < $W
+         |  WHERE a.value > 120.0 AND p.value > a.value),
+         |sym AS MATERIALIZED (
+         |  SELECT b.user_id, b.rn, b.event_id,
+         |         CASE WHEN d.rn IS NOT NULL THEN ${SpstM.SymD}
+         |              WHEN b.value > 120.0 THEN ${SpstM.SymA}
+         |              ELSE ${SpstM.SymO} END AS s
+         |  FROM b LEFT JOIN det d ON d.user_id = b.user_id AND d.rn = b.rn)""".stripMargin
+
+    val sql21: String =
+      s"""${PstSql.core(prefix, deltaRows, stateRows)}
+         |${PstSql.tableSelect}""".stripMargin
   }
 }
