@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.cef.{CEvent, Compiler, CompiledPattern, ForecastMethod}
-import graft.cef.spark.{Detect, Train}
+import graft.cef.spark.{Detect, Stream, Train}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -530,8 +530,65 @@ object Cef {
       import s.implicits._
       rows.toDF("label", "state", "wt_mass", "p_next10")
         .orderBy(col("label"), col("state"))
+    },
+
+    // ---------------- the deterministic runtime as an ACTUAL Structured
+    // Streaming query (SURVEY.md §7.1.2): the same skip-any detection
+    // points as cef07, but through readStream(file source) →
+    // Stream.detections (flatMapGroupsWithState) → memory sink under
+    // Trigger.AvailableNow — so the driver's DuckDB oracle checks the
+    // streaming execution path itself, not just its batch twin.
+    // events.parquet is one file, hence one micro-batch: cross-batch
+    // event-time order within a key is the caller's contract (watermarked
+    // input), same as the reference's Flink engine.
+    Q("cef22_streaming",
+      s"""$RnCte,
+         |c AS (SELECT user_id, event_type, event_id, rn, ts,
+         |             count(CASE WHEN event_type = 'error' THEN 1 END)
+         |               OVER (PARTITION BY user_id ORDER BY rn
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_err
+         |      FROM b)
+         |SELECT user_id, event_id, rn AS counter, epoch_us(ts) AS ts_us
+         |FROM c WHERE event_type = 'purchase' AND n_err > 0
+         |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      // same nanos→micros timestamp handling as Tables("events")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      // the file source's per-batch partition inference requires a
+      // directory basePath, so stream a temp directory holding a symlink
+      // to the (read-only) single-file table
+      val srcDir = java.nio.file.Files.createTempDirectory("cef22-src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      val raw = s.readStream.schema(schema).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = Detect.toEvents(raw,
+        idCol = "event_id", typeCol = "event_type", tsCol = "ts",
+        partitionCol = "user_id", numAttrs = Seq("value"))
+      val sinkName = s"cef22_sink_${Cef.streamRuns.incrementAndGet()}"
+      val q = Stream.detections(ev, pSkipAny)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cef22-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+        .select(
+          col("partition").cast("long").as("user_id"),
+          col("eventId").as("event_id"),
+          col("counter"),
+          col("timestamp").as("ts_us"))
+        .orderBy(col("user_id"), col("event_id"))
     }
   )
+
+  /** Uniquifies cef22's memory-sink name across invocations in one session
+    * (Verify runs once, Bench several times; memory sinks are session-global).
+    */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Overflow-safe MCC as a SQL expression over tp/tn/fp/fn columns —
     * TEXTUALLY shared between the Spark plan (via expr) and the DuckDB
