@@ -118,6 +118,76 @@ object Train {
     SpstM(pst, order, delta, hit)
   }
 
+  /** T6: maximum-order selection by held-out log-loss cross-validation as
+    * a DISTRIBUTED computation — the driver-checkable face of
+    * [[graft.cef.OrderEstimator]] (reference estimator/OrderEstimator):
+    * per-key 80/20 PREFIX split in stream order, train-region n-gram
+    * counts and grouped test trigrams each one alphabet³-bounded shuffle,
+    * then a PST per candidate order and a ≤|Σ|³-term loss fold on the
+    * driver. The stream itself never leaves the executors — only
+    * (window → count) pairs do, so the shape survives any data volume.
+    *
+    * Returns (order, pstLeaves, heldOutLogLossPerSymbol) for
+    * m = 0..maxOrder; test contexts are truncated to each m and to
+    * whatever prefix exists at per-key stream starts, exactly like the
+    * in-memory estimator's sliding buffer.
+    */
+  def orderCv(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      maxOrder: Int = 2,
+      trainFraction: Double = 0.8,
+      pMin: Double = 0.001,
+      alpha: Double = 0.05,
+      gammaMin: Double = 0.001,
+      r: Double = 1.05): Seq[(Int, Int, Double)] = {
+    require(maxOrder <= 2, "the grouped-trigram loss carries context up to length 2")
+    val iso = cp.iso
+    implicit val symEnc: Encoder[(String, Long, Long, Int)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user")).orderBy(col("ts"), col("id"))
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("user"))
+    val w = events
+      .map(e => (e.partition, e.timestamp, e.id, iso.evaluate(e)))
+      .toDF("user", "ts", "id", "s")
+      .filter(col("s") >= 0)
+      .select(col("user"), col("s"),
+        row_number().over(wk).as("rn"),
+        floor(count(lit(1)).over(wu) * lit(trainFraction)).as("cut"),
+        lag(col("s"), 1).over(wk).as("s1"),
+        lag(col("s"), 2).over(wk).as("s2"))
+    val grouped = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("s"), col("s1"), col("s2")).agg(count(lit(1)).as("c")).collect()
+    val trainCounts = grouped(w.filter(col("rn") <= col("cut")))
+    val testCounts = grouped(w.filter(col("rn") > col("cut")))
+
+    def optInt(row: org.apache.spark.sql.Row, i: Int): Option[Int] =
+      if (row.isNullAt(i)) None else Some(row.getInt(i))
+    val cst = new Cst
+    trainCounts.foreach { row =>
+      // lag nulls are suffix-closed (s2 set ⇒ s1 set): the word is the
+      // most-recent-first window the in-memory SymbolBuffer would hold
+      val word = row.getInt(0) :: (optInt(row, 1).toList ++ optInt(row, 2).toList)
+      cst.add(word, row.getLong(3))
+    }
+    val nTest = testCounts.map(_.getLong(3)).sum
+    require(cst.count > 0 && nTest > 0, "order CV needs a non-empty train/test split")
+    // canonical fold order so the ≤|Σ|³-term float sum is reproducible
+    val triples = testCounts
+      .map(row => (row.getInt(0), optInt(row, 1), optInt(row, 2), row.getLong(3)))
+      .sortBy(t => (t._1, t._2.getOrElse(Int.MinValue), t._3.getOrElse(Int.MinValue)))
+    (0 to maxOrder).map { m =>
+      val pst = PstLearner.learn(cst, m, pMin, alpha, gammaMin, r)
+      var ll = 0.0
+      triples.foreach { case (s, s1, s2, c) =>
+        val ctx = (s1.toList ++ s2.toList).take(m)
+        ll += c * -math.log(math.max(pst.condProbFor(s, ctx), 1e-12))
+      }
+      (m, pst.leaves.size, ll / nTest)
+    }
+  }
+
   /** T3: MLE transition matrix — replay each key through the SDFA emitting
     * (state, nextState), then ONE groupBy().count() (the aggregation the
     * survey singles out as "a natural groupBy in Spark", SURVEY.md §2.7).

@@ -582,6 +582,27 @@ object Cef {
           col("counter"),
           col("timestamp").as("ts_us"))
         .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // ---------------- T6 order selection as a driver-checked query: the
+    // distributed held-out cross-validation ([[Train.orderCv]]) over the
+    // skip-any symbolization. The oracle restates the WHOLE pipeline —
+    // per-user 80/20 prefix split, train n-gram counts, the
+    // Ron/Singer/Tishby tree-growing predicates per candidate order, the
+    // smoothed deepest-suffix lookups and the grouped-trigram log-loss —
+    // in pure SQL; losses are ×10⁴ integers (engine-rounding, see mccSql)
+    // and `n_leaves` pins the learned tree SHAPE against the SQL
+    // restatement of the retention predicates.
+    Q("cef23_order_cv", OrderCvOracle.sql23) { (s, dir) =>
+      val rows = Train.orderCv(events(s, dir), pSkipAny, maxOrder = 2)
+        .map { case (m, leaves, loss) =>
+          (m.toLong, leaves.toLong, math.floor(loss * 10000 + 0.5).toLong)
+        }
+      val bestM = rows.minBy { case (m, _, lq) => (lq, m) }._1
+      import s.implicits._
+      rows.map { case (m, leaves, lq) => (m, leaves, lq, m == bestM) }
+        .toDF("m", "n_leaves", "loss_q", "selected")
+        .orderBy(col("m"))
     }
   )
 
@@ -589,6 +610,128 @@ object Cef {
     * (Verify runs once, Bench several times; memory sinks are session-global).
     */
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** DuckDB oracle for the order-CV query (cef23): restates
+    * [[graft.cef.spark.Train.orderCv]] end-to-end in SQL. Train-region
+    * n-gram counts (per-user prefix split), the PST retention predicates
+    * per candidate order (the same count-ratio conditions as
+    * [[PstSql]]'s `ret2`, plus their depth-1 form), the smoothed
+    * deepest-suffix probability lookups, and the grouped-trigram
+    * held-out log-loss. All comparisons are on exact integer counts;
+    * the only floats are the per-triple probability terms (single
+    * IEEE-correctly-rounded ops from identical integers in both
+    * engines) and the ≤|Σ|³-term loss sum, absorbed by the ×10⁴
+    * quantization.
+    */
+  private object OrderCvOracle {
+    private val iso = pSkipAny.iso
+    private def symOf(t: String) = iso.evaluate(CEvent.simple(1, t, 1))
+    private val E = symOf("error")
+    private val P = symOf("purchase")
+    private val O = symOf("view")
+
+    private val pMin = 0.001
+    private val alpha = 0.05
+    private val gammaMin = 0.001
+    private val r = 1.05
+    private val thresh = (1 + alpha) * gammaMin
+    private val rInv = 1 / r
+    private val frac = 0.8
+
+    // smoothed probability: raw * (1 - |Σ|γ) + γ, |Σ| from the ksz CTE
+    private def sm(raw: String) = s"($raw) * (1 - fl.k * $gammaMin) + $gammaMin"
+
+    val sql23: String =
+      s"""WITH b AS (
+         |  SELECT event_id, user_id, event_type, ts,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |sym AS MATERIALIZED (SELECT user_id, rn,
+         |        CASE event_type WHEN 'error' THEN $E WHEN 'purchase' THEN $P ELSE $O END AS s
+         |      FROM b),
+         |u AS MATERIALIZED (SELECT user_id, count(*) AS n_u FROM sym GROUP BY user_id),
+         |w AS MATERIALIZED (SELECT y.user_id, y.rn, y.s,
+         |        lag(y.s, 1) OVER (PARTITION BY y.user_id ORDER BY y.rn) AS s1,
+         |        lag(y.s, 2) OVER (PARTITION BY y.user_id ORDER BY y.rn) AS s2,
+         |        CAST(floor(u.n_u * $frac) AS BIGINT) AS cut
+         |      FROM sym y JOIN u USING (user_id)),
+         |tr AS MATERIALIZED (SELECT * FROM w WHERE rn <= cut),
+         |te AS MATERIALIZED (SELECT s, s1, s2, count(*) AS c FROM w WHERE rn > cut GROUP BY s, s1, s2),
+         |nte AS MATERIALIZED (SELECT sum(c) AS n FROM te),
+         |n0 AS MATERIALIZED (SELECT count(*) AS c FROM tr),
+         |n1 AS MATERIALIZED (SELECT s AS a, count(*) AS c FROM tr GROUP BY s),
+         |n2 AS MATERIALIZED (SELECT s AS a, s1 AS b, count(*) AS c FROM tr WHERE s1 IS NOT NULL GROUP BY s, s1),
+         |n3 AS MATERIALIZED (SELECT s AS a, s1 AS b, s2 AS d, count(*) AS c FROM tr WHERE s2 IS NOT NULL GROUP BY s, s1, s2),
+         |al AS MATERIALIZED (SELECT DISTINCT s FROM tr),
+         |ksz AS MATERIALIZED (SELECT count(*) AS k FROM al),
+         |s2s AS MATERIALIZED (SELECT b AS ctx, sum(c) AS sc FROM n2 GROUP BY b),
+         |s3s AS MATERIALIZED (SELECT b AS c1, d AS c2, sum(c) AS sc FROM n3 GROUP BY b, d),
+         |ret1 AS MATERIALIZED (
+         |  SELECT ca.a
+         |  FROM n1 ca CROSS JOIN n0
+         |  WHERE CAST(ca.c AS DOUBLE) / n0.c >= $pMin
+         |    AND EXISTS (
+         |      SELECT 1 FROM n2 JOIN n1 ns ON ns.a = n2.a CROSS JOIN n0 nn
+         |      WHERE n2.b = ca.a
+         |        AND CAST(n2.c AS DOUBLE) / ca.c >= $thresh
+         |        AND ((CAST(n2.c AS DOUBLE) / ca.c) / (CAST(ns.c AS DOUBLE) / nn.c) >= $r
+         |          OR (CAST(n2.c AS DOUBLE) / ca.c) / (CAST(ns.c AS DOUBLE) / nn.c) <= $rInv))),
+         |ret2 AS MATERIALIZED (
+         |  SELECT c2.a, c2.b
+         |  FROM n2 c2 JOIN n1 ca ON ca.a = c2.a CROSS JOIN n0
+         |  WHERE CAST(ca.c AS DOUBLE) / n0.c >= $pMin
+         |    AND CAST(c2.c AS DOUBLE) / (n0.c - 1) >= $pMin
+         |    AND EXISTS (
+         |      SELECT 1 FROM n3 JOIN n2 sx ON sx.a = n3.a AND sx.b = n3.b
+         |      WHERE n3.b = c2.a AND n3.d = c2.b
+         |        AND CAST(n3.c AS DOUBLE) / c2.c >= $thresh
+         |        AND ((CAST(n3.c AS DOUBLE) / c2.c) / (CAST(sx.c AS DOUBLE) / ca.c) >= $r
+         |          OR (CAST(n3.c AS DOUBLE) / c2.c) / (CAST(sx.c AS DOUBLE) / ca.c) <= $rInv))),
+         |int1 AS MATERIALIZED (SELECT DISTINCT a FROM ret2),
+         |fl AS MATERIALIZED (SELECT
+         |  EXISTS (SELECT 1 FROM ret1) AS has1,
+         |  (EXISTS (SELECT 1 FROM ret1) OR EXISTS (SELECT 1 FROM ret2)) AS has2,
+         |  (SELECT count(*) FROM int1) AS ni,
+         |  (SELECT CAST(k AS BIGINT) FROM ksz) AS k),
+         |pt AS MATERIALIZED (SELECT te.s, te.s1, te.s2, te.c,
+         |  (SELECT CAST(n1.c AS DOUBLE) / n0.c FROM n1 CROSS JOIN n0 WHERE n1.a = te.s) AS r0,
+         |  CASE WHEN te.s1 IS NULL OR te.s1 NOT IN (SELECT s FROM al) THEN NULL
+         |       ELSE coalesce((SELECT CAST(n2.c AS DOUBLE) FROM n2 WHERE n2.a = te.s AND n2.b = te.s1)
+         |                   / (SELECT CAST(sc AS DOUBLE) FROM s2s WHERE ctx = te.s1), 0.0) END AS r1,
+         |  CASE WHEN te.s2 IS NULL OR te.s1 IS NULL THEN NULL
+         |       WHEN NOT EXISTS (SELECT 1 FROM n2 WHERE n2.a = te.s1 AND n2.b = te.s2) THEN NULL
+         |       ELSE coalesce((SELECT CAST(n3.c AS DOUBLE) FROM n3
+         |                      WHERE n3.a = te.s AND n3.b = te.s1 AND n3.d = te.s2)
+         |                   / (SELECT CAST(sc AS DOUBLE) FROM s3s WHERE c1 = te.s1 AND c2 = te.s2), 0.0)
+         |  END AS r2
+         |  FROM te),
+         |ls AS MATERIALIZED (SELECT
+         |  sum(pt.c * -ln(CASE WHEN pt.r0 IS NULL THEN 1e-12 ELSE ${sm("pt.r0")} END)) AS l0,
+         |  sum(pt.c * -ln(CASE WHEN pt.r0 IS NULL THEN 1e-12
+         |       WHEN pt.r1 IS NULL OR NOT fl.has1 THEN ${sm("pt.r0")}
+         |       ELSE ${sm("pt.r1")} END)) AS l1,
+         |  sum(pt.c * -ln(CASE WHEN pt.r0 IS NULL THEN 1e-12
+         |       WHEN pt.r1 IS NULL OR NOT fl.has2 THEN ${sm("pt.r0")}
+         |       WHEN pt.r2 IS NULL OR pt.s1 NOT IN (SELECT a FROM int1) THEN ${sm("pt.r1")}
+         |       ELSE ${sm("pt.r2")} END)) AS l2
+         |  FROM pt CROSS JOIN fl),
+         |res AS (
+         |  SELECT CAST(0 AS BIGINT) AS m, CAST(1 AS BIGINT) AS n_leaves,
+         |         CAST(floor(l0 / nte.n * 10000 + 0.5) AS BIGINT) AS loss_q
+         |  FROM ls CROSS JOIN nte
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), (SELECT CASE WHEN has1 THEN k ELSE CAST(1 AS BIGINT) END FROM fl),
+         |         CAST(floor(l1 / nte.n * 10000 + 0.5) AS BIGINT)
+         |  FROM ls CROSS JOIN nte
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), (SELECT CASE WHEN NOT has2 THEN CAST(1 AS BIGINT)
+         |                         ELSE ni * k + (k - ni) END FROM fl),
+         |         CAST(floor(l2 / nte.n * 10000 + 0.5) AS BIGINT)
+         |  FROM ls CROSS JOIN nte)
+         |SELECT m, n_leaves, loss_q,
+         |       row_number() OVER (ORDER BY loss_q, m) = 1 AS selected
+         |FROM res ORDER BY m""".stripMargin
+  }
 
   /** Overflow-safe MCC as a SQL expression over tp/tn/fp/fn columns —
     * TEXTUALLY shared between the Spark plan (via expr) and the DuckDB
