@@ -39,6 +39,11 @@ object Pipeline {
 
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     pairCache.synchronized {
+      // drop entries pinned to stopped sessions so a long-lived server
+      // cycling sessions can't accumulate them (a WeakHashMap would not
+      // work here: the cached DataFrame strongly references its session,
+      // so a weak key could never be collected anyway)
+      pairCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       pairCache.getOrElseUpdate((s, dir), nearDupPairsUncached(s, dir))
     }
 
