@@ -142,10 +142,23 @@ object DedupOps {
     * near-dup cliques), capped at `maxIters` with a convergence check.
     * The min-label fixpoint is unique, so results are engine-independent
     * (the DuckDB twin computes the same labels by transitive closure).
-    * `algo = "star"` switches to alternating large-star/small-star
-    * ([[neardupGroupsStar]]) — the production choice at extreme
-    * diameters, where its shrinking edge frontier beats a |V|-sized
-    * label table per round.
+    *
+    * Strategy is size-aware (`algo = "auto"`, the default): the pair set
+    * is COUNTED first, and when it fits the driver comfortably
+    * (`localMaxEdges`, default 1M edges ≈ tens of MB of union-find state
+    * and a ≤~32 MB broadcast) the components are solved by driver-side
+    * union-find and applied with ONE broadcast join — zero shuffles,
+    * zero iterative rounds. This is the common case even at corpus
+    * scale: near-dup PAIRS are the output of LSH banding, typically
+    * orders of magnitude smaller than the corpus, and the vertex table
+    * itself never leaves the executors. Above the bound, iterative
+    * min-label propagation with pointer jumping takes over: one shuffle
+    * per round keyed on the vertex, rounds ≈ O(log diameter), capped at
+    * `maxIters` with a convergence check. `algo = "pointer"` forces the
+    * distributed path; `algo = "star"` switches to alternating
+    * large-star/small-star ([[neardupGroupsStar]]) — the production
+    * choice at extreme diameters, where its shrinking edge frontier
+    * beats a |V|-sized label table per round.
     */
   def neardupGroups(
       vertices: DataFrame,
@@ -154,12 +167,18 @@ object DedupOps {
       aCol: String,
       bCol: String,
       maxIters: Int = 20,
-      algo: String = "pointer"): DataFrame = {
+      algo: String = "auto",
+      localMaxEdges: Long = 1000000L): DataFrame = {
     if (algo == "star")
       return neardupGroupsStar(vertices, idCol, pairs, aCol, bCol, maxIters)
-    // persist the pair set FIRST: the symmetric union reads it twice, and
-    // upstream it is typically a whole LSH pipeline
+    // persist the pair set FIRST: the size probe and the symmetric union
+    // both read it, and upstream it is typically a whole LSH pipeline
     val p = pairs.persist()
+    if (algo == "local" || (algo == "auto" && p.count() <= localMaxEdges)) {
+      val out = neardupGroupsLocal(vertices, idCol, p, aCol, bCol)
+      p.unpersist() // the union-find already collected the edges
+      return out
+    }
     val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
@@ -222,6 +241,70 @@ object DedupOps {
     require(converged,
       s"near-dup grouping did not converge within $maxIters rounds — raise maxIters")
     labels.select(col("id").as(idCol), col("lbl").as("group_id"))
+  }
+
+  /** Driver-side union-find for pair graphs KNOWN (counted) to be small:
+    * collect the edges, union-by-min with path compression (the root of
+    * every set is its min id, so the min-label fixpoint falls out of the
+    * union rule), then apply the edge-vertex → group mapping back with
+    * one BROADCAST join. The vertex table — the thing that is actually
+    * corpus-sized at 100 TB — never moves; only the LSH pair output
+    * does, under the caller-enforced bound.
+    */
+  private def neardupGroupsLocal(
+      vertices: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val spark = vertices.sparkSession
+    val dt = vertices.schema(idCol).dataType
+    val lt: (Any, Any) => Boolean = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType =>
+        (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+      case other =>
+        throw new IllegalArgumentException(s"unsupported near-dup id type $other")
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def root(x0: Any): Any = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) { // path halving
+        val gp = parent.get(p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    pairs.select(col(aCol), col(bCol)).collect().foreach { row =>
+      val a = row.get(0)
+      val b = row.get(1)
+      if (a != null && b != null) {
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = root(a)
+        val rb = root(b)
+        if (ra != rb) {
+          // union by MIN id: every root is its component's min label
+          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+    }
+    val mapRows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { id =>
+      mapRows.add(org.apache.spark.sql.Row(id, root(id)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__cc_id", dt),
+      org.apache.spark.sql.types.StructField("__cc_grp", dt)))
+    val mapping = spark.createDataFrame(mapRows, schema)
+    vertices.select(col(idCol))
+      .join(broadcast(mapping), col(idCol) === col("__cc_id"), "left")
+      .select(col(idCol), coalesce(col("__cc_grp"), col(idCol)).as("group_id"))
   }
 
   /** Alternating large-star/small-star connected components — the

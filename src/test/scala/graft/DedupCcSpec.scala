@@ -63,4 +63,29 @@ class DedupCcSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val star = labelsOf("star", 5, Seq.empty, maxIters = 5)
     star shouldBe (1L to 5L).map(i => i -> i).toMap
   }
+
+  "driver-side union-find CC" should "agree with pointer jumping on random graphs and paths" in {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 400
+      val edges = Seq.fill(250)((rnd.nextInt(300) + 1L, rnd.nextInt(300) + 1L))
+      labelsOf("local", n, edges, maxIters = 5) shouldBe labelsOf("pointer", n, edges, maxIters = 20)
+    }
+    val path = (1L until 2000L).map(i => (i, i + 1))
+    val local = labelsOf("local", 2000, path, maxIters = 5)
+    local.size shouldBe 2000
+    all(local.values) shouldBe 1L
+  }
+
+  it should "be what auto selects under the edge bound, with identical labels" in {
+    val rnd = new scala.util.Random(9)
+    val edges = Seq.fill(120)((rnd.nextInt(150) + 1L, rnd.nextInt(150) + 1L))
+    labelsOf("auto", 200, edges, maxIters = 20) shouldBe labelsOf("pointer", 200, edges, maxIters = 20)
+  }
+
+  it should "handle empty pairs and null-free self-pairs" in {
+    labelsOf("local", 4, Seq.empty, maxIters = 5) shouldBe (1L to 4L).map(i => i -> i).toMap
+    labelsOf("local", 4, Seq((2L, 2L), (3L, 4L)), maxIters = 5) shouldBe
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L)
+  }
 }
