@@ -17,6 +17,17 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
     Tables(spark, sfDir, "events").limit(64).collect()
+    // warm the three machinery-heavy paths on the TINY sf so their JIT /
+    // codegen / streaming-engine init isn't charged to the first query of
+    // each family (cef01 was absorbing the automaton runtime warm-up,
+    // p06 the LSH expression codegen, cef22 the streaming query plumbing)
+    val warmSf = "/root/testdata/sf0.001"
+    for (w <- Seq("cef01_seq2_strict", "p06_dd_minhash_pairs", "cef22_streaming"))
+      SparkEntry.queries(w)(spark, warmSf).count()
+    // timed queries start from a clean storage slate (the p06 warm-up
+    // memoizes a tiny sf0.001 pair table; dropping the cache is safe —
+    // memoized DataFrames recompute from lineage)
+    spark.sqlContext.clearCache()
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
