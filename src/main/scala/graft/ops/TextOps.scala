@@ -23,6 +23,33 @@ object TextOps {
   /** Whitespace tokenizer (the documents table is single-space text). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Adjacent space-joined n-grams of a token array (tokens cannot
+    * contain the separator). Pure per-row array ops — no shuffle.
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    val len = greatest(size(toks) - lit(n - 1), lit(0))
+    (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, i) =>
+      zip_with(acc, slice(toks, lit(i), len), (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
+  /** Highest multiplicity of any element of a string array, as a single
+    * per-row pass over the sorted copy (max run length of equal
+    * neighbors ≡ max multiplicity). Stays codegen-adjacent and
+    * shuffle-free — the repetition signals a Gopher-style quality
+    * filter needs are per-document scalars, so at 100 TB they are
+    * embarrassingly parallel map work, never an aggregation.
+    */
+  def maxMultiplicity(toks: Column): Column =
+    aggregate(
+      array_sort(toks),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Polynomial rolling hash of a string: fold (acc*31 + ascii(c)) % M
     * over its characters. Used as the document fingerprint and as the
     * per-token hash primitive for MinHash/SimHash. Native codegen'd char

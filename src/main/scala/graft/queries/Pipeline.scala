@@ -157,6 +157,70 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // --------------------------------------- text: repetition signals
+    // (Gopher-style quality filtering, Rae et al. 2021 §A1.1: documents
+    // dominated by a repeated word / 2-gram / duplicated 3-grams are
+    // boilerplate). All three signals are per-row array scalars
+    // (TextOps.maxMultiplicity / ngrams — no UDFs, no shuffle); the
+    // oracle recomputes them with window functions over unnested
+    // tokens, a genuinely different algorithm with the same counts.
+    // Fractions ship as ×10⁶ integers from exact integer counts and the
+    // keep decision compares the quantized values, so both engines
+    // decide identically.
+    Q("p19_txt_repetition",
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents),
+         |seq AS (SELECT doc_id, tok,
+         |               lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2
+         |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |wcnt AS (SELECT doc_id, max(c) AS topw, sum(c) AS n_tokens
+         |         FROM (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+         |         GROUP BY doc_id),
+         |bi AS (SELECT doc_id, max(c) AS topb, sum(c) AS n_bi
+         |       FROM (SELECT doc_id, tok || ' ' || t1 AS g, count(*) AS c
+         |             FROM seq WHERE t1 IS NOT NULL GROUP BY doc_id, g)
+         |       GROUP BY doc_id),
+         |tri AS (SELECT doc_id, sum(c) - count(*) AS dup_tri, sum(c) AS n_tri
+         |        FROM (SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS g, count(*) AS c
+         |              FROM seq WHERE t2 IS NOT NULL GROUP BY doc_id, g)
+         |        GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(wcnt.n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(floor(wcnt.topw * 1000000.0 / wcnt.n_tokens + 0.5) AS BIGINT) AS top_word_q,
+         |       CAST(floor(coalesce(bi.topb, 0) * 1000000.0 / greatest(coalesce(bi.n_bi, 0), 1) + 0.5) AS BIGINT) AS top_bigram_q,
+         |       CAST(floor(coalesce(tri.dup_tri, 0) * 1000000.0 / greatest(coalesce(tri.n_tri, 0), 1) + 0.5) AS BIGINT) AS dup_trigram_q,
+         |       (floor(wcnt.topw * 1000000.0 / wcnt.n_tokens + 0.5) < 300000
+         |        AND floor(coalesce(bi.topb, 0) * 1000000.0 / greatest(coalesce(bi.n_bi, 0), 1) + 0.5) < 180000
+         |        AND floor(coalesce(tri.dup_tri, 0) * 1000000.0 / greatest(coalesce(tri.n_tri, 0), 1) + 0.5) < 300000) AS keep
+         |FROM documents d
+         |JOIN wcnt USING (doc_id)
+         |LEFT JOIN bi USING (doc_id)
+         |LEFT JOIN tri USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = tokens(col("text"))
+      def q(cnt: org.apache.spark.sql.Column, denom: org.apache.spark.sql.Column) =
+        floor(cnt * lit(1000000.0) / denom + lit(0.5)).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tok"))
+        .select(col("doc_id"),
+          size(col("tok")).cast("long").as("n_tokens"),
+          TextOps.maxMultiplicity(col("tok")).as("topw"),
+          TextOps.ngrams(col("tok"), 2).as("big"),
+          TextOps.ngrams(col("tok"), 3).as("trig"))
+        .select(col("doc_id"), col("n_tokens"),
+          q(col("topw"), col("n_tokens")).as("top_word_q"),
+          q(TextOps.maxMultiplicity(col("big")), greatest(size(col("big")), lit(1)).cast("long"))
+            .as("top_bigram_q"),
+          q((size(col("trig")) - size(array_distinct(col("trig")))).cast("long"),
+            greatest(size(col("trig")), lit(1)).cast("long")).as("dup_trigram_q"))
+        .withColumn("keep",
+          col("top_word_q") < 300000 && col("top_bigram_q") < 180000
+            && col("dup_trigram_q") < 300000)
+        .orderBy(col("doc_id"))
+    },
+
     // --------------------------------------------------------- text: lang id
     Q("p03_txt_langid", {
       val toks = "string_split(text, ' ')"
