@@ -221,6 +221,79 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // ------------------------------------------- text: TF-IDF top terms
+    // (keyword extraction over the corpus). Classic two-aggregation
+    // shape: per-(doc, term) counts with map-side combine, then the
+    // vocabulary-sized document-frequency table — the corpus-wide state
+    // is bounded by the VOCABULARY, not the corpus, so the join back is
+    // broadcast-able at any scale (AQE decides at small SF). Smooth idf
+    // (sklearn form): ln((N+1)/(df+1)) + 1. Scores ship as ×10⁶
+    // integers and ranking orders by (score_q DESC, term ASC), so both
+    // engines rank identically.
+    Q("p20_txt_tfidf",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |         CAST(floor(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0) * 1000000.0 + 0.5) AS BIGINT) AS score_q
+         |       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |rk AS (SELECT doc_id, term, score_q,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term) AS rank
+         |       FROM sc)
+         |SELECT doc_id, rank, term, score_q
+         |FROM rk WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // persist: both the score join and the document-frequency
+      // aggregation consume the (doc, term) counts — without it Spark
+      // re-reads and re-explodes the whole corpus for the df branch;
+      // auto-released when the query's action completes
+      val tf = graft.ops.Release.afterFirstUse(docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val totals = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score_q").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("term"),
+          floor(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("score_q"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("score_q"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // -------------------------------- deterministic stratified sampling
+    // (training-data mixing): downsample the dominant language to a
+    // per-stratum rate with a SEEDED HASH of the document id, so the
+    // sample is reproducible across runs, engines and cluster sizes —
+    // no RNG state, no ordering dependence, pure per-row map work
+    // evaluated inside the scan's WholeStageCodegen stage (a computed
+    // hash can't reach PushedFilters, but it never shuffles either).
+    // Rates are percent buckets of the shared polynomial hash
+    // (polyHash; the engines agree bit-for-bit, pinned by the p04/p05
+    // oracles).
+    Q("p21_sample_stratified", {
+      val h = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-sample-1'")
+      s"""SELECT doc_id, lang, bucket
+         |FROM (SELECT doc_id, lang, $h % 100 AS bucket FROM documents)
+         |WHERE bucket < CASE lang WHEN 'en' THEN 40 ELSE 90 END
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val bucket = pmod(
+        TextOps.polyHash(concat(col("doc_id").cast("string"), lit("#graft-sample-1"))),
+        lit(100L))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") <
+          when(col("lang") === "en", lit(40L)).otherwise(lit(90L)))
+        .orderBy(col("doc_id"))
+    },
+
     // --------------------------------------------------------- text: lang id
     Q("p03_txt_langid", {
       val toks = "string_split(text, ' ')"

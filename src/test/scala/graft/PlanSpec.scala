@@ -113,7 +113,8 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // each query persists its signature table for the duration of its own
     // action and auto-releases it via the execution-listener hook
     // (Release.afterFirstUse) — no storage block may outlive the query
-    for (name <- Seq("p08_dd_ngram_nn", "p10_dd_embed_nn", "p18_dd_simhash_pairs")) {
+    for (name <- Seq("p08_dd_ngram_nn", "p10_dd_embed_nn", "p18_dd_simhash_pairs",
+        "p20_txt_tfidf")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(name)(spark, sfDir).count()
       // the listener bus delivers asynchronously — poll for the release
@@ -133,6 +134,22 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // rides through the explode, so there is no join back to the
     // signature table for verification
     "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(plan).size shouldBe 1
+  }
+
+  "p20_txt_tfidf" should "feed both the score join and the df aggregation from the cached tf table" in {
+    val plan = planOf("p20_txt_tfidf")
+    // two InMemoryTableScans = both consumers read the persisted (doc,
+    // term) counts; without the persist the df branch re-reads and
+    // re-explodes the corpus (the plan-string FileScan count is not
+    // usable here: each cache reference embeds the build plan's scan)
+    "InMemoryTableScan".r.findAllIn(plan).size shouldBe 2
+  }
+
+  "p21_sample_stratified" should "be map-only: the seeded-hash predicate runs in the scan stage" in {
+    val plan = planOf("p21_sample_stratified")
+    // the only exchange is the range partitioning for the ordered output
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
   }
 
   "p16_txt_normalize" should "dedup via one window shuffle, no self-join" in {
