@@ -491,6 +491,50 @@ object Pipeline {
     },
 
     // --------------------------------------- similarity: brute-force top-k
+    // ----------------------------- embeddings: int8 symmetric quantization
+    // (vector-store compression). Per-vector scale = max|x|/127, round
+    // half-away-from-zero, clamp to [-127, 127], and the L2
+    // reconstruction error — all per-row array folds in the scan stage:
+    // no UDF, no shuffle, the 100 TB shape for a corpus-wide recompress.
+    // Both engines fold the array LEFT-TO-RIGHT with the same elementwise
+    // ops (widen-to-double is exact, round ties match, error terms are
+    // plain multiplies), so the ×10⁹ quantized outputs are bit-identical.
+    Q("p22_embed_quant", {
+      val absMax = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), (a, b) -> greatest(a, b))"
+      val diff = "list_transform(embedding, x -> CAST(x AS DOUBLE) - " +
+        "least(greatest(round(CAST(x AS DOUBLE) / scale, 0), -127.0), 127.0) * scale)"
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS dim,
+         |             $absMax / 127.0 AS scale
+         |           FROM embeddings)
+         |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         |       CAST(floor(scale * 1000000000.0 + 0.5) AS BIGINT) AS scale_q,
+         |       CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(floor(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), $diff),
+         |                 (a, b) -> a + b * b)) * 1000000000.0 + 0.5) AS BIGINT)
+         |       END AS l2_err_q
+         |FROM e ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = col("embedding")
+      val absMax = aggregate(emb, lit(0.0),
+        (a, x) => greatest(a, abs(x.cast("double"))))
+      def qerr(scale: org.apache.spark.sql.Column) =
+        sqrt(aggregate(emb, lit(0.0), (a, x) => {
+          val xd = x.cast("double")
+          val d = xd - least(greatest(round(xd / scale), lit(-127.0)), lit(127.0)) * scale
+          a + d * d
+        }))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), emb, size(emb).cast("long").as("dim"),
+          (absMax / lit(127.0)).as("scale"))
+        .select(col("vec_id"), col("dim"),
+          floor(col("scale") * lit(1000000000.0) + lit(0.5)).cast("long").as("scale_q"),
+          when(col("scale") === 0, lit(0L))
+            .otherwise(floor(qerr(col("scale")) * lit(1000000000.0) + lit(0.5)).cast("long"))
+            .as("l2_err_q"))
+        .orderBy(col("vec_id"))
+    },
+
     Q("p09_sim_brute_topk", {
       val cos = cosineSql("q.embedding", "c.embedding")
       s"""WITH scored AS (
