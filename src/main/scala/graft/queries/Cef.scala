@@ -584,6 +584,34 @@ object Cef {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // ---------------- multi-pattern detection (K5/R1 over a pattern SET):
+    // ONE pass over the stream drives ALL automata per key — the
+    // reference's run pool registered per (fsmId, partition value)
+    // (ERFEngine.scala:230-266) — instead of one scan per pattern. The
+    // oracle is the UNION of the per-pattern detection-point queries
+    // tagged with the pattern index, which is exactly the semantics.
+    Q("cef24_multi_pattern",
+      s"""$RnCte,
+         |c AS (SELECT user_id, event_type, event_id, rn,
+         |             lag(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS p_type,
+         |             count(CASE WHEN event_type = 'error' THEN 1 END)
+         |               OVER (PARTITION BY user_id ORDER BY rn
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_err
+         |      FROM b)
+         |SELECT CAST(0 AS INT) AS fsm_id, user_id, event_id, rn AS counter
+         |FROM c WHERE event_type = 'purchase' AND n_err > 0
+         |UNION ALL
+         |SELECT CAST(1 AS INT), user_id, event_id, rn
+         |FROM c WHERE event_type = 'purchase' AND p_type = 'error'
+         |ORDER BY fsm_id, user_id, event_id""".stripMargin) { (s, dir) =>
+      Detect.detectionsMulti(events(s, dir), Seq(pSkipAny, pSeq2)).toDF("fsm_id", "det")
+        .select(col("fsm_id"),
+          col("det.partition").cast("long").as("user_id"),
+          col("det.eventId").as("event_id"),
+          col("det.counter"))
+        .orderBy(col("fsm_id"), col("user_id"), col("event_id"))
+    },
+
     // ---------------- T6 order selection as a driver-checked query: the
     // distributed held-out cross-validation ([[Train.orderCv]]) over the
     // skip-any symbolization. The oracle restates the WHOLE pipeline —

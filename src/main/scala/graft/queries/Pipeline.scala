@@ -491,6 +491,42 @@ object Pipeline {
     },
 
     // --------------------------------------- similarity: brute-force top-k
+    // ------------------------------- text: token-window chunking
+    // (training-sequence prep): split every document into windows of 32
+    // tokens with stride 24 (25% overlap), keeping the trailing partial
+    // window. Pure per-row array work — the chunk starts come from
+    // sequence(), the slices from slice(), then ONE posexplode; no UDF,
+    // no shuffle, and at 100 TB the chunk table streams out of the scan
+    // stage. The oracle rebuilds the same windows with generate_series +
+    // list slicing and compares the rejoined chunk text exactly.
+    Q("p23_txt_chunks", {
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |starts AS (
+         |  SELECT doc_id, tok, unnest(generate_series(1, greatest(len(tok) - 1, 1), 24)) AS st
+         |  FROM t),
+         |ch AS (SELECT doc_id, CAST((st - 1) / 24 AS BIGINT) AS chunk_idx,
+         |              tok[st : least(st + 31, len(tok))] AS w
+         |       FROM starts)
+         |SELECT doc_id, chunk_idx,
+         |       CAST(len(w) AS BIGINT) AS n_tokens,
+         |       array_to_string(w, ' ') AS chunk_text
+         |FROM ch
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, dir) =>
+      val tok = tokens(col("text"))
+      val starts = sequence(lit(1), greatest(size(col("tok")) - 1, lit(1)), lit(24))
+      t(s, dir, "documents")
+        .select(col("doc_id"), tok.as("tok"))
+        .select(col("doc_id"), col("tok"),
+          posexplode(transform(starts,
+            st => slice(col("tok"), st, least(lit(32), size(col("tok")) - st + 1)))))
+        .select(col("doc_id"),
+          col("pos").cast("long").as("chunk_idx"),
+          size(col("col")).cast("long").as("n_tokens"),
+          array_join(col("col"), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // ----------------------------- embeddings: int8 symmetric quantization
     // (vector-store compression). Per-vector scale = max|x|/127, round
     // half-away-from-zero, clamp to [-127, 127], and the L2
