@@ -551,37 +551,32 @@ object Cef {
          |SELECT user_id, event_id, rn AS counter, epoch_us(ts) AS ts_us
          |FROM c WHERE event_type = 'purchase' AND n_err > 0
          |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
-      // same nanos→micros timestamp handling as Tables("events")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
-      // the file source's per-batch partition inference requires a
-      // directory basePath, so stream a temp directory holding a symlink
-      // to the (read-only) single-file table
-      val srcDir = java.nio.file.Files.createTempDirectory("cef22-src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-      val raw = s.readStream.schema(schema).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val ev = Detect.toEvents(raw,
-        idCol = "event_id", typeCol = "event_type", tsCol = "ts",
-        partitionCol = "user_id", numAttrs = Seq("value"))
-      val sinkName = s"cef22_sink_${Cef.streamRuns.incrementAndGet()}"
-      val q = Stream.detections(ev, pSkipAny)
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("append")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("cef22-ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sinkName)
+      runDetectionStream(s, dir, "cef22")(Stream.detections(_, pSkipAny))
         .select(
           col("partition").cast("long").as("user_id"),
           col("eventId").as("event_id"),
           col("counter"),
           col("timestamp").as("ts_us"))
         .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // ---------------- the DSRA (register-pattern) runtime as an ACTUAL
+    // streaming query: the configuration-set hyper-state (valuations +
+    // window anchors) lives in GroupState and the file-source micro-batch
+    // drives it under Trigger.AvailableNow — the same oracle as the
+    // batch twin cef18 (DISTINCT because the SQL join enumerates what
+    // the deterministic runtime emits once).
+    Q("cef25_streaming_dsra",
+      s"""$RnCte
+         |SELECT DISTINCT a.user_id AS user_id, p.rn AS counter, p.event_id AS event_id
+         |FROM b a JOIN b p
+         |  ON a.user_id = p.user_id AND p.rn > a.rn AND p.rn - a.rn < 10
+         |WHERE a.value > 120.0 AND p.value > a.value
+         |ORDER BY a.user_id, counter""".stripMargin) { (s, dir) =>
+      runDetectionStream(s, dir, "cef25")(Stream.detectionsDsra(_, pSremo))
+        .select(col("partition").cast("long").as("user_id"),
+          col("counter"), col("eventId").as("event_id"))
+        .orderBy(col("user_id"), col("counter"))
     },
 
     // ---------------- multi-pattern detection (K5/R1 over a pattern SET):
@@ -634,10 +629,44 @@ object Cef {
     }
   )
 
-  /** Uniquifies cef22's memory-sink name across invocations in one session
-    * (Verify runs once, Bench several times; memory sinks are session-global).
+  /** Uniquifies streaming memory-sink names across invocations in one
+    * session (Verify runs once, Bench several times; memory sinks are
+    * session-global).
     */
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Shared scaffold of the streaming CORRECTNESS queries (cef22/cef25):
+    * events.parquet as a file-source stream (symlinked into a temp
+    * directory — the source's per-batch partition inference requires a
+    * directory basePath; nanos→micros like Tables), the given stateful
+    * detection transform, a memory sink under Trigger.AvailableNow, and
+    * the drained sink table as the batch result.
+    */
+  private def runDetectionStream(s: SparkSession, dir: String, tag: String)(
+      detect: org.apache.spark.sql.Dataset[CEvent] =>
+        org.apache.spark.sql.Dataset[_]): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val srcDir = java.nio.file.Files.createTempDirectory(s"$tag-src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val raw = s.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = Detect.toEvents(raw,
+      idCol = "event_id", typeCol = "event_type", tsCol = "ts",
+      partitionCol = "user_id", numAttrs = Seq("value"))
+    val sinkName = s"${tag}_sink_${streamRuns.incrementAndGet()}"
+    val q = detect(ev).toDF()
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"$tag-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+  }
 
   /** DuckDB oracle for the order-CV query (cef23): restates
     * [[graft.cef.spark.Train.orderCv]] end-to-end in SQL. Train-region
