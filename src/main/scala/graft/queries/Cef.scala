@@ -607,6 +607,31 @@ object Cef {
         .orderBy(col("fsm_id"), col("user_id"), col("event_id"))
     },
 
+    // ---------------- F3 interval builders driver-checked: the
+    // fixed-spread method over the SPST waiting-time series — for every
+    // (leaf, state), the 6-event window with the highest completion mass
+    // above θ=0.2 (earliest start on ties). The oracle scans the same
+    // candidate windows over the shared wt CTE chain; the builder's loop
+    // bound (wt support) is pinned to the full horizon on the Spark side
+    // so both engines enumerate identical candidates.
+    Q("cef26_spst_fixedspread", SpstOracle.sql26) { (s, dir) =>
+      val ev = events(s, dir)
+      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val rows = spst.pst.leaves.flatMap { leaf =>
+        (0 until spst.sdfa.nStates).map { st =>
+          val wt = spst.wtDistribution(leaf.label, st, horizon = 20)
+          require(wt.horizon == 20,
+            s"fixedSpread oracle assumes full wt support, got ${wt.horizon}")
+          val fi = wt.fixedSpread(0.2, 5)
+          (leaf.label.mkString(":"), st, fi.start.toLong, fi.end.toLong,
+            if (fi.isValid) math.floor(fi.prob * 1000000 + 0.5).toLong else -1L)
+        }
+      }
+      import s.implicits._
+      rows.toDF("label", "state", "fs", "fe", "prob_q")
+        .orderBy(col("label"), col("state"))
+    },
+
     // ---------------- T6 order selection as a driver-checked query: the
     // distributed held-out cross-validation ([[Train.orderCv]]) over the
     // skip-any symbolization. The oracle restates the WHOLE pipeline —
@@ -1054,6 +1079,34 @@ object Cef {
     val sql11: String =
       s"""$core
          |${PstSql.tableSelect}""".stripMargin
+
+    /** cef26: fixed-spread interval selection over the same wt series —
+      * for every (leaf, state), the best window [s, s+5] with mass > 0.2
+      * (highest mass, earliest start on ties, exactly
+      * WtDistribution.fixedSpread). hh carries hit(t); absent rows are
+      * zero-mass, and the Spark side REQUIRES full-support horizons so
+      * the SQL's fixed s-range 1..15 matches the builder's loop bound.
+      */
+    val sql26: String =
+      s"""$core,
+         |cand AS MATERIALIZED (
+         |  SELECT l.lbl, s.st, gs.s,
+         |         (SELECT coalesce(sum(hh.hit), 0.0) FROM hh
+         |          WHERE hh.lbl0 = l.lbl AND hh.st0 = s.st
+         |            AND hh.t BETWEEN gs.s AND gs.s + 5) AS p
+         |  FROM lv l CROSS JOIN sts s
+         |  CROSS JOIN (SELECT unnest(range(1, 16)) AS s) gs),
+         |best AS MATERIALIZED (
+         |  SELECT lbl, st, s, p,
+         |         row_number() OVER (PARTITION BY lbl, st ORDER BY p DESC, s) AS rk
+         |  FROM cand WHERE p > 0.2)
+         |SELECT l.lbl AS label, s.st AS state,
+         |       coalesce(b.s, -1) AS fs, coalesce(b.s + 5, -1) AS fe,
+         |       CASE WHEN b.s IS NULL THEN CAST(-1 AS BIGINT)
+         |            ELSE CAST(floor(b.p * 1000000 + 0.5) AS BIGINT) END AS prob_q
+         |FROM lv l CROSS JOIN sts s
+         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.lbl = l.lbl AND b.st = s.st
+         |ORDER BY label, state""".stripMargin
 
     val sql12: String =
       s"""$core,
