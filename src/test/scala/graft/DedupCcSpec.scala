@@ -88,4 +88,32 @@ class DedupCcSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     labelsOf("local", 4, Seq((2L, 2L), (3L, 4L)), maxIters = 5) shouldBe
       Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L)
   }
+
+  it should "group string ids with lexicographic min labels" in {
+    val s = spark
+    import s.implicits._
+    val vertices = Seq("alpha", "beta", "gamma", "delta").toDF("doc_id")
+    val pairs = Seq(("beta", "gamma"), ("gamma", "alpha")).toDF("id_a", "id_b")
+    val out = DedupOps.neardupGroups(vertices, "doc_id", pairs, "id_a", "id_b", 5, "local")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out shouldBe Map(
+      "alpha" -> "alpha", "beta" -> "alpha", "gamma" -> "alpha", "delta" -> "delta")
+  }
+
+  it should "fall back to the distributed path when auto exceeds the edge bound" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(21)
+    val vertices = (1L to 120L).toDF("doc_id")
+    val edges = Seq.fill(80)((rnd.nextInt(100) + 1L, rnd.nextInt(100) + 1L))
+    val pairs = edges.toDF("id_a", "id_b")
+    // bound of 10 < 80 edges forces pointer jumping under algo=auto
+    val auto = DedupOps.neardupGroups(vertices, "doc_id", pairs, "id_a", "id_b",
+        maxIters = 20, algo = "auto", localMaxEdges = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pointer = DedupOps.neardupGroups(vertices, "doc_id", pairs, "id_a", "id_b",
+        maxIters = 20, algo = "pointer")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    auto shouldBe pointer
+  }
 }
