@@ -376,6 +376,29 @@ object Relational {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_price"), col("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ------------------------------------------------------------------
+    // Exact grouped quantiles: Spark's sort-based `percentile` vs
+    // DuckDB's quantile_cont — both linear-interpolate on the sorted
+    // values; outputs ship ×10⁴-quantized to absorb the engines'
+    // different (mathematically equal) interpolation arrangements.
+    Q("q18_percentiles",
+      """SELECT l_returnflag,
+        |       CAST(floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) AS BIGINT) AS p25_q,
+        |       CAST(floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_q,
+        |       CAST(floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) AS BIGINT) AS p75_q,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      def pq(p: Double, name: String) =
+        floor(expr(s"percentile(l_extendedprice, $p)") * lit(10000.0) + lit(0.5))
+          .cast("long").as(name)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(pq(0.25, "p25_q"), pq(0.5, "p50_q"), pq(0.75, "p75_q"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }
