@@ -157,10 +157,14 @@ object Train {
         floor(count(lit(1)).over(wu) * lit(trainFraction)).as("cut"),
         lag(col("s"), 1).over(wk).as("s1"),
         lag(col("s"), 2).over(wk).as("s2"))
-    val grouped = (df: org.apache.spark.sql.DataFrame) =>
-      df.groupBy(col("s"), col("s1"), col("s2")).agg(count(lit(1)).as("c")).collect()
-    val trainCounts = grouped(w.filter(col("rn") <= col("cut")))
-    val testCounts = grouped(w.filter(col("rn") > col("cut")))
+    // ONE aggregation produces both count sets (train flag in the key):
+    // a second scan+shuffle of the corpus for the test triples would
+    // double the dominant cost at scale
+    val allCounts = w
+      .groupBy((col("rn") <= col("cut")).as("tr"), col("s"), col("s1"), col("s2"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val (trainCounts, testCounts) = allCounts.partition(_.getBoolean(0))
 
     def optInt(row: org.apache.spark.sql.Row, i: Int): Option[Int] =
       if (row.isNullAt(i)) None else Some(row.getInt(i))
@@ -168,14 +172,14 @@ object Train {
     trainCounts.foreach { row =>
       // lag nulls are suffix-closed (s2 set ⇒ s1 set): the word is the
       // most-recent-first window the in-memory SymbolBuffer would hold
-      val word = row.getInt(0) :: (optInt(row, 1).toList ++ optInt(row, 2).toList)
-      cst.add(word, row.getLong(3))
+      val word = row.getInt(1) :: (optInt(row, 2).toList ++ optInt(row, 3).toList)
+      cst.add(word, row.getLong(4))
     }
-    val nTest = testCounts.map(_.getLong(3)).sum
+    val nTest = testCounts.map(_.getLong(4)).sum
     require(cst.count > 0 && nTest > 0, "order CV needs a non-empty train/test split")
     // canonical fold order so the ≤|Σ|³-term float sum is reproducible
     val triples = testCounts
-      .map(row => (row.getInt(0), optInt(row, 1), optInt(row, 2), row.getLong(3)))
+      .map(row => (row.getInt(1), optInt(row, 2), optInt(row, 3), row.getLong(4)))
       .sortBy(t => (t._1, t._2.getOrElse(Int.MinValue), t._3.getOrElse(Int.MinValue)))
     (0 to maxOrder).map { m =>
       val pst = PstLearner.learn(cst, m, pMin, alpha, gammaMin, r)

@@ -174,7 +174,11 @@ object DedupOps {
     // persist the pair set FIRST: the size probe and the symmetric union
     // both read it, and upstream it is typically a whole LSH pipeline
     val p = pairs.persist()
-    if (algo == "local" || (algo == "auto" && p.count() <= localMaxEdges)) {
+    // the local path needs a driver-side ordering for the id type; for
+    // anything else (decimal, date, …) auto keeps the distributed path,
+    // which orders through least()/min() (explicit algo="local" throws)
+    val localOrderable = localIdOrdering(vertices.schema(idCol).dataType).isDefined
+    if (algo == "local" || (algo == "auto" && localOrderable && p.count() <= localMaxEdges)) {
       val out = neardupGroupsLocal(vertices, idCol, p, aCol, bCol)
       p.unpersist() // the union-find already collected the edges
       return out
@@ -243,6 +247,25 @@ object DedupOps {
     labels.select(col("id").as(idCol), col("lbl").as("group_id"))
   }
 
+  /** Driver-side comparison matching Spark's and DuckDB's SQL ordering
+    * for the id types the local CC path supports. Strings compare as
+    * UTF-8 BYTES (UTF8String / DuckDB semantics) — Java's String `<` is
+    * UTF-16 code-unit order, which disagrees for supplementary-plane
+    * characters. None ⇒ the type has no local ordering here and auto
+    * stays on the distributed path.
+    */
+  private def localIdOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[(Any, Any) => Boolean] = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      Some((a, b) => java.util.Arrays.compareUnsigned(
+        a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0)
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType =>
+      Some((a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue)
+    case _ => None
+  }
+
   /** Driver-side union-find for pair graphs KNOWN (counted) to be small:
     * collect the edges, union-by-min with path compression (the root of
     * every set is its min id, so the min-label fixpoint falls out of the
@@ -250,6 +273,14 @@ object DedupOps {
     * one BROADCAST join. The vertex table — the thing that is actually
     * corpus-sized at 100 TB — never moves; only the LSH pair output
     * does, under the caller-enforced bound.
+    *
+    * Contract (shared with the distributed paths): pair endpoints must
+    * be vertex ids — true by construction for every pipeline here, where
+    * pairs are derived FROM the vertex corpus. A pair referencing a
+    * phantom id would relay connectivity through it on this path but not
+    * on the label-propagation path (which only carries labels of actual
+    * vertices), so the contract is what keeps the strategies
+    * interchangeable.
     */
   private def neardupGroupsLocal(
       vertices: DataFrame,
@@ -259,15 +290,8 @@ object DedupOps {
       bCol: String): DataFrame = {
     val spark = vertices.sparkSession
     val dt = vertices.schema(idCol).dataType
-    val lt: (Any, Any) => Boolean = dt match {
-      case org.apache.spark.sql.types.StringType =>
-        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType =>
-        (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
-      case other =>
-        throw new IllegalArgumentException(s"unsupported near-dup id type $other")
-    }
+    val lt: (Any, Any) => Boolean = localIdOrdering(dt).getOrElse(
+      throw new IllegalArgumentException(s"unsupported near-dup id type $dt"))
     val parent = new java.util.HashMap[Any, Any]()
     def root(x0: Any): Any = {
       var x = x0

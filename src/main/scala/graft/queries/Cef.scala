@@ -664,8 +664,13 @@ object Cef {
     * events.parquet as a file-source stream (symlinked into a temp
     * directory — the source's per-batch partition inference requires a
     * directory basePath; nanos→micros like Tables), the given stateful
-    * detection transform, a memory sink under Trigger.AvailableNow, and
-    * the drained sink table as the batch result.
+    * detection transform, a memory sink under Trigger.AvailableNow. The
+    * drained sink is copied into a local DataFrame so the memory-sink
+    * table, checkpoint and source directories can all be RELEASED per
+    * invocation — repeated bench runs in one session must not
+    * accumulate pinned result sets or temp dirs. (The result is a
+    * driver-checked detection set, bounded by the oracle-compare
+    * contract, so the copy is small by construction.)
     */
   private def runDetectionStream(s: SparkSession, dir: String, tag: String)(
       detect: org.apache.spark.sql.Dataset[CEvent] =>
@@ -676,6 +681,7 @@ object Cef {
     val srcDir = java.nio.file.Files.createTempDirectory(s"$tag-src")
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val ckptDir = java.nio.file.Files.createTempDirectory(s"$tag-ckpt")
     val raw = s.readStream.schema(schema).parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val ev = Detect.toEvents(raw,
@@ -685,12 +691,22 @@ object Cef {
     val q = detect(ev).toDF()
       .writeStream.format("memory").queryName(sinkName)
       .outputMode("append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"$tag-ckpt").toString)
+      .option("checkpointLocation", ckptDir.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sinkName)
+    val sunk = s.table(sinkName)
+    val rows = java.util.Arrays.asList(sunk.collect(): _*)
+    val out = s.createDataFrame(rows, sunk.schema)
+    s.catalog.dropTempView(sinkName)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    rmTree(ckptDir)
+    rmTree(srcDir)
+    out
   }
 
   /** DuckDB oracle for the order-CV query (cef23): restates
@@ -712,6 +728,10 @@ object Cef {
     private val P = symOf("purchase")
     private val O = symOf("view")
 
+    // KEEP IN SYNC with PstSql.core's ret2/s2s/s3s/nd CTEs: the ret1/ret2
+    // blocks below restate the same PstLearner retention predicates over
+    // the TRAIN-region counts (tr) instead of the whole stream (w); a
+    // change to PstLearner must update both restatements.
     private val pMin = 0.001
     private val alpha = 0.05
     private val gammaMin = 0.001
@@ -917,6 +937,8 @@ object Cef {
     * are fixed here and MUST match the Scala training calls.
     */
   private object PstSql {
+    // KEEP IN SYNC with OrderCvOracle: its ret1/ret2 blocks restate this
+    // retention SQL over train-region counts (see the note there).
     val pMin = 0.001
     val alpha = 0.05
     val gammaMin = 0.001
