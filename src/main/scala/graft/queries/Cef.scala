@@ -632,6 +632,28 @@ object Cef {
         .orderBy(col("label"), col("state"))
     },
 
+    // ---------------- F3 smart-scan intervals driver-checked: the
+    // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
+    // exhaustive SQL window enumeration — the fullScan semantics the
+    // scan is spec-pinned equal to.
+    Q("cef27_spst_smartscan", SpstOracle.sql27) { (s, dir) =>
+      val ev = events(s, dir)
+      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val rows = spst.pst.leaves.flatMap { leaf =>
+        (0 until spst.sdfa.nStates).map { st =>
+          val wt = spst.wtDistribution(leaf.label, st, horizon = 20)
+          require(wt.horizon == 20,
+            s"smartScan oracle assumes full wt support, got ${wt.horizon}")
+          val fi = wt.smartScan(0.3, 10)
+          (leaf.label.mkString(":"), st, fi.start.toLong, fi.end.toLong,
+            if (fi.isValid) math.floor(fi.prob * 1000000 + 0.5).toLong else -1L)
+        }
+      }
+      import s.implicits._
+      rows.toDF("label", "state", "fs", "fe", "prob_q")
+        .orderBy(col("label"), col("state"))
+    },
+
     // ---------------- T6 order selection as a driver-checked query: the
     // distributed held-out cross-validation ([[Train.orderCv]]) over the
     // skip-any symbolization. The oracle restates the WHOLE pipeline —
@@ -1101,6 +1123,39 @@ object Cef {
     val sql11: String =
       s"""$core
          |${PstSql.tableSelect}""".stripMargin
+
+    /** cef27: smart-scan interval selection — the SMALLEST window with
+      * mass ≥ 0.3 (capped at spread 10), highest mass then earliest
+      * start on ties. The engine runs the two-pointer smartScan; the
+      * oracle enumerates all candidate windows with fresh sums, which is
+      * exactly the fullScan semantics smartScan is spec-pinned equal to
+      * (WtSpec).
+      */
+    val sql27: String =
+      s"""$core,
+         |cand AS MATERIALIZED (
+         |  SELECT l.lbl, s.st, gs.s, gs.e,
+         |         (SELECT coalesce(sum(hh.hit), 0.0) FROM hh
+         |          WHERE hh.lbl0 = l.lbl AND hh.st0 = s.st
+         |            AND hh.t BETWEEN gs.s AND gs.e) AS p
+         |  FROM lv l CROSS JOIN sts s
+         |  CROSS JOIN (
+         |    SELECT a.s, b.e
+         |    FROM (SELECT unnest(range(1, 21)) AS s) a
+         |    CROSS JOIN (SELECT unnest(range(1, 21)) AS e) b
+         |    WHERE b.e >= a.s AND b.e - a.s <= 10) gs),
+         |best AS MATERIALIZED (
+         |  SELECT lbl, st, s, e, p,
+         |         row_number() OVER (PARTITION BY lbl, st
+         |                            ORDER BY e - s, p DESC, s) AS rk
+         |  FROM cand WHERE p >= 0.3)
+         |SELECT l.lbl AS label, s.st AS state,
+         |       coalesce(b.s, -1) AS fs, coalesce(b.e, -1) AS fe,
+         |       CASE WHEN b.s IS NULL THEN CAST(-1 AS BIGINT)
+         |            ELSE CAST(floor(b.p * 1000000 + 0.5) AS BIGINT) END AS prob_q
+         |FROM lv l CROSS JOIN sts s
+         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.lbl = l.lbl AND b.st = s.st
+         |ORDER BY label, state""".stripMargin
 
     /** cef26: fixed-spread interval selection over the same wt series —
       * for every (leaf, state), the best window [s, s+5] with mass > 0.2
