@@ -527,6 +527,60 @@ object Pipeline {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // ----------------------- composed cleaning pipeline (integration):
+    // exact-dedup canonical ∧ repetition-quality keep ∧ seeded
+    // language-stratified sampling, all in ONE plan — the shape a real
+    // corpus-cleaning job runs. One window shuffle (canonical id per
+    // md5 group); every other stage is map work fused into the same
+    // scan, so the whole chain stays two stages at any scale.
+    Q("p24_filter_compose",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, string_split(text, ' ') AS tok,
+         |         min(doc_id) OVER (PARTITION BY md5(text)) AS canon,
+         |         ${TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-sample-1'")} % 100 AS bucket
+         |  FROM documents),
+         |u AS (SELECT doc_id, tok, unnest(tok) AS w,
+         |             generate_subscripts(tok, 1) AS pos FROM t),
+         |seq AS (SELECT doc_id, w, lead(w, 1) OVER wd AS w1
+         |        FROM u WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+         |wc AS (SELECT doc_id, max(c) AS topw, sum(c) AS n_tok
+         |       FROM (SELECT doc_id, w, count(*) AS c FROM u GROUP BY doc_id, w)
+         |       GROUP BY doc_id),
+         |bc AS (SELECT doc_id, max(c) AS topb, sum(c) AS n_bi
+         |       FROM (SELECT doc_id, w || ' ' || w1 AS g, count(*) AS c
+         |             FROM seq WHERE w1 IS NOT NULL GROUP BY doc_id, g)
+         |       GROUP BY doc_id)
+         |SELECT t.doc_id, t.lang, t.bucket
+         |FROM t JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)
+         |WHERE t.doc_id = t.canon
+         |  AND floor(wc.topw * 1000000.0 / wc.n_tok + 0.5) < 300000
+         |  AND floor(coalesce(bc.topb, 0) * 1000000.0 / greatest(coalesce(bc.n_bi, 0), 1) + 0.5) < 180000
+         |  AND (t.lang <> 'en' OR t.bucket < 40)
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val wMd5 = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      def q(cnt: org.apache.spark.sql.Column, denom: org.apache.spark.sql.Column) =
+        floor(cnt * lit(1000000.0) / denom + lit(0.5)).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          min(col("doc_id")).over(wMd5).as("canon"),
+          pmod(TextOps.polyHash(
+            concat(col("doc_id").cast("string"), lit("#graft-sample-1"))), lit(100L))
+            .as("bucket"),
+          toks.as("tok"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("canon"),
+          size(col("tok")).cast("long").as("n_tok"),
+          TextOps.maxMultiplicity(col("tok")).as("topw"),
+          TextOps.ngrams(col("tok"), 2).as("big"))
+        .filter(col("doc_id") === col("canon")
+          && q(col("topw"), col("n_tok")) < 300000
+          && q(TextOps.maxMultiplicity(col("big")),
+               greatest(size(col("big")), lit(1)).cast("long")) < 180000
+          && (col("lang") =!= "en" || col("bucket") < 40))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // ----------------------------- embeddings: int8 symmetric quantization
     // (vector-store compression). Per-vector scale = max|x|/127, round
     // half-away-from-zero, clamp to [-127, 127], and the L2
