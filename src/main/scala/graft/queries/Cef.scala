@@ -632,6 +632,24 @@ object Cef {
         .orderBy(col("label"), col("state"))
     },
 
+    // ---------------- P5/A5 event-time tumbling-window aggregation as an
+    // ACTUAL streaming query: the canonical watermark/window groupBy
+    // shape (daily event-type counts) through the streaming engine with
+    // a memory sink in complete mode under Trigger.AvailableNow, against
+    // the plain GROUP BY oracle.
+    Q("cef28_streaming_window",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+        |FROM events GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin) { (s, dir) =>
+      runEventStream(s, dir, "cef28", "complete") { raw =>
+        raw.withWatermark("ts", "1 minute")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      }
+        .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
+        .orderBy(col("day"), col("event_type"))
+    },
+
     // ---------------- F3 smart-scan intervals driver-checked: the
     // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
     // exhaustive SQL window enumeration — the fullScan semantics the
@@ -696,7 +714,22 @@ object Cef {
     */
   private def runDetectionStream(s: SparkSession, dir: String, tag: String)(
       detect: org.apache.spark.sql.Dataset[CEvent] =>
-        org.apache.spark.sql.Dataset[_]): DataFrame = {
+        org.apache.spark.sql.Dataset[_]): DataFrame =
+    runEventStream(s, dir, tag, "append") { raw =>
+      detect(Detect.toEvents(raw,
+        idCol = "event_id", typeCol = "event_type", tsCol = "ts",
+        partitionCol = "user_id", numAttrs = Seq("value"))).toDF()
+    }
+
+  /** The generic half of the scaffold: the raw streaming events DataFrame
+    * (ts already nanos→micros) through any transform into the drained,
+    * released memory sink. `mode` is "append" for the stateful detection
+    * runtimes and "complete" for windowed aggregations (under
+    * AvailableNow a final open window would otherwise be withheld by the
+    * watermark).
+    */
+  private def runEventStream(s: SparkSession, dir: String, tag: String, mode: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
@@ -706,13 +739,10 @@ object Cef {
     val ckptDir = java.nio.file.Files.createTempDirectory(s"$tag-ckpt")
     val raw = s.readStream.schema(schema).parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val ev = Detect.toEvents(raw,
-      idCol = "event_id", typeCol = "event_type", tsCol = "ts",
-      partitionCol = "user_id", numAttrs = Seq("value"))
     val sinkName = s"${tag}_sink_${streamRuns.incrementAndGet()}"
-    val q = detect(ev).toDF()
+    val q = transform(raw)
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append")
+      .outputMode(mode)
       .option("checkpointLocation", ckptDir.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
