@@ -152,6 +152,14 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "Join"
   }
 
+  "p24_filter_compose" should "fuse the whole cleaning chain into window + scan stages (no join)" in {
+    val plan = planOf("p24_filter_compose")
+    plan should not include "Join"
+    // canonical-id window + ordered output; repetition + sampling stages
+    // ride the scan, so two exchanges is the whole plan
+    "Exchange".r.findAllIn(plan).size should be <= 2
+  }
+
   "p16_txt_normalize" should "dedup via one window shuffle, no self-join" in {
     val plan = planOf("p16_txt_normalize")
     // the canonical id is a window min over the fingerprint: no join back
