@@ -672,6 +672,49 @@ object Cef {
         .orderBy(col("label"), col("state"))
     },
 
+    // ---------------- F3 argmax intervals driver-checked: grow outward
+    // from the wt mode absorbing the higher-probability neighbor until
+    // θ=0.5 (left on ties, invalid past spread 10); the oracle's
+    // recursive CTE replays the identical growth sequence.
+    Q("cef29_spst_argmax", SpstOracle.sql29) { (s, dir) =>
+      val ev = events(s, dir)
+      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val rows = spst.pst.leaves.flatMap { leaf =>
+        (0 until spst.sdfa.nStates).map { st =>
+          val wt = spst.wtDistribution(leaf.label, st, horizon = 20)
+          require(wt.horizon == 20,
+            s"argmax oracle assumes full wt support, got ${wt.horizon}")
+          val fi = wt.argmax(0.5, 10)
+          (leaf.label.mkString(":"), st,
+            (if (fi.isValid) fi.start else -1).toLong,
+            (if (fi.isValid) fi.end else -1).toLong,
+            if (fi.isValid) math.floor(fi.prob * 1000000 + 0.5).toLong else -1L)
+        }
+      }
+      import s.implicits._
+      rows.toDF("label", "state", "fs", "fe", "prob_q")
+        .orderBy(col("label"), col("state"))
+    },
+
+    // ---------------- F3 classify-win driver-checked: the fixed centered
+    // window's completion mass and threshold classification — the last
+    // of the six interval builders to come under the gate.
+    Q("cef30_spst_classifywin", SpstOracle.sql30) { (s, dir) =>
+      val ev = events(s, dir)
+      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val rows = spst.pst.leaves.flatMap { leaf =>
+        (0 until spst.sdfa.nStates).map { st =>
+          val wt = spst.wtDistribution(leaf.label, st, horizon = 20)
+          val fi = wt.classifyWin(center = 6, threshold = 0.3, len = 6)
+          (leaf.label.mkString(":"), st, fi.start.toLong, fi.end.toLong,
+            math.floor(fi.prob * 1000000 + 0.5).toLong, fi.positive)
+        }
+      }
+      import s.implicits._
+      rows.toDF("label", "state", "fs", "fe", "prob_q", "positive")
+        .orderBy(col("label"), col("state"))
+    },
+
     // ---------------- T6 order selection as a driver-checked query: the
     // distributed held-out cross-validation ([[Train.orderCv]]) over the
     // skip-any symbolization. The oracle restates the WHOLE pipeline —
@@ -1186,6 +1229,79 @@ object Cef {
          |FROM lv l CROSS JOIN sts s
          |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.lbl = l.lbl AND b.st = s.st
          |ORDER BY label, state""".stripMargin
+
+    /** cef30: classify-win — mass of the fixed window of length `len`
+      * centered on `center` (left edge clamped at 1), positive iff it
+      * reaches θ. Completes the interval-builder family under the gate
+      * (classifyNextK = cef12, fixedSpread = cef26, smartScan ≡ fullScan
+      * = cef27, argmax = cef29).
+      */
+    private val cwCenter = 6
+    private val cwLen = 6
+    private val cwLeft = math.max(1, cwCenter - cwLen / 2)
+    private val cwRight = cwCenter + cwLen / 2
+    val sql30: String =
+      s"""$core,
+         |cw AS MATERIALIZED (
+         |  SELECT l.lbl, s.st,
+         |         (SELECT coalesce(sum(hh.hit), 0.0) FROM hh
+         |          WHERE hh.lbl0 = l.lbl AND hh.st0 = s.st
+         |            AND hh.t BETWEEN $cwLeft AND $cwRight) AS p
+         |  FROM lv l CROSS JOIN sts s)
+         |SELECT lbl AS label, st AS state,
+         |       CAST($cwLeft AS BIGINT) AS fs, CAST($cwRight AS BIGINT) AS fe,
+         |       CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS prob_q,
+         |       p >= 0.3 AS positive
+         |FROM cw ORDER BY label, state""".stripMargin
+
+    /** cef29: argmax neighbor-growth interval — start at the wt mode
+      * (earliest on ties) and repeatedly absorb the higher-probability
+      * neighbor until θ is reached (left on ties), exactly
+      * WtDistribution.argmax. The recursive CTE replays the SAME growth
+      * sequence — each step adds the same value in the same order as the
+      * engine loop — and the terminal row per (leaf, state) is the one
+      * that reached θ or exhausted the support.
+      */
+    val sql29: String =
+      s"""$core,
+         |hv AS MATERIALIZED (
+         |  SELECT l.lbl, s.st, gs.t,
+         |         coalesce((SELECT hit FROM hh
+         |                   WHERE hh.lbl0 = l.lbl AND hh.st0 = s.st AND hh.t = gs.t), 0.0) AS hit
+         |  FROM lv l CROSS JOIN sts s CROSS JOIN (SELECT unnest(range(1, 21)) AS t) gs),
+         |mx AS MATERIALIZED (
+         |  SELECT lbl, st, t AS mi, hit AS mp FROM (
+         |    SELECT lbl, st, t, hit,
+         |           row_number() OVER (PARTITION BY lbl, st ORDER BY hit DESC, t) AS rk
+         |    FROM hv) WHERE rk = 1),
+         |arec AS MATERIALIZED (
+         |  WITH RECURSIVE g(lbl, st, l, r, area) AS (
+         |    SELECT lbl, st, mi, mi, mp FROM mx
+         |    UNION ALL
+         |    SELECT lbl, st,
+         |           CASE WHEN pr > pl THEN l ELSE l - 1 END,
+         |           CASE WHEN pr > pl THEN r + 1 ELSE r END,
+         |           area + CASE WHEN pr > pl THEN pr ELSE pl END
+         |    FROM (
+         |      SELECT g.*,
+         |        CASE WHEN l > 1 THEN (SELECT hit FROM hv
+         |                              WHERE hv.lbl = g.lbl AND hv.st = g.st AND hv.t = l - 1)
+         |             ELSE -1.0 END AS pl,
+         |        CASE WHEN r < 20 THEN (SELECT hit FROM hv
+         |                               WHERE hv.lbl = g.lbl AND hv.st = g.st AND hv.t = r + 1)
+         |             ELSE -1.0 END AS pr
+         |      FROM g) x
+         |    WHERE area < 0.5 AND NOT (pl < 0 AND pr < 0))
+         |  SELECT * FROM g),
+         |term AS MATERIALIZED (
+         |  SELECT * FROM arec WHERE area >= 0.5 OR (l = 1 AND r = 20))
+         |SELECT t.lbl AS label, t.st AS state,
+         |       CASE WHEN t.area >= 0.5 AND t.r - t.l <= 10 THEN t.l ELSE -1 END AS fs,
+         |       CASE WHEN t.area >= 0.5 AND t.r - t.l <= 10 THEN t.r ELSE -1 END AS fe,
+         |       CASE WHEN t.area >= 0.5 AND t.r - t.l <= 10
+         |            THEN CAST(floor(t.area * 1000000 + 0.5) AS BIGINT)
+         |            ELSE CAST(-1 AS BIGINT) END AS prob_q
+         |FROM term t ORDER BY label, state""".stripMargin
 
     /** cef26: fixed-spread interval selection over the same wt series —
       * for every (leaf, state), the best window [s, s+5] with mass > 0.2
