@@ -21,7 +21,14 @@ object Bench {
     // codegen / streaming-engine init isn't charged to the first query of
     // each family (cef01 was absorbing the automaton runtime warm-up,
     // p06 the LSH expression codegen, cef22 the streaming query plumbing)
-    val warmSf = "/root/testdata/sf0.001"
+    val warmSf = {
+      val sibling = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent.resolve("sf0.001")
+      if (java.nio.file.Files.isDirectory(sibling)) sibling.toString
+      else {
+        System.err.println(s"[bench] WARNING: warm-up dir $sibling absent — warming on $sfDir itself")
+        sfDir
+      }
+    }
     for (w <- Seq("cef01_seq2_strict", "p06_dd_minhash_pairs", "cef22_streaming"))
       // a failed warm-up costs only warm-up — never the bench JSON
       try SparkEntry.queries(w)(spark, warmSf).count()
@@ -46,6 +53,14 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // the full per-query line above outgrows the driver's tail capture at
+    // 70+ queries — emit a compact per-family subtotal LAST so a truncated
+    // capture still parses (same schema, families in place of queries)
+    val fams = ok.groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => s"\"" + f + "\":" + rs.map(_._2).sum }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$fams,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -179,9 +179,12 @@ object DedupOps {
     // which orders through least()/min() (explicit algo="local" throws)
     val localOrderable = localIdOrdering(vertices.schema(idCol).dataType).isDefined
     if (algo == "local" || (algo == "auto" && localOrderable && p.count() <= localMaxEdges)) {
-      val out = neardupGroupsLocal(vertices, idCol, p, aCol, bCol)
-      p.unpersist() // the union-find already collected the edges
-      return out
+      // unpersist even when the local path throws (unsupported id type on
+      // an explicit algo="local", a collect failure) — a persisted pair
+      // set with no owner would pin its storage for the session
+      try {
+        return neardupGroupsLocal(vertices, idCol, p, aCol, bCol)
+      } finally p.unpersist() // the union-find already collected the edges
     }
     val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -274,13 +277,15 @@ object DedupOps {
     * corpus-sized at 100 TB — never moves; only the LSH pair output
     * does, under the caller-enforced bound.
     *
-    * Contract (shared with the distributed paths): pair endpoints must
+    * Contract (shared with the distributed paths): pair endpoints should
     * be vertex ids — true by construction for every pipeline here, where
-    * pairs are derived FROM the vertex corpus. A pair referencing a
-    * phantom id would relay connectivity through it on this path but not
-    * on the label-propagation path (which only carries labels of actual
-    * vertices), so the contract is what keeps the strategies
-    * interchangeable.
+    * pairs are derived FROM the vertex corpus. To keep the strategies
+    * interchangeable when a caller violates it, endpoints are FILTERED
+    * against the vertex set first (one broadcast-semi scan of the vertex
+    * table — the endpoint set is driver-bounded by `localMaxEdges`):
+    * label propagation only ever carries labels of actual vertices, so
+    * an edge with a phantom endpoint contributes nothing there, and this
+    * path must not let a phantom id relay connectivity either.
     */
   private def neardupGroupsLocal(
       vertices: DataFrame,
@@ -292,6 +297,24 @@ object DedupOps {
     val dt = vertices.schema(idCol).dataType
     val lt: (Any, Any) => Boolean = localIdOrdering(dt).getOrElse(
       throw new IllegalArgumentException(s"unsupported near-dup id type $dt"))
+    val edgeRows = pairs.select(col(aCol), col(bCol)).collect()
+    // endpoint ids that are actual vertices: broadcast the (small,
+    // counted) endpoint set against the corpus-sized vertex table — the
+    // vertex table itself still never moves
+    val endpoints = new java.util.HashSet[Any]()
+    edgeRows.foreach { row =>
+      if (row.get(0) != null) endpoints.add(row.get(0))
+      if (row.get(1) != null) endpoints.add(row.get(1))
+    }
+    val epRows = new java.util.ArrayList[org.apache.spark.sql.Row](endpoints.size())
+    endpoints.forEach(e => epRows.add(org.apache.spark.sql.Row(e)))
+    val epSchema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("__cc_ep", dt)))
+    val valid = new java.util.HashSet[Any]()
+    vertices.select(col(idCol))
+      .join(broadcast(spark.createDataFrame(epRows, epSchema)),
+        col(idCol) === col("__cc_ep"), "left_semi")
+      .collect().foreach(r => valid.add(r.get(0)))
     val parent = new java.util.HashMap[Any, Any]()
     def root(x0: Any): Any = {
       var x = x0
@@ -304,10 +327,10 @@ object DedupOps {
       }
       x
     }
-    pairs.select(col(aCol), col(bCol)).collect().foreach { row =>
+    edgeRows.foreach { row =>
       val a = row.get(0)
       val b = row.get(1)
-      if (a != null && b != null) {
+      if (a != null && b != null && valid.contains(a) && valid.contains(b)) {
         parent.putIfAbsent(a, a)
         parent.putIfAbsent(b, b)
         val ra = root(a)

@@ -21,24 +21,45 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Release {
 
+  /** Executions a listener survives without matching before it expires.
+    * A cached DataFrame whose consumer never ran within this many later
+    * queries is treated as abandoned: the cache is dropped (recompute
+    * from lineage is always safe) and the listener deregisters, so a
+    * long-lived server issuing many unconsumed cached DataFrames keeps a
+    * bounded listener population instead of scanning every future plan.
+    */
+  val MaxMisses = 64
+
+  // live listener count, observable by tests (listenerManager has no size API)
+  private val liveListeners = new java.util.concurrent.atomic.AtomicInteger(0)
+  def activeListeners: Int = liveListeners.get()
+
   /** Persist `df` and unpersist it automatically after the first
-    * completed (or failed) execution that consumed it.
+    * completed (or failed) execution that consumed it, or after
+    * [[MaxMisses]] unrelated executions (whichever comes first).
     */
   def afterFirstUse(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = df.queryExecution.analyzed
     val cached = df.persist()
     val listener: QueryExecutionListener = new QueryExecutionListener {
-      private def maybeRelease(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(target))) {
+      private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def release(): Unit =
+        if (done.compareAndSet(false, true)) {
           cached.unpersist(false)
           spark.listenerManager.unregister(this)
+          liveListeners.decrementAndGet()
         }
+      private def maybeRelease(qe: QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(target))) release()
+        else if (misses.incrementAndGet() >= MaxMisses) release()
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         maybeRelease(qe)
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
         maybeRelease(qe)
     }
+    liveListeners.incrementAndGet()
     spark.listenerManager.register(listener)
     cached
   }

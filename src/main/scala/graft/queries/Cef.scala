@@ -705,6 +705,8 @@ object Cef {
       val rows = spst.pst.leaves.flatMap { leaf =>
         (0 until spst.sdfa.nStates).map { st =>
           val wt = spst.wtDistribution(leaf.label, st, horizon = 20)
+          require(wt.horizon == 20,
+            s"classifyWin oracle assumes full wt support, got ${wt.horizon}")
           val fi = wt.classifyWin(center = 6, threshold = 0.3, len = 6)
           (leaf.label.mkString(":"), st, fi.start.toLong, fi.end.toLong,
             math.floor(fi.prob * 1000000 + 0.5).toLong, fi.positive)
@@ -777,31 +779,40 @@ object Cef {
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
     val srcDir = java.nio.file.Files.createTempDirectory(s"$tag-src")
+    // absolutize: a relative `dir` would otherwise resolve against the
+    // temp srcDir and dangle — the file source then reads an empty
+    // directory and returns an empty result instead of failing loudly
     java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath.normalize)
     val ckptDir = java.nio.file.Files.createTempDirectory(s"$tag-ckpt")
-    val raw = s.readStream.schema(schema).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val sinkName = s"${tag}_sink_${streamRuns.incrementAndGet()}"
-    val q = transform(raw)
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(mode)
-      .option("checkpointLocation", ckptDir.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val sunk = s.table(sinkName)
-    val rows = java.util.Arrays.asList(sunk.collect(): _*)
-    val out = s.createDataFrame(rows, sunk.schema)
-    s.catalog.dropTempView(sinkName)
     def rmTree(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
-    rmTree(ckptDir)
-    rmTree(srcDir)
-    out
+    // scaffold resources must not leak when transform/start/await throws
+    // — repeated bench runs in one session share the temp dir and the
+    // session-global memory-sink namespace
+    try {
+      val raw = s.readStream.schema(schema).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = transform(raw)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode)
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sunk = s.table(sinkName)
+      val rows = java.util.Arrays.asList(sunk.collect(): _*)
+      s.createDataFrame(rows, sunk.schema)
+    } finally {
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => }
+      rmTree(ckptDir)
+      rmTree(srcDir)
+    }
   }
 
   /** DuckDB oracle for the order-CV query (cef23): restates

@@ -128,6 +128,37 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  "Release.afterFirstUse" should "bound the listener population when cached DataFrames are never consumed" in {
+    // a long-lived server issuing many unconsumed cached DataFrames must
+    // not accumulate plan-scanning listeners forever: after MaxMisses
+    // unrelated executions each abandoned listener expires, dropping its
+    // cache (safe — recompute from lineage) and deregistering
+    // earlier tests' listeners release asynchronously on the bus — drain
+    // to a clean baseline first so their in-flight expiry doesn't race
+    // this test's counts
+    // expiry is execution-driven, and earlier tests may leave listeners
+    // whose consumer never ran — drive unrelated executions until the
+    // population empties (this IS the bounded-lifetime property)
+    def drainTo(target: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (ops.Release.activeListeners > target && System.nanoTime() < deadline) {
+        spark.range(3).selectExpr("sum(id)").collect()
+        Thread.sleep(20)
+      }
+    }
+    drainTo(0)
+    ops.Release.activeListeners shouldBe 0
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val abandoned = (1 to 8).map(i => ops.Release.afterFirstUse(
+      spark.range(100 + i).toDF("n")))
+    ops.Release.activeListeners shouldBe 8
+    drainTo(0)
+    ops.Release.activeListeners shouldBe 0
+    (spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore) shouldBe empty
+    // expired ≠ broken: the DataFrame still computes (from lineage)
+    abandoned.head.count() shouldBe 101L
+  }
+
   "p18_dd_simhash_pairs" should "verify candidates on the band join itself (no join-backs)" in {
     val plan = planOf("p18_dd_simhash_pairs")
     // one self-join of the exploded band table, nothing else: the simhash
