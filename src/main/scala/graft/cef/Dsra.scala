@@ -358,15 +358,24 @@ final class DsraRun(
     * realistic horizon. Pre-take configurations rank newest (they carry
     * no window debt). Survivors keep their insertion order, so the
     * runtime stays fully deterministic.
+    *
+    * Eviction is BATCHED: a trigger trims to the low-water mark (90% of
+    * cap), not to the cap itself. Trimming exactly to the cap would make
+    * a stream that pins the population at `maxConfigs` re-sort the full
+    * live array on EVERY event — an O(n log n)-per-event throughput
+    * cliff under sustained adversarial load. With the low-water trim the
+    * next trigger needs cap/10 fresh insertions, amortizing each sort
+    * over that many events (ThroughputSpec pins the at-cap floor).
     */
   private def enforceCap(): Unit = {
     if (live.size() <= maxConfigs) return
     import scala.jdk.CollectionConverters._
+    val lowWater = math.max(1, maxConfigs - maxConfigs / 10)
     val arr = live.values.asScala.toArray
     def age(c: Config): Long = if (c.taken) c.anchor else Long.MaxValue
     val survivors = arr.zipWithIndex
       .sortBy { case (c, i) => (-age(c), -i) }
-      .take(maxConfigs)
+      .take(lowWater)
       .sortBy(_._2)
     val kept = new java.util.LinkedHashMap[Config, Config]
     survivors.foreach { case (c, _) => kept.put(c, c) }
@@ -377,7 +386,7 @@ final class DsraRun(
         s"[graft] DsraRun key '$partition': configuration population exceeded " +
           s"$maxConfigs; evicting oldest window anchors (detections may be " +
           "dropped — raise maxConfigs or tighten the pattern's window)")
-    evicted += arr.length - maxConfigs
+    evicted += arr.length - lowWater
     live = kept
   }
 

@@ -159,4 +159,41 @@ class ThroughputSpec extends AnyFlatSpec with Matchers {
     // (no staggered copies); floor sized for 10×+ neighbor steal
     rate should be > 100000.0
   }
+
+  it should "not cliff at the configuration cap under sustained adversarial load" in {
+    // adversarial read domain: every event carries a fresh value, so every
+    // taken configuration is projection-distinct and the population pins
+    // at the cap for the whole stream. Eviction trims to the low-water
+    // mark (90% of cap), so the O(n log n) sort amortizes over cap/10
+    // insertions instead of firing per event — the guarded regression is
+    // eviction cost, so the floor is RELATIVE: the pinned-at-cap run must
+    // stay within 3× of an uncapped run over the same stream (whose
+    // population ≈ the 2000-event window, i.e. MORE configs advanced per
+    // event — both runs share each attempt's machine weather)
+    val cp = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,0.0)["x"],EQAttrPredicate(value,"x"))){window:2000}{windowType:count}""")
+    val events = Array.tabulate(20000) { i =>
+      CEvent(i.toLong, "v", i.toLong, "", Map("value" -> i.toDouble), Map.empty)
+    }
+    def pass(cap: Int): Double = {
+      val run = new DsraRun(cp, "", maxConfigs = cap)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < events.length) { run.step(events(i)); i += 1 }
+      events.length / ((System.nanoTime() - t0) / 1e9)
+    }
+    pass(1600); pass(1000000) // JIT warm-up for both shapes
+    var bestCapped = 0.0
+    var bestFree = 0.0
+    for (_ <- 1 to Attempts) {
+      bestCapped = math.max(bestCapped, pass(1600))
+      bestFree = math.max(bestFree, pass(1000000))
+    }
+    // sanity: the cap really was pinned (eviction fired throughout)
+    val probe = new DsraRun(cp, "", maxConfigs = 1600)
+    events.foreach(probe.step)
+    probe.evictedConfigs should be > 0L
+    info(f"DSRA at-cap: ${bestCapped / 1e3}%.0f k ev/s vs uncapped ${bestFree / 1e3}%.0f k ev/s")
+    bestCapped should be > bestFree / 3
+  }
 }
