@@ -538,9 +538,12 @@ object Cef {
     // Stream.detections (flatMapGroupsWithState) → memory sink under
     // Trigger.AvailableNow — so the driver's DuckDB oracle checks the
     // streaming execution path itself, not just its batch twin.
-    // events.parquet is one file, hence one micro-batch: cross-batch
-    // event-time order within a key is the caller's contract (watermarked
-    // input), same as the reference's Flink engine.
+    // The scaffold slices the source into StreamSlices ordered files
+    // (maxFilesPerTrigger=1), so this gate covers cross-micro-batch
+    // GroupState snapshot/restore, not just the single-batch pass;
+    // cross-batch event-time order within a key is the slicing's
+    // contract (contiguous (ts, id) ranges), same as the reference's
+    // Flink engine trusting watermarked keyed delivery.
     Q("cef22_streaming",
       s"""$RnCte,
          |c AS (SELECT user_id, event_type, event_id, rn, ts,
@@ -766,25 +769,36 @@ object Cef {
         partitionCol = "user_id", numAttrs = Seq("value"))).toDF()
     }
 
+  /** Micro-batches every streaming scaffold run replays (source slices ×
+    * maxFilesPerTrigger=1): >1 so the driver's oracle gates the
+    * cross-batch GroupState snapshot/restore path, not just a
+    * single-batch pass.
+    */
+  private val StreamSlices = 3
+
   /** The generic half of the scaffold: the raw streaming events DataFrame
     * (ts already nanos→micros) through any transform into the drained,
     * released memory sink. `mode` is "append" for the stateful detection
     * runtimes and "complete" for windowed aggregations (under
     * AvailableNow a final open window would otherwise be withheld by the
     * watermark).
+    *
+    * The source is REWRITTEN as [[StreamSlices]] event-time-ordered
+    * parquet slices consumed one file per trigger, so every run exercises
+    * ≥3 micro-batches: slice i holds the (ts, event_id)-contiguous range
+    * before slice i+1, which restricted to any key is exactly the per-key
+    * order the runtimes sort to within a batch — cross-batch replay is
+    * therefore the same total order as the single-batch path, with the
+    * hyper-state round-tripping through GroupState at each boundary
+    * (asserted: ≥[[StreamSlices]] non-empty batches per run).
     */
   private def runEventStream(s: SparkSession, dir: String, tag: String, mode: String)(
       transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
+    val batch = s.read.parquet(path)
+    val schema = batch.schema
     val srcDir = java.nio.file.Files.createTempDirectory(s"$tag-src")
-    // absolutize: a relative `dir` would otherwise resolve against the
-    // temp srcDir and dangle — the file source then reads an empty
-    // directory and returns an empty result instead of failing loudly
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(path).toAbsolutePath.normalize)
     val ckptDir = java.nio.file.Files.createTempDirectory(s"$tag-ckpt")
     val sinkName = s"${tag}_sink_${streamRuns.incrementAndGet()}"
     def rmTree(p: java.nio.file.Path): Unit = {
@@ -796,7 +810,32 @@ object Cef {
     // — repeated bench runs in one session share the temp dir and the
     // session-global memory-sink namespace
     try {
-      val raw = s.readStream.schema(schema).parquet(srcDir.toString)
+      // contiguous global (ts, event_id) ranges; the single-partition
+      // window is test-scaffold-scale only (the sliced table is the
+      // gate's sf input, not a production path)
+      val ordered = batch.withColumn("__slice",
+        ntile(StreamSlices).over(Window.orderBy(col("ts"), col("event_id"))))
+      val base = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(path)).toMillis
+      for (i <- 1 to StreamSlices) {
+        val tmp = java.nio.file.Files.createTempDirectory(s"$tag-slice$i")
+        try {
+          ordered.filter(col("__slice") === i).drop("__slice")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"slice $i wrote no parquet part"))
+          val dst = srcDir.resolve(f"slice-$i%03d.parquet")
+          java.nio.file.Files.move(part, dst)
+          // strictly increasing mtimes: the file source processes oldest
+          // first, and the name order is the mtime tiebreak
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+        } finally rmTree(tmp)
+      }
+      val raw = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val q = transform(raw)
         .writeStream.format("memory").queryName(sinkName)
@@ -805,6 +844,9 @@ object Cef {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      require(fed >= StreamSlices,
+        s"streaming scaffold expected >=$StreamSlices micro-batches, got $fed")
       val sunk = s.table(sinkName)
       val rows = java.util.Arrays.asList(sunk.collect(): _*)
       s.createDataFrame(rows, sunk.schema)
