@@ -87,30 +87,55 @@ object Detect {
     * observables — the 3-letter symbol (detection [[SpstM.SymD]] / new
     * window anchor [[SpstM.SymA]] / other [[SpstM.SymO]]) and the
     * anchor-age abstract state (age of the newest live taken anchor,
-    * capped at the window; W = idle). The reference symbolizes dSRA
-    * transitions (model/vmm/mapper/SymbolExtractorFromDSRA.scala); the
+    * capped at the window; the cap value = idle). The reference
+    * symbolizes dSRA transitions
+    * (model/vmm/mapper/SymbolExtractorFromDSRA.scala) and is
+    * window-kind-agnostic (workflow/task/fsmTask/SPSTmTask.scala); the
     * lazy config-set runtime symbolizes its observable trace instead —
     * both are deterministic per-event functions, which is what VMM
-    * training needs. Count-windowed patterns only (the age is measured
-    * in events).
+    * training needs.
+    *
+    * Count windows measure age in events (exact). TIME windows measure
+    * age in event time bucketed to `grid` (micros per cell): the
+    * abstract state is `min((ts − newest anchor) / grid, window/grid)` —
+    * `grid` must tile the window, giving ≥2 cells, so the abstraction
+    * keeps the small state space the wt recursion needs while the
+    * window itself stays exact in the runtime.
     */
-  def dsraTrace(events: Dataset[CEvent], cp: CompiledPattern): Dataset[DsraStep] = {
+  def dsraTrace(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      grid: Long = 0L): Dataset[DsraStep] = {
     implicit val stepEnc: Encoder[DsraStep] = Encoders.product[DsraStep]
-    require(cp.windowKind == WindowKind.Count,
-      "dsraTrace symbolizes count-windowed register patterns (age in events)")
-    val w = cp.window
+    val timeWindowed = cp.windowKind == WindowKind.Time
+    val cells: Long =
+      if (!timeWindowed) {
+        require(grid == 0L, "grid applies to time-windowed patterns (count age is exact)")
+        cp.window
+      } else {
+        require(grid > 0L, "time-windowed symbolization needs a positive age grid (micros)")
+        require(cp.window % grid == 0L,
+          s"grid $grid must tile the window ${cp.window} exactly")
+        cp.window / grid
+      }
+    require(cells >= 2, s"anchor-age abstraction needs >=2 cells, got $cells")
     perKeyScan(events)(key => new DsraRun(cp, key)) { (run, e) =>
       if (e.isReset) { run.step(e); Iterator.empty }
       else {
         val det = run.step(e)
         val counter = run.eventCounter
         val anchor = run.newestTakenAnchor
+        // a taken config created AT this event carries the freshest
+        // possible anchor (the per-key scan is (ts, id)-sorted)
+        val fresh = if (timeWindowed) anchor == e.timestamp else anchor == counter
         val sym =
           if (det.isDefined) SpstM.SymD
-          else if (anchor == counter) SpstM.SymA
+          else if (fresh) SpstM.SymA
           else SpstM.SymO
         val state =
-          if (anchor < 0) w else math.min(counter - anchor, w)
+          if (anchor < 0) cells
+          else if (timeWindowed) math.min((e.timestamp - anchor) / grid, cells)
+          else math.min(counter - anchor, cells)
         Iterator.single(DsraStep(run.partition, counter, e.id, sym, state.toInt))
       }
     }

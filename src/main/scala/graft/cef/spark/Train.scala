@@ -79,7 +79,9 @@ object Train {
     * symbolize the stream through the DSRA runtime's observable trace
     * ([[Detect.dsraTrace]]), count symbol n-grams per key, learn the PST
     * on the driver and pair it with the anchor-age abstraction of the
-    * pattern's count window. The per-key trace is a distributed scan
+    * pattern's window — exact event counts for count windows, `grid`-
+    * bucketed event time for time windows (the reference's SPSTm path is
+    * window-kind-agnostic). The per-key trace is a distributed scan
     * (same secondary-sort shape as detection); the n-gram windows come
     * from lag() over the trace, so the shuffle carries only (window →
     * partial count) pairs — alphabet³-bounded, like [[countWindows]].
@@ -88,11 +90,12 @@ object Train {
       events: Dataset[CEvent],
       cp: CompiledPattern,
       order: Int,
+      grid: Long = 0L,
       pMin: Double = 0.001,
       alpha: Double = 0.05,
       gammaMin: Double = 0.001,
       r: Double = 1.05): SpstM = {
-    val trace = Detect.dsraTrace(events, cp)
+    val trace = Detect.dsraTrace(events, cp, grid)
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("partition")).orderBy(col("counter"))
     // growing-buffer windows (most-recent-first), exactly countWindows'
@@ -114,7 +117,10 @@ object Train {
       .as[WindowCount]
       .collect()
     val pst = PstLearner.learn(cstFromCounts(counts), order, pMin, alpha, gammaMin, r)
-    val (delta, hit) = SpstM.anchorAgeTables(cp.window.toInt)
+    val cells =
+      if (cp.windowKind == WindowKind.Time) (cp.window / grid).toInt
+      else cp.window.toInt
+    val (delta, hit) = SpstM.anchorAgeTables(cells)
     SpstM(pst, order, delta, hit)
   }
 

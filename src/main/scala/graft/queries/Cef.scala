@@ -532,6 +532,31 @@ object Cef {
         .orderBy(col("label"), col("state"))
     },
 
+    // ---------------- SPSTm over a TIME-windowed register pattern: the
+    // same pipeline as cef21 with the anchor age measured in event time
+    // and bucketed to a 20,000 s grid (10 cells over the 200,000 s
+    // window — the reference's SPSTm path is window-kind-agnostic,
+    // SPSTmTask.scala). Symbols come from the runtime's time-window
+    // semantics (the cef19 detection self-join); the oracle restates
+    // symbolization, PST learning and the wt recursion with the
+    // 10-cell age automaton interpolated from the same
+    // SpstM.anchorAgeTables the Spark side runs.
+    Q("cef32_spstm_time", SpstmTimeOracle.sql32) { (s, dir) =>
+      val ev = events(s, dir)
+      val m = Train.learnSpstm(ev, pSremoTime, order = 2, grid = SpstmTimeOracle.GridMicros)
+      val rows = m.pst.leaves.flatMap { leaf =>
+        (0 until m.nStates).map { st =>
+          val wt = m.wtDistribution(leaf.label, st, horizon = 20)
+          (leaf.label.mkString(":"), st,
+            math.floor(wt.wt.values.sum * 1000000 + 0.5).toLong,
+            math.floor(wt.classifyNextK(0.5, 10).prob * 1000000 + 0.5).toLong)
+        }
+      }
+      import s.implicits._
+      rows.toDF("label", "state", "wt_mass", "p_next10")
+        .orderBy(col("label"), col("state"))
+    },
+
     // ---------------- the deterministic runtime as an ACTUAL Structured
     // Streaming query (SURVEY.md §7.1.2): the same skip-any detection
     // points as cef07, but through readStream(file source) →
@@ -1445,6 +1470,49 @@ object Cef {
          |  FROM b LEFT JOIN det d ON d.user_id = b.user_id AND d.rn = b.rn)""".stripMargin
 
     val sql21: String =
+      s"""${PstSql.core(prefix, deltaRows, stateRows)}
+         |${PstSql.tableSelect}""".stripMargin
+  }
+
+  /** cef32's oracle: the cef21 pipeline over the TIME-windowed register
+    * pattern — detections from the cef19 event-time self-join, the same
+    * D/A/O symbolization (an arming event is a fresh anchor in both
+    * window kinds), and the wt recursion over the 10-cell grid-bucketed
+    * anchor-age automaton ([[graft.cef.SpstM.anchorAgeTables]] with
+    * window/grid cells, interpolated as VALUES rows exactly like cef21).
+    */
+  private object SpstmTimeOracle {
+    import graft.cef.SpstM
+
+    /** pSremoTime's window in engine micros (200,000 s). */
+    private val W = 200000000000L
+    /** Age-grid cell: 20,000 s → 10 abstract age cells. */
+    val GridMicros: Long = 20000000000L
+    private val Cells = (W / GridMicros).toInt
+
+    private val (delta, hit) = SpstM.anchorAgeTables(Cells)
+    private val deltaRows = (for {
+      st <- 0 to Cells
+      sy <- 0 until SpstM.NumSymbols
+    } yield s"($st, $sy, ${delta(st)(sy)}, ${hit(st)(sy)})").mkString(", ")
+    private val stateRows = (0 to Cells).map(s => s"($s)").mkString(", ")
+
+    private val prefix =
+      s"""$RnCte,
+         |det AS MATERIALIZED (
+         |  SELECT DISTINCT a.user_id AS user_id, p.rn AS rn
+         |  FROM b a JOIN b p
+         |    ON a.user_id = p.user_id AND p.rn > a.rn
+         |   AND epoch_us(p.ts) - epoch_us(a.ts) < $W
+         |  WHERE a.value > 120.0 AND p.value > a.value),
+         |sym AS MATERIALIZED (
+         |  SELECT b.user_id, b.rn, b.event_id,
+         |         CASE WHEN d.rn IS NOT NULL THEN ${SpstM.SymD}
+         |              WHEN b.value > 120.0 THEN ${SpstM.SymA}
+         |              ELSE ${SpstM.SymO} END AS s
+         |  FROM b LEFT JOIN det d ON d.user_id = b.user_id AND d.rn = b.rn)""".stripMargin
+
+    val sql32: String =
       s"""${PstSql.core(prefix, deltaRows, stateRows)}
          |${PstSql.tableSelect}""".stripMargin
   }

@@ -124,4 +124,59 @@ class SpstmSpec extends AnyFlatSpec with Matchers {
       got shouldBe expected
     }
   }
+
+  it should "equal its first-principles definition for TIME windows on the age grid" in {
+    // window 40 time units, grid 10 → 4 age cells; irregular event-time
+    // gaps (1..12 units) so cell boundaries and the idle cap are both hit
+    val cp = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:40}{windowType:time}""")
+    val W = 40L
+    val grid = 10L
+    val cells = (W / grid).toInt
+    (1 to 15).foreach { _ =>
+      var ts = 0L
+      val events = (1 to (60 + rnd.nextInt(80))).map { i =>
+        ts += 1 + rnd.nextInt(12)
+        CEvent(i.toLong, "v", ts, "k",
+          Map("value" -> rnd.nextInt(200).toDouble), Map.empty)
+      }
+      // first principles: detections from the enumeration runtime; an
+      // event arms iff value > 120; age = (event time − last arming
+      // time) bucketed to the grid, capped at the cell count (= idle)
+      val mr = new MatchRun(cp, "k")
+      val detAt = events.zipWithIndex.collect {
+        case (e, i) if mr.step(e).nonEmpty => i + 1
+      }.toSet
+      var lastArmTs = -1L
+      val expected = events.zipWithIndex.map { case (e, i) =>
+        val pos = i + 1L
+        val arming = e.num("value") > 120.0
+        if (arming) lastArmTs = e.timestamp
+        val sym =
+          if (detAt(pos.toInt)) SpstM.SymD
+          else if (arming) SpstM.SymA
+          else SpstM.SymO
+        val age =
+          if (lastArmTs < 0) cells.toLong
+          else math.min((e.timestamp - lastArmTs) / grid, cells.toLong)
+        (pos, sym, age.toInt)
+      }
+      // runtime trace: the Detect.dsraTrace time-window derivation
+      val dr = new DsraRun(cp, "k")
+      val got = events.map { e =>
+        val det = dr.step(e)
+        val counter = dr.eventCounter
+        val anchor = dr.newestTakenAnchor
+        val sym =
+          if (det.isDefined) SpstM.SymD
+          else if (anchor == e.timestamp) SpstM.SymA
+          else SpstM.SymO
+        val age =
+          if (anchor < 0) cells.toLong
+          else math.min((e.timestamp - anchor) / grid, cells.toLong)
+        (counter, sym, age.toInt)
+      }
+      got shouldBe expected
+    }
+  }
 }
