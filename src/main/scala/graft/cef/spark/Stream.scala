@@ -100,6 +100,34 @@ object Stream {
           out.iterator
       }
 
+  /** F5 through the streaming engine: the forecasting runtime
+    * ([[RestorableSpstRun]] — DetRun 4-tuple + SPST symbol buffer) with
+    * its state round-tripping through GroupState at every micro-batch
+    * boundary, the same keyed-stateful shape as [[detections]]
+    * (reference: the Flink engine emits forecasts from the identical
+    * per-key snapshot, WayebEngine.java:276-320). The model and its
+    * precomputed forecast table ride the task closure — they are
+    * model-sized immutable values, exactly like the compiled pattern.
+    */
+  def forecasts(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      spst: Spst,
+      table: Map[(List[Int], Int), ForecastInterval]): Dataset[ForecastOut] = {
+    implicit val fEnc: Encoder[ForecastOut] = Encoders.product[ForecastOut]
+    implicit val stEnc: Encoder[SpstStreamState] = Encoders.product[SpstStreamState]
+    events.groupByKey(_.partition)
+      .flatMapGroupsWithState[SpstStreamState, ForecastOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CEvent], state: GroupState[SpstStreamState]) =>
+          val run = new RestorableSpstRun(cp, spst, table, key)
+          state.getOption.foreach(s => run.restore(s.det, s.buffer))
+          val out = rows.toSeq.sortBy(e => (e.timestamp, e.id)).flatMap(e => run.step(e)._2)
+          state.update(SpstStreamState(run.detSnapshot, run.bufferSnapshot))
+          out.iterator
+      }
+  }
+
   /** The same deterministic runtime on Spark 4's transformWithState
     * operator — the successor to flatMapGroupsWithState (typed state
     * variables, native TTL, RocksDB-only backend). Functionally identical
@@ -118,6 +146,12 @@ object Stream {
         new DetProcessor(cp, stateTtl), timeMode, OutputMode.Append())
   }
 }
+
+/** GroupState payload of [[Stream.forecasts]]: the forecasting runtime's
+  * full snapshot — deterministic automaton state + the most-recent-first
+  * SPST symbol buffer.
+  */
+final case class SpstStreamState(det: DetRunState, buffer: Seq[Int])
 
 /** StatefulProcessor wrapping [[DetRun]]: the run snapshot lives in a typed
   * ValueState with optional native TTL (K5 run-pool expiry).

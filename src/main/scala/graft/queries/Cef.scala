@@ -557,6 +557,27 @@ object Cef {
         .orderBy(col("label"), col("state"))
     },
 
+    // ---------------- F5 forecasts through ACTUAL Structured Streaming:
+    // the cef12 pipeline (train SPST, precompute the classify-nextk
+    // table) with emission through Stream.forecasts — the forecasting
+    // runtime's snapshot (automaton state + symbol buffer) round-trips
+    // GroupState at every micro-batch boundary, and the cef12 oracle
+    // gates that the multi-batch streaming output equals the batch
+    // pipeline's exactly.
+    Q("cef33_streaming_forecasts", SpstOracle.sql12) { (s, dir) =>
+      val ev = events(s, dir)
+      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val table = spst.forecastTable(ForecastMethod.ClassifyNextK,
+        threshold = 0.4, spread = 10, horizon = 20)
+      runDetectionStream(s, dir, "cef33")(Stream.forecasts(_, pSkipAny, spst, table))
+        .select(
+          col("partition").cast("long").as("user_id"),
+          col("counter"), col("eventId").as("event_id"),
+          col("startCounter").as("fs"), col("endCounter").as("fe"),
+          (floor(col("prob") * 1000000 + 0.5)).cast("long").as("prob"), col("positive"))
+        .orderBy(col("user_id"), col("counter"))
+    },
+
     // ---------------- the deterministic runtime as an ACTUAL Structured
     // Streaming query (SURVEY.md §7.1.2): the same skip-any detection
     // points as cef07, but through readStream(file source) →
