@@ -578,6 +578,110 @@ object Cef {
         .orderBy(col("user_id"), col("counter"))
     },
 
+    // ---------------- O1–O8 the adaptation control plane as ONE
+    // driver-checked query: the day-windowed report stream (cef10
+    // arithmetic) feeds the REAL Observer; its instructions drive the
+    // REAL Controller + Factory — every retrain trains on the
+    // chronological archive before its day, and the first optimize runs
+    // a full seeded ask/tell session (10 in-memory train/test
+    // evaluations over the locked dataset's 80/20 split, argmin
+    // finalise) with pause/play engine-sync commands. The oracle
+    // restates the WHOLE loop in SQL — Observer recursion, the
+    // k-dimensioned candidate PST trainings, the per-event forecast
+    // replay, confusion/MCC arithmetic, argmin and the model-counter/
+    // MIN_DATA_THRESHOLD bookkeeping ([[AdaptOracle]]). Dispatch scope:
+    // every retrain + ONE optimization cycle (the first optimize) — the
+    // reference's single in-flight session; later optimize instructions
+    // are recorded as Observer output only.
+    Q("cef31_adapt_loop", AdaptOracle.sql31) { (s, dir) =>
+      import graft.cef.ClassStats
+      import graft.cef.adapt._
+      def q4(x: Double) = math.floor(x * 10000 + 0.5).toLong
+      def q9(x: Double) = math.floor(x * 1000000000L + 0.5).toLong
+      val rows = scala.collection.mutable.ListBuffer
+        .empty[(String, Long, Long, Long, Long, Long, Long, String, Long, Long, Long, Long)]
+
+      val reps = forecastEvalByDay(s, dir)
+        .select(col("day"), col("tp"), col("tn"), col("fp"), col("fn"))
+        .orderBy(col("day")).collect()
+      val observer = new Observer(lowScore = AdaptOracle.LowScore,
+        optDiff = AdaptOracle.OptDiff, trainDiff = AdaptOracle.TrainDiff,
+        graceInit = AdaptOracle.GraceInit)
+      val instructions = scala.collection.mutable.ListBuffer.empty[(Long, java.sql.Date, Instruction)]
+      reps.zipWithIndex.foreach { case (r, idx) =>
+        val i = idx + 1L
+        val st = ClassStats(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        rows += (("report", i, st.tp, st.tn, st.fp, st.fn, q4(st.mcc), "", -1L, -1L, -1L, -1L))
+        observer.onReport(Report(i, "global", MetricGroup.zero, MetricGroup.of(st))).foreach { ins =>
+          rows += (("instruction", i, -1L, -1L, -1L, -1L, -1L,
+            ins.instructionType, ins.id.toLong, -1L, -1L, -1L))
+          instructions += ((i, r.getDate(0), ins))
+        }
+      }
+
+      val ev = events(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("cef31-models")
+      try {
+        val factory = new Factory(pSkipAny, tmp.toString, order = 2)
+        val controller = new Controller(() => new AskTellOptimizer(
+          nInitialPoints = AdaptOracle.NEvals, nTotalEvals = AdaptOracle.NEvals, seed = 42L))
+        val evalMcc = scala.collection.mutable.Map.empty[Int, Double]
+        var sessionDone = false
+        instructions.foreach { case (i, day, ins) =>
+          val dispatch = ins.instructionType == "retrain" ||
+            (ins.instructionType == "optimize" && !sessionDone)
+          if (dispatch) {
+            if (ins.instructionType == "optimize") sessionDone = true
+            val dayStartMicros = day.toLocalDate.toEpochDay * 86400L * 1000000L
+            val ds = ev.filter(_.timestamp < dayStartMicros).collect().toSeq
+            factory.onDataset(i.toInt, ds)
+            val out0 = controller.onInstruction(ins)
+            out0.syncCommands.foreach(sc => rows += (("sync", i, -1L, -1L, -1L, -1L, -1L,
+              sc.cmdType, sc.modelId.toLong, -1L, -1L, -1L)))
+            var pending = out0.factoryCommands
+            while (pending.nonEmpty) {
+              pending = pending.flatMap { cmd =>
+                val rep = factory.onCommand(cmd)
+                rep.reportType match {
+                  case "opt_step_done" =>
+                    val mcc = rep.metrics("mcc")
+                    evalMcc(rep.modelId) = mcc
+                    val List(pm, gm) = cmd.params.get
+                    rows += (("eval", rep.modelId.toLong, -1L, -1L, -1L, -1L, q4(mcc),
+                      "", -1L, q9(pm), q9(gm), ds.size.toLong))
+                  case "opt_finalised" =>
+                    rows += (("select", cmd.bestI.toLong, -1L, -1L, -1L, -1L,
+                      q4(evalMcc(cmd.bestI)), "finalised", rep.modelId.toLong,
+                      q9(rep.metrics("pMin")), q9(rep.metrics("gamma")), ds.size.toLong))
+                  case "trained" =>
+                    val List(pm, gm) = cmd.params.get
+                    rows += (("train", i, -1L, -1L, -1L, -1L, -1L, "trained",
+                      rep.modelId.toLong, q9(pm), q9(gm), ds.size.toLong))
+                  case "error" =>
+                    rows += (("factory_error", i, -1L, -1L, -1L, -1L, -1L,
+                      cmd.cmdType, rep.metrics("reason").toLong, -1L, -1L, ds.size.toLong))
+                  case _ => () // opt_initialised: protocol-internal, no sink output
+                }
+                val o = controller.onFactoryReport(rep)
+                o.syncCommands.foreach(sc => rows += (("sync", i, -1L, -1L, -1L, -1L, -1L,
+                  sc.cmdType, sc.modelId.toLong, -1L, -1L, -1L)))
+                o.factoryCommands
+              }
+            }
+          }
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      import s.implicits._
+      rows.toSeq
+        .toDF("kind", "seq", "tp", "tn", "fp", "fn", "mcc_q",
+          "decision", "model_id", "p1_q", "p2_q", "n")
+        .orderBy(col("kind"), col("seq"), col("decision"))
+    },
+
     // ---------------- the deterministic runtime as an ACTUAL Structured
     // Streaming query (SURVEY.md §7.1.2): the same skip-any detection
     // points as cef07, but through readStream(file source) →
@@ -822,6 +926,51 @@ object Cef {
     */
   private val StreamSlices = 3
 
+  /** Sliced-source directories, one per events table: the four streaming
+    * gates (cef22/25/28/33) replay the SAME slices, so the slice build —
+    * a global sort + one partitioned write — runs once per (session,
+    * table), not once per query (it dominated the scaffold's cost in
+    * Bench, which runs all four back to back).
+    */
+  private val sliceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Rewrite the events table as [[StreamSlices]] (ts, event_id)-ordered
+    * parquet files with strictly increasing mtimes (the file source
+    * processes oldest first). One partitioned single-task write; the
+    * single-partition window is test-scaffold-scale only (the sliced
+    * table is the gate's sf input, not a production path).
+    */
+  private def buildSlices(s: SparkSession, path: String): java.nio.file.Path = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-slices")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    try {
+      s.read.parquet(path)
+        .withColumn("__slice",
+          ntile(StreamSlices).over(Window.orderBy(col("ts"), col("event_id"))))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("__slice").parquet(tmp.toString)
+      val base = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(path)).toMillis
+      import scala.jdk.CollectionConverters._
+      for (i <- 1 to StreamSlices) {
+        val part = java.nio.file.Files.list(tmp.resolve(s"__slice=$i")).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"slice $i wrote no parquet part"))
+        val dst = srcDir.resolve(f"slice-$i%03d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+      }
+      srcDir
+    } finally rmTree(tmp)
+  }
+
   /** The generic half of the scaffold: the raw streaming events DataFrame
     * (ts already nanos→micros) through any transform into the drained,
     * released memory sink. `mode` is "append" for the stateful detection
@@ -841,10 +990,10 @@ object Cef {
   private def runEventStream(s: SparkSession, dir: String, tag: String, mode: String)(
       transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val batch = s.read.parquet(path)
-    val schema = batch.schema
-    val srcDir = java.nio.file.Files.createTempDirectory(s"$tag-src")
+    val path = java.nio.file.Paths.get(s"$dir/events.parquet")
+      .toAbsolutePath.normalize.toString
+    val schema = s.read.parquet(path).schema
+    val srcDir = sliceCache.computeIfAbsent(path, _ => buildSlices(s, path))
     val ckptDir = java.nio.file.Files.createTempDirectory(s"$tag-ckpt")
     val sinkName = s"${tag}_sink_${streamRuns.incrementAndGet()}"
     def rmTree(p: java.nio.file.Path): Unit = {
@@ -854,32 +1003,8 @@ object Cef {
     }
     // scaffold resources must not leak when transform/start/await throws
     // — repeated bench runs in one session share the temp dir and the
-    // session-global memory-sink namespace
+    // session-global memory-sink namespace (srcDir is cache-owned)
     try {
-      // contiguous global (ts, event_id) ranges; the single-partition
-      // window is test-scaffold-scale only (the sliced table is the
-      // gate's sf input, not a production path)
-      val ordered = batch.withColumn("__slice",
-        ntile(StreamSlices).over(Window.orderBy(col("ts"), col("event_id"))))
-      val base = java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(path)).toMillis
-      for (i <- 1 to StreamSlices) {
-        val tmp = java.nio.file.Files.createTempDirectory(s"$tag-slice$i")
-        try {
-          ordered.filter(col("__slice") === i).drop("__slice")
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          import scala.jdk.CollectionConverters._
-          val part = java.nio.file.Files.list(tmp).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(sys.error(s"slice $i wrote no parquet part"))
-          val dst = srcDir.resolve(f"slice-$i%03d.parquet")
-          java.nio.file.Files.move(part, dst)
-          // strictly increasing mtimes: the file source processes oldest
-          // first, and the name order is the mtime tiebreak
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
-        } finally rmTree(tmp)
-      }
       val raw = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -1536,5 +1661,366 @@ object Cef {
     val sql32: String =
       s"""${PstSql.core(prefix, deltaRows, stateRows)}
          |${PstSql.tableSelect}""".stripMargin
+  }
+
+  /** cef31's oracle: the WHOLE adaptation control plane (O1–O8) restated
+    * in SQL over the events table —
+    *
+    *   - the day-windowed report stream (the cef10 arithmetic, silent
+    *     windows included);
+    *   - the Observer's threshold/grace/history state machine as a
+    *     recursive CTE over the day-ordered reports
+    *     (reference ObserverProcess.java:72-166);
+    *   - the Controller/Factory optimize session for the FIRST optimize
+    *     instruction: the seeded ask sequence interpolated as constants
+    *     (all [[graft.cef.adapt.AskTellOptimizer]] proposals are
+    *     seed-only when nInitialPoints == nTotalEvals — the exact ask/
+    *     tell contract, reference optimizer.py:78-120), each candidate's
+    *     f_val recomputed from first principles — chronological 80/20
+    *     split, candidate-parameterized PST learning over the train
+    *     region (one k-dimensioned clone of the cef11 learning chain),
+    *     the unrolled wt recursion, the per-event SpstRun forecast
+    *     replay over the test region and the confusion/MCC arithmetic
+    *     (reference WayebAdapter.scala:41-185) — and argmin selection
+    *     (controller_coprocess.py:88-257);
+    *   - Factory `train` handling for every retrain instruction with the
+    *     model-counter and MIN_DATA_THRESHOLD arithmetic
+    *     (ModelFactoryEngine.java:226-512), and the pause/play sync
+    *     commands either path emits.
+    *
+    * The gate scopes the Controller/Factory dispatch to every retrain
+    * plus ONE optimization cycle (the first optimize instruction) — the
+    * reference runs a single in-flight session too; later optimize
+    * instructions are recorded as Observer output only. Doubles follow
+    * the mccSql discipline: both engines evaluate textually identical
+    * IEEE expressions, quantized ×10⁴ (MCC) / ×10⁹ (params) at the edge.
+    */
+  private object AdaptOracle {
+    import graft.cef.adapt.AskTellOptimizer
+
+    val LowScore = -0.12
+    val OptDiff = 0.10
+    val TrainDiff = 0.05
+    val GraceInit = 8
+    val NEvals = 10
+    val MinData = 50
+    private val alpha = 0.05
+    private val r = 1.05
+    private val rInv = 1 / 1.05
+    private val gate = (1 + alpha) // × candidate gamma = retention threshold
+    private val cutoff = 0.001
+    private val horizon = 20
+
+    /** The seeded ask sequence — all proposals are init-strata points
+      * (nInitialPoints == nTotalEvals), so they are pure functions of
+      * the seed, independent of any told f_val: interpolable constants,
+      * exactly like the automaton VALUES rows elsewhere.
+      */
+    val Candidates: List[List[Double]] = {
+      val o = new AskTellOptimizer(nInitialPoints = NEvals, nTotalEvals = NEvals, seed = 42L)
+      List.fill(NEvals)(o.ask())
+    }
+    private val candRows = Candidates.zipWithIndex
+      .map { case (ps, k) => s"($k, ${ps.head}, ${ps(1)})" }.mkString(", ")
+
+    // pSkipAny automaton constants (the SpstOracle requires pin these)
+    private val iso = pSkipAny.iso
+    private val sdfa = pSkipAny.sdfa
+    private def symOf(t: String) = iso.evaluate(CEvent.simple(1, t, 1))
+    private val E = symOf("error")
+    private val P = symOf("purchase")
+    private val O = symOf("view")
+    private val s0 = sdfa.start
+    private val sFE = sdfa.delta(s0)(E)
+    private val sE = sdfa.delta(sFE)(E)
+    private val sF = sdfa.delta(sFE)(P)
+    private val sO = sdfa.delta(sFE)(O)
+    private val deltaRows = (for {
+      st <- 0 until sdfa.nStates
+      sy <- 0 until iso.size
+    } yield s"($st, $sy, ${sdfa.delta(st)(sy)}, ${sdfa.isFinal(sdfa.delta(st)(sy))})").mkString(", ")
+    private val stateRows = (0 until sdfa.nStates).map(s => s"($s)").mkString(", ")
+
+    /** ClassStats.mcc as SQL over the given count columns — the same
+      * IEEE evaluation order as the Scala formula and [[mccSql]], raw
+      * double (the Observer and argmin compare unquantized values).
+      */
+    private def mccRaw(tp: String, tn: String, fp: String, fn: String): String =
+      s"""CASE WHEN $tp + $fp = 0 OR $tp + $fn = 0 OR $tn + $fp = 0 OR $tn + $fn = 0
+         |     THEN CAST(0.0 AS DOUBLE)
+         |     ELSE sqrt((CAST($tp AS DOUBLE)/($tp+$fp)) * (CAST($tp AS DOUBLE)/($tp+$fn))
+         |             * (CAST($tn AS DOUBLE)/($tn+$fp)) * (CAST($tn AS DOUBLE)/($tn+$fn)))
+         |        - sqrt((1 - CAST($tp AS DOUBLE)/($tp+$fp)) * (1 - CAST($tp AS DOUBLE)/($tp+$fn))
+         |             * (1 - CAST($tn AS DOUBLE)/($tn+$fp)) * (1 - CAST($tn AS DOUBLE)/($tn+$fn)))
+         |END""".stripMargin.replace('\n', ' ')
+
+    /** Observer decision expression over the incoming state (o.prev,
+      * implicit non-silent, grace already checked) and report r. */
+    private val decExpr =
+      s"""CASE WHEN r.mcc < $LowScore THEN 'optimize'
+         |     WHEN o.prev IS NOT NULL AND o.prev - r.mcc > $OptDiff THEN 'optimize'
+         |     WHEN o.prev IS NOT NULL AND o.prev - r.mcc > $TrainDiff THEN 'retrain'
+         |     ELSE NULL END""".stripMargin.replace('\n', ' ')
+
+    // k-dimensioned wt recursion (the PstSql.core steps with a candidate axis)
+    private val steps = (1 to horizon).map { t =>
+      val prev = s"fk${t - 1}"
+      val h =
+        s"""hk$t AS MATERIALIZED (
+           |  SELECT f.k, lbl0, st0, sum(f.mass * x.p) AS hit
+           |  FROM $prev f JOIN trxk x ON x.k = f.k AND x.lbl = f.lbl AND x.st = f.st
+           |  WHERE x.hitf GROUP BY f.k, lbl0, st0)""".stripMargin
+      val fc =
+        if (t == horizon) ""
+        else
+          s""",
+             |fk$t AS MATERIALIZED (
+             |  SELECT f.k, lbl0, st0, x.nlbl AS lbl, x.nst AS st, sum(f.mass * x.p) AS mass
+             |  FROM $prev f JOIN trxk x ON x.k = f.k AND x.lbl = f.lbl AND x.st = f.st
+             |  WHERE NOT x.hitf AND f.mass * x.p > $cutoff
+             |  GROUP BY f.k, lbl0, st0, x.nlbl, x.nst)""".stripMargin
+      h + fc
+    }.mkString(",\n")
+    private val hitsUnion =
+      (1 to horizon).map(t => s"SELECT k, lbl0, st0, hit, $t AS t FROM hk$t").mkString("\nUNION ALL ")
+
+    private val nullCols =
+      "CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)"
+
+    val sql31: String =
+      s"""$RnCte,
+         |det0 AS MATERIALIZED (
+         |  SELECT user_id, rn AS counter
+         |  FROM (SELECT user_id, event_type, rn,
+         |               count(CASE WHEN event_type = 'error' THEN 1 END)
+         |                 OVER (PARTITION BY user_id ORDER BY rn
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_err
+         |        FROM b)
+         |  WHERE event_type = 'purchase' AND n_err > 0),
+         |fc0 AS (SELECT user_id, rn, ts, event_type = 'error' AS positive,
+         |               rn + 1 AS fs, rn + 10 AS fe FROM b),
+         |ev0 AS MATERIALIZED (
+         |  SELECT fc0.user_id, fc0.rn, fc0.positive,
+         |         CAST(date_trunc('day', fc0.ts) AS DATE) AS day,
+         |         max(CASE WHEN det0.counter IS NOT NULL THEN 1 ELSE 0 END) = 1 AS hit
+         |  FROM fc0 LEFT JOIN det0
+         |    ON det0.user_id = fc0.user_id AND det0.counter BETWEEN fc0.fs AND fc0.fe
+         |  GROUP BY fc0.user_id, fc0.rn, fc0.positive, day),
+         |rconf AS MATERIALIZED (
+         |  SELECT day,
+         |         CAST(sum(CASE WHEN positive AND hit THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN NOT positive AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |         CAST(sum(CASE WHEN positive AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN NOT positive AND hit THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM ev0 GROUP BY day),
+         |rep AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY day) AS i, day, tp, tn, fp, fn,
+         |         ${mccRaw("tp", "tn", "fp", "fn")} AS mcc
+         |  FROM rconf),
+         |obs AS MATERIALIZED (
+         |  WITH RECURSIVE o(i, g, prev, dec) AS (
+         |    SELECT CAST(0 AS BIGINT), 0, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+         |    UNION ALL
+         |    SELECT r.i,
+         |      CASE WHEN r.tp + r.fp + r.fn = 0 THEN greatest(o.g - 1, 0)
+         |           WHEN o.g > 0 THEN o.g - 1
+         |           WHEN ($decExpr) IS NOT NULL THEN $GraceInit
+         |           ELSE 0 END,
+         |      CASE WHEN r.tp + r.fp + r.fn = 0 THEN o.prev ELSE r.mcc END,
+         |      CASE WHEN r.tp + r.fp + r.fn = 0 OR o.g > 0 THEN NULL ELSE ($decExpr) END
+         |    FROM o JOIN rep r ON r.i = o.i + 1)
+         |  SELECT i, dec FROM o WHERE i >= 1),
+         |ins AS MATERIALIZED (
+         |  SELECT i, dec, row_number() OVER (ORDER BY i) - 1 AS ins_id
+         |  FROM obs WHERE dec IS NOT NULL),
+         |fo AS (SELECT min(i) AS i FROM ins WHERE dec = 'optimize'),
+         |disp AS MATERIALIZED (
+         |  SELECT i, dec, ins_id FROM ins
+         |  WHERE dec = 'retrain' OR i = (SELECT i FROM fo)),
+         |dsn AS MATERIALIZED (
+         |  SELECT d.i, d.dec, d.ins_id,
+         |         (SELECT count(*) FROM b WHERE CAST(date_trunc('day', b.ts) AS DATE) <
+         |            (SELECT r2.day FROM rep r2 WHERE r2.i = d.i)) AS n
+         |  FROM disp d),
+         |sess AS MATERIALIZED (SELECT i, n FROM dsn WHERE dec = 'optimize'),
+         |sd AS MATERIALIZED (
+         |  SELECT event_id, user_id, event_type, ts,
+         |         row_number() OVER (ORDER BY ts, event_id) AS grn
+         |  FROM b WHERE CAST(date_trunc('day', ts) AS DATE) <
+         |    (SELECT r3.day FROM rep r3 WHERE r3.i = (SELECT i FROM sess))),
+         |scut AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS c, count(*) AS n FROM sd),
+         |cands(k, pmin, gamma) AS (VALUES $candRows),
+         |trn AS MATERIALIZED (
+         |  SELECT user_id, event_type,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY grn) AS rn
+         |  FROM sd WHERE grn <= (SELECT c FROM scut)),
+         |tsym AS (SELECT user_id, rn,
+         |        CASE event_type WHEN 'error' THEN $E WHEN 'purchase' THEN $P ELSE $O END AS s
+         |      FROM trn),
+         |twn AS MATERIALIZED (SELECT user_id, rn, s,
+         |        lag(s, 1) OVER (PARTITION BY user_id ORDER BY rn) AS s1,
+         |        lag(s, 2) OVER (PARTITION BY user_id ORDER BY rn) AS s2
+         |      FROM tsym),
+         |tn0 AS MATERIALIZED (SELECT count(*) AS c FROM twn),
+         |tn1 AS MATERIALIZED (SELECT s AS a, count(*) AS c FROM twn GROUP BY s),
+         |tn2 AS MATERIALIZED (SELECT s AS a, s1 AS bb, count(*) AS c FROM twn WHERE s1 IS NOT NULL GROUP BY s, s1),
+         |tn3 AS MATERIALIZED (SELECT s AS a, s1 AS bb, s2 AS d, count(*) AS c FROM twn WHERE s2 IS NOT NULL GROUP BY s, s1, s2),
+         |tal AS MATERIALIZED (SELECT DISTINCT s FROM twn),
+         |tksz AS MATERIALIZED (SELECT count(*) AS kk FROM tal),
+         |ret2k AS MATERIALIZED (
+         |  SELECT cd.k, c2.a, c2.bb
+         |  FROM cands cd CROSS JOIN tn2 c2 JOIN tn1 ca ON ca.a = c2.a CROSS JOIN tn0
+         |  WHERE CAST(ca.c AS DOUBLE) / tn0.c >= cd.pmin
+         |    AND CAST(c2.c AS DOUBLE) / (tn0.c - 1) >= cd.pmin
+         |    AND EXISTS (
+         |      SELECT 1 FROM tn3 JOIN tn2 sx ON sx.a = tn3.a AND sx.bb = tn3.bb
+         |      WHERE tn3.bb = c2.a AND tn3.d = c2.bb
+         |        AND CAST(tn3.c AS DOUBLE) / c2.c >= $gate * cd.gamma
+         |        AND ((CAST(tn3.c AS DOUBLE) / c2.c) / (CAST(sx.c AS DOUBLE) / ca.c) >= $r
+         |          OR (CAST(tn3.c AS DOUBLE) / c2.c) / (CAST(sx.c AS DOUBLE) / ca.c) <= $rInv))),
+         |int1k AS MATERIALIZED (SELECT DISTINCT k, a FROM ret2k),
+         |lvk AS MATERIALIZED (
+         |  SELECT i.k, CAST(a.s AS VARCHAR) || ':' || CAST(bb.s AS VARCHAR) AS lbl,
+         |         a.s AS h, bb.s AS h2, 2 AS dep
+         |  FROM int1k i JOIN tal a ON a.s = i.a CROSS JOIN tal bb
+         |  UNION ALL
+         |  SELECT cd.k, CAST(a.s AS VARCHAR) AS lbl, a.s AS h, NULL AS h2, 1 AS dep
+         |  FROM cands cd CROSS JOIN tal a
+         |  WHERE NOT EXISTS (SELECT 1 FROM int1k ii WHERE ii.k = cd.k AND ii.a = a.s)),
+         |ts2s AS MATERIALIZED (SELECT bb AS ctx, sum(c) AS sc FROM tn2 GROUP BY bb),
+         |ts3s AS MATERIALIZED (SELECT bb AS c1, d AS c2, sum(c) AS sc FROM tn3 GROUP BY bb, d),
+         |ndk AS MATERIALIZED (
+         |  SELECT l.k, l.lbl, l.h, tal.s AS sig,
+         |    (CASE
+         |      WHEN l.dep = 2 AND EXISTS (SELECT 1 FROM tn2 WHERE tn2.a = l.h AND tn2.bb = l.h2)
+         |        THEN coalesce((SELECT CAST(tn3.c AS DOUBLE) FROM tn3
+         |                       WHERE tn3.a = tal.s AND tn3.bb = l.h AND tn3.d = l.h2)
+         |                      / (SELECT CAST(sc AS DOUBLE) FROM ts3s WHERE c1 = l.h AND c2 = l.h2), 0.0)
+         |      ELSE coalesce((SELECT CAST(tn2.c AS DOUBLE) FROM tn2 WHERE tn2.a = tal.s AND tn2.bb = l.h)
+         |                    / (SELECT CAST(sc AS DOUBLE) FROM ts2s WHERE ctx = l.h), 0.0)
+         |    END) * (1.0 - CAST(tksz.kk AS DOUBLE) * cd.gamma) + cd.gamma AS p
+         |  FROM lvk l JOIN cands cd ON cd.k = l.k CROSS JOIN tal CROSS JOIN tksz),
+         |dl(st, sy, nst, hitf) AS (VALUES $deltaRows),
+         |stt(st) AS (VALUES $stateRows),
+         |trk AS MATERIALIZED (
+         |  SELECT ndk.k, ndk.lbl, ndk.sig, ndk.p,
+         |         CASE WHEN EXISTS (SELECT 1 FROM int1k ii WHERE ii.k = ndk.k AND ii.a = ndk.sig)
+         |              THEN CAST(ndk.sig AS VARCHAR) || ':' || CAST(ndk.h AS VARCHAR)
+         |              ELSE CAST(ndk.sig AS VARCHAR) END AS nlbl
+         |  FROM ndk),
+         |trxk AS MATERIALIZED (SELECT t.k, t.lbl, d.st, t.sig, t.p, t.nlbl, d.nst, d.hitf
+         |        FROM trk t JOIN dl d ON d.sy = t.sig),
+         |fk0 AS MATERIALIZED (SELECT l.k, l.lbl AS lbl0, s.st AS st0, l.lbl AS lbl, s.st AS st,
+         |              CAST(1.0 AS DOUBLE) AS mass
+         |       FROM lvk l CROSS JOIN stt s),
+         |$steps,
+         |hhk AS MATERIALIZED ($hitsUnion),
+         |wtsk AS MATERIALIZED (SELECT k, lbl0, st0,
+         |               sum(CASE WHEN t <= 10 THEN hit ELSE 0.0 END) AS mass_10
+         |        FROM hhk GROUP BY k, lbl0, st0),
+         |ftk AS MATERIALIZED (
+         |  SELECT l.k, l.lbl, s.st, coalesce(w2.mass_10, 0.0) AS prob
+         |  FROM lvk l CROSS JOIN stt s
+         |  LEFT JOIN wtsk w2 ON w2.k = l.k AND w2.lbl0 = l.lbl AND w2.st0 = s.st),
+         |tst AS MATERIALIZED (
+         |  SELECT user_id, event_type,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY grn) AS rn
+         |  FROM sd WHERE grn > (SELECT c FROM scut)),
+         |xrun AS MATERIALIZED (
+         |  SELECT user_id, rn, s,
+         |         lag(s) OVER (PARTITION BY user_id ORDER BY rn) AS s1,
+         |         count(CASE WHEN s = $E THEN 1 END)
+         |           OVER (PARTITION BY user_id ORDER BY rn) AS errs
+         |  FROM (SELECT user_id, rn,
+         |               CASE event_type WHEN 'error' THEN $E WHEN 'purchase' THEN $P ELSE $O END AS s
+         |        FROM tst)),
+         |xdet AS MATERIALIZED (SELECT user_id, rn FROM xrun WHERE s = $P AND errs > 0),
+         |xfck AS MATERIALIZED (
+         |  SELECT cd.k, x.user_id, x.rn,
+         |         CASE WHEN x.errs = 0 THEN $s0
+         |              WHEN x.s = $E AND x.errs = 1 THEN $sFE
+         |              WHEN x.s = $E THEN $sE
+         |              WHEN x.s = $P THEN $sF
+         |              ELSE $sO END AS st,
+         |         CASE WHEN EXISTS (SELECT 1 FROM int1k ii WHERE ii.k = cd.k AND ii.a = x.s)
+         |              THEN CAST(x.s AS VARCHAR) || ':' || CAST(x.s1 AS VARCHAR)
+         |              ELSE CAST(x.s AS VARCHAR) END AS lbl
+         |  FROM cands cd CROSS JOIN xrun x WHERE x.s1 IS NOT NULL),
+         |xevk AS MATERIALIZED (
+         |  SELECT f.k, ft.prob >= 0.5 AS positive,
+         |         EXISTS (SELECT 1 FROM xdet d WHERE d.user_id = f.user_id
+         |                 AND d.rn BETWEEN f.rn + 1 AND f.rn + 10) AS hit
+         |  FROM xfck f JOIN ftk ft ON ft.k = f.k AND ft.lbl = f.lbl AND ft.st = f.st),
+         |confk AS MATERIALIZED (
+         |  SELECT k,
+         |         CAST(sum(CASE WHEN positive AND hit THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN NOT positive AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |         CAST(sum(CASE WHEN positive AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN NOT positive AND hit THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM xevk GROUP BY k),
+         |fvk AS MATERIALIZED (
+         |  SELECT cd.k, cd.pmin, cd.gamma,
+         |         ${mccRaw("coalesce(c.tp, 0)", "coalesce(c.tn, 0)",
+                            "coalesce(c.fp, 0)", "coalesce(c.fn, 0)")} AS mcc
+         |  FROM cands cd LEFT JOIN confk c ON c.k = cd.k),
+         |selk AS MATERIALIZED (
+         |  SELECT k, pmin, gamma, mcc,
+         |         row_number() OVER (ORDER BY mcc DESC, k) AS rk
+         |  FROM fvk),
+         |sessok AS (SELECT EXISTS (SELECT 1 FROM sess WHERE n >= $MinData) AS ok)
+         |SELECT * FROM (
+         |  SELECT 'report' AS kind, i AS seq, tp, tn, fp, fn,
+         |         CAST(floor(mcc * 10000 + 0.5) AS BIGINT) AS mcc_q,
+         |         '' AS decision, CAST(-1 AS BIGINT) AS model_id,
+         |         CAST(-1 AS BIGINT) AS p1_q, CAST(-1 AS BIGINT) AS p2_q,
+         |         CAST(-1 AS BIGINT) AS n
+         |  FROM rep
+         |  UNION ALL
+         |  SELECT 'instruction', i, $nullCols, -1, dec, ins_id, -1, -1, -1 FROM ins
+         |  UNION ALL
+         |  SELECT 'train', d.i, $nullCols, -1, 'trained',
+         |         (SELECT count(*) FROM dsn d2
+         |          WHERE d2.dec = 'retrain' AND d2.i < d.i AND d2.n >= $MinData)
+         |         + (CASE WHEN EXISTS (SELECT 1 FROM sess ss
+         |                              WHERE ss.i < d.i AND ss.n >= $MinData)
+         |                 THEN 1 ELSE 0 END),
+         |         CAST(floor(0.05 * 1000000000 + 0.5) AS BIGINT),
+         |         CAST(floor(0.001 * 1000000000 + 0.5) AS BIGINT), d.n
+         |  FROM dsn d WHERE d.dec = 'retrain' AND d.n >= $MinData
+         |  UNION ALL
+         |  SELECT 'factory_error', d.i, $nullCols, -1,
+         |         CASE WHEN d.dec = 'optimize' THEN 'opt_step' ELSE 'train' END,
+         |         2, -1, -1, d.n
+         |  FROM dsn d WHERE d.n < $MinData
+         |  UNION ALL
+         |  SELECT 'sync', i, $nullCols, -1, 'pause', -1, -1, -1, -1 FROM sess
+         |  UNION ALL
+         |  SELECT 'sync', s5.i, $nullCols, -1, 'play',
+         |         CASE WHEN s5.n >= $MinData
+         |              THEN (SELECT count(*) FROM dsn d2
+         |                    WHERE d2.dec = 'retrain' AND d2.i < s5.i AND d2.n >= $MinData)
+         |              ELSE -1 END, -1, -1, -1
+         |  FROM sess s5
+         |  UNION ALL
+         |  SELECT 'sync', d.i, $nullCols, -1, 'play', -1, -1, -1, -1
+         |  FROM dsn d WHERE d.dec = 'retrain' AND d.n < $MinData
+         |  UNION ALL
+         |  SELECT 'eval', f.k, $nullCols,
+         |         CAST(floor(f.mcc * 10000 + 0.5) AS BIGINT), '', -1,
+         |         CAST(floor(f.pmin * 1000000000 + 0.5) AS BIGINT),
+         |         CAST(floor(f.gamma * 1000000000 + 0.5) AS BIGINT),
+         |         (SELECT n FROM scut)
+         |  FROM fvk f WHERE (SELECT ok FROM sessok)
+         |  UNION ALL
+         |  SELECT 'select', s6.k, $nullCols,
+         |         CAST(floor(s6.mcc * 10000 + 0.5) AS BIGINT), 'finalised',
+         |         (SELECT count(*) FROM dsn d2
+         |          WHERE d2.dec = 'retrain' AND d2.i < (SELECT i FROM sess) AND d2.n >= $MinData),
+         |         CAST(floor(s6.pmin * 1000000000 + 0.5) AS BIGINT),
+         |         CAST(floor(s6.gamma * 1000000000 + 0.5) AS BIGINT),
+         |         (SELECT n FROM scut)
+         |  FROM selk s6 WHERE s6.rk = 1 AND (SELECT ok FROM sessok)
+         |)
+         |ORDER BY kind, seq, decision""".stripMargin
   }
 }
