@@ -100,4 +100,44 @@ object TextOps {
     val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter($toksExpr, t -> list_contains($arr, t)))"
   }
+
+  /** Corpus-driven frequent-word pruning (the word-soup analogue of
+    * C4/CCNet boilerplate-line removal): drop every token whose document
+    * frequency exceeds `threshold` × corpus size, preserving the order
+    * of the survivors.
+    *
+    * Scale shape: ONE vocabulary-bounded shuffle (explode → per-word
+    * distinct-doc count), then a driver-collected frequent set and a
+    * MAP-ONLY rewrite in the scan stage. The collected set is provably
+    * small: a word in > θ·N documents costs ≥ θ·N tokens, so at most
+    * (avg tokens per doc) / θ words can qualify — independent of corpus
+    * size, which is what makes the broadcast-literal rewrite safe at
+    * 100 TB (same bound argument as p20's VOCABULARY-bounded df table).
+    *
+    * Returns (doc_id, clean_text, n_kept, n_removed).
+    */
+  def dropFrequentWords(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val n = docs.count()
+    val frequent = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(countDistinct(col(idCol)).as("dfc"))
+      .filter(col("dfc") > lit(threshold * n))
+      .select(col("word")).collect().map(_.getString(0)).toSeq
+    val freqArr = if (frequent.isEmpty) array().cast("array<string>")
+                  else array(frequent.map(lit): _*)
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("ws"))
+      .select(col(idCol),
+        filter(col("ws"), w => !array_contains(freqArr, w)).as("keptw"),
+        size(col("ws")).as("tot"))
+      .select(col(idCol),
+        array_join(col("keptw"), " ").as("clean_text"),
+        size(col("keptw")).cast("long").as("n_kept"),
+        (col("tot") - size(col("keptw"))).cast("long").as("n_removed"))
+  }
 }

@@ -888,6 +888,32 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus-driven frequent-word pruning (the word-soup analogue of
+    // C4/CCNet boilerplate removal): one vocabulary-bounded df shuffle,
+    // a provably-small collected frequent set (≤ avg-tokens-per-doc / θ
+    // words can exceed θ·N docs), then a MAP-ONLY ordered rewrite in the
+    // scan stage — no corpus-sized reconstruction shuffle.
+    Q("p25_txt_dropfreq",
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS dfc FROM w GROUP BY word),
+        |freq AS (SELECT word FROM df CROSS JOIN n WHERE dfc > 0.5 * n.c),
+        |wp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |              generate_subscripts(string_split(text, ' '), 1) AS pos
+        |       FROM documents),
+        |kept AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+        |                count(*) AS n_kept
+        |         FROM wp WHERE word NOT IN (SELECT word FROM freq)
+        |         GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      dropFrequentWords(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+
     Q("p13_mm_frames", {
       s"""WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
          |                  octet_length(encode(text)) AS n_bytes FROM documents),

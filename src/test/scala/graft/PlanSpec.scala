@@ -191,6 +191,14 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "Exchange".r.findAllIn(plan).size should be <= 2
   }
 
+  "p25_txt_dropfreq" should "rewrite map-only: the frequent set rides the scan stage as a literal" in {
+    val plan = planOf("p25_txt_dropfreq")
+    // the df aggregation runs at build time (driver-collected bounded
+    // set); the RETURNED plan is scan → project → sort, no join
+    plan should not include "Join"
+    "Exchange".r.findAllIn(plan).size shouldBe 1 // the orderBy range exchange
+  }
+
   "p16_txt_normalize" should "dedup via one window shuffle, no self-join" in {
     val plan = planOf("p16_txt_normalize")
     // the canonical id is a window min over the fingerprint: no join back

@@ -155,6 +155,31 @@ class DsraSpec extends AnyFlatSpec with Matchers {
     detections shouldBe completions
   }
 
+  it should "round-trip snapshot/restore across at-cap evictions" in {
+    // the batched (low-water) eviction must commute with GroupState
+    // round-trips: snapshotting a capped run mid-stream and restoring
+    // into a fresh run continues EXACTLY like the uninterrupted run —
+    // restore's own enforceCap is a no-op on any snapshot a capped run
+    // can produce (population ≤ cap by construction)
+    val cp = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,0.0)["x"],EQAttrPredicate(value,"x"))){window:100000}{windowType:count}""")
+    val rnd2 = new scala.util.Random(47)
+    (1 to 10).foreach { _ =>
+      val events = (1 to (300 + rnd2.nextInt(200))).map(i =>
+        CEvent(i.toLong, "v", i.toLong, "k", Map("value" -> i.toDouble), Map.empty))
+      val whole = new DsraRun(cp, "k", maxConfigs = 64)
+      val straight = events.flatMap(whole.step).map(_.counter)
+      val splitAt = 1 + rnd2.nextInt(events.size - 1)
+      val first = new DsraRun(cp, "k", maxConfigs = 64)
+      val out1 = events.take(splitAt).flatMap(first.step).map(_.counter)
+      val second = new DsraRun(cp, "k", maxConfigs = 64)
+      second.restore(first.snapshot)
+      val out2 = events.drop(splitAt).flatMap(second.step).map(_.counter)
+      (out1 ++ out2) shouldBe straight
+      whole.evictedConfigs should be > 0L // the cap really was in play
+    }
+  }
+
   it should "reject unwindowed register patterns" in {
     val cp = Compiler.compileMatchOnly(
       """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x")))""")
