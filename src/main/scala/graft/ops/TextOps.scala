@@ -101,6 +101,40 @@ object TextOps {
     s"len(list_filter($toksExpr, t -> list_contains($arr, t)))"
   }
 
+  /** CCNet-style language-model quality scoring: a character-bigram LM
+    * estimated on the corpus itself scores every document by average
+    * negative log-likelihood of its transitions — low-probability
+    * character sequences (garbled text, encoding junk) score high and
+    * get filtered.
+    *
+    * Scale shape: the LM is ONE alphabet²-bounded aggregation (the
+    * bigram count table caps at |charset|² rows regardless of corpus
+    * size — the cef14 MLE-matrix argument); scoring is an explode +
+    * broadcast hash join against that tiny table + a map-side-combining
+    * per-doc aggregation — one shuffle of ~1 row per document.
+    *
+    * Returns (doc_id, n_trans, nll_q ×10⁴, keep = nll < threshold).
+    */
+  def bigramNll(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(transform(sequence(lit(1), length(col(textCol)) - 1),
+        i => col(textCol).substr(i, lit(2)))).as("b"))
+    val lm = bg.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .withColumn("hc", sum(col("c")).over(Window.partitionBy(substring(col("b"), 1, 1))))
+      .select(col("b"), log(col("c").cast("double") / col("hc")).as("lnp"))
+    bg.join(broadcast(lm), "b")
+      .groupBy(col("doc_id"))
+      .agg(((-sum(col("lnp"))) / count(lit(1))).as("nll"), count(lit(1)).as("n_trans"))
+      .select(col("doc_id"), col("n_trans"),
+        floor(col("nll") * 10000 + 0.5).cast("long").as("nll_q"),
+        (col("nll") < threshold).as("keep"))
+  }
+
   /** Corpus-driven frequent-word pruning (the word-soup analogue of
     * C4/CCNet boilerplate-line removal): drop every token whose document
     * frequency exceeds `threshold` × corpus size, preserving the order

@@ -914,6 +914,31 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet-style LM quality filter: a corpus-estimated character-bigram
+    // LM (ONE alphabet²-bounded aggregation) scores each document by
+    // average negative log-likelihood — explode + broadcast join against
+    // the tiny LM + a map-side-combining per-doc agg. The oracle
+    // restates estimation and scoring; log/divide are single IEEE ops
+    // from identical integers and the ×10⁴ quantization absorbs the
+    // per-doc summation order (the cef23 log-loss discipline).
+    Q("p26_txt_lm_quality",
+      """WITH ch AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        |ix AS (SELECT doc_id, text, unnest(range(1, L)) AS i FROM ch),
+        |bg AS (SELECT doc_id, substring(text, i, 2) AS b FROM ix),
+        |cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+        |c1 AS (SELECT substring(b, 1, 1) AS h, sum(c) AS hc FROM cnt GROUP BY h),
+        |lm AS (SELECT b, ln(CAST(c AS DOUBLE) / hc) AS lnp
+        |       FROM cnt JOIN c1 ON substring(cnt.b, 1, 1) = c1.h),
+        |sc AS (SELECT doc_id, -sum(lnp) / count(*) AS nll, count(*) AS n_trans
+        |       FROM bg JOIN lm USING (b) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_trans AS BIGINT) AS n_trans,
+        |       CAST(floor(nll * 10000 + 0.5) AS BIGINT) AS nll_q,
+        |       nll < 1.7 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      bigramNll(t(s, dir, "documents"), "doc_id", "text", threshold = 1.7)
+        .orderBy(col("doc_id"))
+    },
+
     Q("p13_mm_frames", {
       s"""WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
          |                  octet_length(encode(text)) AS n_bytes FROM documents),
