@@ -28,6 +28,38 @@ object DedupOps {
         (col(idCol) =!= col("canonical_id")).as("is_dup"))
   }
 
+  /** Cross-document duplicated token-window detection — the span-level
+    * primitive of exact substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22): fingerprint
+    * every `width`-token rolling window, keep fingerprints occurring in
+    * MORE than one document, emit every (doc, position) whose window is
+    * shared (the spans a substring-dedup pass would cut).
+    *
+    * Scale shape: ONE shuffle keyed on the window fingerprint (the
+    * per-fingerprint distinct-doc count); the emit join runs on the
+    * same key, so the aggregation's hash partitioning is reused rather
+    * than re-shuffled. Output is duplication-bound, never all-pairs —
+    * a fingerprint shared by m docs emits m rows, not m² pairs.
+    */
+  def dupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 16): DataFrame = {
+    val w = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - width),
+          j => TextOps.polyHash(array_join(slice(col("toks"), j + 1, lit(width)), " "))))
+          .as(Seq("pos", "h")))
+    val dup = w.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+    w.join(dup, "h")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"),
+        col("nd").cast("long").as("nd"))
+  }
+
   // --------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (distinct), hashed. Shingle count is

@@ -939,6 +939,27 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // Span-level primitive of exact substring dedup (Lee et al. ACL'22):
+    // every 16-token rolling window fingerprinted, fingerprints shared
+    // across >1 doc emitted with their positions. One fingerprint-keyed
+    // shuffle; the emit join reuses the aggregation's partitioning;
+    // output is duplication-bound (m rows per shared window, not m²).
+    Q("p27_dd_dupspans", {
+      val hashOf = TextOps.polyHashSql("array_to_string(list_slice(toks, pos + 1, pos + 16), ' ')")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(range(0, len(toks) - 15)) AS pos, toks
+         |      FROM tk WHERE len(toks) >= 16),
+         |hw AS (SELECT doc_id, pos, $hashOf AS h FROM w),
+         |dup AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hw GROUP BY h
+         |        HAVING count(DISTINCT doc_id) > 1)
+         |SELECT hw.doc_id, CAST(hw.pos AS BIGINT) AS pos, hw.h,
+         |       CAST(dup.nd AS BIGINT) AS nd
+         |FROM hw JOIN dup USING (h) ORDER BY doc_id, pos""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.dupSpans(t(s, dir, "documents"), "doc_id", "text", width = 16)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
     Q("p13_mm_frames", {
       s"""WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
          |                  octet_length(encode(text)) AS n_bytes FROM documents),
