@@ -35,24 +35,28 @@ object DedupOps {
     * MORE than one document, emit every (doc, position) whose window is
     * shared (the spans a substring-dedup pass would cut).
     *
-    * Scale shape: ONE shuffle keyed on the window fingerprint (the
-    * per-fingerprint distinct-doc count); the emit join runs on the
-    * same key, so the aggregation's hash partitioning is reused rather
-    * than re-shuffled. Output is duplication-bound, never all-pairs —
-    * a fingerprint shared by m docs emits m rows, not m² pairs.
+    * Scale shape: the fingerprinted window table feeds both the
+    * per-fingerprint distinct-doc count and the emit join, so it is
+    * persisted for the query's duration and auto-released after it
+    * (the p08/p18 signature-cache discipline via
+    * [[graft.ops.Release.afterFirstUse]]) — without it the rolling-hash
+    * pass over the corpus runs twice. One shuffle keyed on the
+    * fingerprint for the count; output is duplication-bound, never
+    * all-pairs — a fingerprint shared by m docs emits m rows, not m²
+    * pairs.
     */
   def dupSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       width: Int = 16): DataFrame = {
-    val w = docs
+    val w = Release.afterFirstUse(docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= width)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("toks")) - width),
           j => TextOps.polyHash(array_join(slice(col("toks"), j + 1, lit(width)), " "))))
-          .as(Seq("pos", "h")))
+          .as(Seq("pos", "h"))))
     val dup = w.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
     w.join(dup, "h")

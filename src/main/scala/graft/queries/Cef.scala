@@ -582,7 +582,8 @@ object Cef {
     // driver-checked query: the day-windowed report stream (cef10
     // arithmetic) feeds the REAL Observer; its instructions drive the
     // REAL Controller + Factory — every retrain trains on the
-    // chronological archive before its day, and the first optimize runs
+    // retention-bounded archive before its day (AdaptOracle.RetentionDays,
+    // the Collector last-K stand-in), and the first optimize runs
     // a full seeded ask/tell session (10 in-memory train/test
     // evaluations over the locked dataset's 80/20 split, argmin
     // finalise) with pause/play engine-sync commands. The oracle
@@ -632,8 +633,11 @@ object Cef {
             (ins.instructionType == "optimize" && !sessionDone)
           if (dispatch) {
             if (ins.instructionType == "optimize") sessionDone = true
+            // the Collector-retention-bounded archive (AdaptOracle.RetentionDays)
             val dayStartMicros = day.toLocalDate.toEpochDay * 86400L * 1000000L
-            val ds = ev.filter(_.timestamp < dayStartMicros).collect().toSeq
+            val fromMicros = dayStartMicros - AdaptOracle.RetentionDays * 86400L * 1000000L
+            val ds = ev.filter(e => e.timestamp < dayStartMicros && e.timestamp >= fromMicros)
+              .collect().toSeq
             factory.onDataset(i.toInt, ds)
             val out0 = controller.onInstruction(ins)
             out0.syncCommands.foreach(sc => rows += (("sync", i, -1L, -1L, -1L, -1L, -1L,
@@ -949,26 +953,36 @@ object Cef {
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
-    try {
-      s.read.parquet(path)
-        .withColumn("__slice",
-          ntile(StreamSlices).over(Window.orderBy(col("ts"), col("event_id"))))
-        .coalesce(1)
-        .write.mode("overwrite").partitionBy("__slice").parquet(tmp.toString)
-      val base = java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(path)).toMillis
-      import scala.jdk.CollectionConverters._
-      for (i <- 1 to StreamSlices) {
-        val part = java.nio.file.Files.list(tmp.resolve(s"__slice=$i")).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"slice $i wrote no parquet part"))
-        val dst = srcDir.resolve(f"slice-$i%03d.parquet")
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
-      }
-      srcDir
-    } finally rmTree(tmp)
+    // a failed build must not leak the half-populated source dir — the
+    // cache records nothing on throw, so the next call rebuilds cleanly
+    try buildInto(s, path, srcDir, tmp)
+    catch { case e: Throwable => rmTree(srcDir); throw e }
+    finally rmTree(tmp)
+  }
+
+  private def buildInto(
+      s: SparkSession,
+      path: String,
+      srcDir: java.nio.file.Path,
+      tmp: java.nio.file.Path): java.nio.file.Path = {
+    s.read.parquet(path)
+      .withColumn("__slice",
+        ntile(StreamSlices).over(Window.orderBy(col("ts"), col("event_id"))))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("__slice").parquet(tmp.toString)
+    val base = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path)).toMillis
+    import scala.jdk.CollectionConverters._
+    for (i <- 1 to StreamSlices) {
+      val part = java.nio.file.Files.list(tmp.resolve(s"__slice=$i")).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"slice $i wrote no parquet part"))
+      val dst = srcDir.resolve(f"slice-$i%03d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+    }
+    srcDir
   }
 
   /** The generic half of the scaffold: the raw streaming events DataFrame
@@ -1704,6 +1718,14 @@ object Cef {
     val GraceInit = 8
     val NEvals = 10
     val MinData = 50
+    /** Factory datasets cover the RetentionDays-day archive before the
+      * instruction's day — the deterministic stand-in for the
+      * Collector's last-K bucket retention (O5/O6): the training set is
+      * retention-bounded, never corpus-sized, which is what keeps the
+      * driver-side in-memory train/test bridge (T5, the reference's own
+      * architecture) safe at scale.
+      */
+    val RetentionDays = 5
     private val alpha = 0.05
     private val r = 1.05
     private val rInv = 1 / 1.05
@@ -1839,15 +1861,20 @@ object Cef {
          |  WHERE dec = 'retrain' OR i = (SELECT i FROM fo)),
          |dsn AS MATERIALIZED (
          |  SELECT d.i, d.dec, d.ins_id,
-         |         (SELECT count(*) FROM b WHERE CAST(date_trunc('day', b.ts) AS DATE) <
-         |            (SELECT r2.day FROM rep r2 WHERE r2.i = d.i)) AS n
+         |         (SELECT count(*) FROM b
+         |          WHERE CAST(date_trunc('day', b.ts) AS DATE) <
+         |            (SELECT r2.day FROM rep r2 WHERE r2.i = d.i)
+         |            AND CAST(date_trunc('day', b.ts) AS DATE) >=
+         |            (SELECT r2.day FROM rep r2 WHERE r2.i = d.i) - $RetentionDays) AS n
          |  FROM disp d),
          |sess AS MATERIALIZED (SELECT i, n FROM dsn WHERE dec = 'optimize'),
          |sd AS MATERIALIZED (
          |  SELECT event_id, user_id, event_type, ts,
          |         row_number() OVER (ORDER BY ts, event_id) AS grn
          |  FROM b WHERE CAST(date_trunc('day', ts) AS DATE) <
-         |    (SELECT r3.day FROM rep r3 WHERE r3.i = (SELECT i FROM sess))),
+         |    (SELECT r3.day FROM rep r3 WHERE r3.i = (SELECT i FROM sess))
+         |    AND CAST(date_trunc('day', ts) AS DATE) >=
+         |    (SELECT r3.day FROM rep r3 WHERE r3.i = (SELECT i FROM sess)) - $RetentionDays),
          |scut AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS c, count(*) AS n FROM sd),
          |cands(k, pmin, gamma) AS (VALUES $candRows),
          |trn AS MATERIALIZED (

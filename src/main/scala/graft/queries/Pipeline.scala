@@ -941,9 +941,10 @@ object Pipeline {
 
     // Span-level primitive of exact substring dedup (Lee et al. ACL'22):
     // every 16-token rolling window fingerprinted, fingerprints shared
-    // across >1 doc emitted with their positions. One fingerprint-keyed
-    // shuffle; the emit join reuses the aggregation's partitioning;
-    // output is duplication-bound (m rows per shared window, not m²).
+    // across >1 doc emitted with their positions. The window table is
+    // persisted for the query and auto-released (signature-cache
+    // discipline); one fingerprint-keyed shuffle; output is
+    // duplication-bound (m rows per shared window, not m²).
     Q("p27_dd_dupspans", {
       val hashOf = TextOps.polyHashSql("array_to_string(list_slice(toks, pos + 1, pos + 16), ' ')")
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
