@@ -399,6 +399,32 @@ object Relational {
         .agg(pq(0.25, "p25_q"), pq(0.5, "p50_q"), pq(0.75, "p75_q"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // Band (value-range) join via binned equi-join (ops.RangeOps): the
+    // |c_acctbal - s_acctbal| <= 10 predicate has no equi-key, so a
+    // naive plan is a per-nation nested-loop cartesian; bucketing by
+    // the band width + a 3-candidate expansion restores one hash join
+    // (PlanSpec pins no nested-loop). The oracle runs the plain theta
+    // join - DuckDB's optimizer can afford it at oracle scale.
+    Q("q19_band_join",
+      """SELECT c.c_custkey, s.s_suppkey,
+        |       CAST(floor((c.c_acctbal - s.s_acctbal) * 100 + 0.5) AS BIGINT) AS diff_q
+        |FROM customer c JOIN supplier s
+        |  ON c.c_nationkey = s.s_nationkey
+        | AND abs(c.c_acctbal - s.s_acctbal) <= 10.0
+        |ORDER BY c_custkey, s_suppkey""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("nationkey"), col("c_acctbal"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("nationkey"), col("s_acctbal"))
+      graft.ops.RangeOps.bandJoin(cust, supp, Seq("nationkey"),
+          "c_acctbal", "s_acctbal", width = 10.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          floor((col("c_acctbal") - col("s_acctbal")) * 100 + 0.5)
+            .cast("long").as("diff_q"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
     }
   )
 }

@@ -93,6 +93,13 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     planOf("q03_topk") should include("TakeOrderedAndProject")
   }
 
+  "q19_band_join" should "bin the band predicate into a hash join (no nested loop)" in {
+    val plan = planOf("q19_band_join")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include regex "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+  }
+
   "q16_asof" should "contain no join at all (union + window form)" in {
     val plan = planOf("q16_asof")
     plan should not include "Join"
