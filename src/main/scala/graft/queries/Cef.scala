@@ -686,6 +686,27 @@ object Cef {
         .orderBy(col("kind"), col("seq"), col("decision"))
     },
 
+    // ---------------- R4 match ENUMERATION through ACTUAL Structured
+    // Streaming — the fourth and last runtime under the streaming gate
+    // (cef22 = DetRun, cef25 = DsraRun, cef33 = SpstRun, this = MatchRun):
+    // the register-pattern spike enumeration of cef13, with the per-key
+    // thread pool round-tripping GroupState at every micro-batch
+    // boundary, against the same non-equi self-join oracle.
+    Q("cef34_streaming_matches",
+      s"""$RnCte
+         |SELECT a.user_id, a.event_id AS id_a, p.event_id AS id_b
+         |FROM b a JOIN b p
+         |  ON a.user_id = p.user_id AND p.rn > a.rn AND p.rn - a.rn < 10
+         |WHERE a.value > 120.0 AND p.value > a.value
+         |ORDER BY a.user_id, id_a, id_b""".stripMargin) { (s, dir) =>
+      runDetectionStream(s, dir, "cef34")(Stream.matches(_, pSremo))
+        .select(
+          col("partition").cast("long").as("user_id"),
+          element_at(col("eventIds"), 1).as("id_a"),
+          element_at(col("eventIds"), 2).as("id_b"))
+        .orderBy(col("user_id"), col("id_a"), col("id_b"))
+    },
+
     // ---------------- the deterministic runtime as an ACTUAL Structured
     // Streaming query (SURVEY.md §7.1.2): the same skip-any detection
     // points as cef07, but through readStream(file source) →
@@ -1038,7 +1059,9 @@ object Cef {
     } finally {
       try s.catalog.dropTempView(sinkName) catch { case _: Exception => }
       rmTree(ckptDir)
-      rmTree(srcDir)
+      // srcDir is NOT removed here: the slice cache owns it for the
+      // session (deleting it under the cache strands every later
+      // streaming gate on a dead path)
     }
   }
 
