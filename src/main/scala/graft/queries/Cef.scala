@@ -686,6 +686,41 @@ object Cef {
         .orderBy(col("kind"), col("seq"), col("decision"))
     },
 
+    // ---------------- the deterministic runtime on Spark 4's
+    // transformWithState operator (typed state variables, RocksDB-only
+    // backend) — the successor API to flatMapGroupsWithState, gated with
+    // the same skip-any oracle as cef22 so BOTH keyed-stateful operator
+    // generations are driver-checked. The provider conf is scoped to
+    // this query (set before, restored after — it is read at stream
+    // start).
+    Q("cef35_streaming_tws",
+      s"""$RnCte,
+         |c AS (SELECT user_id, event_type, event_id, rn, ts,
+         |             count(CASE WHEN event_type = 'error' THEN 1 END)
+         |               OVER (PARTITION BY user_id ORDER BY rn
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_err
+         |      FROM b)
+         |SELECT user_id, event_id, rn AS counter, epoch_us(ts) AS ts_us
+         |FROM c WHERE event_type = 'purchase' AND n_err > 0
+         |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        runDetectionStream(s, dir, "cef35")(Stream.detectionsTws(_, pSkipAny))
+          .select(
+            col("partition").cast("long").as("user_id"),
+            col("eventId").as("event_id"),
+            col("counter"),
+            col("timestamp").as("ts_us"))
+          .orderBy(col("user_id"), col("event_id"))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    },
+
     // ---------------- R4 match ENUMERATION through ACTUAL Structured
     // Streaming — the fourth and last runtime under the streaming gate
     // (cef22 = DetRun, cef25 = DsraRun, cef33 = SpstRun, this = MatchRun):
