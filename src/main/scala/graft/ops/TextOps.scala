@@ -121,9 +121,14 @@ object TextOps {
       textCol: String,
       threshold: Double): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bg = docs.select(col(idCol).as("doc_id"),
-      explode(transform(sequence(lit(1), length(col(textCol)) - 1),
-        i => col(textCol).substr(i, lit(2)))).as("b"))
+    // spread the docs across the cluster BEFORE the ×L char-bigram
+    // explode: the input is often few (large) files, and a pre-explode
+    // row is tiny relative to its exploded output, so this shuffle is
+    // negligible while the explode + aggregation parallelize fully
+    val bg = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(1), length(col(textCol)) - 1),
+          i => col(textCol).substr(i, lit(2)))).as("b"))
     val lm = bg.groupBy(col("b")).agg(count(lit(1)).as("c"))
       .withColumn("hc", sum(col("c")).over(Window.partitionBy(substring(col("b"), 1, 1))))
       .select(col("b"), log(col("c").cast("double") / col("hc")).as("lnp"))

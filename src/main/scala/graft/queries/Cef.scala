@@ -1074,7 +1074,16 @@ object Cef {
     // scaffold resources must not leak when transform/start/await throws
     // — repeated bench runs in one session share the temp dir and the
     // session-global memory-sink namespace (srcDir is cache-owned)
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = s.conf.getOption(spKey)
     try {
+      // scope the state-partition count to the gate: each micro-batch
+      // commits one state store PER shuffle partition, so 32 partitions
+      // × ≥3 batches is ~100 store commits of fixed overhead for a
+      // test-SF keyed stream; 8 keeps the distributed shape (results
+      // are partition-count-independent) at a quarter of the plumbing.
+      // Production sizing belongs to the caller, not this scaffold.
+      s.conf.set(spKey, "8")
       val raw = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -1092,6 +1101,10 @@ object Cef {
       val rows = java.util.Arrays.asList(sunk.collect(): _*)
       s.createDataFrame(rows, sunk.schema)
     } finally {
+      spPrev match {
+        case Some(v) => s.conf.set(spKey, v)
+        case None    => s.conf.unset(spKey)
+      }
       try s.catalog.dropTempView(sinkName) catch { case _: Exception => }
       rmTree(ckptDir)
       // srcDir is NOT removed here: the slice cache owns it for the
