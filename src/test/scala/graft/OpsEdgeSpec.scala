@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+import scala.util.Random
+
+/** Randomized brute-force checks for the round-7 operators: the driver
+  * oracle gates them on the fixed corpus; these hit the edges the corpus
+  * cannot — exact band boundaries, negative bucket arithmetic, width-1
+  * windows, all-frequent vocabularies.
+  */
+class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .appName("ops-edge-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val rnd = new Random(71)
+
+  "RangeOps.bandJoin" should "equal the naive theta join on random data (negative values, exact boundaries)" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    (1 to 5).foreach { _ =>
+      // values on a 0.5 grid so |diff| == width happens often (the <=
+      // boundary), spanning negative values (floor-toward-minus-infinity
+      // bucket arithmetic)
+      val left = (1 to 80).map(i =>
+        (i.toLong, rnd.nextInt(3).toLong, (rnd.nextInt(81) - 40) * 0.5))
+        .toDF("lid", "k", "lv")
+      val right = (1 to 60).map(i =>
+        (i.toLong, rnd.nextInt(3).toLong, (rnd.nextInt(81) - 40) * 0.5))
+        .toDF("rid", "k", "rv")
+      val width = 2.0
+      val got = ops.RangeOps.bandJoin(left, right, Seq("k"), "lv", "rv", width)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        l <- left.as[(Long, Long, Double)].collect()
+        r <- right.as[(Long, Long, Double)].collect()
+        if l._2 == r._2 && math.abs(l._3 - r._3) <= width
+      } yield (l._1, r._1)).toSet
+      got shouldBe want
+      // and no pair may be emitted twice (bucket candidates are distinct)
+      ops.RangeOps.bandJoin(left, right, Seq("k"), "lv", "rv", width)
+        .groupBy("lid", "rid").count().filter(org.apache.spark.sql.functions.col("count") > 1)
+        .count() shouldBe 0L
+    }
+  }
+
+  "DedupOps.dupSpans" should "equal brute-force window comparison on random near-dup corpora" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val words = Array("a", "b", "c", "d")
+    (1 to 3).foreach { _ =>
+      val base = Seq.fill(12 + rnd.nextInt(8))(words(rnd.nextInt(4)))
+      // corpus: mutated copies of one base doc + an unrelated doc
+      val docs = (0 until 6).map { i =>
+        val toks =
+          if (i == 5) Seq.fill(14)(words(rnd.nextInt(4)))
+          else base.updated(rnd.nextInt(base.size), words(rnd.nextInt(4)))
+        (i.toLong, toks.mkString(" "))
+      }
+      val width = 4
+      val got = ops.DedupOps.dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", width)
+        .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+      // brute force: window string -> set of docs
+      val wins = docs.flatMap { case (id, text) =>
+        val t = text.split(" ")
+        (0 to t.length - width).map(p => (t.slice(p, p + width).mkString(" "), id, p.toLong))
+      }
+      val shared = wins.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
+      val want = wins.collect { case (w, id, p) if shared(w) => (id, p) }.toSet
+      got shouldBe want
+    }
+  }
+
+  "TextOps.dropFrequentWords" should "match brute force incl. an all-frequent document" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 'x' appears in every doc (df 4/4 > 0.5) — doc 3 becomes empty
+    val docs = Seq(
+      (1L, "x p q x"), (2L, "x r p"), (3L, "x x"), (4L, "x q s p")
+    ).toDF("doc_id", "text")
+    val out = ops.TextOps.dropFrequentWords(docs, "doc_id", "text", 0.5)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    // df: x=4, p=3 (3/4 > 0.5 -> dropped), q=2, r=1, s=1
+    out shouldBe Array(
+      (1L, "q", 1L, 3L), (2L, "r", 1L, 2L), (3L, "", 0L, 2L), (4L, "q s", 2L, 2L))
+  }
+
+  "TextOps.bigramNll" should "match a driver-side LM replay" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = (1 to 8).map(i =>
+      (i.toLong, Seq.fill(10 + rnd.nextInt(20))(('a' + rnd.nextInt(3)).toChar).mkString))
+    val got = ops.TextOps.bigramNll(docs.toDF("doc_id", "text"), "doc_id", "text", 1.0)
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect()
+    // brute force LM
+    val bigrams = docs.flatMap { case (_, t) => t.sliding(2).toSeq }
+    val cnt = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val hc = bigrams.groupBy(_.take(1)).view.mapValues(_.size.toLong).toMap
+    val want = docs.map { case (id, t) =>
+      val lnps = t.sliding(2).toSeq.map(b => math.log(cnt(b).toDouble / hc(b.take(1))))
+      val nll = -lnps.sum / lnps.size
+      (id, lnps.size.toLong, math.floor(nll * 10000 + 0.5).toLong, nll < 1.0)
+    }
+    got.map(r => (r._1, r._2)) shouldBe want.map(r => (r._1, r._2))
+    // quantized scores within 1 quantum of the replay (summation order)
+    got.zip(want).foreach { case (g, w) =>
+      math.abs(g._3 - w._3).toInt should be <= 1
+    }
+  }
+}
