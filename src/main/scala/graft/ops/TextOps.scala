@@ -124,11 +124,12 @@ object TextOps {
     // spread the docs across the cluster BEFORE the ×L char-bigram
     // explode: the input is often few (large) files, and a pre-explode
     // row is tiny relative to its exploded output, so this shuffle is
-    // negligible while the explode + aggregation parallelize fully
+    // negligible while the explode + aggregation parallelize fully.
+    // charBigrams is the fused native expression — the HOF formulation
+    // interprets its lambda per element (ExprSpec pins value equality)
     val bg = docs.repartition(col(idCol))
       .select(col(idCol).as("doc_id"),
-        explode(transform(sequence(lit(1), length(col(textCol)) - 1),
-          i => col(textCol).substr(i, lit(2)))).as("b"))
+        explode(org.apache.spark.sql.graftexpr.VectorExprs.charBigrams(col(textCol))).as("b"))
     val lm = bg.groupBy(col("b")).agg(count(lit(1)).as("c"))
       .withColumn("hc", sum(col("c")).over(Window.partitionBy(substring(col("b"), 1, 1))))
       .select(col("b"), log(col("c").cast("double") / col("hc")).as("lnp"))

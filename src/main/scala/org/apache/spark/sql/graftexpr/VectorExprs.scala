@@ -66,6 +66,13 @@ object VectorExprs {
     * included) and dedup, with zero intermediate strings. */
   def shingleHashes(text: Column, n: Int, mod: Long): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n, mod))
+
+  /** Adjacent code-point bigrams in one fused pass (replaces
+    * transform(sequence(1, length(s)-1), i -> substr(s, i, 2)) — a
+    * higher-order lambda interpreted per element, the dominant cost of
+    * the corpus-LM symbolization). */
+  def charBigrams(text: Column): Column =
+    Bridge.column(CharBigrams(Bridge.expression(text)))
 }
 
 /** cos(a, b) over array<float> with double accumulation in element order. */
@@ -463,6 +470,28 @@ final case class ShingleHashes(child: Expression, n: Int, mod: Long)
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
+/** text → adjacent code-point bigrams (2-code-point strings), value-
+  * identical to transform(sequence(1, length(s) - 1), i -> substr(s, i, 2))
+  * — Spark's substr/length count CODE POINTS, as do DuckDB's
+  * substring/len twins, so parity holds on non-BMP text (ExprSpec pins
+  * it) — without per-element lambda interpretation.
+  */
+final case class CharBigrams(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernel.charBigrams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextHashKernel.charBigrams($s);")
+
+  override protected def withNewChildInternal(c: Expression): CharBigrams = copy(child = c)
+}
+
 /** Primitive text-hashing kernel shared by eval and codegen.
   *
   * Character model: one fold step per CODE POINT, adding the code point's
@@ -544,6 +573,27 @@ object TextHashKernel {
       i += 1
     }
     d.result
+  }
+
+  /** Adjacent code-point bigrams: out(k) spans code points k and k+1. */
+  def charBigrams(s: UTF8String): ArrayData = {
+    val js = s.toString
+    val len = js.length
+    val n = js.codePointCount(0, len)
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - 1)
+    var pk = 0 // char offset of code point k
+    var pk1 = Character.charCount(js.codePointAt(0)) // offset of k+1
+    var k = 0
+    while (k < n - 1) {
+      val pk2 =
+        if (pk1 < len) pk1 + Character.charCount(js.codePointAt(pk1)) else pk1
+      out(k) = UTF8String.fromString(js.substring(pk, pk2))
+      pk = pk1
+      pk1 = pk2
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

@@ -207,5 +207,21 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       r.getSeq[Long](2) shouldBe r.getSeq[Long](3)
       r.getSeq[Long](4) shouldBe r.getSeq[Long](5)
     }
+
+    // charBigrams vs the GUARDED HOF formulation (substr/length count
+    // code points — the non-BMP texts above exercise surrogate pairs).
+    // The guard matters: the naked sequence(1, length-1) DESCENDS for
+    // length < 2 (Spark's sequence auto-steps -1), emitting phantom ""
+    // bigrams on empty text, while DuckDB's range(1, L) — the oracle —
+    // is empty; the fused kernel implements the oracle semantics.
+    val bgOut = df.select(
+      org.apache.spark.sql.graftexpr.VectorExprs.charBigrams(col("t")).as("b_new"),
+      when(functions.length(col("t")) >= 2,
+        transform(sequence(lit(1), functions.length(col("t")) - 1),
+          i => col("t").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>")).as("b_old")).collect()
+    bgOut.foreach { r =>
+      r.getSeq[String](0) shouldBe r.getSeq[String](1)
+    }
   }
 }
