@@ -625,6 +625,40 @@ object Pipeline {
         .orderBy(col("vec_id"))
     },
 
+    // Matryoshka truncation diagnostics: per-vector L2 norm of the
+    // 16-dim prefix and the retained-energy ratio vs the full vector —
+    // the decision metric for serving truncated embeddings. Map-only
+    // per-row folds in the scan stage (p22's element-order + edge-
+    // quantization discipline: ×10⁹ norms, ×10⁶ ratio).
+    Q("p28_embed_truncate", {
+      def ssq(listExpr: String) =
+        s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform($listExpr, x -> CAST(x AS DOUBLE))), (a, b) -> a + b * b))"
+      s"""WITH e AS (SELECT vec_id, len(embedding) AS dim,
+         |             ${ssq("embedding[1:16]")} AS pn,
+         |             ${ssq("embedding")} AS fn
+         |           FROM embeddings)
+         |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         |       CAST(floor(pn * 1000000000.0 + 0.5) AS BIGINT) AS prefix_norm_q,
+         |       CASE WHEN fn = 0 THEN CAST(-1 AS BIGINT)
+         |            ELSE CAST(floor(pn / fn * 1000000.0 + 0.5) AS BIGINT)
+         |       END AS retained_q
+         |FROM e ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      def ssq(c: org.apache.spark.sql.Column) =
+        sqrt(aggregate(c, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+          ssq(slice(col("embedding"), 1, 16)).as("pn"),
+          ssq(col("embedding")).as("fn"))
+        .select(col("vec_id"), col("dim"),
+          floor(col("pn") * lit(1000000000.0) + lit(0.5)).cast("long").as("prefix_norm_q"),
+          when(col("fn") === 0, lit(-1L))
+            .otherwise(floor(col("pn") / col("fn") * lit(1000000.0) + lit(0.5)).cast("long"))
+            .as("retained_q"))
+        .orderBy(col("vec_id"))
+    },
+
     Q("p09_sim_brute_topk", {
       val cos = cosineSql("q.embedding", "c.embedding")
       s"""WITH scored AS (
