@@ -425,6 +425,27 @@ object Relational {
           floor((col("c_acctbal") - col("s_acctbal")) * 100 + 0.5)
             .cast("long").as("diff_q"))
         .orderBy(col("c_custkey"), col("s_suppkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // Sliding event-time windows (3-day window, 1-day slide): each event
+    // lands in three epoch-aligned windows — Spark expands the slide
+    // internally and aggregates in ONE shuffle; the oracle unnests the
+    // three window starts per event explicitly. Completes the window
+    // family next to tumbling (q10) and sessions (q11).
+    Q("q20_sliding_window",
+      """WITH w AS (SELECT CAST(date_trunc('day', ts) AS DATE)
+        |                    - CAST(unnest(range(0, 3)) AS INTEGER) AS ws,
+        |                  event_type
+        |           FROM events)
+        |SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "3 days", "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("date").as("ws"), col("event_type"), col("n"))
+        .orderBy(col("ws"), col("event_type"))
     }
   )
 }
