@@ -721,6 +721,23 @@ object Cef {
       }
     },
 
+    // ---------------- streaming dedup state: dropDuplicates over the
+    // watermarked stream — a key seen in micro-batch 1 must NOT re-emit
+    // from batch 2/3, so the dedup state store round-trips batch
+    // boundaries (the ≥3-batch scaffold makes that the load-bearing
+    // property; which physical duplicate wins is nondeterministic, so
+    // only the key columns are emitted — the set is deterministic).
+    Q("cef36_streaming_dedup",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      runEventStream(s, dir, "cef36", "append") { raw =>
+        raw.withWatermark("ts", "1 minute")
+          .dropDuplicates("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+      }
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // ---------------- R4 match ENUMERATION through ACTUAL Structured
     // Streaming — the fourth and last runtime under the streaming gate
     // (cef22 = DetRun, cef25 = DsraRun, cef33 = SpstRun, this = MatchRun):

@@ -172,6 +172,13 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       r.getSeq[Long](1).length shouldBe 4 // 4 distinct tokens
       r.getSeq[Long](2).length shouldBe 1 // len - n = 1 shingle
     }
+
+    // charBigrams: codegen'd projection, n-1 bigrams
+    val bdf = spark.range(50)
+      .select(functions.concat(functions.lit("ab"), col("id") % 10).as("t"))
+      .select(org.apache.spark.sql.graftexpr.VectorExprs.charBigrams(col("t")).as("bg"))
+    bdf.queryExecution.executedPlan.toString should include regex "\\*\\(1\\) Project \\[charbigrams"
+    bdf.collect().foreach(r => r.getSeq[String](0).length shouldBe 2) // "abN" -> 2 bigrams
   }
 
   "the text hash expressions" should "match the higher-order formulations value-for-value" in {
