@@ -206,6 +206,31 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "Exchange".r.findAllIn(plan).size shouldBe 1 // the orderBy range exchange
   }
 
+  "p26_txt_lm_quality" should "broadcast the alphabet-bounded LM, never the corpus" in {
+    val plan = planOf("p26_txt_lm_quality")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the LM side (bigram count table, |charset|²-bounded) builds the
+    // broadcast; the scoring pass streams the exploded corpus through it
+    plan should include("BroadcastHashJoin")
+    plan should include("charbigrams") // the fused kernel, not the HOF chain
+  }
+
+  "p27_dd_dupspans" should "join duplicated fingerprints back without a cartesian" in {
+    val plan = planOf("p27_dd_dupspans")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // both consumers read the persisted window table (signature-cache
+    // discipline), not two separate rolling-hash corpus passes
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
+  }
+
+  "p28_embed_truncate" should "fold per-row in the scan stage (map-only)" in {
+    val plan = planOf("p28_embed_truncate")
+    plan should not include "Join"
+    "Exchange".r.findAllIn(plan).size shouldBe 1 // the orderBy range exchange
+  }
+
   "p16_txt_normalize" should "dedup via one window shuffle, no self-join" in {
     val plan = planOf("p16_txt_normalize")
     // the canonical id is a window min over the fingerprint: no join back
