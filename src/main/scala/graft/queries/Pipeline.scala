@@ -294,6 +294,31 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic 3-way train/val/test assignment (98/1/1 by seeded
+    // hash): the split that must be REPRODUCIBLE across cluster sizes
+    // and reruns — a pure map-only seeded-hash bucket per row, no
+    // sampling state, no shuffle; per-source proportions hold by hash
+    // uniformity (p21's discipline with a second independent seed so
+    // sampling and splitting never correlate).
+    Q("p29_split_assign", {
+      val h = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-split-7'")
+      s"""SELECT doc_id, source, bucket,
+         |       CASE WHEN bucket < 98 THEN 'train'
+         |            WHEN bucket < 99 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source, $h % 100 AS bucket FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val bucket = pmod(
+        TextOps.polyHash(concat(col("doc_id").cast("string"), lit("#graft-split-7"))),
+        lit(100L))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), bucket.as("bucket"),
+          when(bucket < 98, "train").when(bucket < 99, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // --------------------------------------------------------- text: lang id
     Q("p03_txt_langid", {
       val toks = "string_split(text, ' ')"
