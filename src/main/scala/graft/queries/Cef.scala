@@ -721,6 +721,40 @@ object Cef {
       }
     },
 
+    // ---------------- stream-stream INNER JOIN state: purchases joined
+    // to the errors of the preceding day per user, both sides carved
+    // from the same watermarked stream — the join buffers BOTH inputs in
+    // state across micro-batches (a purchase in batch 2 must still find
+    // its batch-1 errors), which the ≥3-batch scaffold makes the
+    // load-bearing property; the time-range condition is what lets the
+    // engine eventually evict (the canonical watermarked interval-join
+    // shape). Inner-join output is batching-independent, so the batch
+    // SQL join is an exact oracle.
+    Q("cef37_streaming_join",
+      """SELECT p.user_id AS user_id, p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - 86400000000 AND epoch_us(p.ts)
+        |ORDER BY user_id, purchase_id, error_id""".stripMargin) { (s, dir) =>
+      runEventStream(s, dir, "cef37", "append") { raw =>
+        val purchases = raw.filter(col("event_type") === "purchase")
+          .withWatermark("ts", "1 minute")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("pts"))
+        val errors = raw.filter(col("event_type") === "error")
+          .withWatermark("ts", "1 minute")
+          .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+            col("ts").as("ets"))
+        purchases.join(errors,
+          col("p_user") === col("e_user") &&
+            col("ets").between(col("pts") - expr("interval 1 day"), col("pts")))
+      }
+        .select(col("p_user").cast("long").as("user_id"),
+          col("purchase_id"), col("error_id"))
+        .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
+    },
+
     // ---------------- streaming dedup state: dropDuplicates over the
     // watermarked stream — a key seen in micro-batch 1 must NOT re-emit
     // from batch 2/3, so the dedup state store round-trips batch
