@@ -60,12 +60,14 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // the full per-query line above outgrows the driver's tail capture at
     // 70+ queries — emit a compact per-family subtotal LAST so a truncated
-    // capture still parses (same schema, families in place of queries)
+    // capture still parses (same value, families in place of queries; the
+    // DISTINCT metric name keeps first-match or summing consumers from
+    // double-counting the "total" line)
     val fams = ok.groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
       .toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + rs.map(_._2).sum }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$fams,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_by_family","value":$total,"unit":"sec","queries":$fams,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

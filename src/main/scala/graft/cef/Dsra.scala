@@ -328,6 +328,16 @@ final class DsraRun(
   /** Events processed (resets excluded) — the runtime's position counter. */
   def eventCounter: Long = counter
 
+  /** Whether the last `step` fired a first-TAKE transition, i.e. created
+    * (or re-anchored) a taken configuration whose window anchor is THIS
+    * step — the explicit arming signal [[graft.cef.spark.Detect.dsraTrace]]
+    * keys SymA on. Timestamp equality against [[newestTakenAnchor]] cannot
+    * express this: a non-arming event whose event time ties an earlier
+    * same-ts anchor would misclassify as arming.
+    */
+  def tookAnchorThisStep: Boolean = armed
+  private var armed = false
+
   /** The NEWEST window anchor among live taken configurations (-1 if no
     * taken configuration is live) — counter units for count windows,
     * event time for time windows. This is the deterministic observable
@@ -426,6 +436,7 @@ final class DsraRun(
     * points, not match enumerations — exactly like the SDFA path's DetRun).
     */
   def step(e: CEvent): Option[Detection] = {
+    armed = false
     if (e.isReset) { reset(); return None }
     counter += 1
     stamp += 1
@@ -459,7 +470,7 @@ final class DsraRun(
             } else new Config(t.dst, c.regs, c.taken || t.take, c.projNum, c.projStr)
           nc.anchor =
             if (c.taken) c.anchor
-            else if (t.take) { if (timeWindowed) e.timestamp else counter }
+            else if (t.take) { armed = true; if (timeWindowed) e.timestamp else counter }
             else -1L
           val prev = next.putIfAbsent(nc, nc)
           if (prev == null) {

@@ -125,9 +125,10 @@ object Detect {
         val det = run.step(e)
         val counter = run.eventCounter
         val anchor = run.newestTakenAnchor
-        // a taken config created AT this event carries the freshest
-        // possible anchor (the per-key scan is (ts, id)-sorted)
-        val fresh = if (timeWindowed) anchor == e.timestamp else anchor == counter
+        // arming = the runtime fired a first-TAKE at this step (explicit
+        // signal — anchor/timestamp equality would misclassify a non-arming
+        // event whose event time ties an earlier same-ts anchor)
+        val fresh = run.tookAnchorThisStep
         val sym =
           if (det.isDefined) SpstM.SymD
           else if (fresh) SpstM.SymA

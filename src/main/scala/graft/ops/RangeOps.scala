@@ -32,6 +32,15 @@ object RangeOps {
       rightVal: String,
       width: Double): DataFrame = {
     require(width > 0, s"band width must be positive, got $width")
+    require(!left.columns.contains("__band_bucket") && !right.columns.contains("__band_bucket"),
+      "inputs must not already carry the internal column '__band_bucket'")
+    // the post-join band filter references both value columns by bare
+    // name: each must resolve to exactly one side or Spark's ambiguity
+    // error surfaces mid-plan — fail fast with an actionable message
+    require(!right.columns.contains(leftVal),
+      s"left value column '$leftVal' also exists on the right input — rename one side")
+    require(!left.columns.contains(rightVal),
+      s"right value column '$rightVal' also exists on the left input — rename one side")
     val lb = floor(col(leftVal) / width).cast("long")
     val l = left.withColumn("__band_bucket", explode(array(lb - 1, lb, lb + 1)))
     val r = right.withColumn("__band_bucket", floor(col(rightVal) / width).cast("long"))

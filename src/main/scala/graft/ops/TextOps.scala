@@ -126,10 +126,13 @@ object TextOps {
     // row is tiny relative to its exploded output, so this shuffle is
     // negligible while the explode + aggregation parallelize fully.
     // charBigrams is the fused native expression — the HOF formulation
-    // interprets its lambda per element (ExprSpec pins value equality)
-    val bg = docs.repartition(col(idCol))
+    // interprets its lambda per element (ExprSpec pins value equality).
+    // Persisted: both the LM aggregation and the scoring join consume the
+    // exploded table — without it the corpus-×L explode runs twice (the
+    // dupSpans double-pass discipline); auto-released after the query.
+    val bg = Release.afterFirstUse(docs.repartition(col(idCol))
       .select(col(idCol).as("doc_id"),
-        explode(org.apache.spark.sql.graftexpr.VectorExprs.charBigrams(col(textCol))).as("b"))
+        explode(org.apache.spark.sql.graftexpr.VectorExprs.charBigrams(col(textCol))).as("b")))
     val lm = bg.groupBy(col("b")).agg(count(lit(1)).as("c"))
       .withColumn("hc", sum(col("c")).over(Window.partitionBy(substring(col("b"), 1, 1))))
       .select(col("b"), log(col("c").cast("double") / col("hc")).as("lnp"))

@@ -116,7 +116,7 @@ class SpstmSpec extends AnyFlatSpec with Matchers {
         val anchor = dr.newestTakenAnchor
         val sym =
           if (det.isDefined) SpstM.SymD
-          else if (anchor == counter) SpstM.SymA
+          else if (dr.tookAnchorThisStep) SpstM.SymA
           else SpstM.SymO
         val age = if (anchor < 0) W else math.min(counter - anchor, W)
         (counter, sym, age.toInt)
@@ -127,7 +127,10 @@ class SpstmSpec extends AnyFlatSpec with Matchers {
 
   it should "equal its first-principles definition for TIME windows on the age grid" in {
     // window 40 time units, grid 10 → 4 age cells; irregular event-time
-    // gaps (1..12 units) so cell boundaries and the idle cap are both hit
+    // gaps (0..12 units — gap 0 produces the same-timestamp TIES that
+    // distinguish the explicit arming signal from anchor==ts equality:
+    // a non-arming event tying an arming event's timestamp must stay
+    // SymO) so cell boundaries, ties, and the idle cap are all hit
     val cp = Compiler.compileMatchOnly(
       """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:40}{windowType:time}""")
     val W = 40L
@@ -136,7 +139,7 @@ class SpstmSpec extends AnyFlatSpec with Matchers {
     (1 to 15).foreach { _ =>
       var ts = 0L
       val events = (1 to (60 + rnd.nextInt(80))).map { i =>
-        ts += 1 + rnd.nextInt(12)
+        ts += rnd.nextInt(13)
         CEvent(i.toLong, "v", ts, "k",
           Map("value" -> rnd.nextInt(200).toDouble), Map.empty)
       }
@@ -169,7 +172,7 @@ class SpstmSpec extends AnyFlatSpec with Matchers {
         val anchor = dr.newestTakenAnchor
         val sym =
           if (det.isDefined) SpstM.SymD
-          else if (anchor == e.timestamp) SpstM.SymA
+          else if (dr.tookAnchorThisStep) SpstM.SymA
           else SpstM.SymO
         val age =
           if (anchor < 0) cells.toLong
