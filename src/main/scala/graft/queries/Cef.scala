@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.cef.{CEvent, Compiler, CompiledPattern, ForecastMethod}
-import graft.cef.spark.{Detect, Stream, Train}
+import graft.cef.spark.{Detect, Inference, Stream, Train}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -576,6 +576,92 @@ object Cef {
           col("startCounter").as("fs"), col("endCounter").as("fe"),
           (floor(col("prob") * 1000000 + 0.5)).cast("long").as("prob"), col("positive"))
         .orderBy(col("user_id"), col("counter"))
+    },
+
+    // ---------------- the COMPOSED InferenceJob as ONE streaming query
+    // (reference InferenceJob.java:215-302): detections + forecasts +
+    // per-key periodic reports all emitted from a SINGLE
+    // flatMapGroupsWithState pass as a tagged union (Inference.engine —
+    // Spark's substitute for Flink side outputs, SURVEY.md §7.1.2),
+    // through the ≥3-micro-batch scaffold, so the engine snapshot that
+    // round-trips GroupState here is the FULL keyed state set: run
+    // state + symbol buffer + pending unresolved forecasts + cumulative/
+    // last-reported confusion counts + the report schedule. The oracle
+    // ([[SpstOracle.sql38]]) restates all three output kinds; control
+    // plane is quiescent (no pause/swap — cef39 gates the swap).
+    Q("cef38_inference_job", SpstOracle.sql38) { (s, dir) =>
+      val ev = events(s, dir)
+      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val table = spst.forecastTable(ForecastMethod.ClassifyNextK,
+        threshold = 0.4, spread = 10, horizon = 20)
+      val handle = new Inference.ControlHandle
+      runDetectionStream(s, dir, "cef38")(
+        Inference.engine(_, pSkipAny, _ => (spst, table), handle,
+          initialModelId = 0, swapDelay = 0L,
+          reportingDistance = SpstOracle.ReportEveryMicros))
+        .select(
+          col("kind"),
+          col("partition").cast("long").as("user_id"),
+          col("counter"),
+          col("eventId").as("event_id"),
+          col("timestamp").as("ts_us"),
+          when(col("kind") === "forecast", col("startCounter")).otherwise(lit(-1L)).as("fs"),
+          when(col("kind") === "forecast", col("endCounter")).otherwise(lit(-1L)).as("fe"),
+          when(col("kind") === "forecast", floor(col("prob") * 1000000 + 0.5))
+            .when(col("kind") === "report", floor(col("prob") * 10000 + 0.5))
+            .otherwise(lit(1000000L)).cast("long").as("prob_q"),
+          col("positive"),
+          when(col("kind") === "report", col("startCounter")).otherwise(lit(-1L)).as("tp"),
+          when(col("kind") === "report",
+            get_json_object(col("payload"), "$.batch.tn").cast("long"))
+            .otherwise(lit(-1L)).as("tn"),
+          when(col("kind") === "report", col("endCounter")).otherwise(lit(-1L)).as("fp"),
+          when(col("kind") === "report",
+            get_json_object(col("payload"), "$.batch.fn").cast("long"))
+            .otherwise(lit(-1L)).as("fn"))
+        .orderBy(col("kind"), col("user_id"), col("counter"))
+    },
+
+    // ---------------- the MID-STREAM synchronized model swap, driver-
+    // gated (reference WayebEngine.java:300-315): the control plane has
+    // already published model 1 (ControlHandle.pushModel) when the
+    // stream starts, so each key arms a pending swap at its FIRST event
+    // (syncTs = first event time + 12 days — inside slice 2 of the
+    // 30-day stream for every key) and swaps per key when EVENT time
+    // passes syncTs, mid-micro-batch, with the symbol buffer surviving
+    // (warm forecasts continue immediately). Model 0 forecasts
+    // classify-next-10 @ θ=0.4; model 1 classify-next-5 @ θ=0.6 over
+    // the same SPST — the oracle ([[SpstOracle.sql39]]) replays the
+    // piecewise join: ft before the per-key syncTs, ft5 after.
+    // Reports are suppressed (distance ≫ stream span) — cef38 gates
+    // them; detections are model-invariant and prove the run state
+    // itself survived the swap.
+    Q("cef39_model_swap", SpstOracle.sql39) { (s, dir) =>
+      val ev = events(s, dir)
+      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val tableA = spst.forecastTable(ForecastMethod.ClassifyNextK,
+        threshold = 0.4, spread = 10, horizon = 20)
+      val tableB = spst.forecastTable(ForecastMethod.ClassifyNextK,
+        threshold = 0.6, spread = 5, horizon = 20)
+      val handle = new Inference.ControlHandle
+      handle.pushModel(1)
+      runDetectionStream(s, dir, "cef39")(
+        Inference.engine(_, pSkipAny,
+          id => if (id == 0) (spst, tableA) else (spst, tableB), handle,
+          initialModelId = 0, swapDelay = SpstOracle.SwapDelayMicros,
+          reportingDistance = Long.MaxValue / 4))
+        .select(
+          col("kind"),
+          col("partition").cast("long").as("user_id"),
+          col("counter"),
+          col("eventId").as("event_id"),
+          col("timestamp").as("ts_us"),
+          when(col("kind") === "forecast", col("startCounter")).otherwise(lit(-1L)).as("fs"),
+          when(col("kind") === "forecast", col("endCounter")).otherwise(lit(-1L)).as("fe"),
+          when(col("kind") === "forecast", floor(col("prob") * 1000000 + 0.5))
+            .otherwise(lit(1000000L)).cast("long").as("prob_q"),
+          col("positive"))
+        .orderBy(col("kind"), col("user_id"), col("counter"))
     },
 
     // ---------------- O1–O8 the adaptation control plane as ONE
@@ -1691,8 +1777,11 @@ object Cef {
          |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.lbl = l.lbl AND b.st = s.st
          |ORDER BY label, state""".stripMargin
 
-    val sql12: String =
-      s"""$core,
+    /** Per-event replay chain shared by sql12 and sql38: `ev` (symbol +
+      * cumulative error count), `evl` (PST label + semantic SDFA state).
+      */
+    private val evChain: String =
+      s""",
          |ev AS MATERIALIZED (SELECT user_id, rn, event_id, s,
          |              lag(s) OVER (PARTITION BY user_id ORDER BY rn) AS s1,
          |              count(CASE WHEN s = $E THEN 1 END)
@@ -1707,13 +1796,165 @@ object Cef {
          |                    WHEN s = $E THEN $sE
          |                    WHEN s = $P THEN $sF
          |                    ELSE $sO END AS st
-         |        FROM ev WHERE s1 IS NOT NULL)
+         |        FROM ev WHERE s1 IS NOT NULL)""".stripMargin
+
+    val sql12: String =
+      s"""$core$evChain
          |SELECT e.user_id, e.rn AS counter, e.event_id,
          |       e.rn + 1 AS fs, e.rn + $k10 AS fe,
          |       CAST(floor(f.prob * 1000000 + 0.5) AS BIGINT) AS prob,
          |       f.prob >= 0.4 AS positive
          |FROM evl e JOIN ft f ON f.lbl = e.lbl AND f.st = e.st
          |ORDER BY user_id, counter""".stripMargin
+
+    /** cef38's per-key report cadence (event-time micros): the engine
+      * schedules the next report `ReportEveryMicros` after the event that
+      * fired (or initialized) the schedule — 3 days against the ~0.4-day
+      * per-user event cadence gives ~10 reports per key.
+      */
+    val ReportEveryMicros: Long = 3L * 86400L * 1000000L
+
+    /** cef38: the COMPOSED InferenceJob — detections + forecasts + per-key
+      * periodic reports from ONE keyed streaming pass
+      * ([[graft.cef.spark.Inference.engine]]; reference
+      * InferenceJob.java:215-302 side outputs). The oracle restates all
+      * three tagged outputs over the shared CTEs:
+      *   - detections: the cef07 purchase-after-error predicate on `ev`,
+      *   - forecasts: the sql12 replay join against `ft`,
+      *   - reports: the A1 online-resolution protocol — a forecast
+      *     resolves tp/fn at the FIRST detection inside its interval, or
+      *     fp/tn at interval expiry (first event past `fe`); unresolved
+      *     tails at stream end are never reported. The event-time report
+      *     schedule (next fire = firing event's ts + distance) is a
+      *     per-key chain replayed by a recursive CTE, cumulative counts
+      *     are resolution-time-bounded sums, batch deltas are lag()
+      *     differences, and the batch MCC is [[mccSql]] (ofBatch's
+      *     silent-window 0.0 coincides with mccSql's zero-margin case).
+      */
+    val sql38: String =
+      s"""$core$evChain,
+         |fcr AS MATERIALIZED (
+         |  SELECT e.user_id, e.rn, e.event_id, e.rn + 1 AS fs, e.rn + $k10 AS fe,
+         |         f.prob, f.prob >= 0.4 AS positive
+         |  FROM evl e JOIN ft f ON f.lbl = e.lbl AND f.st = e.st),
+         |det2 AS MATERIALIZED (
+         |  SELECT user_id, rn, event_id FROM ev WHERE s = $P AND errs > 0),
+         |mxr AS MATERIALIZED (SELECT user_id, max(rn) AS mx FROM b GROUP BY user_id),
+         |hitj AS MATERIALIZED (
+         |  SELECT f.user_id, f.rn, min(d.rn) AS hit_rn
+         |  FROM fcr f JOIN det2 d
+         |    ON d.user_id = f.user_id AND d.rn BETWEEN f.fs AND f.fe
+         |  GROUP BY f.user_id, f.rn),
+         |resv AS MATERIALIZED (
+         |  SELECT f.user_id, f.positive,
+         |         coalesce(h.hit_rn, f.fe + 1) AS res_rn,
+         |         h.hit_rn IS NOT NULL AS hit
+         |  FROM fcr f
+         |  LEFT JOIN hitj h ON h.user_id = f.user_id AND h.rn = f.rn
+         |  JOIN mxr m ON m.user_id = f.user_id
+         |  WHERE h.hit_rn IS NOT NULL OR f.fe + 1 <= m.mx),
+         |rrec AS MATERIALIZED (
+         |  WITH RECURSIVE rp(user_id, idx, rn, tsu) AS (
+         |    SELECT user_id, 0, rn, epoch_us(ts) FROM b WHERE rn = 1
+         |    UNION ALL
+         |    SELECT x.user_id, x.idx + 1, x.nrn,
+         |           (SELECT epoch_us(b.ts) FROM b
+         |            WHERE b.user_id = x.user_id AND b.rn = x.nrn)
+         |    FROM (SELECT r.user_id, r.idx,
+         |                 (SELECT min(b.rn) FROM b
+         |                  WHERE b.user_id = r.user_id
+         |                    AND epoch_us(b.ts) >= r.tsu + $ReportEveryMicros) AS nrn
+         |          FROM rp r) x
+         |    WHERE x.nrn IS NOT NULL)
+         |  SELECT * FROM rp WHERE idx >= 1),
+         |repc AS MATERIALIZED (
+         |  SELECT r.user_id, r.idx, r.rn, r.tsu,
+         |         coalesce(sum(CASE WHEN v.hit AND v.positive THEN 1 END), 0) AS ctp,
+         |         coalesce(sum(CASE WHEN NOT v.hit AND NOT v.positive THEN 1 END), 0) AS ctn,
+         |         coalesce(sum(CASE WHEN NOT v.hit AND v.positive THEN 1 END), 0) AS cfp,
+         |         coalesce(sum(CASE WHEN v.hit AND NOT v.positive THEN 1 END), 0) AS cfn
+         |  FROM rrec r LEFT JOIN resv v
+         |    ON v.user_id = r.user_id AND v.res_rn <= r.rn
+         |  GROUP BY r.user_id, r.idx, r.rn, r.tsu),
+         |repb AS MATERIALIZED (
+         |  SELECT user_id, idx, rn, tsu,
+         |         CAST(ctp - coalesce(lag(ctp) OVER w, 0) AS BIGINT) AS tp,
+         |         CAST(ctn - coalesce(lag(ctn) OVER w, 0) AS BIGINT) AS tn,
+         |         CAST(cfp - coalesce(lag(cfp) OVER w, 0) AS BIGINT) AS fp,
+         |         CAST(cfn - coalesce(lag(cfn) OVER w, 0) AS BIGINT) AS fn
+         |  FROM repc WINDOW w AS (PARTITION BY user_id ORDER BY idx))
+         |SELECT 'detection' AS kind, d.user_id AS user_id, d.rn AS counter,
+         |       d.event_id AS event_id, epoch_us(b.ts) AS ts_us,
+         |       CAST(-1 AS BIGINT) AS fs, CAST(-1 AS BIGINT) AS fe,
+         |       CAST(1000000 AS BIGINT) AS prob_q, TRUE AS positive,
+         |       CAST(-1 AS BIGINT) AS tp, CAST(-1 AS BIGINT) AS tn,
+         |       CAST(-1 AS BIGINT) AS fp, CAST(-1 AS BIGINT) AS fn
+         |FROM det2 d JOIN b ON b.user_id = d.user_id AND b.rn = d.rn
+         |UNION ALL
+         |SELECT 'forecast', f.user_id, f.rn, f.event_id, epoch_us(b.ts),
+         |       f.fs, f.fe, CAST(floor(f.prob * 1000000 + 0.5) AS BIGINT), f.positive,
+         |       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+         |FROM fcr f JOIN b ON b.user_id = f.user_id AND b.rn = f.rn
+         |UNION ALL
+         |SELECT 'report', user_id, rn, b_event_id, tsu,
+         |       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), ${mccSql}, tp + fp + fn > 0,
+         |       tp, tn, fp, fn
+         |FROM (SELECT r.*, b.event_id AS b_event_id
+         |      FROM repb r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn)
+         |ORDER BY kind, user_id, counter""".stripMargin
+
+    /** cef39's per-key swap delay: 12 days (micros). First events land in
+      * days 0–3 of the 30-day stream, so every key's syncTs (first event
+      * ts + delay) falls in days 12–15 — inside the middle slice of the
+      * 3-slice streaming replay, i.e. the swap boundary is mid-batch.
+      */
+    val SwapDelayMicros: Long = 12L * 86400L * 1000000L
+
+    /** cef39: the synchronized mid-stream model swap. Model 0 =
+      * classify-next-10 @ θ=0.4 (the `ft` CTE); model 1 =
+      * classify-next-5 @ θ=0.6 (`ft5`, the same wt series `hh` re-summed
+      * to k=5 — both tables precomputed the way cef12 does). Each key's
+      * syncTs is its first event time + [[SwapDelayMicros]]; the
+      * piecewise replay joins `ft` strictly before syncTs and `ft5` at or
+      * after it (the engine swaps BEFORE stepping the boundary event).
+      * Detections are model-invariant and pin that the run state
+      * survived the swap intact.
+      */
+    val sql39: String =
+      s"""$core$evChain,
+         |ft5 AS MATERIALIZED (
+         |  SELECT l.lbl, s.st, coalesce(w5.m, 0.0) AS prob
+         |  FROM lv l CROSS JOIN sts s
+         |  LEFT JOIN (SELECT lbl0, st0,
+         |                    sum(CASE WHEN t <= 5 THEN hit ELSE 0.0 END) AS m
+         |             FROM hh GROUP BY lbl0, st0) w5
+         |    ON w5.lbl0 = l.lbl AND w5.st0 = s.st),
+         |swp AS MATERIALIZED (
+         |  SELECT user_id, epoch_us(ts) + $SwapDelayMicros AS swap_ts
+         |  FROM b WHERE rn = 1),
+         |det2 AS MATERIALIZED (
+         |  SELECT user_id, rn, event_id FROM ev WHERE s = $P AND errs > 0),
+         |fc AS MATERIALIZED (
+         |  SELECT e.user_id, e.rn, e.event_id, epoch_us(b.ts) AS tsu,
+         |         CASE WHEN epoch_us(b.ts) >= w.swap_ts THEN 5 ELSE 10 END AS spread,
+         |         CASE WHEN epoch_us(b.ts) >= w.swap_ts THEN fb.prob ELSE fa.prob END AS prob,
+         |         CASE WHEN epoch_us(b.ts) >= w.swap_ts THEN 0.6 ELSE 0.4 END AS th
+         |  FROM evl e
+         |  JOIN b ON b.user_id = e.user_id AND b.rn = e.rn
+         |  JOIN swp w ON w.user_id = e.user_id
+         |  JOIN ft fa ON fa.lbl = e.lbl AND fa.st = e.st
+         |  JOIN ft5 fb ON fb.lbl = e.lbl AND fb.st = e.st)
+         |SELECT 'detection' AS kind, d.user_id AS user_id, d.rn AS counter,
+         |       d.event_id AS event_id, epoch_us(b.ts) AS ts_us,
+         |       CAST(-1 AS BIGINT) AS fs, CAST(-1 AS BIGINT) AS fe,
+         |       CAST(1000000 AS BIGINT) AS prob_q, TRUE AS positive
+         |FROM det2 d JOIN b ON b.user_id = d.user_id AND b.rn = d.rn
+         |UNION ALL
+         |SELECT 'forecast', user_id, rn, event_id, tsu,
+         |       rn + 1, rn + spread,
+         |       CAST(floor(prob * 1000000 + 0.5) AS BIGINT), prob >= th
+         |FROM fc
+         |ORDER BY kind, user_id, counter""".stripMargin
   }
 
   /** DuckDB oracle for the SPSTm query (cef21): the register pattern's
