@@ -86,6 +86,24 @@ object Cef {
       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM events)""".stripMargin
 
+  private val LateEveryId = 101
+
+  /** Every [[Late2EveryId]]th event id is held back TWO slices. Spark
+    * filters late rows against the PREVIOUS batch's eviction watermark
+    * (watermarkForLateEvents, one batch behind watermarkForEviction), so
+    * a one-slice-late row always lands while its filter watermark is
+    * still a batch stale — only the two-slice-late rows can actually be
+    * dropped, and only when their window end is already behind the
+    * watermark computed from two batches back.
+    */
+  private val Late2EveryId = 257
+
+  /** cef40's bounded out-of-orderness, in ms (Spark watermark delays are
+    * ms-granular): 5 days against ~10-day slices splits the held-back
+    * rows into in-watermark stragglers and beyond-watermark drops.
+    */
+  private val WmDelayMs = 5L * 86400L * 1000L
+
   val queries: Seq[Q] = Seq(
 
     // ------------------------------------------------- strict sequence (2)
@@ -858,6 +876,85 @@ object Cef {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // ---------------- watermark / late-data semantics (P5, the
+    // reference's bounded-out-of-orderness source): the ordinary
+    // scaffold's slices are globally time-ordered, so the late path
+    // never fires there — this gate replays a DELIBERATELY out-of-order
+    // arrival schedule (every [[LateEveryId]]th event id held back one
+    // slice) through a watermarked tumbling aggregation in APPEND mode,
+    // where Spark's own watermark machinery decides per row: a straggler
+    // whose day-window is still open against the late-events watermark
+    // is aggregated, one whose window that watermark already closed is
+    // dropped, and a window is emitted only once the eviction watermark
+    // passes its end. The oracle replays the exact rule, including the
+    // one-batch LAG between the two watermarks (the late filter for
+    // batch N uses batch N-1's eviction watermark, i.e. ms-truncated
+    // max event time over batches 1..N-2 minus 5 days): keep iff window
+    // end > that lagged wm at the arrival batch, emit iff window end ≤
+    // final wm (max over ALL batches − 5 days, applied by the trailing
+    // no-data batch). The in-query require() proves BOTH paths fire:
+    // ≥1 held-back row lands inside a LIVE (finite) filter watermark
+    // and is kept, and ≥1 lands beyond it and is dropped.
+    Q("cef40_watermark_late",
+      s"""WITH b AS (
+         |  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS tsu,
+         |         ntile(3) OVER (ORDER BY ts, event_id) AS s0
+         |  FROM events),
+         |a AS (SELECT b.*,
+         |        LEAST(3, s0 + CASE WHEN event_id % $Late2EveryId = 0 THEN 2
+         |                           WHEN event_id % $LateEveryId = 0 THEN 1
+         |                           ELSE 0 END) AS sl
+         |      FROM b),
+         |wm AS (SELECT s.sl,
+         |         (SELECT CAST((floor(max(a2.tsu) / 1000) - ${WmDelayMs}) * 1000 AS BIGINT)
+         |          FROM a a2 WHERE a2.sl < s.sl - 1) AS w
+         |       FROM (SELECT DISTINCT sl FROM a) s),
+         |k AS (SELECT a.*, epoch_us(date_trunc('day', a.ts)) AS day_us FROM a),
+         |kept AS (
+         |  SELECT k.* FROM k JOIN wm ON wm.sl = k.sl
+         |  WHERE wm.w IS NULL OR k.day_us + 86400000000 > wm.w),
+         |fwm AS (SELECT CAST((floor(max(tsu) / 1000) - ${WmDelayMs}) * 1000 AS BIGINT) AS w
+         |        FROM a)
+         |SELECT user_id, day_us, count(*) AS cnt,
+         |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err
+         |FROM kept, fwm
+         |WHERE day_us + 86400000000 <= fwm.w
+         |GROUP BY user_id, day_us
+         |ORDER BY user_id, day_us""".stripMargin) { (s, dir) =>
+      // prove the injected schedule exercises BOTH decisions of the rule
+      // (pure arithmetic replay of the arrival schedule, batch-side)
+      val probe = Tables(s, dir, "events")
+        .withColumn("s0", ntile(StreamSlices).over(Window.orderBy(col("ts"), col("event_id"))))
+        .withColumn("sl", least(lit(StreamSlices), col("s0") +
+          when(col("event_id") % Late2EveryId === 0, 2)
+            .when(col("event_id") % LateEveryId === 0, 1).otherwise(0)))
+        .withColumn("tsu", unix_micros(col("ts")))
+        .withColumn("wend",
+          unix_micros(date_trunc("day", col("ts"))) + lit(86400000000L))
+      val wmBySlice = probe.groupBy("sl").agg(max("tsu").as("mx"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // the late-events filter watermark lags eviction by one batch
+      def wmFor(sl: Int): Long = (1 until sl - 1).map(wmBySlice).reduceOption(_ max _)
+        .map(m => (m / 1000 - WmDelayMs) * 1000).getOrElse(Long.MinValue)
+      val moved = probe.filter(col("s0") =!= col("sl"))
+        .select("sl", "wend").collect()
+      val keptFinite = moved.count(r =>
+        wmFor(r.getInt(0)) != Long.MinValue && r.getLong(1) > wmFor(r.getInt(0)))
+      val dropped = moved.count(r => r.getLong(1) <= wmFor(r.getInt(0)))
+      require(keptFinite >= 1 && dropped >= 1,
+        s"late schedule must both keep (vs a live watermark) and drop: " +
+          s"kept $keptFinite, dropped $dropped of ${moved.length} held-back rows")
+      runEventStream(s, dir, "cef40", "append", late = true) { raw =>
+        raw.withWatermark("ts", s"$WmDelayMs milliseconds")
+          .groupBy(col("user_id"), window(col("ts"), "1 day"))
+          .agg(count(lit(1)).as("cnt"),
+            count(when(col("event_type") === "error", 1)).as("n_err"))
+          .select(col("user_id"), unix_micros(col("window.start")).as("day_us"),
+            col("cnt"), col("n_err"))
+      }
+        .orderBy(col("user_id"), col("day_us"))
+    },
+
     // ---------------- R4 match ENUMERATION through ACTUAL Structured
     // Streaming — the fourth and last runtime under the streaming gate
     // (cef22 = DetRun, cef25 = DsraRun, cef33 = SpstRun, this = MatchRun):
@@ -1132,13 +1229,24 @@ object Cef {
   private val sliceCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** Deterministic late-arrival injection for the watermark gate
+    * (cef40): every 101st event id is held back one slice, so it
+    * ARRIVES a micro-batch after its event-time position — stragglers
+    * from the tail of the previous slice land inside the watermark,
+    * older ones beyond it. The rule is pure arithmetic over
+    * (ntile slice, event_id), so the DuckDB oracle replays the exact
+    * same arrival schedule.
+    */
+
   /** Rewrite the events table as [[StreamSlices]] (ts, event_id)-ordered
     * parquet files with strictly increasing mtimes (the file source
     * processes oldest first). One partitioned single-task write; the
     * single-partition window is test-scaffold-scale only (the sliced
-    * table is the gate's sf input, not a production path).
+    * table is the gate's sf input, not a production path). With
+    * `late = true`, applies the [[LateEveryId]] hold-back AFTER the
+    * time-ordered ntile, making the slices deliberately out-of-order.
     */
-  private def buildSlices(s: SparkSession, path: String): java.nio.file.Path = {
+  private def buildSlices(s: SparkSession, path: String, late: Boolean = false): java.nio.file.Path = {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-slices")
     def rmTree(p: java.nio.file.Path): Unit = {
@@ -1148,7 +1256,7 @@ object Cef {
     }
     // a failed build must not leak the half-populated source dir — the
     // cache records nothing on throw, so the next call rebuilds cleanly
-    try buildInto(s, path, srcDir, tmp)
+    try buildInto(s, path, srcDir, tmp, late)
     catch { case e: Throwable => rmTree(srcDir); throw e }
     finally rmTree(tmp)
   }
@@ -1157,10 +1265,18 @@ object Cef {
       s: SparkSession,
       path: String,
       srcDir: java.nio.file.Path,
-      tmp: java.nio.file.Path): java.nio.file.Path = {
-    s.read.parquet(path)
-      .withColumn("__slice",
+      tmp: java.nio.file.Path,
+      late: Boolean): java.nio.file.Path = {
+    val ordered = s.read.parquet(path)
+      .withColumn("__s0",
         ntile(StreamSlices).over(Window.orderBy(col("ts"), col("event_id"))))
+    val sliced =
+      if (late) ordered.withColumn("__slice",
+        least(lit(StreamSlices), col("__s0") +
+          when(col("event_id") % Late2EveryId === 0, 2)
+            .when(col("event_id") % LateEveryId === 0, 1).otherwise(0))).drop("__s0")
+      else ordered.withColumnRenamed("__s0", "__slice")
+    sliced
       .coalesce(1)
       .write.mode("overwrite").partitionBy("__slice").parquet(tmp.toString)
     val base = java.nio.file.Files.getLastModifiedTime(
@@ -1194,13 +1310,15 @@ object Cef {
     * hyper-state round-tripping through GroupState at each boundary
     * (asserted: ≥[[StreamSlices]] non-empty batches per run).
     */
-  private def runEventStream(s: SparkSession, dir: String, tag: String, mode: String)(
+  private def runEventStream(s: SparkSession, dir: String, tag: String, mode: String,
+      late: Boolean = false)(
       transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = java.nio.file.Paths.get(s"$dir/events.parquet")
       .toAbsolutePath.normalize.toString
     val schema = s.read.parquet(path).schema
-    val srcDir = sliceCache.computeIfAbsent(path, _ => buildSlices(s, path))
+    val cacheKey = if (late) s"$path#late" else path
+    val srcDir = sliceCache.computeIfAbsent(cacheKey, _ => buildSlices(s, path, late))
     val ckptDir = java.nio.file.Files.createTempDirectory(s"$tag-ckpt")
     val sinkName = s"${tag}_sink_${streamRuns.incrementAndGet()}"
     def rmTree(p: java.nio.file.Path): Unit = {
