@@ -134,6 +134,64 @@ object Stream {
     * to [[detections]]; both are kept because transformWithState requires
     * the RocksDB state store while flatMapGroupsWithState runs anywhere.
     */
+  /** F5 for REGISTER patterns (C10×F2): the DSRA hyper-state
+    * (configuration set + valuations + anchors) plus the SPSTm symbol
+    * buffer round-trip GroupState at every micro-batch boundary. Each
+    * event is symbolized from the runtime's observable trace exactly
+    * like [[Detect.dsraTrace]] (detection / fresh anchor / other, and
+    * the anchor-age abstract state, grid-bucketed for TIME windows),
+    * and the (PST label, abstract state) pair indexes the precomputed
+    * SPSTm forecast table — the register-pattern face of [[forecasts]].
+    */
+  def forecastsSpstm(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      m: SpstM,
+      table: Map[(List[Int], Int), ForecastInterval],
+      grid: Long = 0L): Dataset[ForecastOut] = {
+    implicit val fEnc: Encoder[ForecastOut] = Encoders.product[ForecastOut]
+    implicit val stEnc: Encoder[SpstmStreamState] = Encoders.product[SpstmStreamState]
+    val timeWindowed = cp.windowKind == WindowKind.Time
+    if (timeWindowed) require(grid > 0L && cp.window % grid == 0L,
+      s"time-windowed symbolization needs a grid tiling the window, got $grid")
+    else require(grid == 0L, "grid applies to time-windowed patterns")
+    val cells: Int = (if (timeWindowed) cp.window / grid else cp.window).toInt
+    events.groupByKey(_.partition)
+      .flatMapGroupsWithState[SpstmStreamState, ForecastOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CEvent], state: GroupState[SpstmStreamState]) =>
+          val run = new DsraRun(cp, key)
+          val buffer = new SymbolBuffer(math.max(1, m.order))
+          state.getOption.foreach { s => run.restore(s.dsra); buffer.restore(s.buffer) }
+          val out = rows.toSeq.sortBy(e => (e.timestamp, e.id)).flatMap { e =>
+            if (e.isReset) { run.step(e); buffer.clear(); None }
+            else {
+              val det = run.step(e)
+              val counter = run.eventCounter
+              val anchor = run.newestTakenAnchor
+              val sym =
+                if (det.isDefined) SpstM.SymD
+                else if (run.tookAnchorThisStep) SpstM.SymA
+                else SpstM.SymO
+              val st =
+                if (anchor < 0) cells
+                else if (timeWindowed) math.min((e.timestamp - anchor) / grid, cells.toLong).toInt
+                else math.min(counter - anchor, cells.toLong).toInt
+              buffer.push(sym)
+              if (buffer.isFull) {
+                val label = m.pst.nodeFor(buffer.pop).label
+                table.get((label, st)).filter(_.isValid).map { fi =>
+                  ForecastOut(key, counter, e.id, e.timestamp,
+                    counter + fi.start, counter + fi.end, fi.prob, fi.positive)
+                }
+              } else None
+            }
+          }
+          state.update(SpstmStreamState(run.snapshot, buffer.snapshot))
+          out.iterator
+      }
+  }
+
   def detectionsTws(
       events: Dataset[CEvent],
       cp: CompiledPattern,
@@ -152,6 +210,11 @@ object Stream {
   * SPST symbol buffer.
   */
 final case class SpstStreamState(det: DetRunState, buffer: Seq[Int])
+
+/** GroupState payload of [[Stream.forecastsSpstm]]: the DSRA hyper-state
+  * snapshot + the most-recent-first SPSTm symbol buffer.
+  */
+final case class SpstmStreamState(dsra: DsraRunState, buffer: Seq[Int])
 
 /** StatefulProcessor wrapping [[DetRun]]: the run snapshot lives in a typed
   * ValueState with optional native TTL (K5 run-pool expiry).

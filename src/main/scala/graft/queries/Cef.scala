@@ -955,6 +955,30 @@ object Cef {
         .orderBy(col("user_id"), col("day_us"))
     },
 
+    // ---------------- the register-pattern (SPSTm over DSRA) forecasting
+    // runtime through ACTUAL Structured Streaming: cef33 streams SpstRun
+    // over an SDFA pattern; this gate streams the TIME-windowed SREMO
+    // pattern's forecaster — the DSRA hyper-state (config set +
+    // valuations + anchors) AND the SPSTm symbol buffer round-trip
+    // GroupState at every micro-batch boundary (Stream.forecastsSpstm),
+    // with per-event forecasts keyed by (PST label, grid-bucketed
+    // anchor age). The oracle ([[SpstmTimeOracle.sql41]]) restates the
+    // cef32 learning chain plus the per-event replay.
+    Q("cef41_streaming_spstm", SpstmTimeOracle.sql41) { (s, dir) =>
+      val ev = events(s, dir)
+      val m = Train.learnSpstm(ev, pSremoTime, order = 2, grid = SpstmTimeOracle.GridMicros)
+      val table = m.forecastTable(ForecastMethod.ClassifyNextK,
+        threshold = 0.4, spread = 10, horizon = 20)
+      runDetectionStream(s, dir, "cef41")(
+        Stream.forecastsSpstm(_, pSremoTime, m, table, SpstmTimeOracle.GridMicros))
+        .select(
+          col("partition").cast("long").as("user_id"),
+          col("counter"), col("eventId").as("event_id"),
+          col("startCounter").as("fs"), col("endCounter").as("fe"),
+          (floor(col("prob") * 1000000 + 0.5)).cast("long").as("prob"), col("positive"))
+        .orderBy(col("user_id"), col("counter"))
+    },
+
     // ---------------- R4 match ENUMERATION through ACTUAL Structured
     // Streaming — the fourth and last runtime under the streaming gate
     // (cef22 = DetRun, cef25 = DsraRun, cef33 = SpstRun, this = MatchRun):
@@ -2156,6 +2180,48 @@ object Cef {
     val sql32: String =
       s"""${PstSql.core(prefix, deltaRows, stateRows)}
          |${PstSql.tableSelect}""".stripMargin
+
+    /** cef41: per-event SPSTm forecasts over the TIME-windowed register
+      * pattern — the cef32 learning chain (`core` ending at `ft`) plus a
+      * per-event replay: PST label from the last-2 trace symbols (the
+      * sql12 label rule over the SPSTm alphabet), abstract state from
+      * the newest arming event's age, grid-bucketed and capped exactly
+      * like [[graft.cef.spark.Detect.dsraTrace]] (the cap also absorbs
+      * runtime eviction: an anchor at or beyond the window reads as the
+      * idle cell either way). Forecasts exist from each key's second
+      * trace row (the order-2 buffer fills), classify-next-10 @ θ=0.4.
+      */
+    val sql41: String =
+      s"""${PstSql.core(prefix, deltaRows, stateRows)},
+         |ctx AS MATERIALIZED (
+         |  SELECT sym.user_id, sym.rn, sym.event_id, sym.s,
+         |         lag(sym.s) OVER (PARTITION BY sym.user_id ORDER BY sym.rn) AS s1
+         |  FROM sym),
+         |anc AS MATERIALIZED (
+         |  SELECT b.user_id, b.rn,
+         |         (SELECT max(b2.rn) FROM b b2
+         |          WHERE b2.user_id = b.user_id AND b2.rn <= b.rn
+         |            AND b2.value > 120.0) AS arn
+         |  FROM b),
+         |evl AS MATERIALIZED (
+         |  SELECT c.user_id, c.rn, c.event_id,
+         |         CASE WHEN c.s IN (SELECT a FROM int1)
+         |              THEN CAST(c.s AS VARCHAR) || ':' || CAST(c.s1 AS VARCHAR)
+         |              ELSE CAST(c.s AS VARCHAR) END AS lbl,
+         |         CASE WHEN a.arn IS NULL THEN $Cells
+         |              ELSE LEAST((epoch_us(b.ts) - epoch_us(ba.ts)) // $GridMicros,
+         |                         $Cells) END AS st
+         |  FROM ctx c
+         |  JOIN anc a ON a.user_id = c.user_id AND a.rn = c.rn
+         |  JOIN b ON b.user_id = c.user_id AND b.rn = c.rn
+         |  LEFT JOIN b ba ON ba.user_id = c.user_id AND ba.rn = a.arn
+         |  WHERE c.s1 IS NOT NULL)
+         |SELECT e.user_id, e.rn AS counter, e.event_id,
+         |       e.rn + 1 AS fs, e.rn + 10 AS fe,
+         |       CAST(floor(f.prob * 1000000 + 0.5) AS BIGINT) AS prob,
+         |       f.prob >= 0.4 AS positive
+         |FROM evl e JOIN ft f ON f.lbl = e.lbl AND f.st = e.st
+         |ORDER BY user_id, counter""".stripMargin
   }
 
   /** cef31's oracle: the WHOLE adaptation control plane (O1–O8) restated
