@@ -171,12 +171,25 @@ object TextOps {
       .agg(countDistinct(col(idCol)).as("dfc"))
       .filter(col("dfc") > lit(threshold * n))
       .select(col("word")).collect().map(_.getString(0)).toSeq
-    val freqArr = if (frequent.isEmpty) array().cast("array<string>")
-                  else array(frequent.map(lit): _*)
+    // size-switched membership test: a literal array stays inside
+    // whole-stage codegen and is optimal for the handful of stopwords a
+    // high threshold yields, but its per-token scan is O(|frequent|) —
+    // at a low threshold (θ=0.01 can flag thousands of words) the hot
+    // loop switches to an O(1) broadcast hash-set probe instead.
+    val keptCol =
+      if (frequent.size <= 64) {
+        val freqArr = if (frequent.isEmpty) array().cast("array<string>")
+                      else array(frequent.map(lit): _*)
+        filter(col("ws"), w => !array_contains(freqArr, w))
+      } else {
+        val bset = docs.sparkSession.sparkContext.broadcast(frequent.toSet)
+        val dropFreq = udf((ws: Seq[String]) => ws.filterNot(bset.value.contains))
+        dropFreq(col("ws"))
+      }
     docs
       .select(col(idCol), split(col(textCol), " ").as("ws"))
       .select(col(idCol),
-        filter(col("ws"), w => !array_contains(freqArr, w)).as("keptw"),
+        keptCol.as("keptw"),
         size(col("ws")).as("tot"))
       .select(col(idCol),
         array_join(col("keptw"), " ").as("clean_text"),

@@ -95,6 +95,37 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       (1L, "q", 1L, 3L), (2L, "r", 1L, 2L), (3L, "", 0L, 2L), (4L, "q s", 2L, 2L))
   }
 
+  it should "agree across the literal-array and broadcast-set paths at low θ" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 10 docs: "common" in all; m0..m99 each in exactly 2 docs (doc i
+    // and i+1 mod 10 carry m_{10i}..m_{10i+19}); u<i> unique per doc.
+    // θ=0.5 → frequent = {common} (1 word: literal-array path);
+    // θ=0.01 → frequent = {common} ∪ {m0..m99} (101 words: the
+    // broadcast-set path). Both are checked against brute force.
+    def midWords(i: Int): Seq[String] =
+      ((10 * i until 10 * i + 20).map(j => s"m${j % 100}"))
+    val texts = (0 until 10).map(i => i.toLong ->
+      (Seq("common", s"u$i") ++ midWords(i)).mkString(" "))
+    val docs = texts.toDF("doc_id", "text")
+    def brute(theta: Double): Map[Long, (String, Long, Long)] = {
+      val df = texts.flatMap { case (_, t) => t.split(" ").distinct }
+        .groupBy(identity).map { case (w, xs) => w -> xs.size }
+      val frequent = df.filter(_._2 > theta * texts.size).keySet
+      texts.map { case (id, t) =>
+        val ws = t.split(" ")
+        val kept = ws.filterNot(frequent)
+        id -> (kept.mkString(" "), kept.length.toLong, (ws.length - kept.length).toLong)
+      }.toMap
+    }
+    for (theta <- Seq(0.5, 0.01)) {
+      val got = ops.TextOps.dropFrequentWords(docs, "doc_id", "text", theta)
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      got shouldBe brute(theta)
+    }
+  }
+
   "TextOps.bigramNll" should "match a driver-side LM replay" in {
     val sparkS = spark
     import sparkS.implicits._

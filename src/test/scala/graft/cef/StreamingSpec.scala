@@ -1,6 +1,6 @@
 package graft.cef
 
-import graft.cef.spark.{Detect, Stream}
+import graft.cef.spark.{Detect, Stream, Train}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.flatspec.AnyFlatSpec
@@ -218,5 +218,95 @@ class StreamingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
     streamOut shouldBe batchOut
     batchOut should not be empty
+  }
+
+  it should "produce identical SPSTm forecasts streaming vs the batch trace replay" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    for ((window, grid, seed) <- Seq((10L, 0L, 23), (80L, 40L, 29))) {
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 200).map { i =>
+        CEvent(i.toLong, "v", i.toLong * 10, s"u${rnd.nextInt(3)}",
+          Map("value" -> rnd.nextInt(200).toDouble), Map.empty)
+      }
+      val kind = if (grid == 0L) "count" else "time"
+      val cpR = Compiler.compileMatchOnly(
+        s"""#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:$window}{windowType:$kind}""")
+      val m = Train.learnSpstm(events.toDS(), cpR, order = 2, grid = grid)
+      val table = m.forecastTable(ForecastMethod.ClassifyNextK,
+        threshold = 0.4, spread = 10, horizon = 20)
+
+      // batch expectation straight off the trace observables: context =
+      // last-2 symbols (most-recent-first), state from the same row
+      val tsById = events.map(e => e.id -> e.timestamp).toMap
+      val expected = Detect.dsraTrace(events.toDS(), cpR, grid).collect()
+        .groupBy(_.partition).values.flatMap { steps =>
+          steps.sortBy(_.counter).sliding(2).collect {
+            case Array(prev, cur) =>
+              val label = m.pst.nodeFor(List(cur.symbol, prev.symbol)).label
+              table.get((label, cur.state)).filter(_.isValid).map { fi =>
+                ForecastOut(cur.partition, cur.counter, cur.eventId,
+                  tsById(cur.eventId),
+                  cur.counter + fi.start, cur.counter + fi.end, fi.prob, fi.positive)
+              }
+          }.flatten
+        }.toSet
+
+      implicit val sqlCtx = sparkS.sqlContext
+      val mem = MemoryStream[CEvent]
+      val q = Stream.forecastsSpstm(mem.toDS(), cpR, m, table, grid)
+        .writeStream.format("memory").queryName(s"spstm_fc_$kind")
+        .outputMode("append").start()
+      events.grouped(35).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      val streamOut = sparkS.table(s"spstm_fc_$kind").as[ForecastOut].collect().toSet
+      q.stop()
+
+      withClue(s"$kind window: ") {
+        streamOut shouldBe expected
+        expected should not be empty
+      }
+    }
+  }
+
+  it should "keep per-micro-batch overhead bounded (relative scaffold floor)" in {
+    // the streaming gates' dominant cost at test SF is per-batch
+    // state-store plumbing, not the engine. Pin it RELATIVE, like the
+    // DSRA at-cap floor: the same stream fed as 8 micro-batches must
+    // stay within 6x the single-batch feed (times exclude query start;
+    // best of 3 attempts each, so an attempt's neighbor steal hits both
+    // shapes). A real scaffold regression — per-batch work scaling with
+    // total state instead of delta — degrades every attempt 10x+.
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(31)
+    val events = (1 to 20000).map { i =>
+      CEvent(i.toLong, if (rnd.nextInt(4) == 0) "a" else "b", i.toLong * 10,
+        s"u${rnd.nextInt(20)}", Map("v" -> rnd.nextInt(100).toDouble), Map.empty)
+    }
+    implicit val sqlCtx = sparkS.sqlContext
+    var runId = 0
+    def feedSecs(chunks: Int): Double = {
+      runId += 1
+      val mem = MemoryStream[CEvent]
+      val q = Stream.detections(mem.toDS(), cpDet)
+        .writeStream.format("memory").queryName(s"floor_$runId")
+        .outputMode("append").start()
+      val per = math.ceil(events.size.toDouble / chunks).toInt
+      val t0 = System.nanoTime()
+      events.grouped(per).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      sparkS.catalog.dropTempView(s"floor_$runId")
+      secs
+    }
+    feedSecs(1); feedSecs(8) // JIT + state-store warm-up for both shapes
+    var bestSingle = Double.MaxValue
+    var bestMulti = Double.MaxValue
+    for (_ <- 1 to 3) {
+      bestSingle = math.min(bestSingle, feedSecs(1))
+      bestMulti = math.min(bestMulti, feedSecs(8))
+    }
+    info(f"single-batch $bestSingle%.2f s vs 8-batch $bestMulti%.2f s")
+    bestMulti should be < bestSingle * 6
   }
 }
