@@ -19,10 +19,16 @@ object Tables {
         // vectorized reader. Read nanos as LongType, truncate to micros
         // (exactly what DuckDB's epoch_us does) and restore TimestampType.
         // `div` (integer division) — a double division would lose
-        // precision above 2^53 ns.
+        // precision above 2^53 ns. Type-gated: a Spark-written copy of
+        // the table (ScaleGen) is already TIMESTAMP(MICROS) and must
+        // pass through untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val df = spark.read.parquet(s"$sfDir/$name.parquet")
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => df
+        }
       } else spark.read.parquet(s"$sfDir/$name.parquet")
     raw
   }

@@ -1363,9 +1363,16 @@ object Cef {
       // are partition-count-independent) at a quarter of the plumbing.
       // Production sizing belongs to the caller, not this scaffold.
       s.conf.set(spKey, "8")
-      val raw = s.readStream.schema(schema)
+      // nanos→micros only when the driver's table is TIMESTAMP(NANOS)
+      // (read as Long via nanosAsLong); a Spark-written scale copy
+      // (ScaleGen) is already TIMESTAMP(MICROS) and passes through
+      val raw0 = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw0
+      }
       val q = transform(raw)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(mode)

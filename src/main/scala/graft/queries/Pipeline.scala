@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MultimodalOps, PackOps, SimilarityOps, TextOps}
 
 /** Training-data pipeline operators as driver-checkable queries:
   * text analysis, dedup family, similarity search, multimodal plumbing.
@@ -1037,8 +1037,166 @@ object Pipeline {
         .as[MultimodalOps.MediaRow]
       MultimodalOps.sampleFrames(media, 4).toDF()
         .orderBy(col("media_id"), col("frame_no"))
+    },
+
+    // ------------------------------------- quality: Gopher-style rule gate
+    // The classic pretraining quality gate (Gopher §A1.1 / RefinedWeb):
+    // per-document word count, mean word length and stopword density, each
+    // against fixed bounds, conjoined into one keep bit. All-integer
+    // arithmetic (quantized mean ×100, density ×10⁴) so both engines
+    // agree bit-for-bit. Scale shape: pure per-row map work inside the
+    // scan's codegen stage — no shuffle, no state, trivially 100 TB-safe.
+    Q("p30_quality_rules", {
+      val toks = "string_split(text, ' ')"
+      val stops = TextOps.countInSql("toks", QualityStopwords)
+      s"""WITH w AS (SELECT doc_id, $toks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |             len(toks) AS n_words,
+         |             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+         |             CAST($stops AS BIGINT) AS n_stop
+         |      FROM w)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+         |       (sum_len * 100) // n_words AS mean_wl_q,
+         |       (n_stop * 10000) // n_words AS stop_q,
+         |       (n_words BETWEEN 30 AND 80)
+         |         AND ((sum_len * 100) // n_words BETWEEN 300 AND 460)
+         |         AND ((n_stop * 10000) // n_words >= 200) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val m = t(s, dir, "documents").select(
+        col("doc_id"),
+        size(ws).as("n_words"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        countIn(ws, QualityStopwords).cast("long").as("n_stop"))
+      m.select(col("doc_id"), col("n_words"),
+          expr("(sum_len * 100) div n_words").as("mean_wl_q"),
+          expr("(n_stop * 10000) div n_words").as("stop_q"),
+          (col("n_words").between(30, 80)
+            && expr("(sum_len * 100) div n_words").between(300, 460)
+            && (expr("(n_stop * 10000) div n_words") >= 200)).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------- assembly: sequence packing
+    // Token-budget bin packing (the example-packing step before batching):
+    // docs hash into independent buckets, each bucket packs greedily in
+    // doc-id order (PackOps scale notes: one shuffle + external sort +
+    // O(1)-state streaming scan). Oracle replays the same greedy as a
+    // per-bucket recursive-CTE state machine.
+    Q("p31_seq_packing", {
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, doc_id % 32 AS bucket,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+         |      FROM d),
+         |g AS (
+         |  SELECT bucket, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.bucket, r.rn, r.doc_id, r.n_tok,
+         |         CASE WHEN g.fill > 0 AND g.fill + r.n_tok > 512
+         |              THEN g.bin_id + 1 ELSE g.bin_id END,
+         |         CASE WHEN g.fill > 0 AND g.fill + r.n_tok > 512
+         |              THEN r.n_tok ELSE g.fill + r.n_tok END
+         |  FROM r JOIN g ON r.bucket = g.bucket AND r.rn = g.rn + 1)
+         |SELECT doc_id, bucket, n_tok, bin_id
+         |FROM g ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      PackOps.packGreedy(
+          t(s, dir, "documents").select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_tok")),
+          "doc_id", "n_tok", buckets = 32, budget = 512L)
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------- privacy: PII redact
+    // Regex-based PII scrubbing (emails, IPv4) — counts plus a redacted
+    // fingerprint. The corpus is synthetic word-soup, so both sides
+    // enrich each doc with the SAME deterministic PII suffix first; the
+    // redaction itself is the operator under test. Patterns stay in the
+    // Java-regex ∩ RE2 common subset so both engines match identically.
+    // Scale shape: map-only regexp work in the scan stage, no shuffle.
+    Q("p32_pii_redact", {
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id ||
+         |         '@example.com or 10.' || (doc_id % 200) || '.0.' ||
+         |         (doc_id % 250) || ' now' AS ptext
+         |  FROM documents),
+         |rr AS (SELECT doc_id,
+         |              CAST(len(regexp_extract_all(ptext, '$PiiEmailRe')) AS INT) AS n_email,
+         |              CAST(len(regexp_extract_all(ptext, '$PiiIpRe')) AS INT) AS n_ip,
+         |              regexp_replace(regexp_replace(ptext, '$PiiEmailRe', '<EMAIL>', 'g'),
+         |                             '$PiiIpRe', '<IP>', 'g') AS red
+         |       FROM e)
+         |SELECT doc_id, n_email, n_ip, length(red) AS red_len,
+         |       ${TextOps.polyHashSql("red")} AS red_fp
+         |FROM rr ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val ptext = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 10."), pmod(col("doc_id"), lit(200L)),
+        lit(".0."), pmod(col("doc_id"), lit(250L)), lit(" now"))
+      val red = regexp_replace(
+        regexp_replace(ptext, PiiEmailRe, "<EMAIL>"), PiiIpRe, "<IP>")
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          regexp_count(ptext, lit(PiiEmailRe)).cast("int").as("n_email"),
+          regexp_count(ptext, lit(PiiIpRe)).cast("int").as("n_ip"),
+          length(red).as("red_len"),
+          TextOps.polyHash(red).as("red_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --------------------------------------- mixing: temperature weights
+    // Temperature-based domain rebalancing (multilingual sampling à la
+    // mBERT/XLM, τ=0.5): per-language counts reweighted by sqrt of the
+    // empirical share. sqrt and division are exactly-rounded IEEE ops, and
+    // the normalization runs on QUANTIZED integer numerators (summed
+    // order-independently) so both engines agree exactly. Scale shape: one
+    // domain-bounded aggregation; the two whole-table windows run over the
+    // |domains|-row aggregate, never the corpus.
+    Q("p33_domain_mix", {
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |t AS (SELECT *, (SELECT sum(n_docs) FROM c) AS total FROM c),
+         |q AS (SELECT lang, n_docs,
+         |             CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / total) * 1000000000 + 0.5)
+         |                  AS BIGINT) AS num_q
+         |      FROM t),
+         |s AS (SELECT *, (SELECT sum(num_q) FROM q) AS denom FROM q)
+         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, num_q,
+         |       CAST((num_q * 1000000) // denom AS BIGINT) AS weight_ppm,
+         |       CAST((num_q * 10000) // denom AS BIGINT) AS expected_docs
+         |FROM s ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      val whole = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("total", sum(col("n_docs")).over(whole))
+        .withColumn("num_q",
+          floor(sqrt(col("n_docs").cast("double") / col("total")) * 1000000000L + 0.5)
+            .cast("long"))
+        .withColumn("denom", sum(col("num_q")).over(whole))
+        .select(col("lang"), col("n_docs"), col("num_q"),
+          expr("(num_q * 1000000) div denom").as("weight_ppm"),
+          expr("(num_q * 10000) div denom").as("expected_docs"))
+        .orderBy(col("lang"))
     }
   )
+
+  /** Gopher-style stopword set for the quality gate (the synthetic corpus
+    * carries 'the'/'a' as its function words). Defs, not vals: they are
+    * referenced inside the `queries` val above, which initializes first.
+    */
+  private def QualityStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** PII patterns restricted to the Java-regex ∩ RE2 common subset. */
+  private def PiiEmailRe: String = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+  private def PiiIpRe: String = "\\d+\\.\\d+\\.\\d+\\.\\d+"
 
   /** DuckDB list of byte values from a hex string column `hx` (uppercase).
     * A def, not a val: it is interpolated inside the `queries` val above,

@@ -126,6 +126,33 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  "PackOps.packGreedy" should "equal a driver-side greedy replay (oversize docs, sparse buckets)" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    for (trial <- 1 to 3) {
+      // token counts straddle the budget: some docs alone exceed it (own
+      // bin), some exactly fill it (the <= boundary); ids are sparse so
+      // several buckets are empty and several collapse into one partition
+      val budget = 100L
+      val docs = (1 to 120).map { _ =>
+        (rnd.nextInt(5000).toLong, (rnd.nextInt(140) + 1).toLong)
+      }.distinct.toDF("doc_id", "n_tok")
+      val rows = docs.as[(Long, Long)].collect()
+      val expected = rows.groupBy(r => r._1 % 8).values.flatMap { bucket =>
+        var bin = 0L; var fill = 0L
+        bucket.sortBy(_._1).map { case (id, tok) =>
+          if (fill > 0L && fill + tok > budget) { bin += 1L; fill = tok }
+          else fill += tok
+          (id, id % 8, tok, bin)
+        }
+      }.toSet
+      val got = ops.PackOps.packGreedy(docs, "doc_id", "n_tok", buckets = 8, budget = budget)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      withClue(s"trial $trial: ") { got shouldBe expected }
+      expected.exists(_._4 > 0) shouldBe true
+    }
+  }
+
   "TextOps.bigramNll" should "match a driver-side LM replay" in {
     val sparkS = spark
     import sparkS.implicits._
