@@ -486,22 +486,44 @@ object DedupOps {
 
   // ---------------------------------------------------------------- simhash
 
-  val SimHashBits = 31
+  /** 61-bit signature: 31 bits (the token-hash width) saturates its
+    * 8-bit LSH bands once the corpus passes ~10⁴ docs — candidate pairs
+    * per bucket grow quadratically (the sf1 sweep measured p18 at 17×
+    * for 10× data). 61 bits gives 16/16/16/13 bands whose buckets stay
+    * sparse far past 10⁶ docs (Manku et al., WWW'07 use 64-bit
+    * signatures with the same 4-band pigeonhole). 61 = the Mersenne
+    * prime modulus width of the bit-spreading mix below; bit 62 stays
+    * clear so signatures, xors and hammings are non-negative in both
+    * engines.
+    */
+  val SimHashBits = 61
+
+  /** Affine mix spreading a 31-bit token hash over the 61-bit vote
+    * domain: (h * Mul + Add) % (2^61 - 1). Within the token-hash domain
+    * [0, 2^31) this cannot overflow a signed 64-bit intermediate, so
+    * Spark (ANSI), the fused native expression and DuckDB agree exactly.
+    */
+  val SimHashMixMul = 1315423911L
+  val SimHashMixAdd = 2654435761L
+  val SimHashMixMod = (1L << 61) - 1
 
   /** SimHash over token hashes: bit j of the result is set iff more
-    * token hashes have bit j set than unset. One fused native pass over
-    * the hashes with a vote counter per bit (graftexpr.SimHashPack;
-    * ExprSpec pins value equality — incl. null/negative edge semantics —
-    * against the 31 aggregate() majority votes it replaces).
+    * (mixed) token hashes have bit j set than unset. One fused native
+    * pass over the hashes with a vote counter per bit
+    * (graftexpr.SimHashPack; ExprSpec pins value equality against the
+    * per-bit aggregate() majority votes it replaces).
     */
   def simHash(hashes: Column): Column =
-    org.apache.spark.sql.graftexpr.VectorExprs.simHashPack(hashes, SimHashBits)
+    org.apache.spark.sql.graftexpr.VectorExprs.simHashPackMixed(
+      hashes, SimHashBits, SimHashMixMul, SimHashMixAdd, SimHashMixMod)
 
   /** The HOF formulation the native expression replaces (ExprSpec pin). */
   def simHashHof(hashes: Column): Column =
     (0 until SimHashBits).map { j =>
       val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
+        (acc, h) => acc + when(
+          shiftright((h * SimHashMixMul + SimHashMixAdd) % SimHashMixMod, j) % 2 === 1,
+          1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -510,7 +532,8 @@ object DedupOps {
        |  list_transform(range($SimHashBits), j ->
        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
        |           list_transform($hashesExpr, h ->
-       |             CASE WHEN (h >> j) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+       |             CASE WHEN (((h * $SimHashMixMul + $SimHashMixAdd) % $SimHashMixMod) >> j) & 1 = 1
+       |                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
        |           (a, b) -> a + b) > 0
        |    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
        |  (a, b) -> a + b)""".stripMargin
@@ -518,6 +541,14 @@ object DedupOps {
   /** Hamming distance between two SimHash longs (popcount of xor). */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** (offset, width) of the 4 signature bands: by pigeonhole any pair
+    * within hamming distance 3 shares at least one band. 16-bit bands
+    * keep band buckets sparse past 10⁶ docs (50k docs ⇒ <1 doc per
+    * 16-bit bucket on average).
+    */
+  val SimHashBandSplit: Seq[(Int, Int)] =
+    Seq((0, 16), (16, 16), (32, 16), (48, 13))
 
   // ---------------------------------------------------------------- jaccard
 

@@ -857,8 +857,8 @@ object Pipeline {
     },
 
     // ------------------------------------------- dedup: simhash band pairs
-    // Near-dup pairs by SimHash: the 31-bit signature splits into 4 bands
-    // (8+8+8+7 bits); by pigeonhole, any pair within hamming distance 3
+    // Near-dup pairs by SimHash: the 61-bit signature splits into 4 bands
+    // (16+16+16+13 bits); by pigeonhole, any pair within hamming distance 3
     // shares at least one band — the band equi-join has EXACT recall for
     // the ≤3 threshold and touches only colliding buckets (with the same
     // hot-bucket salt cap as the MinHash LSH family). Verification is one
@@ -866,9 +866,8 @@ object Pipeline {
     Q("p18_dd_simhash_pairs", {
       val hashes = tokenHashesSql("text")
       val sim = simHashSql("hashes")
-      val bandsSql = (0 until 4).map { b =>
-        val off = b * 8; val w = if (b == 3) 7 else 8
-        s"(sim >> $off) & ${(1 << w) - 1}"
+      val bandsSql = DedupOps.SimHashBandSplit.map { case (off, w) =>
+        s"(sim >> $off) & ${(1L << w) - 1}"
       }.mkString("[", ", ", "]")
       s"""WITH sh AS (
          |  SELECT doc_id, sim, $bandsSql AS bands
@@ -896,8 +895,7 @@ object Pipeline {
       val sh = graft.ops.Release.afterFirstUse(
         t(s, dir, "documents")
           .select(col("doc_id"), simHash(tokenHashes(col("text"))).as("sim"))
-          .withColumn("bands", array((0 until 4).map { b =>
-            val off = b * 8; val w = if (b == 3) 7 else 8
+          .withColumn("bands", array(DedupOps.SimHashBandSplit.map { case (off, w) =>
             shiftright(col("sim"), off).bitwiseAND(lit((1L << w) - 1))
           }: _*)))
       val exploded = DedupOps.saltedBands(sh, "doc_id", carry = Seq("sim"))

@@ -41,6 +41,12 @@ object VectorExprs {
   def simHashPack(hashes: Column, bits: Int): Column =
     Bridge.column(SimHashPack(Bridge.expression(hashes), bits))
 
+  /** [[simHashPack]] with an affine bit-spreading mix applied to every
+    * element first — see SimHashPack's mixed-form precondition. */
+  def simHashPackMixed(hashes: Column, bits: Int,
+      mixMul: Long, mixAdd: Long, mixMod: Long): Column =
+    Bridge.column(SimHashPack(Bridge.expression(hashes), bits, mixMul, mixAdd, mixMod))
+
   /** K-lane MinHash signature in one codegen'd pass (replaces K
     * array_min(transform(...)) higher-order chains). */
   def minHashSig(hashes: Column, a: Seq[Long], b: Seq[Long], mod: Long): Column =
@@ -248,14 +254,23 @@ final case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], m
 }
 
 /** SimHash of a bigint-hash array in ONE pass: bit j of the result is
-  * set iff more elements have bit j set than unset. Fused form of the 31
-  * independent aggregate(...) majority votes it replaces (one loop, a
-  * vote counter per bit) — value-identical including the edge semantics
-  * of the Column formulation: a null element votes -1 on every bit
-  * (when(null,1).otherwise(-1)), and a negative shifted value's `% 2`
+  * set iff more elements have bit j set than unset. Fused form of the
+  * independent per-bit aggregate(...) majority votes it replaces (one
+  * loop, a vote counter per bit) — value-identical including the edge
+  * semantics of the Column formulation: a null element votes -1 on every
+  * bit (when(null,1).otherwise(-1)), and a negative shifted value's `% 2`
   * remainder is -1, which is != 1 and also votes -1 (ExprSpec-pinned).
+  *
+  * When `mixMod > 0`, each element is first spread to `mixMod`'s bit
+  * width via the affine mix (h*mixMul + mixAdd) % mixMod, so a narrow
+  * (31-bit) token hash can vote on a wide (61-bit) signature.
+  * PRECONDITION for the mixed form: elements lie in [0, 2^31) — within
+  * that domain the mix cannot overflow a long, which keeps this
+  * expression, the HOF twin (ANSI-mode arithmetic) and the DuckDB
+  * oracle bit-identical.
   */
-final case class SimHashPack(child: Expression, bits: Int)
+final case class SimHashPack(child: Expression, bits: Int,
+    mixMul: Long = 1L, mixAdd: Long = 0L, mixMod: Long = 0L)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
@@ -271,7 +286,8 @@ final case class SimHashPack(child: Expression, bits: Int)
         var j = 0
         while (j < bits) { votes(j) -= 1; j += 1 }
       } else {
-        val h = xs.getLong(i)
+        val h0 = xs.getLong(i)
+        val h = if (mixMod > 0L) (h0 * mixMul + mixAdd) % mixMod else h0
         var j = 0
         while (j < bits) {
           if (((h >> j) % 2) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -302,6 +318,7 @@ final case class SimHashPack(child: Expression, bits: Int)
          |    for (int $j = 0; $j < $bits; $j++) $votes[$j]--;
          |  } else {
          |    long $h = $xs.getLong($i);
+         |    if (${mixMod}L > 0L) $h = ($h * ${mixMul}L + ${mixAdd}L) % ${mixMod}L;
          |    for (int $j = 0; $j < $bits; $j++) {
          |      if ((($h >> $j) % 2) == 1L) $votes[$j]++; else $votes[$j]--;
          |    }

@@ -105,16 +105,19 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     out.foreach { r => r.getSeq[Any](0) shouldBe r.getSeq[Any](1) }
   }
 
-  "SimHashPack" should "be value-identical to the 31 aggregate() majority votes" in {
+  "SimHashPack" should "be value-identical to the 61 aggregate() majority votes" in {
     import org.apache.spark.sql.functions._
     val sparkS = spark
     import sparkS.implicits._
     import ops.DedupOps._
     import ops.TextOps.HashMod
-    // includes NEGATIVE longs (the % 2 == 1 remainder edge) and empties
+    // the mixed form's contract domain is [0, 2^31) (tokenHashes output):
+    // outside it the affine mix overflows differently under ANSI SQL vs
+    // Java wrap-around, so the spec generates the domain plus empties,
+    // with boundary values to hit every vote bit
     val rows = (1 to 200).map { i =>
       (i, Seq.fill(rnd.nextInt(40))(
-        if (rnd.nextInt(5) == 0) -rnd.nextLong().abs else rnd.nextLong().abs % HashMod))
+        if (rnd.nextInt(20) == 0) HashMod - 1 else rnd.nextLong().abs % HashMod))
     } :+ (0, Seq.empty[Long])
     val df = rows.toDF("id", "hashes")
     val out = df.select(
