@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{DedupOps, MultimodalOps, PackOps, SimilarityOps, TextOps}
 
@@ -1183,8 +1183,122 @@ object Pipeline {
           expr("(num_q * 1000000) div denom").as("weight_ppm"),
           expr("(num_q * 10000) div denom").as("expected_docs"))
         .orderBy(col("lang"))
+    },
+
+    // --------------------------------------- sketch: KMV distinct count
+    // K-minimum-values distinct-token estimator per language — the
+    // DETERMINISTIC cardinality sketch (unlike HLL, two engines computing
+    // it agree bit-for-bit, which is also what makes it mergeable across
+    // a cluster without drift): keep the k smallest distinct token
+    // hashes; est ≈ (k-1)·M / kth_min. Scale shape: one distinct shuffle
+    // of (lang, hash) pairs, then a per-language top-k — WindowExec's
+    // EXTERNAL sort within each language partition, never a global sort;
+    // the estimate arithmetic is integer-only.
+    Q("p34_kmv_distinct", {
+      val est = s"(CAST(${KmvK - 1} AS BIGINT) * ${TextOps.HashMod}) // kth_min"
+      s"""WITH d AS (SELECT DISTINCT lang, unnest(${tokenHashesSql("text")}) AS h
+         |           FROM documents),
+         |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+         |      FROM d),
+         |a AS (SELECT lang, count(*) AS n_sample, max(h) AS kth_min
+         |      FROM r WHERE rk <= $KmvK GROUP BY lang)
+         |SELECT lang, CAST(n_sample AS BIGINT) AS n_sample, kth_min,
+         |       CAST(CASE WHEN n_sample < $KmvK THEN n_sample ELSE $est END AS BIGINT)
+         |         AS est_distinct
+         |FROM a ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("h"))
+      val num = (KmvK - 1).toLong * TextOps.HashMod
+      t(s, dir, "documents")
+        .select(col("lang"), explode(tokenHashes(col("text"))).as("h"))
+        .distinct()
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= KmvK)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sample"), max(col("h")).as("kth_min"))
+        .select(col("lang"), col("n_sample"), col("kth_min"),
+          when(col("n_sample") < KmvK, col("n_sample"))
+            .otherwise(expr(s"$num div kth_min")).as("est_distinct"))
+        .orderBy(col("lang"))
+    },
+
+    // ------------------------------------ sketch: Count-Min frequencies
+    // Count-Min sketch over token frequencies (4 rows × 1024 buckets,
+    // fixed seeds ⇒ fully deterministic) probed for a fixed vocabulary;
+    // est ≥ exact always (the one-sided CM guarantee, checked by the
+    // overcount column). Scale shape: the corpus shuffles ONCE as
+    // (row, bucket) pairs with map-side combine into the 4096-counter
+    // table; probes are a literal frame hash-joined against it, and the
+    // exact counts ride the same exploded scan. This is the frequency
+    // oracle a 100 TB pipeline keeps in memory instead of a full
+    // vocabulary count.
+    Q("p35_cm_freq", {
+      val aList = CmSeeds.map(_._1).mkString("[", ", ", "]")
+      val bList = CmSeeds.map(_._2).mkString("[", ", ", "]")
+      val probes = CmProbes.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT w, ${TextOps.polyHashSql("w")} AS h FROM w),
+         |bk AS (SELECT ((h * $aList[r + 1] + $bList[r + 1]) % ${TextOps.HashMod}) % $CmW
+         |         AS bucket, r AS row
+         |       FROM h CROSS JOIN (SELECT unnest(range(${CmSeeds.size})) AS r)),
+         |sk AS (SELECT row, bucket, count(*) AS c FROM bk GROUP BY row, bucket),
+         |pr AS (SELECT unnest($probes) AS word),
+         |ph AS (SELECT word, ${TextOps.polyHashSql("word")} AS h FROM pr),
+         |pb AS (SELECT word, r AS row,
+         |              ((h * $aList[r + 1] + $bList[r + 1]) % ${TextOps.HashMod}) % $CmW
+         |                AS bucket
+         |       FROM ph CROSS JOIN (SELECT unnest(range(${CmSeeds.size})) AS r)),
+         |est AS (SELECT word, min(coalesce(c, 0)) AS est_cnt
+         |        FROM pb LEFT JOIN sk USING (row, bucket) GROUP BY word),
+         |ex AS (SELECT w AS word, count(*) AS exact_cnt FROM w GROUP BY w)
+         |SELECT word, CAST(est_cnt AS BIGINT) AS est_cnt,
+         |       CAST(coalesce(exact_cnt, 0) AS BIGINT) AS exact_cnt,
+         |       CAST(est_cnt - coalesce(exact_cnt, 0) AS BIGINT) AS overcount
+         |FROM est LEFT JOIN ex USING (word) ORDER BY word""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val hashed = toks.select(col("w"), TextOps.polyHash(col("w")).as("h"))
+      def buckets(h: Column): Column = array(CmSeeds.map { case (a, b) =>
+        pmod(pmod(h * a + b, lit(TextOps.HashMod)), lit(CmW.toLong))
+      }: _*)
+      val sk = hashed
+        .select(posexplode(buckets(col("h"))).as(Seq("row", "bucket")))
+        .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+      val ph = CmProbes.toDF("word")
+        .select(col("word"), TextOps.polyHash(col("word")).as("h"))
+      val pb = ph.select(col("word"), posexplode(buckets(col("h"))).as(Seq("row", "bucket")))
+      val est = pb.join(sk, Seq("row", "bucket"), "left")
+        .groupBy(col("word")).agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
+      val ex = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+        .withColumnRenamed("w", "word")
+      est.join(ex, Seq("word"), "left")
+        .select(col("word"), col("est_cnt"),
+          coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+          (col("est_cnt") - coalesce(col("exact_cnt"), lit(0L))).as("overcount"))
+        .orderBy(col("word"))
     }
   )
+
+  /** KMV sketch size (k smallest hashes kept per group). */
+  private def KmvK: Int = 256
+
+  /** Count-Min geometry: 4 independent hash rows × 1024 buckets, with
+    * fixed prime seeds — determinism is what lets the DuckDB oracle
+    * reproduce the sketch exactly. Defs (queries-val init order).
+    */
+  private def CmW: Int = 1024
+  private def CmSeeds: Seq[(Long, Long)] = Seq(
+    (1299721L, 15485863L), (2750159L, 32452843L),
+    (4256233L, 49979687L), (5800079L, 67867967L))
+
+  /** Fixed probe vocabulary for the CM point queries (known corpus words
+    * plus absent ones to exercise the zero path).
+    */
+  private def CmProbes: Seq[String] = Seq(
+    "the", "a", "table", "spark", "query", "window", "batch", "vector",
+    "zzz_absent", "qqq_missing")
 
   /** Gopher-style stopword set for the quality gate (the synthetic corpus
     * carries 'the'/'a' as its function words). Defs, not vals: they are
