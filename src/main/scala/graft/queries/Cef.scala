@@ -1121,6 +1121,41 @@ object Cef {
         .orderBy(col("day"), col("event_type"))
     },
 
+    // ---------------- per-key SESSION windows through the REAL streaming
+    // engine: gap-merged sessions (1-day inactivity gap) computed by
+    // session_window across ≥3 micro-batches — sessions that straddle a
+    // slice boundary must MERGE across batches through the session-store
+    // state, which is exactly what the oracle's lag-gap/cumulative-sum
+    // replay checks. Complete mode sidesteps the withheld-final-session
+    // problem the same way cef28 does for its tumbling windows (cef40
+    // gates watermark/late semantics separately). Session end = last
+    // event + gap (Spark's half-open semantics: an event at exactly
+    // prev_ts + gap starts a NEW session — the oracle's >= breakpoint).
+    Q("cef42_streaming_sessions",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |x AS (SELECT user_id, tsu,
+        |             CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+        |                       >= 86400000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, tsu,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT user_id, min(tsu) AS sess_start, max(tsu) + 86400000000 AS sess_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin) { (s, dir) =>
+      runEventStream(s, dir, "cef42", "complete") { raw =>
+        raw.groupBy(session_window(col("ts"), "1 day").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+      }
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("sess_start"),
+          unix_micros(col("w.end")).as("sess_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+
     // ---------------- F3 smart-scan intervals driver-checked: the
     // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
     // exhaustive SQL window enumeration — the fullScan semantics the

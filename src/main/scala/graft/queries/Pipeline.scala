@@ -1278,6 +1278,82 @@ object Pipeline {
           coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
           (col("est_cnt") - coalesce(col("exact_cnt"), lit(0L))).as("overcount"))
         .orderBy(col("word"))
+    },
+
+    // ------------------------------- the assembled pipeline, end to end
+    // The flagship composition: quality gate (p30 rules) → exact dedup
+    // (text-fingerprint canonicalization) → token-budget packing (p31
+    // greedy) → train/val/test split (p29 seed), as ONE program over the
+    // corpus. The stages before packing are a single narrow-shuffle plan
+    // (per-row quality arithmetic, one fingerprint-window shuffle);
+    // packing contributes its one bucket repartition + external sort; the
+    // split is a map on the way out — the whole 100 TB pipeline costs
+    // three shuffles. The oracle replays every stage in chained CTEs,
+    // packing included (per-bucket recursive-CTE greedy over the
+    // SURVIVOR set — assignments depend on which docs upstream kept, so
+    // any quality/dedup divergence cascades into every later column).
+    Q("p36_pipeline_e2e", {
+      val toks = "string_split(text, ' ')"
+      val stops = TextOps.countInSql("toks", QualityStopwords)
+      val h = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-split-7'")
+      s"""WITH RECURSIVE w AS (
+         |  SELECT doc_id, text, $toks AS toks FROM documents),
+         |m AS (SELECT doc_id, text,
+         |             len(toks) AS n_words,
+         |             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+         |             CAST($stops AS BIGINT) AS n_stop
+         |      FROM w),
+         |k AS (SELECT doc_id, text, CAST(n_words AS BIGINT) AS n_tok FROM m
+         |      WHERE (n_words BETWEEN 30 AND 80)
+         |        AND ((sum_len * 100) // n_words BETWEEN 300 AND 460)
+         |        AND ((n_stop * 10000) // n_words >= 200)),
+         |fp AS (SELECT doc_id, n_tok,
+         |              min(doc_id) OVER (PARTITION BY ${TextOps.polyHashSql("text")})
+         |                AS canonical_id
+         |       FROM k),
+         |surv AS (SELECT doc_id, n_tok, doc_id % 32 AS bucket FROM fp
+         |         WHERE doc_id = canonical_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+         |      FROM surv),
+         |g AS (
+         |  SELECT bucket, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.bucket, r.rn, r.doc_id, r.n_tok,
+         |         CASE WHEN g.fill > 0 AND g.fill + r.n_tok > 512
+         |              THEN g.bin_id + 1 ELSE g.bin_id END,
+         |         CASE WHEN g.fill > 0 AND g.fill + r.n_tok > 512
+         |              THEN r.n_tok ELSE g.fill + r.n_tok END
+         |  FROM r JOIN g ON r.bucket = g.bucket AND r.rn = g.rn + 1)
+         |SELECT doc_id, bucket, n_tok, bin_id,
+         |       CASE WHEN $h % 100 < 98 THEN 'train'
+         |            WHEN $h % 100 < 99 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM g ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val kept = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          size(ws).cast("long").as("n_tok"),
+          aggregate(ws, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+          countIn(ws, QualityStopwords).cast("long").as("n_stop"))
+        .filter(col("n_tok").between(30, 80)
+          && expr("(sum_len * 100) div n_tok").between(300, 460)
+          && (expr("(n_stop * 10000) div n_tok") >= 200))
+      val wfp = org.apache.spark.sql.expressions.Window
+        .partitionBy(TextOps.polyHash(col("text")))
+      val surv = kept
+        .withColumn("canonical_id", min(col("doc_id")).over(wfp))
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), col("n_tok"))
+      val bucket = pmod(
+        TextOps.polyHash(concat(col("doc_id").cast("string"), lit("#graft-split-7"))),
+        lit(100L))
+      PackOps.packGreedy(surv, "doc_id", "n_tok", buckets = 32, budget = 512L)
+        .select(col("doc_id"), col("bucket"), col("n_tok"), col("bin_id"),
+          when(bucket < 98, "train").when(bucket < 99, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
     }
   )
 
