@@ -1257,8 +1257,13 @@ object Pipeline {
          |FROM est LEFT JOIN ex USING (word) ORDER BY word""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
-      val toks = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
+      // persisted: the sketch aggregation and the exact-count aggregation
+      // both consume the exploded token table in one final plan — without
+      // it the corpus explode runs twice (the bigramNll/dupSpans
+      // double-pass discipline); auto-released after the query
+      val toks = graft.ops.Release.afterFirstUse(
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w")))
       val hashed = toks.select(col("w"), TextOps.polyHash(col("w")).as("h"))
       def buckets(h: Column): Column = array(CmSeeds.map { case (a, b) =>
         pmod(pmod(h * a + b, lit(TextOps.HashMod)), lit(CmW.toLong))
