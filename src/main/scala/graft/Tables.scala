@@ -15,22 +15,41 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw =
       if (name == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's
-        // vectorized reader. Read nanos as LongType, truncate to micros
-        // (exactly what DuckDB's epoch_us does) and restore TimestampType.
-        // `div` (integer division) — a double division would lose
-        // precision above 2^53 ns. Type-gated: a Spark-written copy of
-        // the table (ScaleGen) is already TIMESTAMP(MICROS) and must
-        // pass through untouched.
+        // events.ts encoding varies by driver generation — normalize it
+        // (see normalizeTs). nanosAsLong must be set BEFORE the read so
+        // a TIMESTAMP(NANOS) table is legal for the vectorized reader.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val df = spark.read.parquet(s"$sfDir/$name.parquet")
-        df.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          case _ => df
-        }
+        normalizeTs(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
       } else spark.read.parquet(s"$sfDir/$name.parquet")
     raw
+  }
+
+  /** Normalize the events `ts` column to TimestampType (epoch micros)
+    * across the three encodings the driver has generated:
+    *   - TIMESTAMP(NANOS): illegal for Spark's vectorized reader, so it
+    *     is read as LongType via `nanosAsLong`; truncate to micros
+    *     (exactly what DuckDB's epoch_us does) with integer `div` — a
+    *     double division would lose precision above 2^53 ns.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+    *     TIMESTAMP_NTZ, on which unix_micros/window arithmetic is
+    *     illegal. The driver's DuckDB oracle reads the same column
+    *     naively (epoch_us = raw micros), so reinterpreting the local
+    *     datetime in UTC preserves the stored micros bit-for-bit. The
+    *     session timezone is pinned to UTC here because the NTZ→TZ cast
+    *     resolves against it.
+    *   - TIMESTAMP(MICROS, UTC) (e.g. a Spark-written ScaleGen copy):
+    *     already TimestampType — pass through untouched.
+    */
+  def normalizeTs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 }
 

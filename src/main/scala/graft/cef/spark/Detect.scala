@@ -35,7 +35,12 @@ object Detect {
       strAttrs: Seq[String] = Nil): Dataset[CEvent] = {
     val tsExpr = df.schema(tsCol).dataType.typeName match {
       case "timestamp" => unix_micros(col(tsCol))
-      case _           => col(tsCol).cast("long")
+      // TIMESTAMP_NTZ (e.g. parquet micros with isAdjustedToUTC=false):
+      // unix_micros rejects it; reinterpret the local datetime via the
+      // session timezone (UTC everywhere in this project) first
+      case "timestamp_ntz" =>
+        unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => col(tsCol).cast("long")
     }
     val numMap =
       if (numAttrs.isEmpty) map().cast("map<string,double>")

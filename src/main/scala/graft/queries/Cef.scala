@@ -1326,7 +1326,10 @@ object Cef {
       srcDir: java.nio.file.Path,
       tmp: java.nio.file.Path,
       late: Boolean): java.nio.file.Path = {
-    val ordered = s.read.parquet(path)
+    // normalize ts at slice-build time (nanos-as-long / TIMESTAMP_NTZ /
+    // micros — Tables.normalizeTs) so the slice files are always plain
+    // TIMESTAMP(MICROS) and the streaming read needs no per-encoding gate
+    val ordered = Tables.normalizeTs(s, s.read.parquet(path))
       .withColumn("__s0",
         ntile(StreamSlices).over(Window.orderBy(col("ts"), col("event_id"))))
     val sliced =
@@ -1375,9 +1378,11 @@ object Cef {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = java.nio.file.Paths.get(s"$dir/events.parquet")
       .toAbsolutePath.normalize.toString
-    val schema = s.read.parquet(path).schema
     val cacheKey = if (late) s"$path#late" else path
     val srcDir = sliceCache.computeIfAbsent(cacheKey, _ => buildSlices(s, path, late))
+    // schema of the REWRITTEN slices (ts already normalized to
+    // TIMESTAMP(MICROS) by buildInto), not of the driver's raw table
+    val schema = s.read.parquet(srcDir.toString).schema
     val ckptDir = java.nio.file.Files.createTempDirectory(s"$tag-ckpt")
     val sinkName = s"${tag}_sink_${streamRuns.incrementAndGet()}"
     def rmTree(p: java.nio.file.Path): Unit = {
@@ -1398,16 +1403,8 @@ object Cef {
       // are partition-count-independent) at a quarter of the plumbing.
       // Production sizing belongs to the caller, not this scaffold.
       s.conf.set(spKey, "8")
-      // nanos→micros only when the driver's table is TIMESTAMP(NANOS)
-      // (read as Long via nanosAsLong); a Spark-written scale copy
-      // (ScaleGen) is already TIMESTAMP(MICROS) and passes through
-      val raw0 = s.readStream.schema(schema)
+      val raw = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-      val raw = schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw0
-      }
       val q = transform(raw)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(mode)
