@@ -30,7 +30,11 @@ object Bench {
         sfDir
       }
     }
-    for (w <- Seq("cef01_seq2_strict", "p06_dd_minhash_pairs", "cef22_streaming"))
+    // p24/p26 warm the fused text-expression codegen (CharBigrams, the
+    // composed cleaning chain) — their cold first run is ~4-5x the
+    // steady state, all in one-time JIT/codegen, not data work
+    for (w <- Seq("cef01_seq2_strict", "p06_dd_minhash_pairs", "cef22_streaming",
+        "p24_filter_compose", "p26_txt_lm_quality", "p27_dd_dupspans"))
       // a failed warm-up costs only warm-up — never the bench JSON
       try SparkEntry.queries(w)(spark, warmSf).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm-up $w: ${e.getMessage}") }

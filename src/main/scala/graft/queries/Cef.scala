@@ -1156,6 +1156,53 @@ object Cef {
         .orderBy(col("user_id"), col("sess_start"))
     },
 
+    // ---------------- streaming sketch state: KMV distinct-count folded
+    // across micro-batches through GroupState (SketchOps.streamingKmv).
+    // Each batch a key appears in emits a snapshot; the FINAL snapshot
+    // per key must equal the batch KMV over the whole stream (the
+    // oracle), which only holds if the k-min set survives every batch
+    // boundary — the same snapshot/restore machinery the automaton
+    // gates pin, applied to an aggregation sketch. The in-query require
+    // proves ≥1 key actually folded across ≥2 batches.
+    Q("cef43_streaming_kmv", {
+      import graft.ops.{SketchOps, TextOps}
+      val k = StreamKmvK
+      val est = s"(CAST(${k - 1} AS BIGINT) * ${TextOps.HashMod}) // kth_min"
+      s"""WITH b AS (SELECT user_id, CAST(floor(value * 10) AS BIGINT) AS bucket
+         |           FROM events),
+         |h AS (SELECT DISTINCT user_id,
+         |             ${TextOps.polyHashSql("CAST(bucket AS VARCHAR)")} AS h
+         |      FROM b),
+         |r AS (SELECT user_id, h,
+         |             row_number() OVER (PARTITION BY user_id ORDER BY h) AS rk
+         |      FROM h),
+         |a AS (SELECT user_id, count(*) AS n_sample, max(h) AS kth_min
+         |      FROM r WHERE rk <= $k GROUP BY user_id),
+         |n AS (SELECT user_id, count(*) AS n_seen FROM events GROUP BY user_id)
+         |SELECT user_id, n_seen, CAST(n_sample AS BIGINT) AS n_sample, kth_min,
+         |       CAST(CASE WHEN n_sample < $k THEN n_sample ELSE $est END AS BIGINT)
+         |         AS est_distinct
+         |FROM a JOIN n USING (user_id) ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.{SketchOps, TextOps}
+      val snaps = runEventStream(s, dir, "cef43", "append") { raw =>
+        SketchOps.streamingKmv(
+          raw.withColumn("bucket", floor(col("value") * 10).cast("long"))
+            .withColumn("h", TextOps.polyHash(col("bucket").cast("string"))),
+          "user_id", "h", StreamKmvK).toDF()
+      }
+      // the gate is vacuous unless some key's sketch actually crossed a
+      // micro-batch boundary (multiple snapshots = state restored + grown)
+      val multi = snaps.groupBy(col("user_id")).count()
+        .filter(col("count") >= 2).count()
+      require(multi > 0, "cef43 expected >=1 key folding across >=2 micro-batches")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n_seen").desc)
+      snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("n_seen"), col("n_sample"),
+          col("kth_min"), col("est_distinct"))
+        .orderBy(col("user_id"))
+    },
+
     // ---------------- F3 smart-scan intervals driver-checked: the
     // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
     // exhaustive SQL window enumeration — the fullScan semantics the
@@ -1278,6 +1325,14 @@ object Cef {
     * single-batch pass.
     */
   private val StreamSlices = 3
+
+  /** cef43 KMV size: small enough that the cap path (est from kth_min)
+    * engages at sf0.01+ where per-user distinct value-buckets exceed it,
+    * while sparse keys exercise the exact path. A def, not a val: it is
+    * interpolated inside the `queries` val above, which initializes
+    * first (the same trap Pipeline's CmSeeds documents).
+    */
+  private def StreamKmvK = 16
 
   /** Sliced-source directories, one per events table: the four streaming
     * gates (cef22/25/28/33) replay the SAME slices, so the slice build —

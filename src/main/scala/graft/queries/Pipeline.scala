@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{DedupOps, MultimodalOps, PackOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MultimodalOps, PackOps, SimilarityOps, SketchOps, TextOps}
 
 /** Training-data pipeline operators as driver-checkable queries:
   * text analysis, dedup family, similarity search, multimodal plumbing.
@@ -1359,6 +1359,129 @@ object Pipeline {
           when(bucket < 98, "train").when(bucket < 99, "val")
             .otherwise("test").as("split"))
         .orderBy(col("doc_id"))
+    },
+
+    // -------------------------------------- sketch: Bloom decontamination
+    // The Bloom-filter form of p17: the benchmark shingle set is folded
+    // into a 4096-bit filter (3 fixed universal hashes), and corpus docs
+    // are probed against the BITS, not the set. n_probable ≥ n_exact
+    // always (one-sided Bloom guarantee; n_false_pos witnesses it).
+    // Scale shape: at 100 TB the benchmark set rides along as ~m bits
+    // instead of the full shingle list — the probe is a broadcast join
+    // against a ≤4096-row bit table, the corpus shuffles only for the
+    // per-doc count. The exact leg reuses p17's broadcast-set join so
+    // one query certifies the sketch against its ground truth.
+    Q("p37_bloom_decontaminate", {
+      val sh = DedupOps.shingleHashesSql("text", 3)
+      s"""WITH sh AS (
+         |  SELECT doc_id, $sh AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id < 20),
+         |bits AS (SELECT DISTINCT unnest(${SketchOps.bloomPositionsSql("h")}) AS pos
+         |         FROM bench),
+         |corpus AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id >= 20),
+         |hits AS (SELECT c.doc_id, c.h, count(*) AS nhit
+         |         FROM (SELECT doc_id, h,
+         |                      unnest(${SketchOps.bloomPositionsSql("h")}) AS pos
+         |               FROM corpus) c
+         |         JOIN bits USING (pos) GROUP BY c.doc_id, c.h),
+         |pp AS (SELECT doc_id, count(*) AS n_probable FROM hits
+         |       WHERE nhit = ${SketchOps.BloomSeeds.size} GROUP BY doc_id),
+         |ex AS (SELECT c.doc_id, count(*) AS n_exact
+         |       FROM corpus c JOIN bench b ON c.h = b.h GROUP BY c.doc_id)
+         |SELECT s.doc_id,
+         |       CAST(coalesce(pp.n_probable, 0) AS BIGINT) AS n_probable,
+         |       CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact,
+         |       CAST(coalesce(pp.n_probable, 0) - coalesce(ex.n_exact, 0) AS BIGINT)
+         |         AS n_false_pos,
+         |       coalesce(pp.n_probable, 0) >= 5 AS contaminated
+         |FROM (SELECT doc_id FROM sh WHERE doc_id >= 20) s
+         |LEFT JOIN pp USING (doc_id) LEFT JOIN ex USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.shingleHashes(col("text"), 3).as("sh"))
+      val bench = sh.filter(col("doc_id") < 20)
+        .select(explode(col("sh")).as("h")).distinct()
+      val bits = bench
+        .select(explode(SketchOps.bloomPositions(col("h"))).as("pos")).distinct()
+      val corpus = sh.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+      val probable = corpus
+        .select(col("doc_id"), col("h"),
+          explode(SketchOps.bloomPositions(col("h"))).as("pos"))
+        .join(broadcast(bits), "pos")
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("nhit"))
+        .filter(col("nhit") === SketchOps.BloomSeeds.size)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_probable"))
+      val exact = corpus.join(broadcast(bench), "h")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+      sh.filter(col("doc_id") >= 20).select(col("doc_id"))
+        .join(probable, Seq("doc_id"), "left")
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_probable"), lit(0L)).as("n_probable"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .withColumn("n_false_pos", col("n_probable") - col("n_exact"))
+        .withColumn("contaminated", col("n_probable") >= 5)
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------ sketch: HyperLogLog distinct
+    // Per-source distinct-token estimate via 32 HLL registers, kept
+    // ENTIRELY in BIGINT arithmetic: rho comes from bin()-string length
+    // (identical minimal-binary semantics on both engines), the harmonic
+    // sum is scaled by 2^26, and alpha_32 = 697/1000 exactly — no float
+    // log2/ln whose rounding the two engines could disagree on. The raw
+    // estimator only (no small-range linear counting: that needs ln);
+    // exact_distinct rides along as the certifying ground truth, the
+    // same discipline as p35's exact_cnt. Scale shape: registers are
+    // per-partition partial state (max is algebraic), so the corpus
+    // aggregates map-side into ≤ 32 rows per source before the only
+    // shuffle — the sketch a 100 TB pipeline uses precisely so the
+    // corpus never shuffles for a cardinality.
+    Q("p38_hll_distinct", {
+      val twoPow = 1L << SketchOps.HllRhoMax // 2^26, the rho=0 register weight
+      val num = SketchOps.HllAlphaNum * SketchOps.HllM * SketchOps.HllM * twoPow
+      s"""WITH d AS (SELECT DISTINCT source, unnest(${tokenHashesSql("text")}) AS h
+         |           FROM documents),
+         |r AS (SELECT source, ${SketchOps.hllRegisterSql("h")} AS reg,
+         |             ${SketchOps.hllRhoSql("h")} AS rho
+         |      FROM d),
+         |mx AS (SELECT source, reg, max(rho) AS mr FROM r GROUP BY source, reg),
+         |sa AS (SELECT source, count(*) AS n_regs_hit,
+         |              sum(CAST(power(2, ${SketchOps.HllRhoMax} - mr) AS BIGINT)) AS s_hit
+         |       FROM mx GROUP BY source),
+         |tt AS (SELECT source, n_regs_hit,
+         |              s_hit + (${SketchOps.HllM} - n_regs_hit) * $twoPow AS s_scaled
+         |       FROM sa),
+         |ex AS (SELECT source, count(*) AS exact_distinct FROM d GROUP BY source)
+         |SELECT source, CAST(n_regs_hit AS BIGINT) AS n_regs_hit,
+         |       CAST(s_scaled AS BIGINT) AS s_scaled,
+         |       CAST($num // (${SketchOps.HllAlphaDen} * s_scaled) AS BIGINT) AS est_hll,
+         |       CAST(exact_distinct AS BIGINT) AS exact_distinct
+         |FROM tt JOIN ex USING (source) ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val twoPow = 1L << SketchOps.HllRhoMax
+      val num = SketchOps.HllAlphaNum * SketchOps.HllM * SketchOps.HllM * twoPow
+      val d = t(s, dir, "documents")
+        .select(col("source"), explode(tokenHashes(col("text"))).as("h"))
+        .distinct()
+      val mx = d
+        .select(col("source"), SketchOps.hllRegister(col("h")).as("reg"),
+          SketchOps.hllRho(col("h")).as("rho"))
+        .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mr"))
+      val sa = mx.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_regs_hit"),
+          sum(expr(s"cast(pow(2, ${SketchOps.HllRhoMax} - mr) as bigint)")).as("s_hit"))
+        .withColumn("s_scaled",
+          col("s_hit") + (lit(SketchOps.HllM.toLong) - col("n_regs_hit")) * lit(twoPow))
+      val ex = d.groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+      sa.join(ex, "source")
+        .select(col("source"), col("n_regs_hit"), col("s_scaled"),
+          expr(s"$num div (${SketchOps.HllAlphaDen} * s_scaled)").as("est_hll"),
+          col("exact_distinct"))
+        .orderBy(col("source"))
     }
   )
 

@@ -248,6 +248,25 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "CartesianProduct"
   }
 
+  "p37_bloom_decontaminate" should "broadcast the bit table and the benchmark set, never the corpus" in {
+    val plan = planOf("p37_bloom_decontaminate")
+    // both the ≤4096-row bit table and the exact-leg benchmark set ride
+    // as broadcasts; the corpus only shuffles sketch-sized count rows
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "p38_hll_distinct" should "aggregate registers map-side with no join on the corpus path" in {
+    val plan = planOf("p38_hll_distinct")
+    // the only join is the final ≤|sources|-row sketch ⋈ exact table;
+    // the corpus path is explode → partial agg → one shuffle
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // map-side partial aggregation before the register shuffle
+    plan should include regex "(?i)HashAggregate.*partial"
+  }
+
   "p14_sim_ivf_topk" should "cross only against the K-row centroid table, equi-join on the cell" in {
     val plan = planOf("p14_sim_ivf_topk")
     // the only nested-loop joins are the broadcasts against the K-row

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.SketchOps
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Pure-function properties of the sketch kernels: the streaming KMV
+  * fold must be batching-independent (cef43's correctness rests on it),
+  * and the integer HLL/Bloom arithmetic must stay in the ranges the
+  * DuckDB oracles assume (no 64-bit wrap — DuckDB errors where Spark
+  * silently wraps).
+  */
+class SketchSpec extends AnyFlatSpec with Matchers {
+
+  "mergeKMins" should "equal the global k-min for arbitrary stream splits" in {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 200) {
+      val k = 1 + rnd.nextInt(20)
+      val n = rnd.nextInt(400)
+      // duplicates on purpose: distinct-ness is part of the contract
+      val stream = Seq.fill(n)(rnd.nextInt(120).toLong)
+      val expected = stream.distinct.sorted.take(k)
+      // random batch split
+      var rest = stream
+      var acc: Seq[Long] = Nil
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(rest.size)
+        acc = SketchOps.mergeKMins(acc, rest.take(take), k)
+        rest = rest.drop(take)
+      }
+      withClue(s"trial $trial k=$k n=$n: ") { acc shouldBe expected }
+    }
+  }
+
+  it should "never grow past k and stay sorted distinct" in {
+    val rnd = new scala.util.Random(7)
+    var acc: Seq[Long] = Nil
+    for (_ <- 1 to 50) {
+      acc = SketchOps.mergeKMins(acc, Seq.fill(40)(rnd.nextInt(1000).toLong), 16)
+      acc.size should be <= 16
+      acc shouldBe acc.distinct.sorted
+    }
+  }
+
+  "the Bloom position arithmetic" should "stay far below 2^63 for the full hash range" in {
+    val maxH = graft.ops.TextOps.HashMod - 1
+    for ((a, b) <- SketchOps.BloomSeeds) {
+      val worst = BigInt(maxH) * a + b
+      worst should be < BigInt(Long.MaxValue)
+    }
+  }
+
+  "the HLL scaled sum" should "bound within BIGINT for every register state" in {
+    // worst case: all m registers at rho = 0-hit weight 2^26
+    val worstSum = BigInt(SketchOps.HllM) * (BigInt(1) << SketchOps.HllRhoMax)
+    val num = BigInt(SketchOps.HllAlphaNum) * SketchOps.HllM * SketchOps.HllM *
+      (BigInt(1) << SketchOps.HllRhoMax)
+    (num / SketchOps.HllAlphaDen) should be < BigInt(Long.MaxValue)
+    (worstSum * SketchOps.HllAlphaDen) should be < BigInt(Long.MaxValue)
+  }
+
+  "hll rho bounds" should "map the hash space into [1, 26]" in {
+    // endpoints of the value space w = h div 32
+    def rhoOf(w: Long): Int =
+      if (w == 0) SketchOps.HllRhoMax
+      else SketchOps.HllRhoMax - java.lang.Long.toBinaryString(w).length
+    rhoOf(0L) shouldBe 26
+    rhoOf(1L) shouldBe 25
+    rhoOf((graft.ops.TextOps.HashMod - 1) / SketchOps.HllM) shouldBe 1
+    for (w <- Seq(2L, 3L, 31L, 32L, 1000000L)) {
+      rhoOf(w) should be >= 1
+      rhoOf(w) should be <= 26
+    }
+  }
+}
