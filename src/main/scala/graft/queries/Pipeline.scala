@@ -1482,8 +1482,112 @@ object Pipeline {
           expr(s"$num div (${SketchOps.HllAlphaDen} * s_scaled)").as("est_hll"),
           col("exact_distinct"))
         .orderBy(col("source"))
+    },
+
+    // -------------------------------------------- inverted index (blocked)
+    // Search-side primitive of a training-data pipeline: per-term posting
+    // lists SHARDED into fixed doc-id blocks (the layout real indexes use
+    // so one hot term never materializes an O(N) row), with the ordered
+    // block-local posting list certified by a polynomial fingerprint —
+    // order matters in a posting list, and a scalar fold is the way to
+    // pin order without an array column in the compare. Scale shape: one
+    // (term, doc) aggregation, one (term, block) aggregation — rows out
+    // are bounded by BlockSize regardless of corpus size, and the block
+    // key is a pure function of doc_id so the index parallelizes and
+    // merges trivially.
+    Q("p39_inverted_index", {
+      val fp = s"list_reduce(list_prepend(CAST(0 AS BIGINT), postings), " +
+        s"(a, b) -> (a * 31 + b) % ${TextOps.HashMod})"
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |             FROM documents),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+         |pl AS (SELECT term, doc_id // $IndexBlockSize AS block,
+         |              count(*) AS n_docs, sum(tf) AS total_tf,
+         |              min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |              list(doc_id ORDER BY doc_id) AS postings
+         |       FROM tf GROUP BY term, block)
+         |SELECT term, block, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(total_tf AS BIGINT) AS total_tf, first_doc, last_doc,
+         |       $fp AS postings_fp
+         |FROM pl ORDER BY term, block""".stripMargin
+    }) { (s, dir) =>
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term"), expr(s"doc_id div $IndexBlockSize").as("block"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("total_tf"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+        .select(col("term"), col("block"), col("n_docs"), col("total_tf"),
+          col("first_doc"), col("last_doc"),
+          aggregate(col("postings"), lit(0L),
+            (acc, x) => pmod(acc * 31 + x, lit(TextOps.HashMod))).as("postings_fp"))
+        .orderBy(col("term"), col("block"))
+    },
+
+    // --------------------------------------------------- BM25 probe ranking
+    // BM25 (k1 = 1.2, b = 0.75) for the fixed probe vocabulary, top-5
+    // docs per present term. Float discipline: integer sums first
+    // (dl, sum_dl), ONE division for avgdl, and an expression tree with
+    // identical shape on both engines; ln() + 1e-6 quantization is the
+    // p20-proven combination. Scale shape: df/avgdl are
+    // vocabulary/constant-sized broadcasts, the probe filter prunes the
+    // corpus-side aggregation to the probe terms before any shuffle, and
+    // the final top-k is a per-term window over ≤|probes| partitions.
+    Q("p40_bm25_probes", {
+      val probes = CmProbes.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |pr AS (SELECT unnest($probes) AS term),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+         |       WHERE term IN (SELECT term FROM pr) GROUP BY term, doc_id),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.term, tf.doc_id, tf.tf,
+         |         CAST(floor(
+         |           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |             * (tf.tf * 2.2)
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * n_docs / CAST(sum_dl AS DOUBLE)))
+         |             * 1000000.0 + 0.5) AS BIGINT) AS score_q
+         |       FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+         |       CROSS JOIN stats),
+         |rk AS (SELECT term, doc_id, tf, score_q,
+         |         row_number() OVER (PARTITION BY term ORDER BY score_q DESC, doc_id) AS rank
+         |       FROM sc)
+         |SELECT term, rank, doc_id, tf, score_q
+         |FROM rk WHERE rank <= 5 ORDER BY term, rank""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term").isin(CmProbes: _*))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("score_q").desc, col("doc_id"))
+      tf.join(broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"), col("tf"),
+          floor(
+            log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+              * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") * col("n_docs")
+                  / col("sum_dl").cast("double")))
+              * lit(1000000.0) + lit(0.5)).cast("long").as("score_q"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("term"), col("rank"), col("doc_id"), col("tf"), col("score_q"))
+        .orderBy(col("term"), col("rank"))
     }
   )
+
+  /** Posting-list block width (docs per shard row) for p39. A def — see
+    * QualityStopwords on initialization order.
+    */
+  private def IndexBlockSize = 1000L
 
   /** KMV sketch size (k smallest hashes kept per group). */
   private def KmvK: Int = 256

@@ -267,6 +267,26 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include regex "(?i)HashAggregate.*partial"
   }
 
+  "p39_inverted_index" should "build as pure aggregation — no join, bounded exchanges" in {
+    val plan = planOf("p39_inverted_index")
+    plan should not include "Join"
+    // (term,doc) agg → (term,block) agg → output order: ≤3 exchanges
+    "Exchange".r.findAllIn(plan).size should be <= 3
+  }
+
+  "p40_bm25_probes" should "prune to the probe terms before aggregating, never cartesian the corpus" in {
+    val plan = planOf("p40_bm25_probes")
+    plan should not include "CartesianProduct"
+    // df and corpus stats ride as broadcasts; the only nested-loop join
+    // is the single-row stats crossJoin
+    plan should include("BroadcastHashJoin")
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <= 1
+    // the probe-vocabulary filter applies in the explode stage (a
+    // derived column can't reach PushedFilters, but it must exist
+    // before the first aggregation)
+    plan should include regex "(?i)Filter.*term"
+  }
+
   "p14_sim_ivf_topk" should "cross only against the K-row centroid table, equi-join on the cell" in {
     val plan = planOf("p14_sim_ivf_topk")
     // the only nested-loop joins are the broadcasts against the K-row
