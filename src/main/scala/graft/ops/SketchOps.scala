@@ -113,9 +113,18 @@ object SketchOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[(Long, Long)], state: GroupState[KmvState]) =>
           val prev = state.getOption.getOrElse(KmvState(0L, Nil))
-          val hs = rows.map(_._2).toArray
-          val merged = mergeKMins(prev.mins, hs, k)
-          val nSeen = prev.nSeen + hs.length
+          // chunked fold: a skewed key's whole micro-batch never
+          // materializes — memory is O(k + chunk) however many events
+          // the batch delivers to this key
+          var merged = prev.mins
+          var nNew = 0L
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          rows.foreach { r =>
+            buf += r._2; nNew += 1
+            if (buf.size >= 4096) { merged = mergeKMins(merged, buf, k); buf.clear() }
+          }
+          if (buf.nonEmpty) merged = mergeKMins(merged, buf, k)
+          val nSeen = prev.nSeen + nNew
           state.update(KmvState(nSeen, merged))
           val nSample = merged.size.toLong
           val kth = if (merged.isEmpty) 0L else merged.last

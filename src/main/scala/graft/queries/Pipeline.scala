@@ -1560,10 +1560,13 @@ object Pipeline {
       val docs = t(s, dir, "documents")
       val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val tf = docs
+      // persisted: both the df aggregation and the score join consume the
+      // probe-pruned (term, doc) counts — without it the corpus explode
+      // runs twice (p20's discipline); auto-released after the query
+      val tf = graft.ops.Release.afterFirstUse(docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .filter(col("term").isin(CmProbes: _*))
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf")))
       val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("term")).orderBy(col("score_q").desc, col("doc_id"))
