@@ -207,6 +207,59 @@ object SimilarityOps {
     cent
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
+    * drop near-identical vectors WITHIN each cluster — the cluster
+    * assignment turns the quadratic all-pairs cosine into K independent
+    * cluster-local problems, which is the whole scale trick.
+    *
+    * Shapes: assignment is the same broadcast-centroid argmax as
+    * [[ivfTopK]] (the embedding column never shuffles through the
+    * aggregate); the intra-cluster pair scan is ONE self-join keyed on
+    * the cluster id. The keep rule is order-free and deterministic so
+    * the DuckDB oracle can restate it: a vector is dropped iff some
+    * LOWER-id member of its cluster is within `tau` cosine, and
+    * `dup_of` is the smallest such id. At 100 TB, K is the knob: the
+    * paper runs ~100k clusters so Σ nᵢ² stays near-linear; the plumbing
+    * here is identical for any K (and [[lloydCentroids]] swaps in as
+    * the quantizer unchanged).
+    */
+  def semDedup(
+      corpus: DataFrame,
+      tau: Double,
+      numCentroids: Int = IvfK,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = broadcast(centroids.getOrElse(
+        corpus.orderBy(col("vec_id")).limit(numCentroids)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+      .select(col("c_id"), col("c_emb")))
+    // the assignment table feeds three consumers (both pair-join sides
+    // and the final output) — persist the narrow (vec_id, cluster) pair
+    // for the query's duration so the corpus-scale argmax shuffle runs
+    // ONCE, and auto-release it with the query (PlanSpec pins the single
+    // centroid broadcast)
+    val asg = graft.ops.Release.afterFirstUse(
+      corpus.select(col("vec_id"), col("embedding"))
+        .crossJoin(cent)
+        .withColumn("cc", cosine(col("embedding"), col("c_emb")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cluster")))
+    // join the embedding back by id AFTER assignment (same discipline as
+    // ivfTopK: the heavy column rides the cluster-keyed join once, never
+    // the argmax shuffle)
+    val m = asg.join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val dups = m.as("a")
+      .join(m.as("b"),
+        col("a.cluster") === col("b.cluster") && col("b.vec_id") < col("a.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("dup_of"))
+    asg.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
   /** Bucketed ANN: join queries to corpus on the LSH bucket, then
     * top-k within the candidate set. At scale this replaces the full
     * cross product with a bucket-local join (shuffle keyed on bucket).

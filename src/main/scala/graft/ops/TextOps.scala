@@ -196,4 +196,71 @@ object TextOps {
         size(col("keptw")).cast("long").as("n_kept"),
         (col("tot") - size(col("keptw"))).cast("long").as("n_removed"))
   }
+
+  /** Distributed BPE merge learning (Sennrich et al. 2016): learn the
+    * first `numMerges` byte-pair merges of the corpus, weighted by word
+    * frequency. Returns one row per merge step:
+    * (step, lhs, rhs, merged, cnt), deterministic under the
+    * (count DESC, lhs, rhs) tie-break.
+    *
+    * Scale shape: the ONLY corpus-scale work is the single word-count
+    * groupBy — everything after runs on the distinct-word table, whose
+    * size is VOCABULARY-bounded (corpus-size-independent, the same
+    * argument as p20/p25). Each merge step is one pair-count aggregation
+    * over that small table plus a map-only rewrite; the argmax collect
+    * is one row per step (model-sized, like the MLE matrix).
+    *
+    * Token state is a delimiter-wrapped string — every symbol is carried
+    * as `|sym|`, so a word tokenized as [ab, c] is `|ab||c|`. Applying a
+    * merge (l, r) is then a plain left-to-right non-overlapping
+    * `replace(state, "|l||r|", "|lr|")`, which is EXACTLY greedy BPE
+    * merge application ("aaa" under (a,a) → [aa, a]) — and `replace` has
+    * identical semantics in Spark and DuckDB, so the oracle can replay
+    * the whole recursion with the same one-liner. Symbols are drawn from
+    * word characters (never `|`), so the encoding is unambiguous.
+    */
+  def bpeMerges(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    // corpus-scale pass: word frequencies, then wrap each char as |c|
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", "|$1|").as("state"), col("freq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (step <- 1 to numMerges) {
+      val toks = split(trim(col("state"), "|"), "\\|\\|")
+      val npairs = greatest(size(toks) - 1, lit(0))
+      val best = words
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(toks, lit(1), npairs).as("l"),
+            slice(toks, lit(2), npairs).as("r"))).as("pr"))
+        .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        val c = best(0).getLong(2)
+        merges += ((step.toLong, l, r, l + r, c))
+        val next = words
+          .select(replace(col("state"),
+            lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")).as("state"),
+            col("freq"))
+          .localCheckpoint(true)
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
+        words = next
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
+    import spark.implicits._
+    merges.result().toDF("step", "lhs", "rhs", "merged", "cnt")
+  }
 }

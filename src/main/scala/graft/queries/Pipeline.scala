@@ -1584,6 +1584,74 @@ object Pipeline {
         .filter(col("rank") <= 5)
         .select(col("term"), col("rank"), col("doc_id"), col("tf"), col("score_q"))
         .orderBy(col("term"), col("rank"))
+    },
+
+    // --------------------------------------- dedup: semantic (SemDeDup)
+    // Cluster-then-dedup (Abbas et al. 2023): the coarse quantizer makes
+    // the quadratic cosine scan cluster-local (K independent problems —
+    // the 100 TB shape; K is the knob that keeps Σ nᵢ² near-linear).
+    // Keep rule is order-free: drop iff a LOWER-id cluster-mate is
+    // within τ, dup_of = the smallest such id.
+    Q("p41_dd_semdedup", {
+      val cosEC = cosineSql("e.embedding", "c.c_emb")
+      val cosAB = cosineSql("ea.embedding", "eb.embedding")
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |              FROM embeddings ORDER BY vec_id LIMIT ${SimilarityOps.IvfK}),
+         |asg AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c.c_id AS cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.c_id) AS rnk
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rnk = 1),
+         |d AS (
+         |  SELECT a.vec_id, min(b.vec_id) AS dup_of
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE $cosAB >= 0.95
+         |  GROUP BY a.vec_id)
+         |SELECT asg.vec_id, asg.cluster, d.dup_of, d.dup_of IS NULL AS kept
+         |FROM asg LEFT JOIN d ON d.vec_id = asg.vec_id
+         |ORDER BY asg.vec_id""".stripMargin
+    }) { (s, dir) =>
+      SimilarityOps.semDedup(t(s, dir, "embeddings"), tau = 0.95)
+        .orderBy(col("vec_id"))
+    },
+
+    // --------------------------------------------- text: BPE merge learning
+    // Distributed byte-pair-encoding merge learning (Sennrich et al.
+    // 2016): the only corpus-scale pass is the word-count groupBy;
+    // the merge recursion runs on the VOCABULARY-bounded distinct-word
+    // table (p20/p25's bound argument). The oracle replays all
+    // `BpeSteps` steps as unrolled CTEs over the same delimiter-wrapped
+    // token encoding, where greedy merge application is a plain
+    // left-to-right `replace` in both engines.
+    Q("p42_txt_bpe", {
+      val steps = (1 to BpeSteps).map { k =>
+        s"""p$k AS (SELECT l, r, sum(freq) AS cnt FROM (
+           |   SELECT freq,
+           |          unnest(list_slice(toks, 1, len(toks) - 1)) AS l,
+           |          unnest(list_slice(toks, 2, len(toks))) AS r
+           |   FROM (SELECT freq, string_split(trim(state, '|'), '||') AS toks FROM w${k - 1})
+           | ) GROUP BY l, r),
+           |b$k AS (SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM p$k
+           |        ORDER BY cnt DESC, l, r LIMIT 1),
+           |w$k AS (SELECT replace(state, '|' || b.l || '||' || b.r || '|',
+           |                       '|' || b.l || b.r || '|') AS state, freq
+           |        FROM w${k - 1} CROSS JOIN b$k b)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to BpeSteps).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS step, l AS lhs, r AS rhs, l || r AS merged, cnt FROM b$k"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS state,
+         |         CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY word),
+         |$steps
+         |SELECT * FROM ($out) ORDER BY step""".stripMargin
+    }) { (s, dir) =>
+      TextOps.bpeMerges(t(s, dir, "documents"), "text", BpeSteps)
+        .orderBy(col("step"))
     }
   )
 
@@ -1594,6 +1662,9 @@ object Pipeline {
 
   /** KMV sketch size (k smallest hashes kept per group). */
   private def KmvK: Int = 256
+
+  /** Number of BPE merges learned by p42 (a def — queries-val init order). */
+  private def BpeSteps: Int = 10
 
   /** Count-Min geometry: 4 independent hash rows × 1024 buckets, with
     * fixed prime seeds — determinism is what lets the DuckDB oracle

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Distributed BPE merge learning vs a sequential reference replay of
+  * Sennrich et al.'s algorithm (greedy left-to-right merge application,
+  * frequency-weighted pair counts, (count DESC, lhs, rhs) tie-break).
+  */
+class BpeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]").appName("bpe-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Sequential reference: word-frequency map → numMerges rounds of
+    * (count pairs, pick argmax, greedily rewrite every word).
+    */
+  private def referenceBpe(
+      corpus: Seq[String], numMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    var words: Map[List[String], Long] = corpus
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w.map(_.toString).toList -> g.size.toLong }
+    def mergeWord(toks: List[String], l: String, r: String): List[String] = toks match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: mergeWord(rest, l, r)
+      case a :: rest => a :: mergeWord(rest, l, r)
+      case Nil => Nil
+    }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (step <- 1 to numMerges) {
+      val counts = words.toSeq.flatMap { case (toks, f) =>
+        toks.zip(toks.drop(1)).map(p => (p, f))
+      }.groupBy(_._1).map { case (p, g) => (p, g.map(_._2).sum) }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((step.toLong, l, r, l + r, c))
+        words = words.toSeq.map { case (toks, f) => (mergeWord(toks, l, r), f) }
+          .groupBy(_._1).map { case (t, g) => (t, g.map(_._2).sum) }
+      }
+    }
+    out.result()
+  }
+
+  private def runBpe(corpus: Seq[String], n: Int): Seq[(Long, String, String, String, Long)] = {
+    val df = spark.createDataFrame(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+    TextOps.bpeMerges(df, "text", n).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+  }
+
+  "bpeMerges" should "replay the sequential reference on a hand-checkable corpus" in {
+    // 'aaab' stresses greedy overlap: merge (a,a) turns aaab into
+    // [aa, a, b], NOT [aa, aa?]; the delimiter-wrapped replace must agree
+    val corpus = Seq("aaab aaab banana", "banana banana band", "aaab and band and")
+    val got = runBpe(corpus, 6)
+    got shouldBe referenceBpe(corpus, 6)
+  }
+
+  it should "match the reference on the sf0.001 documents corpus" in {
+    val texts = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val got = runBpe(texts, 10)
+    got should have size 10
+    got shouldBe referenceBpe(texts, 10)
+  }
+
+  it should "handle a corpus of single-character words (no pairs at all)" in {
+    runBpe(Seq("a b c", "a a b"), 3) shouldBe empty
+  }
+}

@@ -297,4 +297,20 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // probe-to-assignment join carries the cluster equi-key
     plan should include regex "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*cluster"
   }
+
+  "p41_dd_semdedup" should "cross only against the centroid broadcast; pair scan is cluster-keyed" in {
+    val plan = planOf("p41_dd_semdedup")
+    // the assignment table feeds three consumers — it must come from the
+    // persisted argmax (every textual BroadcastNestedLoopJoin occurrence
+    // sits INSIDE the InMemoryRelation repr, so the centroid cross runs
+    // once, at cache build), and the intra-cluster pair scan must be an
+    // equi-join on the cluster id (never corpus x corpus)
+    plan should include ("InMemoryTableScan")
+    // every textual BNLJ occurrence is a reprint of the cached argmax
+    // plan (one per InMemoryRelation reference) — none outside it
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <=
+      "InMemoryRelation".r.findAllIn(plan).size
+    plan should not include "CartesianProduct"
+    plan should include regex "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*cluster"
+  }
 }

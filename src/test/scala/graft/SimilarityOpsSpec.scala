@@ -47,6 +47,42 @@ class SimilarityOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     objective(trained) should be >= objective(seed) - 1e-9
   }
 
+  "semDedup" should "match a driver-side brute-force replay of the cluster-local keep rule" in {
+    val tau = 0.95
+    val k = 8
+    val got = SimilarityOps.semDedup(emb, tau = tau, numCentroids = k)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[Long]("cluster"),
+         Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+         r.getAs[Boolean]("kept")))).toMap
+
+    // brute force: same seed centroids, argmax assignment (ties → lower
+    // centroid id), then the order-free lower-id keep rule per cluster
+    val vecs = emb.orderBy(col("vec_id")).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val cents = vecs.take(k)
+    val assign = vecs.map { case (id, e) =>
+      val best = cents.map { case (cid, ce) => (cos(e, ce), cid) }
+        .maxBy { case (c, cid) => (c, -cid) }._2
+      id -> best
+    }.toMap
+    vecs.foreach { case (id, e) =>
+      val mates = vecs.filter { case (oid, _) => oid < id && assign(oid) == assign(id) }
+      val dups = mates.filter { case (_, oe) => cos(e, oe) >= tau }.map(_._1)
+      val expDup = if (dups.isEmpty) None else Some(dups.min)
+      withClue(s"vec $id: ") {
+        got(id) shouldBe ((assign(id), expDup, expDup.isEmpty))
+      }
+    }
+  }
+
   it should "plug into ivfTopK behind the same interface" in {
     val trained = SimilarityOps.lloydCentroids(emb, numCentroids = 8, iters = 2)
     val res = SimilarityOps.ivfTopK(
