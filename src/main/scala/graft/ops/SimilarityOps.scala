@@ -260,6 +260,89 @@ object SimilarityOps {
         col("dup_of").isNull.as("kept"))
   }
 
+  /** Squared L2 distance of two float-array columns, accumulated in
+    * double in element order (bit-identical to [[l2sqSql]]).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0d), (acc, v) => acc + v)
+
+  def l2sqSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b),
+       |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** Product-quantization geometry: M subspaces, Ks centroids per
+    * subspace (deterministic seeds — the Ks smallest vec_ids' sub-vectors
+    * — so the DuckDB oracle reproduces the codebook; Lloyd-per-subspace
+    * swaps in with identical plumbing).
+    */
+  val PqM = 8
+  val PqKs = 16
+
+  /** PQ-compressed ANN (Jégou et al. 2011): encode every corpus vector
+    * as M per-subspace nearest-centroid codes, then answer queries with
+    * an asymmetric-distance (ADC) scan — the query precomputes an
+    * M×Ks lookup table of sub-distances and each corpus vector's
+    * distance is the sum of M table lookups.
+    *
+    * Scale shapes: the codebook and the per-query LUT are both
+    * broadcast-sized (M·Ks rows — independent of corpus size); encoding
+    * is one corpus pass with a broadcast equi-join on the subspace id
+    * plus a partial-aggregable argmin; the ADC scan touches only the
+    * (vec_id, sub, code) table — M small ints per vector instead of the
+    * raw embedding (the 32× compression that lets a 100 TB corpus fit a
+    * memory-resident scan). The per-vector distance folds its M
+    * sub-distances in subspace order (sorted struct array), never
+    * through an order-sensitive SUM, so the result is bit-reproducible
+    * across engines and partitionings.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = PqM,
+      ks: Int = PqKs): DataFrame = {
+    val dsub = (size(col("embedding")) / m).cast("int")
+    val subs = explode(sequence(lit(0), lit(m - 1))).as("sub")
+    def subVec(as: String) =
+      slice(col("embedding"), col("sub") * dsub + 1, dsub).as(as)
+    val w = Window.orderBy(col("vec_id"))
+    val cent = broadcast(
+      corpus.orderBy(col("vec_id")).limit(ks)
+        .withColumn("c_code", row_number().over(w) - 1)
+        .select(col("c_code"), subs, col("embedding"))
+        .select(col("c_code"), col("sub"), subVec("c_sub")))
+    val codes = corpus
+      .select(col("vec_id"), subs, col("embedding"))
+      .select(col("vec_id"), col("sub"), subVec("v_sub"))
+      .join(cent, Seq("sub"))
+      .withColumn("d2", l2sq(col("v_sub"), col("c_sub")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("c_code"))).as("mn"))
+      .select(col("vec_id"), col("sub"), col("mn.c_code").as("code"))
+    val lut = broadcast(
+      queries
+        .select(col("vec_id").as("query_id"), subs, col("embedding"))
+        .select(col("query_id"), col("sub"), subVec("q_sub"))
+        .join(cent, Seq("sub"))
+        .withColumn("d2", l2sq(col("q_sub"), col("c_sub")))
+        .select(col("query_id"), col("sub"), col("c_code"), col("d2")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    codes
+      .join(lut, codes("sub") === lut("sub") && codes("code") === lut("c_code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(codes("sub"), col("d2")))).as("ds"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(col("ds"), lit(0d), (acc, s) => acc + s.getField("d2")).as("adc"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rnk"))
+  }
+
   /** Bucketed ANN: join queries to corpus on the LSH bucket, then
     * top-k within the candidate set. At scale this replaces the full
     * cross product with a bucket-local join (shuffle keyed on bucket).

@@ -1617,6 +1617,59 @@ object Pipeline {
         .orderBy(col("vec_id"))
     },
 
+    // ------------------------------------------ similarity: PQ-encoded ANN
+    // Product quantization (Jégou et al. 2011): M=8 subspaces × Ks=16
+    // seed centroids; corpus vectors become M small codes (the 32×
+    // compression that keeps a 100 TB scan memory-resident); queries
+    // precompute an M×Ks LUT and rank by the ADC sum of M lookups. The
+    // per-vector distance folds sub-distances in subspace order on BOTH
+    // engines (list ordered by sub), never an order-sensitive SUM, so the
+    // doubles hash-match bit-exactly.
+    Q("p43_sim_pq_topk", {
+      val m = SimilarityOps.PqM
+      val ks = SimilarityOps.PqKs
+      def subSlice(emb: String) =
+        s"list_slice($emb, sub * (len($emb) // $m) + 1, (sub + 1) * (len($emb) // $m))"
+      val l2VC = SimilarityOps.l2sqSql("v.v_sub", "c.c_sub")
+      val l2QC = SimilarityOps.l2sqSql("q.q_sub", "c.c_sub")
+      s"""WITH s AS (SELECT unnest(range($m)) AS sub),
+         |cent0 AS (SELECT vec_id, embedding,
+         |                 row_number() OVER (ORDER BY vec_id) - 1 AS c_code
+         |          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $ks)),
+         |cent AS (SELECT c_code, sub, ${subSlice("embedding")} AS c_sub
+         |         FROM cent0 CROSS JOIN s),
+         |vsub AS (SELECT vec_id, sub, ${subSlice("embedding")} AS v_sub
+         |         FROM embeddings CROSS JOIN s),
+         |enc AS (
+         |  SELECT vec_id, sub, c_code AS code FROM (
+         |    SELECT v.vec_id, v.sub, c.c_code,
+         |           row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |                              ORDER BY $l2VC, c.c_code) AS rnk
+         |    FROM vsub v JOIN cent c ON c.sub = v.sub) WHERE rnk = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, q.sub, c.c_code, $l2QC AS d2
+         |  FROM (SELECT vec_id, sub, ${subSlice("embedding")} AS q_sub
+         |        FROM embeddings CROSS JOIN s WHERE vec_id < 20) q
+         |  JOIN cent c ON c.sub = q.sub),
+         |adc AS (
+         |  SELECT l.query_id, e.vec_id AS neighbor_id,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.d2 ORDER BY e.sub)),
+         |                     (x, y) -> x + y) AS adc
+         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.c_code = e.code
+         |  WHERE e.vec_id <> l.query_id
+         |  GROUP BY l.query_id, e.vec_id),
+         |rk AS (SELECT query_id, neighbor_id, adc,
+         |              row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY adc, neighbor_id) AS rnk
+         |       FROM adc)
+         |SELECT query_id, neighbor_id, adc, rnk FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.pqTopK(e, e.filter(col("vec_id") < 20), k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // --------------------------------------------- text: BPE merge learning
     // Distributed byte-pair-encoding merge learning (Sennrich et al.
     // 2016): the only corpus-scale pass is the word-count groupBy;

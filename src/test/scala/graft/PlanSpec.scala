@@ -313,4 +313,14 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "CartesianProduct"
     plan should include regex "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*cluster"
   }
+
+  "p43_sim_pq_topk" should "scan codes against broadcast codebook/LUT — no cartesian, no NL join" in {
+    val plan = planOf("p43_sim_pq_topk")
+    // codebook and per-query LUT are broadcast-sized; every join is an
+    // equi-join on (sub) or (sub, code) — an ADC scan never goes
+    // corpus x corpus
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include ("BroadcastHashJoin")
+  }
 }

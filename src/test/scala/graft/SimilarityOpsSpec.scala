@@ -83,6 +83,44 @@ class SimilarityOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     }
   }
 
+  "pqTopK" should "match a driver-side replay of encode + ADC ranking" in {
+    val m = 8; val ks = 16; val k = 5
+    val got = SimilarityOps.pqTopK(emb, emb.filter(col("vec_id") < 10), k = k)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc"))).toMap
+
+    val vecs = emb.orderBy(col("vec_id")).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val dsub = vecs.head._2.length / m
+    def sub(v: Array[Float], s: Int): Array[Float] = v.slice(s * dsub, (s + 1) * dsub)
+    // element-order double accumulation, matching l2sq
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val cents = vecs.take(ks).map(_._2) // c_code = index (vec_id order)
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until m).map { s =>
+        (0 until ks).minBy(c => (d2(sub(v, s), sub(cents(c), s)), c))
+      }
+    }.toMap
+    vecs.filter(_._1 < 10).foreach { case (qid, qv) =>
+      val lut = Array.tabulate(m, ks)((s, c) => d2(sub(qv, s), sub(cents(c), s)))
+      val ranked = vecs.filter(_._1 != qid).map { case (nid, _) =>
+        // fold in subspace order, same as the sorted-struct aggregate
+        (nid, (0 until m).foldLeft(0.0)((acc, s) => acc + lut(s)(codes(nid)(s))))
+      }.sortBy { case (nid, adc) => (adc, nid) }.take(k)
+      ranked.zipWithIndex.foreach { case ((nid, adc), i) =>
+        withClue(s"query $qid rank ${i + 1}: ") {
+          got((qid, i + 1)) shouldBe ((nid, adc))
+        }
+      }
+    }
+  }
+
   it should "plug into ivfTopK behind the same interface" in {
     val trained = SimilarityOps.lloydCentroids(emb, numCentroids = 8, iters = 2)
     val res = SimilarityOps.ivfTopK(
