@@ -197,6 +197,62 @@ object TextOps {
         (col("tot") - size(col("keptw"))).cast("long").as("n_removed"))
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how much more likely a
+    * TARGET-domain character-bigram LM finds it than the SOURCE
+    * (whole-corpus) LM, then accept documents by a deterministic
+    * seeded-hash draw against the sigmoid of the average log ratio —
+    * domain-targeted data selection without labels on the source side.
+    *
+    * Both LMs are Laplace-smoothed over the shared observed-bigram
+    * vocabulary (so target-unseen bigrams penalize rather than crash),
+    * and both are alphabet²-bounded — the LM table broadcasts no matter
+    * the corpus size (p26's bound). The only corpus-scale work is the
+    * single ×L bigram explode, persisted so the LM aggregation and the
+    * scoring join consume one pass. The accept decision compares two
+    * INTEGERS (quantized sigmoid weight vs the seeded hash bucket), so
+    * the hash-sensitive output carries no float boundary.
+    *
+    * Returns (doc_id, n_trans, lnr_q, wq, u_q, accept).
+    */
+  def dsirSelect(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      seed: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = Release.afterFirstUse(docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+        explode(org.apache.spark.sql.graftexpr.VectorExprs.charBigrams(col(textCol))).as("b")))
+    // JOINT bigram likelihoods (not per-head conditionals): the
+    // importance ratio of conditional LMs cancels the head marginal and
+    // loses exactly the domain signal selection needs, so each LM is the
+    // Laplace-smoothed joint p(b) = (c+1)/(T+V) over the shared
+    // vocabulary. The global-total window runs on the alphabet²-bounded
+    // vocabulary table — never the corpus.
+    val wg = Window.partitionBy()
+    val lm = bg.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_s"),
+        sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("c_t"))
+      .withColumn("t_s", sum(col("c_s")).over(wg))
+      .withColumn("t_t", sum(col("c_t")).over(wg))
+      .withColumn("v", count(lit(1)).over(wg))
+      .select(col("b"),
+        (log((col("c_t") + 1).cast("double") / (col("t_t") + col("v")))
+          - log((col("c_s") + 1).cast("double") / (col("t_s") + col("v")))).as("lnr"))
+    val sig = exp(col("lnr_avg")) / (exp(col("lnr_avg")) + 1)
+    bg.join(broadcast(lm), "b")
+      .groupBy(col("doc_id"))
+      .agg((sum(col("lnr")) / count(lit(1))).as("lnr_avg"),
+        count(lit(1)).as("n_trans"))
+      .select(col("doc_id"), col("n_trans"),
+        floor(col("lnr_avg") * 10000 + 0.5).cast("long").as("lnr_q"),
+        floor(sig * 1000000 + 0.5).cast("long").as("wq"),
+        (polyHash(concat(col("doc_id").cast("string"), lit(seed))) % 1000000L).as("u_q"))
+      .withColumn("accept", col("u_q") < col("wq"))
+  }
+
   /** Distributed BPE merge learning (Sennrich et al. 2016): learn the
     * first `numMerges` byte-pair merges of the corpus, weighted by word
     * frequency. Returns one row per merge step:

@@ -1670,6 +1670,45 @@ object Pipeline {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // ------------------------------------- text: DSIR importance selection
+    // Domain-targeted selection (Xie et al. 2023): target LM = lang='en'
+    // docs, source LM = whole corpus, both Laplace-smoothed char-bigram
+    // models over the shared vocabulary (alphabet²-bounded broadcast);
+    // accept by a seeded-hash draw against the quantized sigmoid of the
+    // average log ratio — an integer-vs-integer decision, reproducible
+    // across engines and cluster sizes.
+    Q("p44_dsir_select", {
+      val u = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-dsir-3'")
+      s"""WITH ch AS (SELECT doc_id, text, lang = 'en' AS tgt, len(text) AS L FROM documents),
+         |ix AS (SELECT doc_id, tgt, text, unnest(range(1, L)) AS i FROM ch),
+         |bg AS (SELECT doc_id, tgt, substring(text, i, 2) AS b FROM ix),
+         |cnt AS (SELECT b, count(*) AS c_s,
+         |               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_t
+         |        FROM bg GROUP BY b),
+         |hh AS (SELECT b, c_s, c_t,
+         |         sum(c_s) OVER () AS t_s,
+         |         sum(c_t) OVER () AS t_t,
+         |         count(*) OVER () AS v
+         |       FROM cnt),
+         |lm AS (SELECT b,
+         |         ln((c_t + 1) / CAST(t_t + v AS DOUBLE))
+         |           - ln((c_s + 1) / CAST(t_s + v AS DOUBLE)) AS lnr
+         |       FROM hh),
+         |sc AS (SELECT doc_id, sum(lnr) / count(*) AS lnr_avg,
+         |              count(*) AS n_trans
+         |       FROM bg JOIN lm USING (b) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_trans AS BIGINT) AS n_trans,
+         |       CAST(floor(lnr_avg * 10000 + 0.5) AS BIGINT) AS lnr_q,
+         |       CAST(floor(exp(lnr_avg) / (exp(lnr_avg) + 1) * 1000000 + 0.5) AS BIGINT) AS wq,
+         |       $u % 1000000 AS u_q,
+         |       ($u % 1000000) < CAST(floor(exp(lnr_avg) / (exp(lnr_avg) + 1) * 1000000 + 0.5) AS BIGINT) AS accept
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      TextOps.dsirSelect(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", seed = "#graft-dsir-3")
+        .orderBy(col("doc_id"))
+    },
+
     // --------------------------------------------- text: BPE merge learning
     // Distributed byte-pair-encoding merge learning (Sennrich et al.
     // 2016): the only corpus-scale pass is the word-count groupBy;

@@ -175,4 +175,48 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       math.abs(g._3 - w._3).toInt should be <= 1
     }
   }
+
+  "TextOps.dsirSelect" should "score target-like docs above the rest and replay the smoothed-LM math" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // target docs draw from {a,b}, source-only docs from {x,y,z}: the
+    // log-ratio separation must be decisive, and smoothing must cover
+    // the target-unseen bigrams without error
+    val docs = (1 to 6).map { i =>
+      val tgt = i <= 3
+      val alpha = if (tgt) "ab" else "xyz"
+      (i.toLong, Seq.fill(30)(alpha(rnd.nextInt(alpha.length))).mkString, tgt)
+    }
+    val out = ops.TextOps.dsirSelect(docs.toDF("doc_id", "text", "tgt"),
+        "doc_id", "text",
+        isTarget = org.apache.spark.sql.functions.col("tgt"), seed = "#edge-dsir")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    val (tgtRows, srcRows) = out.partition(_._1 <= 3)
+    // every target doc must out-score every source-only doc decisively
+    tgtRows.map(_._3).min should be > srcRows.map(_._3).max
+    // sigmoid weights live on the quantized 0..1e6 scale and follow the scores
+    out.foreach { r => r._4 should (be >= 0L and be <= 1000000L) }
+    tgtRows.map(_._4).min should be > srcRows.map(_._4).max
+    // the accept bit is exactly the integer comparison it claims to be
+    out.foreach { r => r._6 shouldBe (r._5 < r._4) }
+
+    // replay the smoothed joint-LM math (bigrams absent from the target
+    // get the Laplace floor, never a crash)
+    val bigrams = docs.flatMap { case (_, t, _) => t.sliding(2).toSeq }
+    val cS = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cT = docs.filter(_._3).flatMap { case (_, t, _) => t.sliding(2).toSeq }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tS = cS.values.sum
+    val tT = cT.values.sum
+    val v = cS.size.toLong
+    docs.foreach { case (id, t, _) =>
+      val lnrs = t.sliding(2).toSeq.map { b =>
+        math.log((cT.getOrElse(b, 0L) + 1).toDouble / (tT + v)) -
+          math.log((cS(b) + 1).toDouble / (tS + v))
+      }
+      val lnrQ = math.floor(lnrs.sum / lnrs.size * 10000 + 0.5).toLong
+      math.abs(out(id.toInt - 1)._3 - lnrQ).toInt should be <= 1
+    }
+  }
 }
