@@ -319,4 +319,38 @@ object TextOps {
     import spark.implicits._
     merges.result().toDF("step", "lhs", "rhs", "merged", "cnt")
   }
+
+  /** BPE encoding: apply an ordered merge list (e.g. [[bpeMerges]]
+    * output, driver-collected — model-sized) to tokenize every document,
+    * returning (doc_id, n_words, n_tokens) with n_tokens the total BPE
+    * token count. The merge chain runs on the DISTINCT-word table
+    * (vocabulary-bounded, like learning); documents then join their
+    * words to the per-word token counts — explode + one broadcast-sized
+    * join + sum, the only corpus-scale work. Same delimiter-wrapped
+    * `replace` rewrite as learning, so greedy application semantics are
+    * engine-identical.
+    */
+  def bpeEncode(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+    val encoded = merges.foldLeft(
+        words.select(col("word"), regexp_replace(col("word"), "(.)", "|$1|").as("state"))) {
+      case (df, (l, r)) =>
+        df.select(col("word"),
+          replace(col("state"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")).as("state"))
+    }.select(col("word"),
+      size(split(trim(col("state"), "|"), "\\|\\|")).cast("long").as("n_sub"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(encoded), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tokens"))
+  }
 }

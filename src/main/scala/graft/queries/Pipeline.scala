@@ -1744,6 +1744,48 @@ object Pipeline {
     }) { (s, dir) =>
       TextOps.bpeMerges(t(s, dir, "documents"), "text", BpeSteps)
         .orderBy(col("step"))
+    },
+
+    // ------------------------------------------------- text: BPE encoding
+    // The second half of the BPE story: apply p42's learned merges to
+    // tokenize the corpus. The merge chain rewrites the DISTINCT-word
+    // table (vocabulary-bounded); documents join their words to the
+    // per-word token counts — explode + broadcast join + sum is the only
+    // corpus-scale work, so encoding is one pass no matter how many
+    // merges were learned.
+    Q("p45_txt_bpe_encode", {
+      val steps = (1 to BpeSteps).map { k =>
+        s"""p$k AS (SELECT l, r, sum(freq) AS cnt FROM (
+           |   SELECT freq,
+           |          unnest(list_slice(toks, 1, len(toks) - 1)) AS l,
+           |          unnest(list_slice(toks, 2, len(toks))) AS r
+           |   FROM (SELECT freq, string_split(trim(state, '|'), '||') AS toks FROM v${k - 1})
+           | ) GROUP BY l, r),
+           |b$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+           |v$k AS (SELECT word, replace(state, '|' || b.l || '||' || b.r || '|',
+           |                             '|' || b.l || b.r || '|') AS state, freq
+           |        FROM v${k - 1} CROSS JOIN b$k b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v0 AS (
+         |  SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS state,
+         |         CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY word),
+         |$steps,
+         |enc AS (SELECT word, len(string_split(trim(state, '|'), '||')) AS n_sub FROM v${BpeSteps})
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_sub) AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+         |JOIN enc USING (word)
+         |WHERE length(word) > 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.bpeMerges(docs, "text", BpeSteps)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
     }
   )
 

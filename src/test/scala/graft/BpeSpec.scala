@@ -75,4 +75,35 @@ class BpeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   it should "handle a corpus of single-character words (no pairs at all)" in {
     runBpe(Seq("a b c", "a a b"), 3) shouldBe empty
   }
+
+  "bpeEncode" should "tokenize with the greedy merge semantics of the reference replay" in {
+    val corpus = Seq("aaab aaab banana", "banana banana band", "aaab and band and")
+    val merges = referenceBpe(corpus, 4).map(m => (m._2, m._3))
+    val df = spark.createDataFrame(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(df, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // reference: greedily apply the merges per word, in order
+    def enc(word: String): Long = {
+      var toks = word.map(_.toString).toList
+      for ((l, r) <- merges) {
+        def go(ts: List[String]): List[String] = ts match {
+          case a :: b :: rest if a == l && b == r => (l + r) :: go(rest)
+          case a :: rest => a :: go(rest)
+          case Nil => Nil
+        }
+        toks = go(toks)
+      }
+      toks.size.toLong
+    }
+    val want = corpus.zipWithIndex.map { case (t, i) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      (i.toLong, ws.length.toLong, ws.map(enc).sum)
+    }
+    got.toSeq shouldBe want
+    // merging must never increase the token count below 1/word
+    got.foreach { case (_, nw, nt) => nt should be >= nw }
+  }
 }
