@@ -83,6 +83,40 @@ class SimilarityOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     }
   }
 
+  "semDedup" should "handle planted exact-duplicate chains (random vectors)" in {
+    val rnd = new scala.util.Random(83)
+    val base = (0 until 60).map { i =>
+      (i.toLong * 3, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    // plant exact duplicates of every 5th vector at two higher ids —
+    // all three share a cluster (identical vectors assign identically),
+    // and both copies must point dup_of at the FIRST id
+    val dups = base.filter(_._1 % 15 == 0).flatMap { case (id, v) =>
+      Seq((id + 1, v.clone()), (id + 2, v.clone()))
+    }
+    val rows = (base ++ dups).sortBy(_._1)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v.toSeq)
+      }, 3),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    val out = SimilarityOps.semDedup(df, tau = 0.999999, numCentroids = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)).toMap
+    dups.foreach { case (id, _) =>
+      val anchor = (id / 15) * 15
+      withClue(s"dup $id: ") { out(id) shouldBe Some(anchor) }
+    }
+    // anchors themselves survive (cosine 1.0 only to HIGHER ids)
+    base.filter(_._1 % 15 == 0).foreach { case (id, _) =>
+      withClue(s"anchor $id: ") { out(id) shouldBe None }
+    }
+  }
+
   "pqTopK" should "match a driver-side replay of encode + ADC ranking" in {
     val m = 8; val ks = 16; val k = 5
     val got = SimilarityOps.pqTopK(emb, emb.filter(col("vec_id") < 10), k = k)
