@@ -155,6 +155,19 @@ class SimilarityOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     }
   }
 
+  it should "plug a Lloyd-trained codebook into semDedup unchanged" in {
+    val trained = SimilarityOps.lloydCentroids(emb, numCentroids = 8, iters = 2)
+    val out = SimilarityOps.semDedup(emb, tau = 0.95, centroids = Some(trained))
+    out.count() shouldBe emb.count()
+    // keep rule invariants hold under ANY quantizer: dup_of is a strictly
+    // lower id, and kept <=> no dup_of
+    out.collect().foreach { r =>
+      val dupOf = Option(r.getAs[java.lang.Long]("dup_of"))
+      r.getAs[Boolean]("kept") shouldBe dupOf.isEmpty
+      dupOf.foreach(_.toLong should be < r.getAs[Long]("vec_id"))
+    }
+  }
+
   it should "plug into ivfTopK behind the same interface" in {
     val trained = SimilarityOps.lloydCentroids(emb, numCentroids = 8, iters = 2)
     val res = SimilarityOps.ivfTopK(
