@@ -1746,6 +1746,49 @@ object Pipeline {
         .orderBy(col("step"))
     },
 
+    // --------------------------------------------- text: n-gram novelty
+    // First-occurrence attribution: a doc's novelty is the fraction of
+    // its 3-gram shingles whose FIRST owner (min doc_id) is the doc
+    // itself — the dedup-aware curation signal for "how much new text
+    // does this doc contribute". One shuffle keyed on the shingle hash
+    // (owner table), one join back; all outputs are integers/booleans so
+    // there is no float boundary anywhere. Empty-shingle docs (< 3
+    // tokens) keep a row via the left join and count as trivially novel.
+    Q("p46_txt_novelty", {
+      val sh = DedupOps.shingleHashesSql("toks", 3)
+      s"""WITH sh0 AS (SELECT doc_id, $sh AS sh
+         |             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |e AS (SELECT doc_id, unnest(sh) AS h FROM sh0),
+         |own AS (SELECT h, min(doc_id) AS first_doc FROM e GROUP BY h),
+         |agg AS (SELECT e.doc_id, count(*) AS n_shingles,
+         |               sum(CASE WHEN o.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+         |        FROM e JOIN own o USING (h) GROUP BY e.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |       CAST(coalesce(a.n_novel, 0) AS BIGINT) AS n_novel,
+         |       coalesce(a.n_novel, 0) * 2 >= coalesce(a.n_shingles, 0) AS mostly_novel
+         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // the exploded shingle table feeds both the owner aggregation and
+      // the attribution join — persist for the query, auto-release after
+      val sh = graft.ops.Release.afterFirstUse(docs
+        .select(col("doc_id"), explode(DedupOps.shingleHashes(col("text"), 3)).as("h")))
+      val own = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      val agg = sh.join(own, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      docs.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          (coalesce(col("n_novel"), lit(0L)) * 2 >= coalesce(col("n_shingles"), lit(0L)))
+            .as("mostly_novel"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------------------------------- text: BPE encoding
     // The second half of the BPE story: apply p42's learned merges to
     // tokenize the corpus. The merge chain rewrites the DISTINCT-word
