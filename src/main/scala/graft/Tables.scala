@@ -33,21 +33,22 @@ object Tables {
     *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
     *     TIMESTAMP_NTZ, on which unix_micros/window arithmetic is
     *     illegal. The driver's DuckDB oracle reads the same column
-    *     naively (epoch_us = raw micros), so reinterpreting the local
-    *     datetime in UTC preserves the stored micros bit-for-bit. The
-    *     session timezone is pinned to UTC here because the NTZ→TZ cast
-    *     resolves against it.
+    *     naively (epoch_us = raw micros), so the stored micros must be
+    *     preserved bit-for-bit regardless of the session timezone: an
+    *     NTZ-to-NTZ timestampdiff against the epoch literal recovers
+    *     them without consulting (or mutating) session state — a plain
+    *     NTZ→TZ cast would resolve against the ambient timezone.
     *   - TIMESTAMP(MICROS, UTC) (e.g. a Spark-written ScaleGen copy):
     *     already TimestampType — pass through untouched.
     */
   def normalizeTs(spark: SparkSession, df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df.withColumn("ts", col("ts").cast(TimestampType))
+        df.withColumn("ts", timestamp_micros(
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
       case _ => df
     }
   }

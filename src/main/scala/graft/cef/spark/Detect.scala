@@ -36,10 +36,11 @@ object Detect {
     val tsExpr = df.schema(tsCol).dataType.typeName match {
       case "timestamp" => unix_micros(col(tsCol))
       // TIMESTAMP_NTZ (e.g. parquet micros with isAdjustedToUTC=false):
-      // unix_micros rejects it; reinterpret the local datetime via the
-      // session timezone (UTC everywhere in this project) first
+      // unix_micros rejects it, and an NTZ→TZ cast would resolve against
+      // the ambient session timezone; an NTZ-to-NTZ timestampdiff against
+      // the epoch literal recovers the stored micros unconditionally
       case "timestamp_ntz" =>
-        unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `$tsCol`)")
       case _ => col(tsCol).cast("long")
     }
     val numMap =

@@ -298,6 +298,11 @@ object SimilarityOps {
     * sub-distances in subspace order (sorted struct array), never
     * through an order-sensitive SUM, so the result is bit-reproducible
     * across engines and partitionings.
+    *
+    * When the embedding length is not divisible by m, the LAST subspace
+    * absorbs the `dim % m` remainder dimensions (r9 advice: silently
+    * dropping trailing dims loses signal on both engines at once, which
+    * the oracle cannot catch) — the oracle mirrors the same geometry.
     */
   def pqTopK(
       corpus: DataFrame,
@@ -305,10 +310,13 @@ object SimilarityOps {
       k: Int,
       m: Int = PqM,
       ks: Int = PqKs): DataFrame = {
-    val dsub = (size(col("embedding")) / m).cast("int")
+    val dim = size(col("embedding"))
+    val dsub = (dim / m).cast("int")
     val subs = explode(sequence(lit(0), lit(m - 1))).as("sub")
+    // last subspace takes dsub + dim % m dims so no dimension is dropped
     def subVec(as: String) =
-      slice(col("embedding"), col("sub") * dsub + 1, dsub).as(as)
+      slice(col("embedding"), col("sub") * dsub + 1,
+        when(col("sub") === lit(m - 1), dim - dsub * (m - 1)).otherwise(dsub)).as(as)
     val w = Window.orderBy(col("vec_id"))
     val cent = broadcast(
       corpus.orderBy(col("vec_id")).limit(ks)

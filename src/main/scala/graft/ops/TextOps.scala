@@ -272,45 +272,38 @@ object TextOps {
     * `replace(state, "|l||r|", "|lr|")`, which is EXACTLY greedy BPE
     * merge application ("aaa" under (a,a) → [aa, a]) — and `replace` has
     * identical semantics in Spark and DuckDB, so the oracle can replay
-    * the whole recursion with the same one-liner. Symbols are drawn from
-    * word characters (never `|`), so the encoding is unambiguous.
+    * the whole recursion with the same one-liner. A corpus word that
+    * CONTAINS the delimiter would make the state string ambiguous
+    * (`|a||b|` from "a b" vs "a|b"), so delimiter-containing words are
+    * excluded from the vocabulary up front — the filter is part of the
+    * operator contract and is mirrored verbatim in the oracle.
+    *
+    * Launch-cost caveat at real vocabulary scale: the merge loop issues
+    * ONE Spark job per merge (the 1-row argmax collect). At this
+    * surface's numMerges (tens) that is noise; at a production 50k-merge
+    * vocabulary it is 50k sequential job launches (~100 ms each → hours
+    * of pure scheduling). The batched variant — compute the pair-count
+    * table ONCE per round, take the top-k NON-OVERLAPPING pairs (no
+    * shared symbol between any two, so applications commute), apply all
+    * k in one rewrite — cuts launches by ~k with byte-identical results,
+    * because non-overlapping merges cannot interact within a word state.
+    * Per-step state stays vocabulary-bounded either way.
     */
   def bpeMerges(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String,
       numMerges: Int): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
-    // corpus-scale pass: word frequencies, then wrap each char as |c|
-    var words = docs
-      .select(explode(split(col(textCol), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("word"), "(.)", "|$1|").as("state"), col("freq"))
-      .localCheckpoint(true)
+    var words = bpeWordStates(docs, textCol).localCheckpoint(true)
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (step <- 1 to numMerges) {
-      val toks = split(trim(col("state"), "|"), "\\|\\|")
-      val npairs = greatest(size(toks) - 1, lit(0))
-      val best = words
-        .select(col("freq"),
-          explode(arrays_zip(
-            slice(toks, lit(1), npairs).as("l"),
-            slice(toks, lit(2), npairs).as("r"))).as("pr"))
-        .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-        .limit(1)
-        .collect()
+      val best = bpeBestPair(words).collect()
       if (best.nonEmpty) {
         val l = best(0).getString(0)
         val r = best(0).getString(1)
         val c = best(0).getLong(2)
         merges += ((step.toLong, l, r, l + r, c))
-        val next = words
-          .select(replace(col("state"),
-            lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")).as("state"),
-            col("freq"))
-          .localCheckpoint(true)
+        val next = bpeApplyMerge(words, l, r).localCheckpoint(true)
         org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
         words = next
       }
@@ -320,6 +313,50 @@ object TextOps {
     merges.result().toDF("step", "lhs", "rhs", "merged", "cnt")
   }
 
+  /** The single corpus-scale pass of [[bpeMerges]]: word frequencies,
+    * each word's chars wrapped as `|c|`. Everything downstream of this
+    * (the merge loop) runs on its vocabulary-bounded output — factored
+    * out so PlanSpec can pin that shape.
+    */
+  private[graft] def bpeWordStates(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains("|"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", "|$1|").as("state"), col("freq"))
+
+  /** One merge step's argmax: frequency-weighted adjacent-pair counts
+    * over the (state, freq) word table, (cnt DESC, lhs, rhs) tie-break,
+    * limit 1 — the per-step collect is always exactly one row.
+    */
+  private[graft] def bpeBestPair(
+      words: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = split(trim(col("state"), "|"), "\\|\\|")
+    val npairs = greatest(size(toks) - 1, lit(0))
+    words
+      .select(col("freq"),
+        explode(arrays_zip(
+          slice(toks, lit(1), npairs).as("l"),
+          slice(toks, lit(2), npairs).as("r"))).as("pr"))
+      .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+      .limit(1)
+  }
+
+  /** One merge step's rewrite: greedy left-to-right application of
+    * (l, r) via the delimiter-wrapped replace — map-only, no shuffle.
+    */
+  private[graft] def bpeApplyMerge(
+      words: org.apache.spark.sql.DataFrame,
+      l: String, r: String): org.apache.spark.sql.DataFrame =
+    words.select(
+      replace(col("state"),
+        lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")).as("state"),
+      col("freq"))
+
   /** BPE encoding: apply an ordered merge list (e.g. [[bpeMerges]]
     * output, driver-collected — model-sized) to tokenize every document,
     * returning (doc_id, n_words, n_tokens) with n_tokens the total BPE
@@ -328,7 +365,9 @@ object TextOps {
     * words to the per-word token counts — explode + one broadcast-sized
     * join + sum, the only corpus-scale work. Same delimiter-wrapped
     * `replace` rewrite as learning, so greedy application semantics are
-    * engine-identical.
+    * engine-identical — including the same exclusion of
+    * delimiter-containing words from the vocabulary (they drop out of
+    * the tokenization via the inner join, exactly as in learning).
     */
   def bpeEncode(
       docs: org.apache.spark.sql.DataFrame,
@@ -337,7 +376,7 @@ object TextOps {
       merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val words = docs
       .select(explode(split(col(textCol), " ")).as("word"))
-      .filter(length(col("word")) > 0)
+      .filter(length(col("word")) > 0 && !col("word").contains("|"))
       .distinct()
     val encoded = merges.foldLeft(
         words.select(col("word"), regexp_replace(col("word"), "(.)", "|$1|").as("state"))) {

@@ -1628,8 +1628,11 @@ object Pipeline {
     Q("p43_sim_pq_topk", {
       val m = SimilarityOps.PqM
       val ks = SimilarityOps.PqKs
+      // mirrors pqTopK's geometry: the last subspace absorbs len % m dims
       def subSlice(emb: String) =
-        s"list_slice($emb, sub * (len($emb) // $m) + 1, (sub + 1) * (len($emb) // $m))"
+        s"""list_slice($emb, sub * (len($emb) // $m) + 1,
+           |  CASE WHEN sub = ${m - 1} THEN len($emb)
+           |       ELSE (sub + 1) * (len($emb) // $m) END)""".stripMargin
       val l2VC = SimilarityOps.l2sqSql("v.v_sub", "c.c_sub")
       val l2QC = SimilarityOps.l2sqSql("q.q_sub", "c.c_sub")
       s"""WITH s AS (SELECT unnest(range($m)) AS sub),
@@ -1738,7 +1741,7 @@ object Pipeline {
          |  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS state,
          |         CAST(count(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE length(word) > 0 GROUP BY word),
+         |  WHERE length(word) > 0 AND NOT contains(word, '|') GROUP BY word),
          |$steps
          |SELECT * FROM ($out) ORDER BY step""".stripMargin
     }) { (s, dir) =>
@@ -1813,7 +1816,7 @@ object Pipeline {
          |  SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS state,
          |         CAST(count(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE length(word) > 0 GROUP BY word),
+         |  WHERE length(word) > 0 AND NOT contains(word, '|') GROUP BY word),
          |$steps,
          |enc AS (SELECT word, len(string_split(trim(state, '|'), '||')) AS n_sub FROM v${BpeSteps})
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,

@@ -76,6 +76,30 @@ class BpeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     runBpe(Seq("a b c", "a a b"), 3) shouldBe empty
   }
 
+  it should "exclude delimiter-containing words from the vocabulary" in {
+    // 'a|b' would make the delimiter-wrapped state ambiguous ('|a||b|'
+    // could mean [a, b] or the raw word); the contract excludes such
+    // words up front, so learning must equal the reference run on the
+    // corpus WITH those words removed — and the '|' words must not leak
+    // pair counts (here 'x|x' repeated would otherwise dominate (x,x))
+    val corpus = Seq("x|x x|x x|x x|x aaab banana", "banana band a|b", "aaab and band")
+    val cleaned = corpus.map(_.split(" ").filterNot(_.contains("|")).mkString(" "))
+    runBpe(corpus, 5) shouldBe referenceBpe(cleaned, 5)
+  }
+
+  it should "drop delimiter-containing words from encoding counts" in {
+    val corpus = Seq("aa bb a|b", "aa aa cc")
+    val merges = Seq(("a", "a"))
+    val df = spark.createDataFrame(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(df, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 0: 'a|b' excluded → 2 words, tokens: aa→1 (merged), bb→2
+    // doc 1: 3 words, tokens: 1 + 1 + 2
+    got.toSeq shouldBe Seq((0L, 2L, 3L), (1L, 3L, 4L))
+  }
+
   "bpeEncode" should "tokenize with the greedy merge semantics of the reference replay" in {
     val corpus = Seq("aaab aaab banana", "banana banana band", "aaab and band and")
     val merges = referenceBpe(corpus, 4).map(m => (m._2, m._3))

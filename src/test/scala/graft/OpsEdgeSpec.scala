@@ -219,4 +219,26 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       math.abs(out(id.toInt - 1)._3 - lnrQ).toInt should be <= 1
     }
   }
+
+  "TextOps.bpeMerges" should "stay vocabulary-bounded at numMerges=64 and stop when pairs run dry" in {
+    // r9 verdict #8: the merge loop launches one job per merge, but each
+    // step's state is the DISTINCT-WORD table, never the corpus. 64
+    // requested merges over a corpus whose total pair inventory is far
+    // smaller must (a) terminate, (b) emit at most one merge per step
+    // with strictly apply-able pairs, (c) produce a final tokenization
+    // reachable by ≤ |unique chars in longest word| merges per word —
+    // i.e. the loop is bounded by the vocabulary, not the request.
+    import spark.implicits._
+    val corpus = Seq("abab abab cdcd", "abab cdcd cdcd", "ab cd abab")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = graft.ops.TextOps.bpeMerges(df, "text", 64).collect()
+    // vocabulary has 4 distinct chars and max word length 4 → the merge
+    // inventory exhausts long before 64 steps
+    merges.length should be < 64
+    merges.length should be >= 2 // (a,b) and (c,d) at minimum
+    // every emitted merge must have been a real pair with positive count
+    merges.foreach(r => r.getLong(4) should be > 0L)
+    // steps are consecutive from 1 (the loop stops cleanly, no gaps)
+    merges.map(_.getLong(0)).toSeq shouldBe (1L to merges.length).toSeq
+  }
 }

@@ -323,4 +323,64 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "BroadcastNestedLoopJoin"
     plan should include ("BroadcastHashJoin")
   }
+
+  "p42's merge loop" should "never touch the corpus after the single word-count pass" in {
+    // bpeMerges' registered result is a driver-built local table, so the
+    // loop's scale shape is pinned on its factored step plans instead:
+    // after bpeWordStates (the one corpus pass) is checkpointed, both
+    // per-step plans must read ONLY the vocabulary-bounded RDD — a
+    // parquet scan appearing in either means the loop re-reads the
+    // corpus every merge.
+    val docs = Tables(spark, sfDir, "documents")
+    val wcPlan = graft.ops.TextOps.bpeWordStates(docs, "text")
+      .queryExecution.executedPlan.toString
+    "parquet".r.findAllIn(wcPlan).size should be >= 1 // the corpus pass itself
+    val words = graft.ops.TextOps.bpeWordStates(docs, "text").localCheckpoint(true)
+    try {
+      val best = graft.ops.TextOps.bpeBestPair(words)
+        .queryExecution.executedPlan.toString
+      best should not include "parquet"
+      best should include("ExistingRDD") // reads the checkpointed vocab only
+      best should include("TakeOrderedAndProject") // the 1-row argmax collect
+      val rewrite = graft.ops.TextOps.bpeApplyMerge(words, "a", "b")
+        .queryExecution.executedPlan.toString
+      rewrite should not include "parquet"
+      rewrite should not include "Exchange" // map-only rewrite, no shuffle
+    } finally org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
+  }
+
+  "p45_txt_bpe_encode" should "join the corpus only through broadcasts (vocab side never shuffles docs)" in {
+    val plan = planOf("p45_txt_bpe_encode")
+    // the merge chain rewrites the distinct-word table; documents meet
+    // it through ONE broadcast equi-join on `word` — a SortMergeJoin
+    // here would shuffle the full corpus explode against the vocabulary
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "p44_dsir_select" should "feed LM build and scoring from ONE persisted explode; LM rides a broadcast" in {
+    val plan = planOf("p44_dsir_select")
+    // the ×L bigram explode is persisted and consumed twice (LM
+    // aggregation + scoring join) — two InMemoryTableScans, not two
+    // corpus explodes; the alphabet²-bounded LM joins back as a
+    // broadcast, never shuffling the corpus against it
+    "InMemoryTableScan".r.findAllIn(plan).size shouldBe 2
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("charbigrams") // the fused kernel feeds the cache
+  }
+
+  "p46_txt_novelty" should "shuffle fingerprints once into a shared table; all joins equi" in {
+    val plan = planOf("p46_txt_novelty")
+    // the exploded shingle table is persisted and feeds BOTH the
+    // first-owner aggregation and the attribution join — re-deriving it
+    // would double the corpus-scale fingerprint work
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include regex "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
+  }
 }

@@ -155,6 +155,38 @@ class SimilarityOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     }
   }
 
+  it should "keep the dim % m remainder dimensions in the last subspace" in {
+    // dim=10, m=4 → dsub=2, the last subspace spans dims 6..9. The first
+    // 8 dims are IDENTICAL across all vectors; only dims 8-9 (the
+    // remainder pair the old geometry silently dropped) carry signal, so
+    // a truncating implementation would see every corpus vector
+    // equidistant and rank by neighbor_id instead of true distance.
+    val m = 4; val ks = 4
+    val base = Array.fill(8)(1.0f)
+    def vec(tail0: Float, tail1: Float) = base ++ Array(tail0, tail1)
+    val rows = Seq(
+      0L -> vec(0f, 0f), 1L -> vec(10f, 10f), 2L -> vec(20f, 20f),
+      3L -> vec(30f, 30f), 4L -> vec(29.5f, 29.5f), 5L -> vec(29f, 29f))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v.toSeq)
+      }, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    val got = SimilarityOps.pqTopK(df, df.filter(col("vec_id") === 4L),
+        k = 2, m = m, ks = ks)
+      .orderBy(col("rnk")).collect()
+      .map(r => r.getAs[Long]("neighbor_id"))
+    // Centroids = vecs 0..3 (seed rule); query 4's tail sits next to
+    // centroid 3's, and vecs 3 and 5 both encode to c3 in the last
+    // subspace, so the ADC ranking is (3, 5). A truncating geometry sees
+    // every distance as 0 and ranks (0, 1) by id — the test fails loudly.
+    got.toSeq shouldBe Seq(3L, 5L)
+  }
+
   it should "plug a Lloyd-trained codebook into semDedup unchanged" in {
     val trained = SimilarityOps.lloydCentroids(emb, numCentroids = 8, iters = 2)
     val out = SimilarityOps.semDedup(emb, tau = 0.95, centroids = Some(trained))

@@ -69,16 +69,19 @@ class TsEncodingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     micros(tz) shouldBe Seq(MicrosA)
   }
 
-  it should "normalize even when the session timezone starts non-UTC" in {
+  it should "normalize under a non-UTC session without mutating session state" in {
     // fixture written under UTC (driver files store naive-UTC micros);
-    // the READING session starts skewed — normalizeTs must pin it back
+    // the READING session is skewed — normalizeTs must recover the stored
+    // micros via tz-independent arithmetic, and must NOT silently override
+    // a caller-set session timezone (r9 advice: reading a table should
+    // never have session-wide side effects)
     val ntz = writeRead(spark.range(1).select(
       timestamp_micros(lit(MicrosA)).cast(TimestampNTZType).as("ts")))
     val prev = spark.conf.get("spark.sql.session.timeZone")
     try {
       spark.conf.set("spark.sql.session.timeZone", "America/New_York")
       micros(ntz) shouldBe Seq(MicrosA)
-      spark.conf.get("spark.sql.session.timeZone") shouldBe "UTC"
+      spark.conf.get("spark.sql.session.timeZone") shouldBe "America/New_York"
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
@@ -95,5 +98,20 @@ class TsEncodingSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       ev.length shouldBe 1
       ev.head.timestamp shouldBe MicrosA
     }
+  }
+
+  it should "decode an NTZ ts column identically under a skewed session timezone" in {
+    import spark.implicits._
+    // fixture built tz-independently (a TZ→NTZ cast would itself resolve
+    // against the skewed session at execution time)
+    val df = Seq((1L, "a", "k")).toDF("event_id", "event_type", "user_id")
+      .withColumn("ts",
+        expr(s"timestampadd(MICROSECOND, ${MicrosA}L, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      val ev = Detect.toEvents(df, "event_id", "event_type", "ts", "user_id").collect()
+      ev.head.timestamp shouldBe MicrosA
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 }
