@@ -1832,6 +1832,65 @@ object Pipeline {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextOps.bpeEncode(docs, "doc_id", "text", merges)
         .orderBy(col("doc_id"))
+    },
+
+    // -------------------------- dedup: SemDeDup with a TRAINED quantizer
+    // p41 runs semDedup over the deterministic seed codebook; this is the
+    // production path: 2 Lloyd rounds train the coarse quantizer, then
+    // the SAME semDedup plumbing consumes it unchanged (the swap claim
+    // pinned in SimilarityOpsSpec, now driver-oracled). Lloyd is
+    // deterministic from the seeded init, so the oracle replays both
+    // rounds unrolled: argmax-cosine assignment → per-(cluster, pos)
+    // mean → empty cells keep their previous centroid. All output
+    // columns are integers/booleans; the centroid means are float64 in
+    // both engines and only steer integer decisions through comparisons.
+    Q("p47_sim_semdedup_lloyd", {
+      val k = SimilarityOps.IvfK
+      val cosEC = cosineSql("e.embedding", "c.c_emb")
+      val cosAB = cosineSql("ea.embedding", "eb.embedding")
+      def iter(i: Int) = {
+        val prev = s"c${i - 1}"
+        s"""a$i AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT e.vec_id, c.c_id AS cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.c_id) AS rnk
+           |    FROM embeddings e CROSS JOIN $prev c) WHERE rnk = 1),
+           |m$i AS (
+           |  SELECT cluster, pos, avg(v) AS mv FROM (
+           |    SELECT a.cluster, generate_subscripts(e.embedding, 1) AS pos,
+           |           unnest(e.embedding) AS v
+           |    FROM a$i a JOIN embeddings e USING (vec_id))
+           |  GROUP BY cluster, pos),
+           |c$i AS (
+           |  SELECT p.c_id, coalesce(m.l, p.c_emb) AS c_emb
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT cluster, list(mv ORDER BY pos) AS l FROM m$i GROUP BY cluster) m
+           |  ON m.cluster = p.c_id)""".stripMargin
+      }
+      s"""WITH c0 AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |            FROM embeddings ORDER BY vec_id LIMIT $k),
+         |${iter(1)},
+         |${iter(2)},
+         |asg AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c.c_id AS cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.c_id) AS rnk
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rnk = 1),
+         |d AS (
+         |  SELECT a.vec_id, min(b.vec_id) AS dup_of
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE $cosAB >= 0.95
+         |  GROUP BY a.vec_id)
+         |SELECT asg.vec_id, asg.cluster, d.dup_of, d.dup_of IS NULL AS kept
+         |FROM asg LEFT JOIN d ON d.vec_id = asg.vec_id
+         |ORDER BY asg.vec_id""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cent = SimilarityOps.lloydCentroids(e, numCentroids = SimilarityOps.IvfK, iters = 2)
+      SimilarityOps.semDedup(e, tau = 0.95, centroids = Some(cent))
+        .orderBy(col("vec_id"))
     }
   )
 
