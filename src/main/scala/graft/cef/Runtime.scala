@@ -110,44 +110,9 @@ final class MatchRun(
   private var counter: Long = 0L
   private var evicted: Long = 0L
 
-  /** states from which some final state is reachable */
-  private val coReachable: Set[Int] = nfa.coReachable
-
-  /** One prepared transition: dead destinations and ε (guard = None never
-    * fires on an event) dropped at build time; `cacheSlot` ≥ 0 marks a
-    * register-FREE guard whose truth is event-only and therefore computed
-    * at most once per event in `guardVals` instead of once per thread (the
-    * dominant cost on high-overlap windowed patterns — thread counts grow
-    * with overlap, the distinct guard count does not). The memo fills
-    * LAZILY on first use per event: a guard no live thread reaches is
-    * never evaluated, so an event lacking an attribute referenced
-    * elsewhere in the pattern keeps the old lazy-evaluation behavior.
-    */
-  private final class PTrans(
-      val t: NTrans, val cacheSlot: Int, val isFinal: Boolean)
-
-  private val cachedGuards = {
-    val b = scala.collection.mutable.ArrayBuffer.empty[Sentence]
-    val idx = scala.collection.mutable.HashMap.empty[Sentence, Int]
-    (b, idx)
-  }
-  private val byState: Array[Array[PTrans]] = {
-    val maxState = (nfa.states + nfa.start).max
-    val a = Array.fill(maxState + 1)(Array.empty[PTrans])
-    nfa.bySrc.foreach { case (src, ts) =>
-      a(src) = ts.collect {
-        case t if t.guard.isDefined && coReachable.contains(t.dst) =>
-          val slot = t.guard.get match {
-            case g if g.registersRead.isEmpty =>
-              cachedGuards._2.getOrElseUpdate(g, { cachedGuards._1 += g; cachedGuards._1.length - 1 })
-            case _ => -1
-          }
-          new PTrans(t, slot, nfa.finals.contains(t.dst))
-      }.toArray
-    }
-    a
-  }
-  private val guardArr: Array[Sentence] = cachedGuards._1.toArray
+  private val prep = new PreparedTrans(cp)
+  private def byState = prep.byState
+  private val guardArr: Array[Sentence] = prep.guardArr
   private val guardVals: Array[Boolean] = new Array[Boolean](guardArr.length)
   private val guardStamp: Array[Long] = Array.fill(guardArr.length)(-1L)
   private var stamp = 0L // monotone per-step memo stamp (never rewound)
@@ -277,3 +242,193 @@ final case class ThreadState(
     state: Int, ids: Seq[Long], counters: Seq[Long], tss: Seq[Long],
     valuation: Map[String, CEvent] = Map.empty)
 final case class MatchRunState(counter: Long, threads: Seq[ThreadState])
+
+/** Prepared ε-free transition table shared by [[MatchRun]] and [[MonoRun]]:
+  * dead destinations (states from which no final state is reachable) and ε
+  * arcs (guard = None never fires on an event) are dropped at build time,
+  * final flags precomputed.
+  *
+  * `cacheSlot` ≥ 0 marks a register-FREE guard whose truth is event-only
+  * and therefore computed at most once per event in the owning run's memo
+  * instead of once per thread (the dominant cost on high-overlap windowed
+  * patterns — thread counts grow with overlap, the distinct guard count
+  * does not). The memo fills LAZILY on first use per event: a guard no
+  * live thread reaches is never evaluated, so an event lacking an
+  * attribute referenced elsewhere in the pattern keeps lazy-evaluation
+  * behavior. The memo ARRAYS live in each run (guard truth is per-event,
+  * stamps are per-run) — this class is the immutable, shareable part.
+  */
+private[cef] final class PreparedTrans(cp: CompiledPattern) extends Serializable {
+  import PreparedTrans.PTrans
+  private val nfa = cp.snfa
+  private val cachedGuards = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[Sentence]
+    val idx = scala.collection.mutable.HashMap.empty[Sentence, Int]
+    (b, idx)
+  }
+  val byState: Array[Array[PTrans]] = {
+    val coReachable = nfa.coReachable
+    val maxState = (nfa.states + nfa.start).max
+    val a = Array.fill(maxState + 1)(Array.empty[PTrans])
+    nfa.bySrc.foreach { case (src, ts) =>
+      a(src) = ts.collect {
+        case t if t.guard.isDefined && coReachable.contains(t.dst) =>
+          val slot = t.guard.get match {
+            case g if g.registersRead.isEmpty =>
+              cachedGuards._2.getOrElseUpdate(g, { cachedGuards._1 += g; cachedGuards._1.length - 1 })
+            case _ => -1
+          }
+          new PTrans(t, slot, nfa.finals.contains(t.dst))
+      }.toArray
+    }
+    a
+  }
+  val guardArr: Array[Sentence] = cachedGuards._1.toArray
+}
+
+private[cef] object PreparedTrans {
+  final class PTrans(
+      val t: NTrans, val cacheSlot: Int, val isFinal: Boolean) extends Serializable
+}
+
+/** Registry-free mono-run: the reference's optimized single-pattern,
+  * no-partition recognition loop (engine/ERFOptEngine.scala:91-287 —
+  * "Each run is no longer represented as a separate object of the Run
+  * class. Instead, all runs are represented as simple lists of state IDs
+  * and matches"), re-expressed over the same prepared SNFA table the
+  * pooled [[MatchRun]] uses.
+  *
+  * The optimization this adds over [[MatchRun]] is the reference's
+  * `updateActiveStates` memo (MonoRunSNFA.scala): runs are BUCKETED BY
+  * STATE, so each active state's outgoing transitions are resolved against
+  * the event ONCE for every run parked at that state, instead of once per
+  * run. Eligibility is the SNFA regime the reference's mono-run covers:
+  * register-free patterns (guards event-only — exactly the guards the
+  * cacheSlot memo covers); [[MonoRun.eligible]] gates it and
+  * `Detect.matchesMono` falls back to a single pooled run otherwise.
+  *
+  * Semantics are IDENTICAL to [[MatchRun]] on a single key (MonoRunSpec
+  * fuzzes the equivalence): same fresh-thread seeding per event (OVERLAP
+  * count policy), same (state, taken-ids) dedup, same window pruning and
+  * population cap. `resetOnMatch` mirrors the reference engine's `reset`
+  * flag (ERFOptEngine.scala:29 — runs reset to start after a full match);
+  * it is OFF by default because the pooled engine has no such mode.
+  */
+final class MonoRun(
+    cp: CompiledPattern,
+    maxThreads: Int = MatchRun.DefaultMaxThreads,
+    resetOnMatch: Boolean = false) extends Serializable {
+  require(MonoRun.eligible(cp),
+    "MonoRun covers register-free patterns (the reference mono-run's SNFA regime); " +
+      "use MatchRun / Detect.matches for SREMO register patterns")
+  import PreparedTrans.PTrans
+
+  private val prep = new PreparedTrans(cp)
+  private val start = cp.snfa.start
+  private val guardVals: Array[Boolean] = new Array[Boolean](prep.guardArr.length)
+  private val guardStamp: Array[Long] = Array.fill(prep.guardArr.length)(-1L)
+  private var stamp = 0L
+  private var counter = 0L
+  private var evicted = 0L
+  // flat run list, bucketed by current state (insertion-ordered buckets)
+  private var threads: mutable.LinkedHashMap[Int, List[MatchRun.Thread]] =
+    mutable.LinkedHashMap.empty
+
+  def activeThreads: Int = threads.valuesIterator.map(_.size).sum
+  def evictedThreads: Long = evicted
+  def reset(): Unit = { threads = mutable.LinkedHashMap.empty }
+
+  /** Process one event; returns the matches completed AT this event. */
+  def step(e: CEvent): List[MatchOut] = {
+    if (e.isReset) { reset(); return Nil }
+    counter += 1
+    stamp += 1
+    val out = mutable.ListBuffer[MatchOut]()
+    val seen = mutable.HashSet[(Int, List[Long])]()
+    val next = mutable.LinkedHashMap.empty[Int, mutable.ListBuffer[MatchRun.Thread]]
+    var total = 0
+
+    def processGroup(state: Int, group: List[MatchRun.Thread]): Unit = {
+      val pts = prep.byState(state)
+      if (pts.isEmpty) return
+      // resolve this state's firing transitions ONCE for the whole bucket
+      var fired: List[PTrans] = Nil
+      var i = pts.length - 1
+      while (i >= 0) {
+        val pt = pts(i)
+        val slot = pt.cacheSlot
+        if (guardStamp(slot) != stamp) {
+          guardVals(slot) = prep.guardArr(slot).eval(e); guardStamp(slot) = stamp
+        }
+        if (guardVals(slot)) fired = pt :: fired
+        i -= 1
+      }
+      if (fired.isEmpty) return
+      group.foreach { th =>
+        val windowOk = cp.window == 0L || th.firstCounter == -1L || {
+          val diff = cp.windowKind match {
+            case WindowKind.Count => counter - th.firstCounter
+            case WindowKind.Time  => math.abs(e.timestamp - th.firstTs)
+          }
+          diff < cp.window
+        }
+        if (windowOk) fired.foreach { pt =>
+          val t = pt.t
+          val nt =
+            if (t.take) MatchRun.Thread(t.dst, e.id :: th.ids, counter :: th.counters,
+              e.timestamp :: th.tss, Map.empty,
+              if (th.firstCounter == -1L) counter else th.firstCounter,
+              if (th.firstCounter == -1L) e.timestamp else th.firstTs)
+            else th.copy(state = t.dst)
+          if (seen.add((nt.state, nt.ids))) {
+            next.getOrElseUpdate(nt.state, mutable.ListBuffer.empty) += nt
+            total += 1
+            if (pt.isFinal && nt.ids.nonEmpty)
+              out += MatchOut("", nt.ids.reverse, nt.counters.reverse, nt.tss.last, nt.tss.head)
+          }
+        }
+      }
+    }
+
+    // the fresh empty run seeded at every event (OVERLAP policy), then
+    // every parked bucket
+    processGroup(start, MatchRun.Thread(start, Nil, Nil, Nil, Map.empty, -1L, -1L) :: Nil)
+    threads.foreach { case (s, g) => if (s != start) processGroup(s, g) }
+    // runs parked AT the start state still carry partial matches (ignore
+    // self-loops) — process them after the seed so dedup keeps one copy
+    threads.get(start).foreach(g => processGroup(start, g))
+
+    threads = next.map { case (s, b) => s -> b.toList }
+    if (total > maxThreads) {
+      // same eviction policy as MatchRun's population guard: drop the
+      // OLDEST partial matches first
+      val flat = threads.valuesIterator.flatten.toList
+        .sortBy(t => if (t.firstCounter == -1L) -counter else -t.firstCounter)
+      val kept = flat.take(maxThreads)
+      if (evicted == 0L)
+        System.err.println(
+          s"[graft] MonoRun: thread population exceeded $maxThreads; evicting oldest " +
+            "partial matches (raise maxThreads or add a {window} to the pattern)")
+      evicted += flat.size - maxThreads
+      threads = mutable.LinkedHashMap.empty
+      kept.foreach(t => threads(t.state) = t :: threads.getOrElse(t.state, Nil))
+    }
+    val res = out.toList.distinct
+    if (resetOnMatch && res.nonEmpty) reset()
+    res
+  }
+}
+
+object MonoRun {
+  /** The mono-run regime: every guard event-only, no SREMO registers. */
+  def eligible(cp: CompiledPattern): Boolean =
+    cp.snfa.trans.forall(t =>
+      t.register.isEmpty && t.guard.forall(_.registersRead.isEmpty))
+
+  /** Run a whole (sorted) event iterator through a fresh mono-run. */
+  def run(cp: CompiledPattern, events: Iterator[CEvent],
+      maxThreads: Int = MatchRun.DefaultMaxThreads): Iterator[MatchOut] = {
+    val r = new MonoRun(cp, maxThreads)
+    events.flatMap(r.step)
+  }
+}

@@ -157,6 +157,37 @@ object Detect {
       maxThreads: Int = MatchRun.DefaultMaxThreads): Dataset[MatchOut] =
     perKeyScan(events)(key => new MatchRun(cp, key, maxThreads))((run, e) => run.step(e).iterator)
 
+  /** MonoRun fast path for the reference opt engine's regime
+    * (ERFOptEngine.scala:91-287): a SINGLE pattern with NO partition
+    * attribute. The per-key machinery is pure overhead there, and the
+    * hash repartition a constant key forces ships the whole stream
+    * through one shuffle write + read. This plan instead NARROWS to one
+    * task (`coalesce(1)` — no shuffle files; parent partitions are read
+    * directly) and external-sorts within it, then drives the
+    * registry-free [[MonoRun]] loop, which shares per-state transition
+    * resolution across all runs parked at the same state. Register
+    * (SREMO) patterns fall back to a single pooled [[MatchRun]] on the
+    * same shuffle-free plan.
+    *
+    * Inherently one-task: a global total-order run is sequential in the
+    * reference too (a single-threaded stream listener). At scale, give
+    * the pattern a partition attribute and use [[matches]] — this path
+    * exists for parity with the reference's single-run throughput mode.
+    */
+  def matchesMono(
+      events: Dataset[CEvent],
+      cp: CompiledPattern,
+      maxThreads: Int = MatchRun.DefaultMaxThreads): Dataset[MatchOut] =
+    events.coalesce(1)
+      .sortWithinPartitions(col("timestamp"), col("id"))
+      .mapPartitions { rows =>
+        if (MonoRun.eligible(cp)) MonoRun.run(cp, rows, maxThreads)
+        else {
+          val run = new MatchRun(cp, "", maxThreads)
+          rows.flatMap(run.step)
+        }
+      }
+
   /** Shuffle by key, external-sort by (key, ts, id), stream per-key runs. */
   private def perKeyScan[R, O: Encoder](events: Dataset[CEvent])(
       mkRun: String => R)(stepFn: (R, CEvent) => Iterator[O]): Dataset[O] = {

@@ -1129,13 +1129,17 @@ object Cef {
     // replay checks. Complete mode sidesteps the withheld-final-session
     // problem the same way cef28 does for its tumbling windows (cef40
     // gates watermark/late semantics separately). Session end = last
-    // event + gap (Spark's half-open semantics: an event at exactly
-    // prev_ts + gap starts a NEW session — the oracle's >= breakpoint).
+    // event + gap. Tie semantics: an event at EXACTLY prev_ts + gap
+    // JOINS the session — its [t, t+gap) window touches the session end
+    // and Spark merges touching windows (batch and streaming agree;
+    // StreamFuzzSpec pins this edge) — hence the oracle's STRICT >
+    // breakpoint. Ties cannot occur in the events table's continuous
+    // micros timestamps, but the oracle encodes the true semantics.
     Q("cef42_streaming_sessions",
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
         |x AS (SELECT user_id, tsu,
         |             CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
-        |                       >= 86400000000 THEN 1 ELSE 0 END AS brk
+        |                       > 86400000000 THEN 1 ELSE 0 END AS brk
         |      FROM e),
         |s AS (SELECT user_id, tsu,
         |             sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
@@ -1201,6 +1205,32 @@ object Cef {
         .select(col("user_id"), col("n_seen"), col("n_sample"),
           col("kth_min"), col("est_distinct"))
         .orderBy(col("user_id"))
+    },
+
+    // ---------------- MonoRun fast path driver-checked: the reference
+    // opt engine's regime (ERFOptEngine.scala:91 — single pattern, NO
+    // partition attribute) over the GLOBAL event stream. One
+    // registry-free run on a shuffle-free plan (coalesce + in-task
+    // sort; MonoRunSpec pins no-Exchange and the ≡-pooled-engine fuzz).
+    // Oracle = cef05's windowed pair join with a GLOBAL stream order.
+    Q("cef44_mono_matches",
+      """WITH b AS (
+        |  SELECT event_id, event_type,
+        |         row_number() OVER (ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT a.event_id AS id_a, p.event_id AS id_b
+        |FROM b a JOIN b p ON p.rn > a.rn AND p.rn - a.rn < 10
+        |WHERE a.event_type = 'error' AND p.event_type = 'purchase'
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val global = Detect.toEvents(
+        Tables(s, dir, "events").withColumn("gkey", lit("")),
+        idCol = "event_id", typeCol = "event_type", tsCol = "ts",
+        partitionCol = "gkey", numAttrs = Seq("value"))
+      Detect.matchesMono(global, pSkipAnyWin).toDF()
+        .select(
+          element_at(col("eventIds"), 1).as("id_a"),
+          element_at(col("eventIds"), 2).as("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // ---------------- F3 smart-scan intervals driver-checked: the

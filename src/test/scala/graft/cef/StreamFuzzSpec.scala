@@ -1,0 +1,189 @@
+package graft.cef
+
+import graft.ops.{SketchOps, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.BeforeAndAfterAll
+
+/** Randomized batch-boundary fuzz for the round-9 streaming gates (VERDICT
+  * r9 item 6): cef42's session windows and cef43's cross-batch KMV joined
+  * after the last fuzz campaign, so their merge/fold edges get the same
+  * treatment StreamingSpec gives the automaton runtime — random slice
+  * counts and sizes, random arrival order, streaming must equal batch.
+  *
+  * The adversarial edges targeted here:
+  *   - session merges ACROSS micro-batches: a later-arriving bridging
+  *     event must fuse two sessions already sitting in the session store
+  *     (arrival order is shuffled, so bridges routinely arrive after both
+  *     sides);
+  *   - the half-open gap boundary: increments are drawn with extra mass
+  *     at EXACTLY the gap (an event at prev + gap starts a new session);
+  *   - KMV k-min folds where a batch's candidates straddle the current
+  *     kth minimum, duplicate hashes recur across batches, and some keys
+  *     are seen in only one batch while others fold across many.
+  */
+class StreamFuzzSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .appName("stream-fuzz-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Split xs at random cut points into between 2 and maxChunks slices
+    * (sizes uneven by construction — cuts are uniform positions).
+    */
+  private def randomSlices[T](xs: Seq[T], rnd: scala.util.Random, maxChunks: Int): Seq[Seq[T]] = {
+    val n = xs.size
+    val k = 2 + rnd.nextInt(maxChunks - 1)
+    val cuts = Seq.fill(k - 1)(1 + rnd.nextInt(math.max(1, n - 1))).distinct.sorted
+    val bounds = 0 +: cuts :+ n
+    bounds.sliding(2).map { case Seq(a, b) => xs.slice(a, b) }.filter(_.nonEmpty).toSeq
+  }
+
+  /** Independent gap-merge replay (NOT session_window): sort per user,
+    * break where ts - prev > gap, session end = last + gap — the same
+    * lag-gap/cumulative-sum formulation the cef42 DuckDB oracle uses,
+    * re-derived in plain Scala. The tie case is CLOSED-merge: an event at
+    * exactly prev + gap JOINS the session (its [t, t+gap) window touches
+    * the session end and Spark merges touching windows — verified against
+    * batch session_window, which agrees with the streaming session store;
+    * this fuzz originally encoded the break as >= and caught the
+    * divergence).
+    */
+  private def expectedSessions(events: Seq[(Long, Long)], gap: Long): Set[(Long, Long, Long, Long)] =
+    events.groupBy(_._1).flatMap { case (user, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Long]]
+      ts.foreach { t =>
+        if (sessions.nonEmpty && t - sessions.last.last <= gap) sessions.last += t
+        else sessions += scala.collection.mutable.ArrayBuffer(t)
+      }
+      sessions.map(s => (user, s.head, s.last + gap, s.size.toLong))
+    }.toSet
+
+  it should "merge session windows identically streaming vs batch under random slicing" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val gapSec = 10L
+    for (trial <- 1 to 6) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val nUsers = 1 + rnd.nextInt(4)
+      val events: Seq[(Long, Long)] = (0 until nUsers).flatMap { u =>
+        var t = 100L + rnd.nextInt(20)
+        (1 to (5 + rnd.nextInt(25))).map { _ =>
+          // increments weighted toward the edges: 0 (same ts), gap-1
+          // (barely same session), gap (EXACTLY the break), gap+1
+          val inc = rnd.nextInt(5) match {
+            case 0 => 0L
+            case 1 => gapSec - 1
+            case 2 => gapSec
+            case 3 => gapSec + 1
+            case _ => 1L + rnd.nextInt(2 * gapSec.toInt)
+          }
+          t += inc
+          (u.toLong, t)
+        }
+      }
+      // shuffled arrival: bridges arrive after both sides routinely
+      val arrival = rnd.shuffle(events)
+      val slices = randomSlices(arrival, rnd, maxChunks = 6)
+
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDS().toDF("user_id", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .groupBy(session_window(col("ts"), s"$gapSec seconds").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.format("memory").queryName(s"fuzz_sess_$trial")
+        .outputMode("complete").start()
+      slices.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val streamOut = sparkS.table(s"fuzz_sess_$trial")
+        .select(col("user_id"), unix_seconds(col("w.start")), unix_seconds(col("w.end")), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      q.stop()
+      sparkS.catalog.dropTempView(s"fuzz_sess_$trial")
+
+      val expected = expectedSessions(events, gapSec)
+      withClue(s"trial $trial (${slices.size} slices, ${events.size} events): ") {
+        streamOut shouldBe expected
+        // the fuzz is vacuous unless some user actually has >1 session
+        expected.groupBy(_._1).values.map(_.size).max should be >= 2
+      }
+    }
+  }
+
+  it should "fold KMV state identically streaming vs batch under random slicing" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    var crossBatchFolds = 0L
+    for (trial <- 1 to 6) {
+      val rnd = new scala.util.Random(2000 + trial)
+      val k = Seq(3, 8, 16)(rnd.nextInt(3))
+      val nKeys = 1 + rnd.nextInt(5)
+      // values from a small-ish universe so duplicate hashes recur
+      // across batches and the k-min set routinely rejects candidates
+      val universe = 2 * k + rnd.nextInt(10 * k)
+      val events: Seq[(Long, Long)] = (1 to (40 + rnd.nextInt(160))).map { _ =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(universe).toLong)
+      }
+      // JVM twin of TextOps.polyHash (the engine treats h as opaque;
+      // hashing here just spreads the small universe over the hash space
+      // so the estimate formula is exercised realistically)
+      def ph(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % TextOps.HashMod)
+      val hashed = events.map { case (key, v) => (key, ph(v.toString)) }
+      val slices = randomSlices(hashed, rnd, maxChunks = 8)
+
+      val mem = MemoryStream[(Long, Long)]
+      val q = SketchOps.streamingKmv(
+        mem.toDS().toDF("user_id", "h"), "user_id", "h", k)
+        .writeStream.format("memory").queryName(s"fuzz_kmv_$trial")
+        .outputMode("append").start()
+      slices.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val snaps = sparkS.table(s"fuzz_kmv_$trial")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      q.stop()
+      sparkS.catalog.dropTempView(s"fuzz_kmv_$trial")
+
+      // final snapshot per key (max n_seen) must equal the batch KMV
+      val finalByKey = snaps.groupBy(_._1).map { case (key, ss) => key -> ss.maxBy(_._2) }
+      val expected = hashed.groupBy(_._1).map { case (key, rows) =>
+        val mins = rows.map(_._2).distinct.sorted.take(k)
+        val kth = if (mins.isEmpty) 0L else mins.last
+        val est = if (mins.size < k) mins.size.toLong else (k - 1).toLong * TextOps.HashMod / kth
+        key -> ((key, rows.size.toLong, mins.size.toLong, kth, est))
+      }
+      withClue(s"trial $trial (k=$k, ${slices.size} slices): ") {
+        finalByKey shouldBe expected
+        // per-key snapshot invariants across batches: n_seen strictly
+        // increasing (one snapshot per touched batch), n_sample
+        // non-decreasing (the distinct k-min set only grows toward k),
+        // and once full, kth_min non-increasing (minima only improve)
+        snaps.groupBy(_._1).values.foreach { ss =>
+          val ordered = ss.sortBy(_._2)
+          ordered.map(_._2) shouldBe ordered.map(_._2).distinct.sorted
+          ordered.map(_._3).sliding(2).foreach {
+            case Array(a, b) => b should be >= a
+            case _           =>
+          }
+          ordered.filter(_._3 == k.toLong).map(_._4).sliding(2).foreach {
+            case Array(a, b) => b should be <= a
+            case _           =>
+          }
+        }
+      }
+      crossBatchFolds += snaps.groupBy(_._1).values.count(_.size >= 2)
+    }
+    // across the campaign, plenty of keys must have actually folded
+    // state across a micro-batch boundary — else the fuzz proved nothing
+    crossBatchFolds should be >= 10L
+  }
+}

@@ -160,6 +160,49 @@ class ThroughputSpec extends AnyFlatSpec with Matchers {
     rate should be > 100000.0
   }
 
+  it should "meet the pooled engine's single-run throughput with the mono-run loop" in {
+    // the reference's ERFOptEngine exists to beat its registry path in
+    // the single-pattern, no-partition regime (ERFOptEngine.scala:91);
+    // our pooled MatchRun already runs registry-free per key, so the
+    // mono-run's edge is per-state transition sharing. Parity gate
+    // (VERDICT r9 item 7): mono ≥ 0.7× pooled best-of-Attempts on the
+    // identical stream (expected ≥1×; the margin absorbs attempt-level
+    // neighbor steal) AND above the family's absolute 100k floor.
+    val cp = Compiler.compile(
+      "#(;(IsEventTypePredicate(a),IsEventTypePredicate(b))){window:10}{windowType:count}")
+    val events = mkEvents(200000)
+    val warmP = new MatchRun(cp, "")
+    val warmM = new MonoRun(cp)
+    var w = 0
+    while (w < 40000) { warmP.step(events(w)); warmM.step(events(w)); w += 1 }
+
+    def measure(stepAll: () => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val outs = stepAll()
+      (events.length / ((System.nanoTime() - t0) / 1e9), outs)
+    }
+    var bestPooled = (0.0, 0L)
+    var bestMono = (0.0, 0L)
+    for (_ <- 1 to Attempts) {
+      val p = measure { () =>
+        val run = new MatchRun(cp, ""); var m = 0L
+        var i = 0; while (i < events.length) { m += run.step(events(i)).size; i += 1 }; m
+      }
+      val mo = measure { () =>
+        val run = new MonoRun(cp); var m = 0L
+        var i = 0; while (i < events.length) { m += run.step(events(i)).size; i += 1 }; m
+      }
+      if (p._1 > bestPooled._1) bestPooled = p
+      if (mo._1 > bestMono._1) bestMono = mo
+    }
+    info(f"mono-run ${bestMono._1 / 1e6}%.2f M ev/s vs pooled ${bestPooled._1 / 1e6}%.2f M ev/s " +
+      s"(${bestMono._2} matches each)")
+    bestMono._2 shouldBe bestPooled._2
+    bestMono._2 should be > 0L
+    bestMono._1 should be > 100000.0
+    bestMono._1 should be > bestPooled._1 * 0.7
+  }
+
   it should "not cliff at the configuration cap under sustained adversarial load" in {
     // adversarial read domain: every event carries a fresh value, so every
     // taken configuration is projection-distinct and the population pins
