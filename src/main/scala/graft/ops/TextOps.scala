@@ -282,11 +282,10 @@ object TextOps {
     * ONE Spark job per merge (the 1-row argmax collect). At this
     * surface's numMerges (tens) that is noise; at a production 50k-merge
     * vocabulary it is 50k sequential job launches (~100 ms each → hours
-    * of pure scheduling). The batched variant — compute the pair-count
-    * table ONCE per round, take the top-k NON-OVERLAPPING pairs (no
-    * shared symbol between any two, so applications commute), apply all
-    * k in one rewrite — cuts launches by ~k with byte-identical results,
-    * because non-overlapping merges cannot interact within a word state.
+    * of pure scheduling). [[bpeMergesBatched]] is the production-scale
+    * variant: one pair-count job per ROUND, top-k symbol-disjoint pairs
+    * applied in one rewrite, byte-identical output (proof sketch on the
+    * method; p48 certifies it against this loop's unrolled oracle).
     * Per-step state stays vocabulary-bounded either way.
     */
   def bpeMerges(
@@ -304,6 +303,93 @@ object TextOps {
         val c = best(0).getLong(2)
         merges += ((step.toLong, l, r, l + r, c))
         val next = bpeApplyMerge(words, l, r).localCheckpoint(true)
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
+        words = next
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
+    import spark.implicits._
+    merges.result().toDF("step", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Batched BPE merge learning: byte-identical output to [[bpeMerges]]
+    * with ~`maxBatch`× fewer Spark job launches — the answer to the
+    * launch-cost caveat above (50k merges = 50k sequential jobs).
+    *
+    * Each round computes the pair-count table ONCE, collects its top
+    * slice (model-sized: ≤ 4·maxBatch+1 rows), and accepts a PREFIX of
+    * it as one batch under two driver-side rules that make the batch
+    * provably equal to `k` sequential argmax steps:
+    *
+    *  1. SYMBOL-DISJOINT: a pair is accepted only if its lhs, rhs, AND
+    *     merged string share no symbol with any earlier-accepted pair
+    *     (merged included, because a merged string IS a symbol and may
+    *     collide with a pre-existing token). Disjointness means (a) the
+    *     accepted pairs' counts are invariant under applying the others
+    *     — a merge only rewrites adjacencies touching its own symbols —
+    *     and (b) the chained `replace`s commute, so one combined
+    *     rewrite equals any sequential order.
+    *  2. STRICT DOMINANCE over the first rejected row: applying a merge
+    *     (l,r)→m creates new pairs (x,m)/(m,y) whose counts are bounded
+    *     by the OLD counts of the overlapping pairs (x,l)/(r,y) — every
+    *     occurrence of a new pair was an occurrence of an overlapping
+    *     old pair. All pairs overlapping an accepted pair sit at or
+    *     after the first rejected row in (cnt DESC, lhs, rhs) order, so
+    *     requiring every accepted cnt > that row's cnt guarantees no
+    *     created pair can outrank (or tie-break past) a later batch
+    *     member mid-sequence. The first rejected row is the first
+    *     conflict, the batch-size cut, or — when the fetch limit was
+    *     hit, so unseen rows with cnt ≤ the last fetched may exist —
+    *     the last fetched row.
+    *
+    * If strictness empties the batch (the runner-up ties the argmax),
+    * the round degrades to the exact single argmax step — never wrong,
+    * merely unbatched for that round. Per-round work is the same
+    * vocabulary-bounded pair aggregation as the sequential loop.
+    */
+  def bpeMergesBatched(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxBatch: Int = 16): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    var words = bpeWordStates(docs, textCol).localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val fetch = 4 * maxBatch + 1
+      val top = bpePairCounts(words)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(fetch).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val budget = math.min(maxBatch, numMerges - step + 1)
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        var nAcc = 0
+        // cnt of the first row NOT taken into the batch (whatever the
+        // reason) — the strict-dominance bound for rule 2
+        var stopCnt = Long.MinValue
+        var stopped = false
+        for (row <- top if !stopped) {
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          val syms = Seq(l, r, l + r)
+          if (nAcc < budget && !syms.exists(used)) {
+            used ++= syms; accepted += ((l, r, c)); nAcc += 1
+          } else { stopCnt = c; stopped = true }
+        }
+        if (!stopped && top.length == fetch) stopCnt = top.last.getLong(2)
+        val acc = accepted.result()
+        val batch = {
+          val strict = acc.takeWhile(_._3 > stopCnt)
+          if (strict.nonEmpty) strict else acc.take(1)
+        }
+        for ((l, r, c) <- batch) {
+          merges += ((step.toLong, l, r, l + r, c)); step += 1
+        }
+        val next = bpeApplyMerges(words, batch.map(p => (p._1, p._2)))
+          .localCheckpoint(true)
         org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
         words = next
       }
@@ -332,6 +418,16 @@ object TextOps {
     * limit 1 — the per-step collect is always exactly one row.
     */
   private[graft] def bpeBestPair(
+      words: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bpePairCounts(words)
+      .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+      .limit(1)
+
+  /** Frequency-weighted adjacent-pair counts over the (state, freq)
+    * word table — the shared aggregation behind [[bpeBestPair]] (limit
+    * 1) and [[bpeMergesBatched]] (top slice).
+    */
+  private[graft] def bpePairCounts(
       words: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = split(trim(col("state"), "|"), "\\|\\|")
     val npairs = greatest(size(toks) - 1, lit(0))
@@ -342,8 +438,6 @@ object TextOps {
           slice(toks, lit(2), npairs).as("r"))).as("pr"))
       .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
       .agg(sum(col("freq")).as("cnt"))
-      .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-      .limit(1)
   }
 
   /** One merge step's rewrite: greedy left-to-right application of
@@ -352,9 +446,20 @@ object TextOps {
   private[graft] def bpeApplyMerge(
       words: org.apache.spark.sql.DataFrame,
       l: String, r: String): org.apache.spark.sql.DataFrame =
+    bpeApplyMerges(words, Seq((l, r)))
+
+  /** One combined rewrite for a SYMBOL-DISJOINT merge batch: the
+    * chained replaces commute (no pattern can touch another's symbols),
+    * so one projection applies the whole batch — map-only, no shuffle,
+    * one job regardless of batch size.
+    */
+  private[graft] def bpeApplyMerges(
+      words: org.apache.spark.sql.DataFrame,
+      batch: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
     words.select(
-      replace(col("state"),
-        lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")).as("state"),
+      batch.foldLeft(col("state")) { case (st, (l, r)) =>
+        replace(st, lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|"))
+      }.as("state"),
       col("freq"))
 
   /** BPE encoding: apply an ordered merge list (e.g. [[bpeMerges]]

@@ -1720,32 +1720,22 @@ object Pipeline {
     // `BpeSteps` steps as unrolled CTEs over the same delimiter-wrapped
     // token encoding, where greedy merge application is a plain
     // left-to-right `replace` in both engines.
-    Q("p42_txt_bpe", {
-      val steps = (1 to BpeSteps).map { k =>
-        s"""p$k AS (SELECT l, r, sum(freq) AS cnt FROM (
-           |   SELECT freq,
-           |          unnest(list_slice(toks, 1, len(toks) - 1)) AS l,
-           |          unnest(list_slice(toks, 2, len(toks))) AS r
-           |   FROM (SELECT freq, string_split(trim(state, '|'), '||') AS toks FROM w${k - 1})
-           | ) GROUP BY l, r),
-           |b$k AS (SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM p$k
-           |        ORDER BY cnt DESC, l, r LIMIT 1),
-           |w$k AS (SELECT replace(state, '|' || b.l || '||' || b.r || '|',
-           |                       '|' || b.l || b.r || '|') AS state, freq
-           |        FROM w${k - 1} CROSS JOIN b$k b)""".stripMargin
-      }.mkString(",\n")
-      val out = (1 to BpeSteps).map { k =>
-        s"SELECT CAST($k AS BIGINT) AS step, l AS lhs, r AS rhs, l || r AS merged, cnt FROM b$k"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH w0 AS (
-         |  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS state,
-         |         CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE length(word) > 0 AND NOT contains(word, '|') GROUP BY word),
-         |$steps
-         |SELECT * FROM ($out) ORDER BY step""".stripMargin
-    }) { (s, dir) =>
+    Q("p42_txt_bpe", BpeUnrolledOracle) { (s, dir) =>
       TextOps.bpeMerges(t(s, dir, "documents"), "text", BpeSteps)
+        .orderBy(col("step"))
+    },
+
+    // ------------------------------------------ text: BATCHED BPE learning
+    // The production-scale answer to the job-per-merge launch cost: each
+    // round computes the pair table once and applies a symbol-disjoint,
+    // strictly-dominant top-k prefix in ONE rewrite (proof on
+    // TextOps.bpeMergesBatched). The oracle is the SAME unrolled
+    // SEQUENTIAL recursion p42 uses — a matching hash certifies the
+    // batched selection byte-equal to k argmax steps on real data, which
+    // is the whole claim.
+    Q("p48_txt_bpe_batched", BpeUnrolledOracle) { (s, dir) =>
+      TextOps.bpeMergesBatched(t(s, dir, "documents"), "text", BpeSteps,
+          maxBatch = 4)
         .orderBy(col("step"))
     },
 
@@ -1904,6 +1894,36 @@ object Pipeline {
 
   /** Number of BPE merges learned by p42 (a def — queries-val init order). */
   private def BpeSteps: Int = 10
+
+  /** The unrolled sequential BPE recursion as DuckDB SQL — shared by p42
+    * (sequential loop) and p48 (batched loop): both engines must land on
+    * the same `BpeSteps` (step, lhs, rhs, merged, cnt) rows.
+    */
+  private def BpeUnrolledOracle: String = {
+    val steps = (1 to BpeSteps).map { k =>
+      s"""p$k AS (SELECT l, r, sum(freq) AS cnt FROM (
+         |   SELECT freq,
+         |          unnest(list_slice(toks, 1, len(toks) - 1)) AS l,
+         |          unnest(list_slice(toks, 2, len(toks))) AS r
+         |   FROM (SELECT freq, string_split(trim(state, '|'), '||') AS toks FROM w${k - 1})
+         | ) GROUP BY l, r),
+         |b$k AS (SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM p$k
+         |        ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS (SELECT replace(state, '|' || b.l || '||' || b.r || '|',
+         |                       '|' || b.l || b.r || '|') AS state, freq
+         |        FROM w${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeSteps).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS step, l AS lhs, r AS rhs, l || r AS merged, cnt FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS state,
+       |         CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 AND NOT contains(word, '|') GROUP BY word),
+       |$steps
+       |SELECT * FROM ($out) ORDER BY step""".stripMargin
+  }
 
   /** Count-Min geometry: 4 independent hash rows × 1024 buckets, with
     * fixed prime seeds — determinism is what lets the DuckDB oracle

@@ -100,6 +100,48 @@ class BpeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got.toSeq shouldBe Seq((0L, 2L, 3L), (1L, 3L, 4L))
   }
 
+  private def runBpeBatched(
+      corpus: Seq[String], n: Int, k: Int): Seq[(Long, String, String, String, Long)] = {
+    val df = spark.createDataFrame(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+    TextOps.bpeMergesBatched(df, "text", n, maxBatch = k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+  }
+
+  "bpeMergesBatched" should "equal the sequential loop on the hand-checkable corpus at every batch size" in {
+    val corpus = Seq("aaab aaab banana", "banana banana band", "aaab and band and")
+    val want = referenceBpe(corpus, 6)
+    for (k <- Seq(1, 2, 4, 8))
+      withClue(s"maxBatch=$k: ") { runBpeBatched(corpus, 6, k) shouldBe want }
+  }
+
+  it should "equal the sequential loop on randomized tie-heavy corpora" in {
+    // tiny alphabets make pair-count ties and symbol conflicts the
+    // COMMON case, stressing exactly the two batch-acceptance rules
+    // (symbol-disjoint prefix + strict dominance over the first reject)
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 8) {
+      val alpha = "abcd".take(2 + rnd.nextInt(3))
+      val corpus = Seq.fill(12 + rnd.nextInt(8)) {
+        Seq.fill(3 + rnd.nextInt(5)) {
+          Seq.fill(1 + rnd.nextInt(6))(alpha(rnd.nextInt(alpha.length))).mkString
+        }.mkString(" ")
+      }
+      val want = referenceBpe(corpus, 8)
+      val k = 1 + rnd.nextInt(5)
+      withClue(s"trial $trial (alpha=$alpha, maxBatch=$k, corpus=$corpus): ") {
+        runBpeBatched(corpus, 8, k) shouldBe want
+      }
+    }
+  }
+
+  it should "match the sequential loop on the sf0.001 documents corpus" in {
+    val texts = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    runBpeBatched(texts, 10, 4) shouldBe referenceBpe(texts, 10)
+  }
+
   "bpeEncode" should "tokenize with the greedy merge semantics of the reference replay" in {
     val corpus = Seq("aaab aaab banana", "banana banana band", "aaab and band and")
     val merges = referenceBpe(corpus, 4).map(m => (m._2, m._3))

@@ -349,6 +349,29 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     } finally org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
   }
 
+  "p48's batched merge round" should "keep the p42 shape: vocab-only reads, one map-only combined rewrite" in {
+    // the batched loop reuses bpeWordStates' single corpus pass; each
+    // ROUND is then one top-slice collect over the checkpointed vocab
+    // plus ONE combined rewrite for the whole batch — a parquet scan or
+    // an Exchange in either step plan breaks the launch-cost story
+    val docs = Tables(spark, sfDir, "documents")
+    val words = graft.ops.TextOps.bpeWordStates(docs, "text").localCheckpoint(true)
+    try {
+      import org.apache.spark.sql.functions.col
+      val top = graft.ops.TextOps.bpePairCounts(words)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(17)
+        .queryExecution.executedPlan.toString
+      top should not include "parquet"
+      top should include("ExistingRDD")
+      top should include("TakeOrderedAndProject") // the model-sized top-slice collect
+      val rewrite = graft.ops.TextOps
+        .bpeApplyMerges(words, Seq(("a", "b"), ("c", "d"), ("e", "f")))
+        .queryExecution.executedPlan.toString
+      rewrite should not include "parquet"
+      rewrite should not include "Exchange" // the whole batch is one map-only projection
+    } finally org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
+  }
+
   "p45_txt_bpe_encode" should "join the corpus only through broadcasts (vocab side never shuffles docs)" in {
     val plan = planOf("p45_txt_bpe_encode")
     // the merge chain rewrites the distinct-word table; documents meet
