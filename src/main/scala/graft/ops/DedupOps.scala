@@ -565,4 +565,96 @@ object DedupOps {
   def jaccardSql(a: String, b: String): String =
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
       s"CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE)"
+
+  // ------------------------------------------------ streaming ingestion gate
+
+  /** One doc parked in a bucket's current salt chunk. */
+  case class NdChunkDoc(id: Long, hashes: Seq[Long])
+
+  /** Per-(band, key) bucket state: how many docs this bucket has EVER
+    * seen, plus only the CURRENT salt chunk (≤ [[BandBucketCap]] docs)
+    * — everything older can never be a candidate again under the salted
+    * pairing, so streaming state is CONSTANT-bounded per bucket however
+    * long the stream runs.
+    */
+  case class NdBucketState(nSeen: Long, chunk: Seq[NdChunkDoc])
+
+  /** One per-bucket verdict for a doc: min matching earlier doc in this
+    * bucket's current chunk, or -1.
+    */
+  case class NdHit(doc_id: Long, dup_of: Long)
+
+  /** Input row of the bucket stream: one (doc, band) placement. */
+  case class NdIn(band: Int, key: Long, doc_id: Long, hashes: Seq[Long])
+
+  /** Plain-JVM twin of [[jaccard]]/`jaccardSql` over distinct-hash
+    * arrays: |a∩b| by set membership, one double division — the same
+    * single IEEE op as both engines' SQL form.
+    */
+  private[graft] def jaccardJvm(a: Seq[Long], b: Seq[Long]): Double = {
+    val sa = a.toSet
+    var i = 0
+    for (h <- b) if (sa(h)) i += 1
+    i.toDouble / (a.length + b.length - i).toDouble
+  }
+
+  /** Incremental near-duplicate detection at INGESTION: docs arrive in
+    * id order across micro-batches; each is flagged iff some EARLIER
+    * doc (previous batch through GroupState, or earlier in the same
+    * batch) is an LSH band candidate with jaccard ≥ `threshold`.
+    *
+    * The pairing is EXACTLY the batch engine's salted candidate set
+    * (sigs→bands→salted buckets→verify, the p06/p15 chain): a doc's
+    * rank within its (band, key) bucket — identical to the batch
+    * `row_number` salt because arrival order IS id order — decides its
+    * salt chunk, and it verifies only against its own chunk. That cap
+    * is what makes streaming state bounded: a bucket retains at most
+    * [[BandBucketCap]] signatures no matter how many docs it has
+    * absorbed, the same O(cap²)-per-bucket guard the batch join has.
+    * At 100 TB the bucket key space is the shuffle key space — state
+    * stores partition by (band, key) like any keyed stream.
+    *
+    * Emits one [[NdHit]] per (doc, band); the caller min-aggregates
+    * hits per doc (a doc can meet its duplicate in several bands).
+    */
+  def streamingNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.9,
+      cap: Int = BandBucketCap): org.apache.spark.sql.Dataset[NdHit] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stEnc: Encoder[NdBucketState] = Encoders.product[NdBucketState]
+    implicit val outEnc: Encoder[NdHit] = Encoders.product[NdHit]
+    implicit val rowEnc: Encoder[NdIn] = Encoders.product[NdIn]
+    implicit val keyEnc: Encoder[(Int, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    val sigs = docs.select(col(idCol).cast("long").as("doc_id"),
+        sort_array(tokenHashes(col(textCol))).as("hashes"))
+      .withColumn("bands", bandKeys(minHashSig(col("hashes")), PairBands))
+    sigs
+      .select(posexplode(col("bands")).as(Seq("band", "key")),
+        col("doc_id"), col("hashes"))
+      .as[NdIn]
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[NdBucketState, NdHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[NdIn], state: GroupState[NdBucketState]) =>
+          // a bucket's share of ONE micro-batch — buffered to restore id
+          // order (bucket populations are cap-bounded by construction)
+          val batch = rows.toArray.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(NdBucketState(0L, Nil))
+          val out = batch.iterator.map { d =>
+            val matches = st.chunk.filter(c => jaccardJvm(c.hashes, d.hashes) >= threshold)
+            val dupOf = if (matches.isEmpty) -1L else matches.map(_.id).min
+            st =
+              if ((st.nSeen + 1) % cap == 0) NdBucketState(st.nSeen + 1, Nil)
+              else NdBucketState(st.nSeen + 1, st.chunk :+ NdChunkDoc(d.doc_id, d.hashes))
+            NdHit(d.doc_id, dupOf)
+          }.toVector
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -474,6 +474,40 @@ object TextOps {
     * delimiter-containing words from the vocabulary (they drop out of
     * the tokenization via the inner join, exactly as in learning).
     */
+  /** BPE tokenization proper: the actual token SEQUENCE a training
+    * pipeline feeds to packing — one row per (doc, word, subtoken),
+    * `(doc_id, wpos, spos, token)` with wpos the word's index in the
+    * ORIGINAL whitespace split (so filtered words leave gaps, keeping
+    * positions stable) and spos the subtoken's index within the word.
+    * Same scale shape as [[bpeEncode]]: the merge chain rewrites the
+    * DISTINCT-word table, documents meet it through one broadcast join;
+    * the output explode is proportional to the corpus token count —
+    * exactly the size of the tensor a tokenizer must emit anyway.
+    */
+  def bpeTokenize(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains("|"))
+      .distinct()
+    val encoded = merges.foldLeft(
+        words.select(col("word"), regexp_replace(col("word"), "(.)", "|$1|").as("state"))) {
+      case (df, (l, r)) =>
+        df.select(col("word"),
+          replace(col("state"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")).as("state"))
+    }.select(col("word"), split(trim(col("state"), "|"), "\\|\\|").as("toks"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
+      .filter(length(col("word")) > 0 && !col("word").contains("|"))
+      .join(broadcast(encoded), "word")
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("toks")).as(Seq("spos", "token")))
+  }
+
   def bpeEncode(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,

@@ -105,6 +105,88 @@ object Pipeline {
        |  WHERE $jac >= 0.9)""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Documents-stream scaffold (the p50 ingestion gate): the documents
+  // table rewritten as DocStreamSlices id-ordered parquet slices consumed
+  // one file per trigger — the same ≥N-micro-batch discipline as the cef
+  // event-stream scaffold, minus the event-time machinery (ingestion
+  // order IS doc_id order, which is what makes the streaming salt chunks
+  // line up with the batch row_number salt).
+  private val DocStreamSlices = 3
+  private val docSliceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val docStreamRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  private def buildDocSlices(s: SparkSession, path: String): java.nio.file.Path = {
+    val srcDir = java.nio.file.Files.createTempDirectory("docstream-src")
+    val tmp = java.nio.file.Files.createTempDirectory("docstream-tmp")
+    try {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      s.read.parquet(path)
+        .withColumn("__slice", ntile(DocStreamSlices).over(w))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("__slice").parquet(tmp.toString)
+      val base = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(path)).toMillis
+      import scala.jdk.CollectionConverters._
+      for (i <- 1 to DocStreamSlices) {
+        val part = java.nio.file.Files.list(tmp.resolve(s"__slice=$i")).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"doc slice $i wrote no parquet part"))
+        val dst = srcDir.resolve(f"slice-$i%03d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+      }
+      srcDir
+    } catch { case e: Throwable => rmTree(srcDir); throw e }
+    finally rmTree(tmp)
+  }
+
+  private def runDocStream(s: SparkSession, dir: String, tag: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val path = java.nio.file.Paths.get(s"$dir/documents.parquet")
+      .toAbsolutePath.normalize.toString
+    val srcDir = docSliceCache.computeIfAbsent(path, _ => buildDocSlices(s, path))
+    val schema = s.read.parquet(srcDir.toString).schema
+    val ckptDir = java.nio.file.Files.createTempDirectory(s"$tag-ckpt")
+    val sinkName = s"${tag}_sink_${docStreamRuns.incrementAndGet()}"
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = s.conf.getOption(spKey)
+    try {
+      s.conf.set(spKey, "8")
+      val raw = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = transform(raw)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      require(fed >= DocStreamSlices,
+        s"doc-stream scaffold expected >=$DocStreamSlices micro-batches, got $fed")
+      val sunk = s.table(sinkName)
+      val rows = java.util.Arrays.asList(sunk.collect(): _*)
+      s.createDataFrame(rows, sunk.schema)
+    } finally {
+      spPrev match {
+        case Some(v) => s.conf.set(spKey, v)
+        case None    => s.conf.unset(spKey)
+      }
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => }
+      rmTree(ckptDir)
+      // srcDir is cache-owned for the session, like the cef slice cache
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---------------------------------------------------------- text: tokens
@@ -1822,6 +1904,93 @@ object Pipeline {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextOps.bpeEncode(docs, "doc_id", "text", merges)
         .orderBy(col("doc_id"))
+    },
+
+    // --------------------------------------------- text: BPE tokenization
+    // The token SEQUENCE itself — what packing/training actually
+    // consumes, not just p45's counts: one row per (doc, word, subtoken)
+    // with positions from the ORIGINAL whitespace split (filtered words
+    // leave gaps, so positions are stable under the vocabulary
+    // contract). Merge chain on the distinct-word table + one broadcast
+    // join, same scale shape as p45; the output explode is the tensor a
+    // tokenizer must emit anyway.
+    Q("p49_txt_bpe_tokenize", {
+      val steps = (1 to BpeSteps).map { k =>
+        s"""p$k AS (SELECT l, r, sum(freq) AS cnt FROM (
+           |   SELECT freq,
+           |          unnest(list_slice(toks, 1, len(toks) - 1)) AS l,
+           |          unnest(list_slice(toks, 2, len(toks))) AS r
+           |   FROM (SELECT freq, string_split(trim(state, '|'), '||') AS toks FROM v${k - 1})
+           | ) GROUP BY l, r),
+           |b$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+           |v$k AS (SELECT word, replace(state, '|' || b.l || '||' || b.r || '|',
+           |                             '|' || b.l || b.r || '|') AS state, freq
+           |        FROM v${k - 1} CROSS JOIN b$k b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v0 AS (
+         |  SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS state,
+         |         CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) > 0 AND NOT contains(word, '|') GROUP BY word),
+         |$steps,
+         |tok AS (SELECT word, string_split(trim(state, '|'), '||') AS toks FROM v${BpeSteps}),
+         |d AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS wpos, unnest(ws) AS word
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |e AS (SELECT d.doc_id, d.wpos, t.toks
+         |      FROM d JOIN tok t USING (word)
+         |      WHERE length(d.word) > 0 AND NOT contains(d.word, '|'))
+         |SELECT doc_id, wpos, generate_subscripts(toks, 1) - 1 AS spos,
+         |       unnest(toks) AS token
+         |FROM e ORDER BY doc_id, wpos, spos""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.bpeMerges(docs, "text", BpeSteps)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeTokenize(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"), col("wpos"), col("spos"))
+    },
+
+    // ------------------- dedup: STREAMING ingestion near-dup gate (p50)
+    // The continuous-ingestion half of the dedup family: docs arrive in
+    // id order across ≥3 REAL micro-batches (doc-stream scaffold) and
+    // each is flagged iff an EARLIER doc — earlier batch via GroupState,
+    // or earlier in the same batch — is an LSH candidate with jaccard
+    // ≥ 0.9. The per-bucket state keeps only the CURRENT salt chunk
+    // (≤ BandBucketCap sigs), which makes streaming state constant-
+    // bounded per bucket; because arrival order is id order, that chunk
+    // structure coincides exactly with the batch chain's row_number
+    // salt, so the oracle is the SAME sigs→salted-bands→verify pair set
+    // p06/p15 use, read as "dup_of = min earlier candidate".
+    Q("p50_dd_stream_neardup",
+      s"""$NearDupPairsCte
+         |SELECT d.doc_id,
+         |       coalesce(m.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
+         |       m.dup_of IS NOT NULL AS is_dup
+         |FROM documents d
+         |LEFT JOIN (SELECT id_b AS doc_id, CAST(min(id_a) AS BIGINT) AS dup_of
+         |           FROM prs GROUP BY id_b) m USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val hits = runDocStream(s, dir, "p50") { raw =>
+        DedupOps.streamingNearDup(raw, "doc_id", "text").toDF()
+      }
+      val res = hits.groupBy(col("doc_id"))
+        .agg(min(when(col("dup_of") >= 0, col("dup_of"))).as("m"))
+        .select(col("doc_id"),
+          coalesce(col("m"), lit(-1L)).as("dup_of"),
+          col("m").isNotNull.as("is_dup"))
+      // the gate is vacuous unless ≥1 flagged dup's SOURCE arrived in an
+      // earlier micro-batch, i.e. the match crossed a state boundary
+      // (slice = the scaffold's ntile, recomputed in batch)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      val sl = t(s, dir, "documents")
+        .select(col("doc_id"), ntile(DocStreamSlices).over(w).as("sl"))
+      val cross = res.filter(col("is_dup")).join(sl, "doc_id")
+        .join(sl.select(col("doc_id").as("dup_of"), col("sl").as("sl_src")), "dup_of")
+        .filter(col("sl_src") < col("sl")).count()
+      require(cross > 0,
+        "p50 expected >=1 near-dup match across a micro-batch boundary")
+      res.orderBy(col("doc_id"))
     },
 
     // -------------------------- dedup: SemDeDup with a TRAINED quantizer
