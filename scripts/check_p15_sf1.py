@@ -72,9 +72,27 @@ def main():
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.sql(f"CREATE VIEW {tname} AS SELECT * FROM {src}")
 
-    oracle = json.load(open(f"{outdir}/oracle_sql.json"))["p15_dd_neardup_groups"]
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    oracle = oracles["p15_dd_neardup_groups"]
     ctes, order, final = split_ctes(oracle)
     assert order[:4] == ["sigs", "sx", "cand", "prs"], order
+    # p50 shares the pair chain verbatim — assert no drift, then reuse
+    # the materialized prs for its (cheap) final aggregation
+    check_p50 = "p50_dd_stream_neardup" in oracles and \
+        glob.glob(f"{outdir}/p50_dd_stream_neardup/*.parquet")
+    if check_p50:
+        ctes50, order50, final50 = split_ctes(oracles["p50_dd_stream_neardup"])
+        for name in ["sigs", "sx", "cand", "prs"]:
+            assert ctes50[name] == ctes[name], f"p50 {name} CTE drifted from p15's"
+    # p51 (leakage-safe split) also shares the chain AND the closure; its
+    # expected rows derive from the propagated labels (grp := lbl) with
+    # its registered final SELECT run verbatim — no drift possible
+    check_p51 = "p51_split_leakage_safe" in oracles and \
+        glob.glob(f"{outdir}/p51_split_leakage_safe/*.parquet")
+    if check_p51:
+        ctes51, order51, final51 = split_ctes(oracles["p51_split_leakage_safe"])
+        for name in ["sigs", "sx", "cand", "prs"]:
+            assert ctes51[name] == ctes[name], f"p51 {name} CTE drifted from p15's"
 
     # ---- stage 1: materialize the pair pipeline, one stage at a time
     for name in ["sigs", "sx", "cand", "prs", "edges"]:
@@ -130,6 +148,52 @@ def main():
     ncomp = con.sql("SELECT count(DISTINCT label) FROM lbl").fetchone()[0]
     print(("OK" if ok else "BAD") +
           f"  p15_dd_neardup_groups: {len(expected)} docs, {ncomp} components")
+
+    if check_p50:
+        exp50 = con.sql("""
+            SELECT d.doc_id,
+                   coalesce(m.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
+                   m.dup_of IS NOT NULL AS is_dup
+            FROM documents d
+            LEFT JOIN (SELECT id_b AS doc_id, CAST(min(id_a) AS BIGINT) AS dup_of
+                       FROM prs GROUP BY id_b) m USING (doc_id)
+            ORDER BY doc_id""").df().reset_index(drop=True)
+        got50 = pd.read_parquet(
+            sorted(glob.glob(f"{outdir}/p50_dd_stream_neardup/*.parquet")))
+        got50 = got50.sort_values("doc_id").reset_index(drop=True)
+        ok50 = len(got50) == len(exp50)
+        if not ok50:
+            print(f"BAD p50 row count: spark {len(got50)} vs oracle {len(exp50)}")
+        else:
+            for c in ["doc_id", "dup_of", "is_dup"]:
+                if not (got50[c].to_numpy() == exp50[c].to_numpy()).all():
+                    bad = (got50[c].to_numpy() != exp50[c].to_numpy()).sum()
+                    print(f"BAD p50 column {c}: {bad} mismatching rows")
+                    ok50 = False
+        ndup = int(exp50["is_dup"].sum())
+        print(("OK" if ok50 else "BAD") +
+              f"  p50_dd_stream_neardup: {len(exp50)} docs, {ndup} flagged dups")
+        ok = ok and ok50
+
+    if check_p51:
+        con.sql("CREATE TEMP TABLE grp AS SELECT doc_id, label AS group_id FROM lbl")
+        exp51 = con.sql(final51).df().reset_index(drop=True)
+        got51 = pd.read_parquet(
+            sorted(glob.glob(f"{outdir}/p51_split_leakage_safe/*.parquet")))
+        got51 = got51.sort_values("doc_id").reset_index(drop=True)
+        ok51 = len(got51) == len(exp51)
+        if not ok51:
+            print(f"BAD p51 row count: spark {len(got51)} vs oracle {len(exp51)}")
+        else:
+            for c in ["doc_id", "group_id", "bucket", "split"]:
+                if not (got51[c].to_numpy() == exp51[c].to_numpy()).all():
+                    bad = (got51[c].to_numpy() != exp51[c].to_numpy()).sum()
+                    print(f"BAD p51 column {c}: {bad} mismatching rows")
+                    ok51 = False
+        nval = int((exp51["split"] != "train").sum())
+        print(("OK" if ok51 else "BAD") +
+              f"  p51_split_leakage_safe: {len(exp51)} docs, {nval} in val/test")
+        ok = ok and ok51
     sys.exit(0 if ok else 1)
 
 

@@ -1993,6 +1993,47 @@ object Pipeline {
       res.orderBy(col("doc_id"))
     },
 
+    // ----------------- split: LEAKAGE-SAFE train/val/test by dedup group
+    // p29 splits per-DOC, which leaks: near-duplicates of a training doc
+    // land in val/test and inflate eval. The leakage-safe split hashes
+    // the near-dup GROUP canonical (p15's connected components), so an
+    // entire duplicate cluster moves as one unit — the group-aware
+    // discipline evaluation suites require. Same 98/1/1 thresholds as
+    // p29 under an independent seed (split and sampling never
+    // correlate); cost is the p15 grouping plus a map-only hash.
+    Q("p51_split_leakage_safe", {
+      val h = TextOps.polyHashSql("CAST(group_id AS VARCHAR) || '#graft-split-11'")
+      s"""$NearDupPairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN edges e ON e.a = r.b)
+         |  SELECT * FROM r),
+         |grp AS (SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a)
+         |SELECT doc_id, group_id, $h % 100 AS bucket,
+         |       CASE WHEN $h % 100 < 98 THEN 'train'
+         |            WHEN $h % 100 < 99 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM grp ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val prsCp = nearDupPairs(s, dir).localCheckpoint(true)
+      releaseNearDupPairs(s, dir)
+      val grouped = DedupOps.neardupGroups(
+        t(s, dir, "documents"), "doc_id", prsCp, "id_a", "id_b")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(prsCp)
+      val bucket = pmod(
+        TextOps.polyHash(concat(col("group_id").cast("string"), lit("#graft-split-11"))),
+        lit(100L))
+      grouped
+        .select(col("doc_id"), col("group_id"), bucket.as("bucket"),
+          when(bucket < 98, "train").when(bucket < 99, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // -------------------------- dedup: SemDeDup with a TRAINED quantizer
     // p41 runs semDedup over the deterministic seed codebook; this is the
     // production path: 2 Lloyd rounds train the coarse quantizer, then
