@@ -566,6 +566,48 @@ object DedupOps {
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
       s"CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE)"
 
+  // ------------------------------------------- paragraph/chunk-level dedup
+
+  /** CCNet-style paragraph dedup (Wenzek et al. 2020 §3.1): hash every
+    * paragraph, keep only the globally-FIRST occurrence of each hash
+    * (smallest (doc, position)), and reassemble each document from its
+    * surviving paragraphs — cross-document boilerplate disappears while
+    * the documents survive. "Paragraph" here is a fixed non-overlapping
+    * window of `w` tokens (the corpus is single-space text with no
+    * paragraph marks; a real corpus would split on '\n\n' — the
+    * dedup/reassembly plumbing is identical).
+    *
+    * Scale shape: first-occurrence is min(doc·10⁶ + idx) per chunk md5 —
+    * a partially-aggregable groupBy, NOT a window over the hash (a
+    * boilerplate chunk repeated 10⁸ times would pile 10⁸ rows into one
+    * window partition; the agg combines map-side). The join back is equi
+    * on the hash against the distinct-chunk-sized argmin table, and
+    * reassembly is one doc-keyed agg whose per-group state is bounded by
+    * the document length. Two shuffles + one join at any corpus size.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String, w: Int = 16): DataFrame = {
+    val ch = docs
+      .select(col(idCol), split(col(textCol), " ").as("tok"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), greatest(size(col("tok")), lit(1)), lit(w)),
+        st => array_join(slice(col("tok"), st, lit(w)), " "))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
+      .withColumn("key", md5(col("chunk")))
+      .withColumn("enc", col(idCol) * lit(1000000L) + col("chunk_idx"))
+    val first = ch.groupBy(col("key")).agg(min(col("enc")).as("first"))
+    ch.join(first, "key")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("enc") === col("first"), lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("enc") === col("first"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ").as("text_clean"))
+  }
+
   // ------------------------------------------------ streaming ingestion gate
 
   /** One doc parked in a bucket's current salt chunk. */

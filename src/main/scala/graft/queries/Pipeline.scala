@@ -2091,6 +2091,207 @@ object Pipeline {
       val cent = SimilarityOps.lloydCentroids(e, numCentroids = SimilarityOps.IvfK, iters = 2)
       SimilarityOps.semDedup(e, tau = 0.95, centroids = Some(cent))
         .orderBy(col("vec_id"))
+    },
+
+    // ------------------------- dedup: paragraph/chunk-level (CCNet-style)
+    // CCNet (Wenzek et al. 2020 §3.1) dedups at PARAGRAPH granularity:
+    // hash every paragraph, keep only the globally-first occurrence of
+    // each hash, and reassemble documents from their surviving
+    // paragraphs — boilerplate shared across documents disappears while
+    // the documents themselves survive. The corpus here is single-space
+    // text, so "paragraph" = a fixed window of ChunkW tokens (the p23
+    // chunking convention, non-overlapping).
+    //
+    // Scale shape: first-occurrence is min(doc_id·10⁶ + idx) per chunk
+    // md5 — a partially-aggregable groupBy (NOT a window over the hash:
+    // a boilerplate chunk repeated 10⁸ times would put 10⁸ rows in one
+    // window partition, while the agg combines map-side). The join back
+    // is equi on the hash against the distinct-chunk-sized argmin table,
+    // and reassembly is one doc_id-keyed agg. Two shuffles + one join,
+    // each on a well-distributed key, at any corpus size.
+    Q("p52_dd_chunk_dedup", {
+      val w = ChunkW
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |starts AS (SELECT doc_id, tok,
+         |                  unnest(generate_series(1, greatest(len(tok), 1), $w)) AS st
+         |           FROM t),
+         |ch AS (SELECT doc_id, CAST((st - 1) / $w AS BIGINT) AS chunk_idx,
+         |              array_to_string(tok[st : least(st + ${w - 1}, len(tok))], ' ') AS chunk
+         |       FROM starts),
+         |k AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS key,
+         |             doc_id * 1000000 + chunk_idx AS enc FROM ch),
+         |f AS (SELECT key, min(enc) AS first FROM k GROUP BY key)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(count(*) FILTER (WHERE enc = first) AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(CASE WHEN enc = first THEN chunk END, ' '
+         |                           ORDER BY chunk_idx), '') AS text_clean
+         |FROM k JOIN f USING (key)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.chunkDedup(t(s, dir, "documents"), "doc_id", "text", ChunkW)
+        .orderBy(col("doc_id"))
+    },
+
+    // ----------------- similarity: hybrid sparse+dense retrieval (RRF)
+    // The standard hybrid-search fusion (Cormack et al. 2009): a lexical
+    // leg (token-set jaccard) and a dense leg (embedding cosine) each
+    // rank the corpus per query; reciprocal-rank fusion sums
+    // 1/(60+rank) over the legs a candidate appears in (top-RrfDepth
+    // only) and re-ranks. Contributions ship as floor(10⁹/(60+rank))
+    // integers so the fused score is exact in both engines; the raw
+    // doubles only steer rankings (ties broken by id — p09's
+    // discipline). The embeddings table is the corpus's embedding
+    // sidecar keyed by the same id (it covers a prefix of the documents
+    // at some SFs — the inner join scopes retrieval to the covered
+    // subset, the realistic sidecar shape).
+    //
+    // Scale shape: one id-keyed equi join builds the corpus, the
+    // RrfQueries query rows ride a broadcast across ONE corpus scan that
+    // scores both legs together, and both rank passes share one shuffle
+    // on query_id. Nothing is ever all-pairs on the corpus side.
+    Q("p53_sim_hybrid_rrf", {
+      val jac = DedupOps.jaccardSql("q.hashes", "c.hashes")
+      val cos = cosineSql("q.e", "c.e")
+      val th = tokenHashesSql("text")
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id AS id, $th AS hashes, e.embedding AS e
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |scored AS (
+         |  SELECT q.id AS query_id, c.id AS cand_id, $jac AS jac, $cos AS cos
+         |  FROM corpus q JOIN corpus c ON q.id < $RrfQueries AND c.id <> q.id),
+         |ranked AS (
+         |  SELECT query_id, cand_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY jac DESC, cand_id) AS r_lex,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS r_cos
+         |  FROM scored),
+         |fused AS (
+         |  SELECT query_id, cand_id,
+         |         CAST(CASE WHEN r_lex <= $RrfDepth THEN r_lex ELSE 0 END AS BIGINT) AS lex_rank,
+         |         CAST(CASE WHEN r_cos <= $RrfDepth THEN r_cos ELSE 0 END AS BIGINT) AS cos_rank,
+         |         (CASE WHEN r_lex <= $RrfDepth
+         |               THEN CAST(floor(1000000000.0 / (60 + r_lex)) AS BIGINT) ELSE 0 END)
+         |         + (CASE WHEN r_cos <= $RrfDepth
+         |                 THEN CAST(floor(1000000000.0 / (60 + r_cos)) AS BIGINT) ELSE 0 END) AS rrf_q
+         |  FROM ranked)
+         |SELECT query_id, cand_id, lex_rank, cos_rank, rrf_q,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY rrf_q DESC, cand_id) AS BIGINT) AS final_rank
+         |FROM fused
+         |QUALIFY final_rank <= $RrfTopK
+         |ORDER BY query_id, final_rank""".stripMargin
+    }) { (s, dir) =>
+      val corpus = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), tokenHashes(col("text")).as("hashes"))
+        .join(t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("e")),
+          "id")
+      val q = corpus.filter(col("id") < RrfQueries)
+        .select(col("id").as("query_id"), col("hashes").as("qh"), col("e").as("qe"))
+      SimilarityOps.hybridRrfTopK(q,
+          corpus.select(col("id").as("cand_id"), col("hashes"), col("e")),
+          depth = RrfDepth, k = RrfTopK)
+        .orderBy(col("query_id"), col("final_rank"))
+    },
+
+    // --------------- embeddings: random-projection reduction (JL lemma)
+    // Dimensionality reduction for the vector store: a deterministic
+    // ±1 sign matrix (Achlioptas 2003 — database-friendly random
+    // projections) maps every 64-dim embedding to RpDims dims in one
+    // per-row fold. The sign of cell (i, j) comes from a cubing hash
+    // (k³ mod p mod 2 — affine hashes mod p have pairwise-correlated
+    // parity columns; cubing decorrelates, measured max inter-column
+    // |corr| 0.31 at 64×16). Both engines fold dimensions
+    // LEFT-TO-RIGHT over identical doubles, so the ×10⁶-quantized
+    // projections are bit-identical.
+    //
+    // Scale shape: pure map work — the "matrix" is a closed-form
+    // expression (at a real deployment: a seeded d×d' literal broadcast,
+    // KBs), no shuffle anywhere; the explode emits RpDims rows per
+    // vector for the columnar sink.
+    Q("p54_embed_rp", {
+      val sign = (i: String, j: String) => {
+        val k = s"(($i) * 31 + ($j) + 7) % 1000003"
+        s"(CASE WHEN (($k) * ($k) % 1000003) * ($k) % 1000003 % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+      }
+      s"""WITH p AS (
+         |  SELECT vec_id,
+         |    list_transform(range($RpDims), j ->
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(range(len(embedding)), i ->
+         |          CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * ${sign("i", "j")})),
+         |        (a, b) -> a + b)) AS proj
+         |  FROM embeddings)
+         |SELECT vec_id, CAST(j AS INT) AS dim,
+         |       CAST(floor(proj[CAST(j + 1 AS INT)] * 1000000.0 + 0.5) AS BIGINT) AS q_val
+         |FROM (SELECT vec_id, proj, unnest(range($RpDims)) AS j FROM p)
+         |ORDER BY vec_id, dim""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(SimilarityOps.rpProject(col("embedding"), RpDims)))
+        .select(col("vec_id"), col("pos").cast("int").as("dim"),
+          floor(col("col") * lit(1000000.0) + lit(0.5)).cast("long").as("q_val"))
+        .orderBy(col("vec_id"), col("dim"))
+    },
+
+    // ----------------- quality: distributed-trained linear classifier
+    // Batch-perceptron training of a quality filter on the corpus itself
+    // (the GPT-3/CCNet quality-classifier step, with integer-exact
+    // arithmetic so the distributed gradient sum is order-independent —
+    // see ClassifierOps). Features: bias, token count, stopword count,
+    // long-token count; labels from the p02 quality rule. The oracle
+    // replays the PerceptronEpochs epochs unrolled (the BPE/Lloyd
+    // discipline): each epoch's update is Σ y·x over rows the previous
+    // weights misclassify.
+    Q("p55_quality_perceptron", {
+      val toks = "string_split(text, ' ')"
+      val stop = TextOps.countInSql(toks, TextOps.Stopwords)
+      def epoch(prev: Option[String], n: Int) = {
+        val inner = prev match {
+          case None =>
+            "SELECT f.*, CAST(0 AS BIGINT) AS pw0, CAST(0 AS BIGINT) AS pw1, " +
+              "CAST(0 AS BIGINT) AS pw2, CAST(0 AS BIGINT) AS pw3, TRUE AS m FROM f"
+          case Some(p) =>
+            s"""SELECT f.*, $p.w0 AS pw0, $p.w1 AS pw1, $p.w2 AS pw2, $p.w3 AS pw3,
+               |       ($p.w0 * x0 + $p.w1 * x1 + $p.w2 * x2 + $p.w3 * x3) * y <= 0 AS m
+               |FROM f CROSS JOIN $p""".stripMargin
+        }
+        s"""e$n AS (
+           |  SELECT max(pw0) + coalesce(sum(CASE WHEN m THEN y * x0 END), 0) AS w0,
+           |         max(pw1) + coalesce(sum(CASE WHEN m THEN y * x1 END), 0) AS w1,
+           |         max(pw2) + coalesce(sum(CASE WHEN m THEN y * x2 END), 0) AS w2,
+           |         max(pw3) + coalesce(sum(CASE WHEN m THEN y * x3 END), 0) AS w3,
+           |         CAST(count(*) FILTER (WHERE m) AS BIGINT) AS n_mis
+           |  FROM ($inner))""".stripMargin
+      }
+      val epochs = (1 to PerceptronEpochs).map(n =>
+        epoch(if (n == 1) None else Some(s"e${n - 1}"), n)).mkString(",\n")
+      val out = (1 to PerceptronEpochs).map(n =>
+        s"SELECT CAST($n AS INT) AS epoch, CAST(w0 AS BIGINT) AS w0, " +
+          s"CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2, " +
+          s"CAST(w3 AS BIGINT) AS w3, n_mis FROM e$n")
+        .mkString("\nUNION ALL\n")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         CAST(1 AS BIGINT) AS x0,
+         |         CAST(len($toks) AS BIGINT) AS x1,
+         |         CAST($stop AS BIGINT) AS x2,
+         |         CAST(len(list_filter($toks, t -> length(t) >= 6)) AS BIGINT) AS x3,
+         |         CAST(CASE WHEN len($toks) >= 20 AND $stop > 0
+         |                   THEN 1 ELSE -1 END AS BIGINT) AS y
+         |  FROM documents),
+         |$epochs
+         |SELECT * FROM ($out) ORDER BY epoch""".stripMargin
+    }) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val stop = countIn(toks, Stopwords)
+      val feats = t(s, dir, "documents").select(
+        lit(1L).as("x0"),
+        size(toks).cast("long").as("x1"),
+        stop.cast("long").as("x2"),
+        size(filter(toks, tk => length(tk) >= 6)).cast("long").as("x3"),
+        when(size(toks) >= 20 && stop > 0, 1L).otherwise(-1L).as("y"))
+      graft.ops.ClassifierOps.perceptronEpochs(s, feats, PerceptronEpochs)
+        .orderBy(col("epoch"))
     }
   )
 
@@ -2150,6 +2351,24 @@ object Pipeline {
   private def CmProbes: Seq[String] = Seq(
     "the", "a", "table", "spark", "query", "window", "batch", "vector",
     "zzz_absent", "qqq_missing")
+
+  /** Paragraph width in tokens for p52's CCNet-style chunk dedup (defs,
+    * not vals — referenced inside the `queries` val, which inits first).
+    */
+  private def ChunkW: Int = 16
+
+  /** Hybrid-retrieval (p53) geometry: query-id cutoff, per-leg rank
+    * depth entering the fusion, and the fused top-k emitted.
+    */
+  private def RrfQueries: Int = 20
+  private def RrfDepth: Int = 20
+  private def RrfTopK: Int = 10
+
+  /** Output dimensionality of p54's random projection. */
+  private def RpDims: Int = 16
+
+  /** Training epochs for p55's batch perceptron. */
+  private def PerceptronEpochs: Int = 3
 
   /** Gopher-style stopword set for the quality gate (the synthetic corpus
     * carries 'the'/'a' as its function words). Defs, not vals: they are

@@ -396,6 +396,36 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("charbigrams") // the fused kernel feeds the cache
   }
 
+  "p52_dd_chunk_dedup" should "find first occurrences by aggregation, never a window over the chunk hash" in {
+    val plan = planOf("p52_dd_chunk_dedup")
+    // a Window over the md5 key would pile every occurrence of a hot
+    // boilerplate chunk into ONE partition; the argmin must be a
+    // partially-aggregable groupBy and the join back an equi join
+    plan should not include "Window"
+    plan should include regex "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "p53_sim_hybrid_rrf" should "broadcast only the bounded query set; the corpus side stays equi-joined" in {
+    val plan = planOf("p53_sim_hybrid_rrf")
+    // ONE nested-loop join is the design: the fixed query set rides a
+    // broadcast across a single corpus scan (p09's brute-force shape);
+    // the corpus↔sidecar link must be an equi join, never all-pairs
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size shouldBe 1
+    plan should not include "CartesianProduct"
+    plan should include regex "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
+  }
+
+  "p54_embed_rp" should "stay map-only: no joins, no aggregates, only the output sort exchanges" in {
+    val plan = planOf("p54_embed_rp")
+    plan should not include "Join"
+    plan should not include "HashAggregate"
+    // the projection fold happens inside the scan stage; the single
+    // Exchange is the registered query's output ORDER BY
+    "Exchange".r.findAllIn(plan).size should be <= 1
+  }
+
   "p46_txt_novelty" should "shuffle fingerprints once into a shared table; all joins equi" in {
     val plan = planOf("p46_txt_novelty")
     // the exploded shingle table is persisted and feeds BOTH the
