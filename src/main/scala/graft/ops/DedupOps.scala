@@ -566,6 +566,61 @@ object DedupOps {
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
       s"CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE)"
 
+  // ------------------------------------------- exact substring scrubbing
+
+  /** Cross-occurrence duplicated-substring REMOVAL — the rewrite half of
+    * exact substring dedup (Lee et al. ACL'22 keep the first occurrence
+    * and cut the rest; [[dupSpans]] is the detection half). Every
+    * `width`-token rolling window is fingerprinted; for fingerprints
+    * occurring more than once (across OR within documents), every
+    * instance except the globally-first (smallest (doc, pos)) marks its
+    * `width` token positions for removal, and documents are reassembled
+    * from the surviving tokens.
+    *
+    * Scale shape: one fingerprint shuffle (partially-aggregable
+    * min+count per hash — never a window over the hash), an equi join
+    * back, and a duplication-bounded coverage explode (×width rows per
+    * REMOVED window only); reassembly is one doc-keyed agg bounded by
+    * document length. The fingerprint table feeds both the argmin agg
+    * and the emit join, so it is persisted for the query and
+    * auto-released (the dupSpans discipline).
+    */
+  def substrScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 16): DataFrame = {
+    val toked = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    val w = Release.afterFirstUse(toked
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - width),
+          j => TextOps.polyHash(array_join(slice(col("toks"), j + 1, lit(width)), " "))))
+          .as(Seq("pos", "h")))
+      .withColumn("enc", col("doc_id") * lit(1000000L) + col("pos")))
+    val firsts = w.groupBy(col("h"))
+      .agg(min(col("enc")).as("first"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val cov = w.join(firsts, "h")
+      .filter(col("enc") > col("first"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(width - 1))).as("p"))
+      .distinct()
+      .withColumn("rm", lit(1))
+    toked
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tk")))
+      .join(cov, Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("rm")).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rm").isNull, struct(col("p"), col("tk"))))),
+            x => x.getField("tk")),
+          " ").as("text_scrub"))
+  }
+
   // ------------------------------------------- paragraph/chunk-level dedup
 
   /** CCNet-style paragraph dedup (Wenzek et al. 2020 §3.1): hash every

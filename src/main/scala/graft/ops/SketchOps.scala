@@ -134,4 +134,54 @@ object SketchOps {
           Iterator.single(KmvSnap(key, nSeen, nSample, kth, est))
       }
   }
+
+  // ------------------------------------- sketch-pruned exact heavy hitters
+
+  /** φ-heavy hitters with a Count-Min candidate filter (Cormode &
+    * Muthukrishnan 2005): an item is heavy iff count·denom > N. Phase 1
+    * builds the CM sketch (one shuffle of ≤ rows×width cells) and
+    * collects it — sketch-sized driver state, the same footprint class
+    * as the BPE argmax / perceptron weights. Phase 2 re-scans the
+    * occurrences with the sketch embedded as ARRAY LITERALS: each
+    * occurrence's min-of-rows estimate is a pure map-side lookup, and
+    * only occurrences whose estimate clears the threshold reach the
+    * exact-count shuffle. CM never undercounts, so the filter has NO
+    * false negatives — the output is exactly the heavy set plus the
+    * sketch's (visible, flagged) false positives.
+    *
+    * The 100 TB story: the exact-count groupBy — the step that explodes
+    * on a distinct-unbounded n-gram universe — only ever sees candidate
+    * occurrences (≤ rows·N/threshold distinct keys by the CM bound);
+    * everything else is map work against broadcast-sized literals.
+    *
+    * @param grams one row per occurrence, column `ngram`
+    * @param denom heaviness denominator: heavy ⇔ cnt·denom > N
+    */
+  def cmHeavyHitters(
+      grams: DataFrame,
+      denom: Long,
+      seeds: Seq[(Long, Long)],
+      width: Int): DataFrame = {
+    val g = Release.afterFirstUse(
+      grams.select(col("ngram"), TextOps.polyHash(col("ngram")).as("h")))
+    def bucket(h: Column, a: Long, b: Long): Column =
+      pmod(pmod(h * a + b, lit(TextOps.HashMod)), lit(width.toLong))
+    val skRows = g
+      .select(posexplode(array(seeds.map { case (a, b) => bucket(col("h"), a, b) }: _*))
+        .as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+      .collect()
+    val n = g.count()
+    val tables = Array.fill(seeds.size)(Array.fill(width)(0L))
+    skRows.foreach(r => tables(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    val est = least(seeds.zipWithIndex.map { case ((a, b), r) =>
+      element_at(typedLit(tables(r).toSeq), (bucket(col("h"), a, b) + 1).cast("int"))
+    }: _*)
+    g.withColumn("est", est)
+      .filter(col("est") * denom > n)
+      .groupBy(col("ngram"))
+      .agg(min(col("est")).as("est_cnt"), count(lit(1)).as("exact_cnt"))
+      .select(col("ngram"), col("est_cnt"), col("exact_cnt"),
+        (col("exact_cnt") * denom > n).as("is_heavy"))
+  }
 }

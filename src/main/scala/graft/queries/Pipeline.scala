@@ -2133,6 +2133,83 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // ------------------- dedup: exact-substring scrub (ExactSubstr cut)
+    // The rewrite half of Lee et al. ACL'22 (p27 is the detection half):
+    // rolling ScrubW-token fingerprints; every instance of a repeated
+    // fingerprint except the globally-first marks its positions, and
+    // documents reassemble from surviving tokens. See
+    // DedupOps.substrScrub for the shuffle budget.
+    Q("p56_dd_substr_scrub", {
+      val w = ScrubW
+      val win = (0 until w).map(j => s"tok[st + $j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |w AS (SELECT doc_id, st - 1 AS pos, ${TextOps.polyHashSql(win)} AS h
+         |      FROM (SELECT doc_id, tok,
+         |                   unnest(generate_series(1, len(tok) - ${w - 1})) AS st
+         |            FROM t WHERE len(tok) >= $w)),
+         |f AS (SELECT h, min(doc_id * 1000000 + pos) AS first
+         |      FROM w GROUP BY h HAVING count(*) > 1),
+         |dup AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (h)
+         |        WHERE doc_id * 1000000 + pos > f.first),
+         |cov AS (SELECT DISTINCT doc_id,
+         |               unnest(generate_series(pos, pos + ${w - 1})) AS p FROM dup),
+         |u AS (SELECT doc_id, unnest(tok) AS tk,
+         |             generate_subscripts(tok, 1) - 1 AS p FROM t)
+         |SELECT u.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(count(cov.p) AS BIGINT) AS n_removed,
+         |       coalesce(string_agg(CASE WHEN cov.p IS NULL THEN u.tk END, ' '
+         |                           ORDER BY u.p), '') AS text_scrub
+         |FROM u LEFT JOIN cov ON cov.doc_id = u.doc_id AND cov.p = u.p
+         |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.substrScrub(t(s, dir, "documents"), "doc_id", "text", ScrubW)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------- sketches: CM-pruned exact φ-heavy hitters (bigrams)
+    // Heavy ⇔ cnt·HhDenom > N over corpus word bigrams. The CM sketch
+    // (p35's geometry) prunes at the MAP side — only occurrences whose
+    // min-of-rows estimate clears the threshold reach the exact-count
+    // shuffle, so the groupBy is candidate-bounded even when the distinct
+    // n-gram universe isn't holdable. CM never undercounts → zero false
+    // negatives; its false positives survive to the output flagged
+    // is_heavy=false (the certification the two-phase design buys).
+    Q("p57_ngram_heavyhitters", {
+      val aList = CmSeeds.map(_._1).mkString("[", ", ", "]")
+      val bList = CmSeeds.map(_._2).mkString("[", ", ", "]")
+      val bkt = (hE: String) =>
+        s"(($hE * $aList[r + 1] + $bList[r + 1]) % ${TextOps.HashMod}) % $CmW"
+      s"""WITH g AS (
+         |  SELECT l || ' ' || r AS ngram FROM (
+         |    SELECT unnest(list_slice(tok, 1, len(tok) - 1)) AS l,
+         |           unnest(list_slice(tok, 2, len(tok))) AS r
+         |    FROM (SELECT string_split(text, ' ') AS tok FROM documents))),
+         |h AS (SELECT ngram, ${TextOps.polyHashSql("ngram")} AS h FROM g),
+         |bk AS (SELECT ${bkt("h")} AS bucket, r AS row
+         |       FROM h CROSS JOIN (SELECT unnest(range(${CmSeeds.size})) AS r)),
+         |sk AS (SELECT row, bucket, count(*) AS c FROM bk GROUP BY row, bucket),
+         |n AS (SELECT count(*) AS n FROM g),
+         |est AS (
+         |  SELECT ngram, min(coalesce(c, 0)) AS est_cnt FROM (
+         |    SELECT d.ngram, ${bkt("d.h")} AS bucket, r AS row
+         |    FROM (SELECT DISTINCT ngram, h FROM h) d
+         |    CROSS JOIN (SELECT unnest(range(${CmSeeds.size})) AS r)) x
+         |  LEFT JOIN sk USING (row, bucket) GROUP BY ngram),
+         |ex AS (SELECT ngram, count(*) AS exact_cnt FROM g GROUP BY ngram)
+         |SELECT e.ngram, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+         |       CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
+         |       x.exact_cnt * $HhDenom > n.n AS is_heavy
+         |FROM est e JOIN ex x USING (ngram) CROSS JOIN n
+         |WHERE e.est_cnt * $HhDenom > n.n
+         |ORDER BY ngram""".stripMargin
+    }) { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .select(explode(TextOps.ngrams(tokens(col("text")), 2)).as("ngram"))
+      graft.ops.SketchOps.cmHeavyHitters(grams, HhDenom, CmSeeds, CmW)
+        .orderBy(col("ngram"))
+    },
+
     // ----------------- similarity: hybrid sparse+dense retrieval (RRF)
     // The standard hybrid-search fusion (Cormack et al. 2009): a lexical
     // leg (token-set jaccard) and a dense leg (embedding cosine) each
@@ -2356,6 +2433,18 @@ object Pipeline {
     * not vals — referenced inside the `queries` val, which inits first).
     */
   private def ChunkW: Int = 16
+
+  /** Rolling-window width in tokens for p56's exact-substring scrub. */
+  private def ScrubW: Int = 16
+
+  /** Heavy-hitter denominator for p57: heavy ⇔ cnt·HhDenom > N (φ =
+    * 1/900 — calibrated so the synthetic bigram distribution yields both
+    * true heavies and visible CM false positives at every SF).
+    */
+  private def HhDenom: Long = 900L
+
+  /** The CM seed set, exposed for spec use. */
+  private[graft] def cmSeedsForSpec: Seq[(Long, Long)] = CmSeeds
 
   /** Hybrid-retrieval (p53) geometry: query-id cutoff, per-leg rank
     * depth entering the fusion, and the fused top-k emitted.

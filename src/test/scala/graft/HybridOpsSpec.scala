@@ -137,6 +137,101 @@ class HybridOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     maxCorr should be < 0.5 // affine hashes measure 1.0 here
   }
 
+  // ------------------------------------------------------ p56 substrScrub
+
+  "DedupOps.substrScrub" should "cut later instances of a shared window and keep the first" in {
+    val s = spark; import s.implicits._
+    val shared = (1 to 4).map(i => s"s$i").mkString(" ") // one 4-token window
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2"),
+      (2L, s"head1 $shared tail3"),
+      (3L, "u1 u2 u3 u4 u5")
+    ).toDF("doc_id", "text")
+    val out = ops.DedupOps.substrScrub(docs, "doc_id", "text", width = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    out shouldBe Array(
+      (1L, 6L, 0L, "s1 s2 s3 s4 tail1 tail2"), // first owner keeps its copy
+      (2L, 6L, 4L, "head1 tail3"),
+      (3L, 5L, 0L, "u1 u2 u3 u4 u5"))
+  }
+
+  it should "scrub WITHIN-document repeats and leave sub-width docs untouched" in {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d x a b c d"), // second occurrence of "a b c d" cut
+      (2L, "p q r") // shorter than the window: no fingerprints at all
+    ).toDF("doc_id", "text")
+    val out = ops.DedupOps.substrScrub(docs, "doc_id", "text", width = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    out shouldBe Array(
+      (1L, 9L, 4L, "a b c d x"),
+      (2L, 3L, 0L, "p q r"))
+  }
+
+  it should "match a brute-force scrub on random repetitive corpora" in {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val words = Array("a", "b", "c", "d", "e")
+    val width = 5
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(8 + rnd.nextInt(25))(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val got = ops.DedupOps.substrScrub(docs.toDF("doc_id", "text"), "doc_id", "text", width)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    // brute force: global first instance per window text, covered = union
+    val wins = docs.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      (0 to t.length - width).map(p => (t.slice(p, p + width).mkString(" "), id, p))
+    }
+    val byWin = wins.groupBy(_._1)
+    val want = docs.map { case (id, text) =>
+      val t = text.split(" ")
+      val covered = Array.fill(t.length)(false)
+      for {
+        p <- 0 to t.length - width
+        g = t.slice(p, p + width).mkString(" ")
+        insts = byWin(g) if insts.size > 1
+        firstEnc = insts.map { case (_, d, q) => d * 1000000L + q }.min
+        if id * 1000000L + p > firstEnc
+        k <- p until p + width
+      } covered(k) = true
+      val kept = t.indices.filterNot(covered).map(t)
+      (id, t.length.toLong, covered.count(identity).toLong, kept.mkString(" "))
+    }
+    got.toSeq shouldBe want
+  }
+
+  // --------------------------------------------------- p57 cmHeavyHitters
+
+  "SketchOps.cmHeavyHitters" should "never miss a true heavy hitter and flag CM false positives" in {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    // skewed stream: items z0..z4 hot, 400 rare items
+    val occ = (0 until 2000).map { _ =>
+      if (rnd.nextInt(3) == 0) s"z${rnd.nextInt(5)}" else s"r${rnd.nextInt(400)}"
+    }
+    val denom = 50L // heavy ⇔ cnt·50 > 2000 ⇔ cnt > 40
+    val grams = occ.toDF("ngram")
+    val out = ops.SketchOps.cmHeavyHitters(grams, denom,
+        graft.queries.Pipeline.cmSeedsForSpec, 64) // small width forces FPs
+      .as[(String, Long, Long, Boolean)].collect()
+    val exact = occ.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val trueHeavy = exact.filter { case (_, c) => c * denom > occ.size }.keySet
+    // no false negatives: every true heavy appears, flagged heavy, count exact
+    val outMap = out.map(o => o._1 -> o).toMap
+    trueHeavy.foreach { k =>
+      outMap.keySet should contain(k)
+      outMap(k)._4 shouldBe true
+      outMap(k)._3 shouldBe exact(k)
+    }
+    // everything flagged heavy IS heavy; everything unflagged is a CM FP
+    out.filter(_._4).map(_._1).toSet shouldBe trueHeavy
+    out.filterNot(_._4).foreach { case (k, est, cnt, _) =>
+      est should be >= cnt // CM never undercounts
+      (cnt * denom <= occ.size) shouldBe true
+    }
+  }
+
   // ----------------------------------------------- p55 perceptronEpochs
 
   "ClassifierOps.perceptronEpochs" should "match a hand-rolled sequential batch perceptron" in {

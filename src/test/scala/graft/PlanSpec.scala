@@ -426,6 +426,26 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "Exchange".r.findAllIn(plan).size should be <= 1
   }
 
+  "p56_dd_substr_scrub" should "share one persisted fingerprint table; argmin by aggregation, all joins equi" in {
+    val plan = planOf("p56_dd_substr_scrub")
+    // the rolling-fingerprint table feeds BOTH the min+count agg and the
+    // dup-instance join — persisted, not re-derived from the corpus
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "p57_ngram_heavyhitters" should "filter candidates map-side against sketch literals, never a join" in {
+    val plan = planOf("p57_ngram_heavyhitters")
+    // the sketch rides into the scan as array literals: the candidate
+    // filter and min-of-rows estimate are pure projections — any Join
+    // here means the sketch was joined instead of broadcast-embedded
+    plan should not include "Join"
+    plan should not include "CartesianProduct"
+    plan should include("HashAggregate") // only the candidate-bounded exact count
+  }
+
   "p46_txt_novelty" should "shuffle fingerprints once into a shared table; all joins equi" in {
     val plan = planOf("p46_txt_novelty")
     // the exploded shingle table is persisted and feeds BOTH the
