@@ -663,6 +663,64 @@ object DedupOps {
           " ").as("text_clean"))
   }
 
+  // ---------------------------------------- incremental (batch) ingest gate
+
+  /** Incremental ingestion dedup against a maintained corpus: the
+    * "only add novel content" step of growing a training set. Existing
+    * docs contribute their aligned `w`-token chunk fingerprints
+    * ([[chunkDedup]]'s convention) to (a) a `bloomM`-bit Bloom filter
+    * and (b) the chunk-key index. Each batch chunk is bloom-probed
+    * MAP-SIDE against the broadcast bit set; only probable chunks reach
+    * the exact-confirm join against the index — at corpus scale the
+    * join's probe side is bloom-pruned to near-nothing, which is the
+    * design. A batch doc is rejected when its exact-containment count
+    * clears n_chunks / rejectDen.
+    *
+    * Returns one row per batch doc: (doc_id, n_chunks, n_probable,
+    * n_exact, verdict). Bloom has no false negatives, so n_exact over
+    * probable chunks equals n_exact over all chunks — the oracle
+    * computes the latter, certifying the property on real data.
+    */
+  def ingestGate(
+      existing: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 16,
+      bloomM: Int = 65536,
+      rejectDen: Long = 4L): DataFrame = {
+    def chunkHashes(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tok"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), greatest(size(col("tok")), lit(1)), lit(w)),
+        st => TextOps.polyHash(array_join(slice(col("tok"), st, lit(w)), " "))))
+        .as(Seq("ix", "h")))
+    val exKeys = Release.afterFirstUse(
+      chunkHashes(existing).select(col("h")).distinct())
+    val bits = exKeys
+      .select(explode(graft.ops.SketchOps.bloomPositionsM(col("h"), bloomM)).as("pos"))
+      .distinct()
+    val bc = Release.afterFirstUse(chunkHashes(batch))
+    val probable = bc
+      .select(col("doc_id"), col("ix"), col("h"),
+        explode(graft.ops.SketchOps.bloomPositionsM(col("h"), bloomM)).as("pos"))
+      .join(broadcast(bits), "pos")
+      .groupBy(col("doc_id"), col("ix"), col("h"))
+      .agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === graft.ops.SketchOps.BloomSeeds.size)
+    val confirmed = probable
+      .join(exKeys.withColumn("inex", lit(1)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_probable"), count(col("inex")).as("n_exact"))
+    bc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_probable"), lit(0L)).as("n_probable"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        when(coalesce(col("n_exact"), lit(0L)) * rejectDen >= col("n_chunks"), "reject")
+          .otherwise("accept").as("verdict"))
+  }
+
   // ------------------------------------------------ streaming ingestion gate
 
   /** One doc parked in a bucket's current salt chunk. */

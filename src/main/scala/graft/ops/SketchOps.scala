@@ -51,6 +51,19 @@ object SketchOps {
       s"(($h * $a + $b) % ${TextOps.HashMod}) % $BloomBits"
     }.mkString("[", ", ", "]")
 
+  /** [[bloomPositions]] with an explicit table size (the ingest gate
+    * sizes its filter to the existing-corpus key count rather than the
+    * benchmark-shingle default).
+    */
+  def bloomPositionsM(h: Column, m: Int): Column = array(BloomSeeds.map { case (a, b) =>
+    pmod(pmod(h * a + b, lit(TextOps.HashMod)), lit(m.toLong))
+  }: _*)
+
+  def bloomPositionsMSql(h: String, m: Int): String =
+    BloomSeeds.map { case (a, b) =>
+      s"(($h * $a + $b) % ${TextOps.HashMod}) % $m"
+    }.mkString("[", ", ", "]")
+
   // ---------------------------------------------------------------- hll
   /** HLL parameters: m = 32 registers over the ~2³⁰ hash space.
     * register = h % 32; the remaining value w = h div 32 < 2²⁵, so its

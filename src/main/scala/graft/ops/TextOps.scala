@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -530,5 +530,43 @@ object TextOps {
       .join(broadcast(encoded), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tokens"))
+  }
+
+  // -------------------------------------- hashing-trick doc embeddings
+
+  /** Feature-hashed sparse document vectors (the hashing trick,
+    * Weinberger et al. 2009): each token lands in bucket h mod `dims`
+    * with sign (h div dims) mod 2, signed counts accumulate per (doc,
+    * dim), and the non-zero entries ship L2-normalized and
+    * ×10⁶-quantized — a fixed-width embedding for documents with no
+    * trained model, feeding the same ANN/semantic-dedup machinery the
+    * `embeddings` sidecar does. The normalizing denominator √norm2 is
+    * computed from EXACT integer v² sums, so the one double division is
+    * engine-identical.
+    *
+    * Scale shape: one explode + one (doc, dim)-keyed sum (partially
+    * aggregable, ≤ dims rows per doc survive), one doc-keyed norm agg,
+    * one equi join — no vocabulary state, no model, no skew (dims
+    * spread every doc's tokens).
+    */
+  def featureHashSparse(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int = 256): DataFrame = {
+    val v = Release.afterFirstUse(docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("doc_id"), polyHash(col("tok")).as("h"))
+      .select(col("doc_id"),
+        pmod(col("h"), lit(dims.toLong)).cast("int").as("dim"),
+        when(pmod(floor(col("h") / dims).cast("long"), lit(2L)) === 0, 1L)
+          .otherwise(-1L).as("s"))
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("s")).as("v"))
+      .filter(col("v") =!= 0))
+    val n = v.groupBy(col("doc_id")).agg(sum(col("v") * col("v")).as("norm2"))
+    v.join(n, "doc_id")
+      .select(col("doc_id"), col("dim"),
+        floor(col("v") * lit(1000000.0) / sqrt(col("norm2").cast("double")) + lit(0.5))
+          .cast("long").as("q_val"))
   }
 }

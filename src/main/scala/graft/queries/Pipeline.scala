@@ -2210,6 +2210,116 @@ object Pipeline {
         .orderBy(col("ngram"))
     },
 
+    // ------------------- text: hashing-trick document embeddings (p58)
+    // Fixed-width sparse doc vectors with no trained model (Weinberger
+    // et al. 2009): token → bucket h mod FhDims, sign (h div FhDims)
+    // mod 2, signed counts L2-normalized from exact integer sums and
+    // ×10⁶-quantized. Output feeds the same ANN machinery as the
+    // embeddings sidecar. See TextOps.featureHashSparse for the
+    // shuffle budget.
+    Q("p58_txt_feature_hash", {
+      val d = FhDims
+      s"""WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${TextOps.polyHashSql("tok")} AS h FROM u),
+         |v AS (SELECT doc_id, CAST(h % $d AS INT) AS dim,
+         |             CAST(sum(CASE WHEN (h // $d) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |      FROM h GROUP BY doc_id, dim HAVING v <> 0),
+         |n AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS norm2 FROM v GROUP BY doc_id)
+         |SELECT doc_id, dim, CAST(floor(v * 1000000.0 / sqrt(norm2) + 0.5) AS BIGINT) AS q_val
+         |FROM v JOIN n USING (doc_id) ORDER BY doc_id, dim""".stripMargin
+    }) { (s, dir) =>
+      TextOps.featureHashSparse(t(s, dir, "documents"), "doc_id", "text", FhDims)
+        .orderBy(col("doc_id"), col("dim"))
+    },
+
+    // --------------- dedup: incremental ingestion gate (p59, chunk level)
+    // The "only add novel content" step of a maintained corpus: docs
+    // with id % 5 ≠ 0 play the EXISTING corpus, the rest arrive as the
+    // new batch. Existing chunk fingerprints (p52's aligned-chunk
+    // convention) feed a corpus-sized Bloom filter; each batch chunk is
+    // bloom-probed MAP-SIDE (broadcast bit set), and only probable
+    // chunks reach the exact-confirm join against the chunk-key index —
+    // the join probe side is bloom-pruned, which is the whole point at
+    // 100 TB. A batch doc is rejected when ≥ 1/4 of its chunks already
+    // exist. The oracle computes n_exact over ALL chunks (not just
+    // probable ones) — equality certifies the filter's no-false-negative
+    // property on real data.
+    Q("p59_dd_ingest_gate", {
+      val w = ChunkW
+      val chunk = s"array_to_string(tok[st : least(st + ${w - 1}, len(tok))], ' ')"
+      s"""WITH tex AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |ck AS (SELECT doc_id, st, ${TextOps.polyHashSql(chunk)} AS h
+         |       FROM (SELECT doc_id, tok,
+         |                    unnest(generate_series(1, greatest(len(tok), 1), $w)) AS st
+         |             FROM tex)),
+         |ex AS (SELECT DISTINCT h FROM ck WHERE doc_id % 5 <> 0),
+         |bits AS (SELECT DISTINCT unnest(${SketchOps.bloomPositionsMSql("h", GateBloomM)}) AS pos
+         |         FROM ex),
+         |bc AS (SELECT doc_id, st, h FROM ck WHERE doc_id % 5 = 0),
+         |pr AS (SELECT doc_id, count(*) AS n_probable FROM (
+         |         SELECT doc_id, st, h FROM (
+         |           SELECT doc_id, st, h,
+         |                  unnest(${SketchOps.bloomPositionsMSql("h", GateBloomM)}) AS pos
+         |           FROM bc) b
+         |         JOIN bits USING (pos)
+         |         GROUP BY doc_id, st, h HAVING count(*) = ${SketchOps.BloomSeeds.size})
+         |       GROUP BY doc_id),
+         |exq AS (SELECT doc_id, count(*) AS n_exact
+         |        FROM bc JOIN ex USING (h) GROUP BY doc_id),
+         |base AS (SELECT doc_id, count(*) AS n_chunks FROM bc GROUP BY doc_id)
+         |SELECT base.doc_id,
+         |       CAST(base.n_chunks AS BIGINT) AS n_chunks,
+         |       CAST(coalesce(pr.n_probable, 0) AS BIGINT) AS n_probable,
+         |       CAST(coalesce(exq.n_exact, 0) AS BIGINT) AS n_exact,
+         |       CASE WHEN coalesce(exq.n_exact, 0) * $GateRejectDen >= base.n_chunks
+         |            THEN 'reject' ELSE 'accept' END AS verdict
+         |FROM base LEFT JOIN pr USING (doc_id) LEFT JOIN exq USING (doc_id)
+         |ORDER BY base.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      DedupOps.ingestGate(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", ChunkW, GateBloomM, GateRejectDen)
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------- similarity: mutual kNN graph (p60)
+    // The k-NN graph construction step of graph-based clustering /
+    // diversity analysis: top-KnnK cosine neighbors WITHIN the
+    // hyperplane-LSH bucket (SimilarityOps.lshTopK — a bucket-keyed
+    // equi join, never all-pairs), plus the mutuality flag (edge (a,b)
+    // AND (b,a) both in the top-k set) from one self equi-join on the
+    // k·N-bounded edge list.
+    Q("p60_sim_knn_graph", {
+      val bucket = lshBucketSql("embedding")
+      val cos = cosineSql("q.embedding", "c.embedding")
+      s"""WITH eb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |sc AS (SELECT q.vec_id AS vec_id, c.vec_id AS nn_id, $cos AS cos,
+         |              row_number() OVER (PARTITION BY q.vec_id
+         |                                 ORDER BY $cos DESC, c.vec_id) AS rnk
+         |       FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+         |e AS (SELECT vec_id, nn_id, cos, CAST(rnk AS BIGINT) AS rnk
+         |      FROM sc WHERE rnk <= $KnnK)
+         |SELECT e.vec_id, e.nn_id, e.cos, e.rnk, r.vec_id IS NOT NULL AS mutual
+         |FROM e LEFT JOIN e r ON r.vec_id = e.nn_id AND r.nn_id = e.vec_id
+         |ORDER BY e.vec_id, e.rnk""".stripMargin
+    }) { (s, dir) =>
+      val edges = graft.ops.Release.afterFirstUse(
+        SimilarityOps.lshTopK(t(s, dir, "embeddings"), KnnK)
+          .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"),
+            col("cos"), col("rnk").cast("long").as("rnk")))
+      // edges are unique per (vec_id, nn_id) — row_number top-k — so the
+      // reverse lookup is a plain equi left join on the swapped key
+      val rev = edges.select(col("vec_id").as("r_vec"), col("nn_id").as("r_nn"),
+        lit(1).as("m"))
+      edges.join(rev,
+          col("r_vec") === col("nn_id") && col("r_nn") === col("vec_id"), "left")
+        .select(col("vec_id"), col("nn_id"), col("cos"), col("rnk"),
+          col("m").isNotNull.as("mutual"))
+        .orderBy(col("vec_id"), col("rnk"))
+    },
+
     // ----------------- similarity: hybrid sparse+dense retrieval (RRF)
     // The standard hybrid-search fusion (Cormack et al. 2009): a lexical
     // leg (token-set jaccard) and a dense leg (embedding cosine) each
@@ -2445,6 +2555,19 @@ object Pipeline {
 
   /** The CM seed set, exposed for spec use. */
   private[graft] def cmSeedsForSpec: Seq[(Long, Long)] = CmSeeds
+
+  /** Output width of p58's hashing-trick doc embeddings. */
+  private def FhDims: Int = 256
+
+  /** Ingest-gate (p59) geometry: Bloom bits sized to the existing-corpus
+    * chunk-key count; reject when n_exact · GateRejectDen ≥ n_chunks
+    * (i.e. ≥ 1/GateRejectDen of the doc already exists).
+    */
+  private def GateBloomM: Int = 65536
+  private def GateRejectDen: Long = 4L
+
+  /** Neighbors per node in p60's mutual kNN graph. */
+  private def KnnK: Int = 3
 
   /** Hybrid-retrieval (p53) geometry: query-id cutoff, per-leg rank
     * depth entering the fusion, and the fused top-k emitted.

@@ -92,6 +92,22 @@ class HybridOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     out(3) shouldBe ((4L, 0L, 0L, 0L, 4L))
   }
 
+  it should "handle a corpus smaller than the fusion depth" in {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta", Seq(1.0f, 0.0f)),
+      (2L, "gamma delta", Seq(0.0f, 1.0f))
+    ).toDF("cand_id", "text", "e")
+      .select(col("cand_id"), ops.TextOps.tokenHashes(col("text")).as("hashes"), col("e"))
+    val q = Seq((0L, "alpha beta", Seq(1.0f, 0.0f))).toDF("query_id", "text", "qe")
+      .select(col("query_id"), ops.TextOps.tokenHashes(col("text")).as("qh"), col("qe"))
+    val out = ops.SimilarityOps.hybridRrfTopK(q, corpus, depth = 20, k = 10)
+      .orderBy("final_rank")
+      .select("cand_id", "lex_rank", "cos_rank", "final_rank")
+      .as[(Long, Long, Long, Long)].collect()
+    out shouldBe Array((1L, 1L, 1L, 1L), (2L, 2L, 2L, 2L))
+  }
+
   // ------------------------------------------------------- p54 rpProject
 
   "SimilarityOps.rpProject" should "be linear and match a JVM-side replay of the sign matrix" in {
@@ -135,6 +151,31 @@ class HybridOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       a <- 0 until dims; b <- 0 until dims if a != b
     } yield math.abs((0 until d).map(i => signJvm(i, a) * signJvm(i, b)).sum / d.toDouble)).max
     maxCorr should be < 0.5 // affine hashes measure 1.0 here
+  }
+
+  it should "match a brute-force chunk dedup on random corpora (incl. repeated docs)" in {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val words = Array("a", "b", "c")
+    val w = 3
+    val docs = (0 until 50).map { i =>
+      // small vocabulary + short chunks → many cross-doc chunk collisions
+      (i.toLong, Array.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val got = ops.DedupOps.chunkDedup(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    val chunksOf = (text: String) => text.split(" ").grouped(w).map(_.mkString(" ")).toVector
+    val firstEnc = docs.flatMap { case (id, t) =>
+      chunksOf(t).zipWithIndex.map { case (c, ix) => (c, id * 1000000L + ix) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = docs.map { case (id, t) =>
+      val cs = chunksOf(t)
+      val kept = cs.zipWithIndex.collect {
+        case (c, ix) if firstEnc(c) == id * 1000000L + ix => c
+      }
+      (id, cs.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }
+    got.toSeq shouldBe want
   }
 
   // ------------------------------------------------------ p56 substrScrub
@@ -232,6 +273,89 @@ class HybridOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  // -------------------------------------------- p58 featureHashSparse
+
+  "TextOps.featureHashSparse" should "match a JVM-side replay (buckets, signs, normalization)" in {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, Array.fill(5 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val dims = 64
+    val got = ops.TextOps.featureHashSparse(docs.toDF("doc_id", "text"), "doc_id", "text", dims)
+      .orderBy("doc_id", "dim").as[(Long, Int, Long)].collect()
+    def ph(sstr: String): Long = sstr.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val want = docs.flatMap { case (id, text) =>
+      val v = Array.fill(dims)(0L)
+      text.split(" ").foreach { tok =>
+        val h = ph(tok)
+        v((h % dims).toInt) += (if ((h / dims) % 2 == 0) 1L else -1L)
+      }
+      val norm2 = v.map(x => x * x).sum
+      v.zipWithIndex.collect { case (x, d) if x != 0 =>
+        (id, d, math.floor(x * 1000000.0 / math.sqrt(norm2.toDouble) + 0.5).toLong)
+      }
+    }
+    got.toSeq shouldBe want
+    // unit-norm within quantization: Σ q² ≈ 10¹²
+    got.groupBy(_._1).values.foreach { rows =>
+      val s2 = rows.map(r => r._3 * r._3).sum
+      s2.toDouble shouldBe 1e12 +- 5e9
+    }
+  }
+
+  // ------------------------------------------------------ p59 ingestGate
+
+  "DedupOps.ingestGate" should "reject contained docs, accept novel ones, and count exactly" in {
+    val s = spark; import s.implicits._
+    val boiler = (1 to 32).map(i => s"b$i").mkString(" ") // 2 chunks of 16
+    val existing = Seq((1L, boiler), (2L, "e1 e2 e3")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, boiler), // both chunks exist → reject
+      (11L, (1 to 16).map(i => s"b$i").mkString(" ") + " " + (1 to 16).map(i => s"n$i").mkString(" ")), // 1 of 2 → borderline: 1*4 >= 2 → reject
+      (12L, (1 to 40).map(i => s"x$i").mkString(" ")) // novel → accept
+    ).toDF("doc_id", "text")
+    val out = ops.DedupOps.ingestGate(existing, batch, "doc_id", "text",
+        w = 16, bloomM = 4096, rejectDen = 4L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect()
+    out.map(r => (r._1, r._2, r._4, r._5)) shouldBe Array(
+      (10L, 2L, 2L, "reject"),
+      (11L, 2L, 1L, "reject"), // 1·4 ≥ 2
+      (12L, 3L, 0L, "accept"))
+    // bloom soundness: n_probable always ≥ n_exact
+    out.foreach(r => r._3 should be >= r._4)
+  }
+
+  it should "flag bloom false positives without rejecting (probable but not exact)" in {
+    val s = spark; import s.implicits._
+    // tiny 8-bit bloom: existing chunk sets bits that a different batch
+    // chunk is likely to collide with across 3 hashes... use many
+    // existing chunks to saturate the filter
+    val existing = (0 until 40).map(i =>
+      (i.toLong, (0 until 16).map(j => s"e${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq((100L, (0 until 16).map(j => s"novel$j").mkString(" "))).toDF("doc_id", "text")
+    val out = ops.DedupOps.ingestGate(existing, batch, "doc_id", "text",
+        w = 16, bloomM = 8, rejectDen = 4L)
+      .as[(Long, Long, Long, Long, String)].collect()
+    // 40 keys × 3 hashes into 8 bits saturates: the novel chunk IS
+    // bloom-probable yet exactly absent — and the verdict stays accept
+    out shouldBe Array((100L, 1L, 1L, 0L, "accept"))
+  }
+
+  // ----------------------------------------------------- p60 knn graph
+
+  "p60's mutual flag" should "be symmetric and consistent with the edge set" in {
+    val out = SparkEntry.queries("p60_sim_knn_graph")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    val edges = out.map(r => (r._1, r._2)).toSet
+    out.foreach { case (a, b, _, mutual) =>
+      mutual shouldBe edges.contains((b, a))
+    }
+    // at least some mutual pairs exist in the near-dup-rich corpus
+    out.count(_._4) should be > 0
+  }
+
   // ----------------------------------------------- p55 perceptronEpochs
 
   "ClassifierOps.perceptronEpochs" should "match a hand-rolled sequential batch perceptron" in {
@@ -260,6 +384,19 @@ class HybridOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       (e, w(0), w(1), w(2), w(3), mis.size.toLong)
     }
     got.toSeq shouldBe want
+  }
+
+  it should "handle a single-class corpus (all labels +1) without stalling" in {
+    val s = spark; import s.implicits._
+    val feats = Seq(
+      (1L, 5L, 1L, 0L, 1L), (1L, 9L, 2L, 1L, 1L), (1L, 3L, 0L, 2L, 1L)
+    ).toDF("x0", "x1", "x2", "x3", "y")
+    val out = ops.ClassifierOps.perceptronEpochs(spark, feats, epochs = 2)
+      .orderBy("epoch").as[(Int, Long, Long, Long, Long, Long)].collect()
+    // epoch 1 sums all rows (w=0 margins are 0); epoch 2: every margin
+    // is positive under the summed weights, so nothing updates
+    out(0) shouldBe ((1, 3L, 17L, 3L, 3L, 3L))
+    out(1) shouldBe ((2, 3L, 17L, 3L, 3L, 0L))
   }
 
   it should "report zero updates once the data is separated" in {

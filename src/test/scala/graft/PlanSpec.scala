@@ -446,6 +446,34 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("HashAggregate") // only the candidate-bounded exact count
   }
 
+  "p58_txt_feature_hash" should "stay two keyed aggregations + one equi join, no window" in {
+    val plan = planOf("p58_txt_feature_hash")
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include regex "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
+  }
+
+  "p59_dd_ingest_gate" should "probe the bloom via broadcast and reuse both persisted chunk tables" in {
+    val plan = planOf("p59_dd_ingest_gate")
+    // the bit set rides a broadcast into the batch-chunk scan; the
+    // existing-key table and the batch-chunk table each feed two
+    // consumers from their caches rather than re-deriving the corpus
+    plan should include("BroadcastHashJoin")
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "p60_sim_knn_graph" should "build edges bucket-locally and reuse the edge list for mutuality" in {
+    val plan = planOf("p60_sim_knn_graph")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the k·N edge list is persisted and consumed twice (forward +
+    // reverse side of the mutuality join)
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
+  }
+
   "p46_txt_novelty" should "shuffle fingerprints once into a shared table; all joins equi" in {
     val plan = planOf("p46_txt_novelty")
     // the exploded shingle table is persisted and feeds BOTH the
