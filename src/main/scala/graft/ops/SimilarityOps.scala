@@ -372,6 +372,34 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cos"), col("rnk"))
   }
 
+  /** [[lshTopK]] with the hot-bucket salt (DedupOps.BandBucketCap's
+    * mechanism): members of a bucket are blocked into groups of `cap`
+    * by id, and the self-join key is (bucket, salt) — any bucket's join
+    * is bounded at cap² however skewed the corpus. Neighbors are then
+    * top-k WITHIN the salt block (deterministic, and identical to the
+    * unsalted result whenever the bucket fits one block — the common
+    * case; adversarial pile-ups trade recall for the bound, the
+    * standard ANN deal).
+    */
+  def lshTopKSalted(vecs: DataFrame, k: Int, cap: Int = DedupOps.BandBucketCap): DataFrame = {
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    val withBucket = vecs.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding")).as("bucket"))
+      .withColumn("salt", floor((row_number().over(wb) - lit(1)) / lit(cap)).cast("long"))
+    val q = withBucket.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("bucket"), col("salt"))
+    val c = withBucket.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("bucket"), col("salt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("bucket", "salt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cos"), col("rnk"))
+  }
+
   // ----------------------------------- random projection (JL reduction)
 
   /** Deterministic ±1 projection sign for matrix cell (i, j): a cubing

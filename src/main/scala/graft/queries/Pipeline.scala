@@ -2294,11 +2294,17 @@ object Pipeline {
     Q("p60_sim_knn_graph", {
       val bucket = lshBucketSql("embedding")
       val cos = cosineSql("q.embedding", "c.embedding")
-      s"""WITH eb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+      val cap = DedupOps.BandBucketCap
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, bucket,
+         |         CAST(floor((row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1)
+         |              / $cap.0) AS BIGINT) AS salt
+         |  FROM (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)),
          |sc AS (SELECT q.vec_id AS vec_id, c.vec_id AS nn_id, $cos AS cos,
          |              row_number() OVER (PARTITION BY q.vec_id
          |                                 ORDER BY $cos DESC, c.vec_id) AS rnk
-         |       FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+         |       FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.salt = c.salt
+         |                          AND q.vec_id <> c.vec_id),
          |e AS (SELECT vec_id, nn_id, cos, CAST(rnk AS BIGINT) AS rnk
          |      FROM sc WHERE rnk <= $KnnK)
          |SELECT e.vec_id, e.nn_id, e.cos, e.rnk, r.vec_id IS NOT NULL AS mutual
@@ -2306,7 +2312,7 @@ object Pipeline {
          |ORDER BY e.vec_id, e.rnk""".stripMargin
     }) { (s, dir) =>
       val edges = graft.ops.Release.afterFirstUse(
-        SimilarityOps.lshTopK(t(s, dir, "embeddings"), KnnK)
+        SimilarityOps.lshTopKSalted(t(s, dir, "embeddings"), KnnK)
           .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"),
             col("cos"), col("rnk").cast("long").as("rnk")))
       // edges are unique per (vec_id, nn_id) — row_number top-k — so the

@@ -345,6 +345,20 @@ class HybridOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
   // ----------------------------------------------------- p60 knn graph
 
+  "SimilarityOps.lshTopKSalted" should "bound every (bucket, salt) block at the cap under adversarial pile-up" in {
+    val s = spark; import s.implicits._
+    // 700 identical vectors all land in ONE bucket — without the salt
+    // the self-join is 700², with cap=100 it is 7 blocks of ≤100²
+    val vecs = (1 to 700).map(i => (i.toLong, Seq(1.0f, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val edges = ops.SimilarityOps.lshTopKSalted(vecs, k = 3, cap = 100)
+    edges.count() shouldBe 700L * 3 // every vector still finds 3 neighbors
+    // and no neighbor crosses a salt block: with id-ordered blocks of
+    // 100, neighbors of id i stay within i's block
+    val rows = edges.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    rows.foreach { case (q, n) => (q - 1) / 100 shouldBe (n - 1) / 100 }
+  }
+
   "p60's mutual flag" should "be symmetric and consistent with the edge set" in {
     val out = SparkEntry.queries("p60_sim_knn_graph")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
