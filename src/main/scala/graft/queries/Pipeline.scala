@@ -2210,6 +2210,72 @@ object Pipeline {
         .orderBy(col("ngram"))
     },
 
+    // ------------------------- similarity: ANN recall evaluation (p61)
+    // The "measure, don't guess" step for the ANN scale path: per-query
+    // recall@5 of the IVF index (p14's exact parameters) against the
+    // brute-force truth (p09). Both legs are existing operators; the
+    // intersection is one equi join on (query_id, neighbor_id) and the
+    // recall ships as an exact ×10⁶ integer (n_hits·200000). A real
+    // deployment runs this on a sampled query set to tune
+    // nProbe/K before committing the index — here the whole 20-query
+    // probe set is the sample.
+    Q("p61_sim_recall_eval", {
+      val cosQN = cosineSql("q.embedding", "c.embedding")
+      val cosEC = cosineSql("e.embedding", "cc.c_emb")
+      val cosQC = cosineSql("q.embedding", "cc.c_emb")
+      s"""WITH exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |                              ORDER BY $cosQN DESC, c.vec_id) AS rnk
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 20) WHERE rnk <= 5),
+         |cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |         FROM embeddings ORDER BY vec_id LIMIT ${SimilarityOps.IvfK}),
+         |asg AS (
+         |  SELECT neighbor_id, cluster FROM (
+         |    SELECT e.vec_id AS neighbor_id, cc.c_id AS cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, cc.c_id) AS rnk
+         |    FROM embeddings e CROSS JOIN cent cc) WHERE rnk = 1),
+         |prb AS (
+         |  SELECT query_id, cluster FROM (
+         |    SELECT q.vec_id AS query_id, cc.c_id AS cluster,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosQC DESC, cc.c_id) AS rnk
+         |    FROM embeddings q CROSS JOIN cent cc WHERE q.vec_id < 20)
+         |  WHERE rnk <= ${SimilarityOps.IvfProbes}),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, a.neighbor_id,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |                              ORDER BY $cosQN DESC, a.neighbor_id) AS rnk
+         |    FROM prb p JOIN asg a ON a.cluster = p.cluster AND a.neighbor_id <> p.query_id
+         |    JOIN embeddings q ON q.vec_id = p.query_id
+         |    JOIN embeddings c ON c.vec_id = a.neighbor_id) WHERE rnk <= 5),
+         |hits AS (SELECT e.query_id, count(*) AS n_hits
+         |         FROM exact e JOIN ivf i USING (query_id, neighbor_id)
+         |         GROUP BY e.query_id)
+         |SELECT q.vec_id AS query_id,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) * 200000 AS BIGINT) AS recall_q
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) q
+         |LEFT JOIN hits h ON h.query_id = q.vec_id
+         |ORDER BY query_id""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val exact = bruteTopK(q, e, 5).select(col("query_id"), col("neighbor_id"))
+      val ivf = SimilarityOps.ivfTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(ivf, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) * lit(200000L)).as("recall_q"))
+        .orderBy(col("query_id"))
+    },
+
     // ------------------- text: hashing-trick document embeddings (p58)
     // Fixed-width sparse doc vectors with no trained model (Weinberger
     // et al. 2009): token → bucket h mod FhDims, sign (h div FhDims)

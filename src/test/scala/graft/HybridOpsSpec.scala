@@ -359,6 +359,18 @@ class HybridOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     rows.foreach { case (q, n) => (q - 1) / 100 shouldBe (n - 1) / 100 }
   }
 
+  "p61_sim_recall_eval" should "emit one bounded row per probe query" in {
+    val out = SparkEntry.queries("p61_sim_recall_eval")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.map(_._1).toSeq shouldBe (0L until 20L)
+    out.foreach { case (_, hits, rq) =>
+      hits should (be >= 0L and be <= 5L)
+      rq shouldBe hits * 200000L
+    }
+    // the IVF index on this corpus is not degenerate: recall > 0 somewhere
+    out.map(_._2).sum should be > 0L
+  }
+
   "p60's mutual flag" should "be symmetric and consistent with the edge set" in {
     val out = SparkEntry.queries("p60_sim_knn_graph")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
