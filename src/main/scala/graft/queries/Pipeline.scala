@@ -2210,6 +2210,89 @@ object Pipeline {
         .orderBy(col("ngram"))
     },
 
+    // --------------- corpus assembly: budgeted mix selection (p62)
+    // Materializes the training mix p33 only WEIGHTS: a global token
+    // budget (⅕ of the corpus) splits into per-language quotas by the
+    // same √-temperature weights, and each language fills its quota
+    // greedily by quality (stopword-density score, ties by id). The
+    // naive form — one ordered cumsum per language — would sort whole
+    // domains in single window partitions at 100 TB; instead the prefix
+    // is computed in two stages: a (lang, score)-CLASS token aggregation
+    // (partially aggregable, classes are tiny) carries the cross-class
+    // cumsum, and the only doc-level window runs WITHIN one score class
+    // (bounded), with picked ⇔ cum_before(class) + intra-class cum ≤
+    // quota — exactly the global greedy prefix, without the global sort.
+    Q("p62_mix_select", {
+      val toks = "string_split(text, ' ')"
+      val stop = TextOps.countInSql(toks, TextOps.Stopwords)
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len($toks) AS BIGINT) AS n_tok,
+         |         CAST($stop AS BIGINT) AS n_stop
+         |  FROM documents),
+         |s AS (SELECT doc_id, lang, n_tok, (n_stop * 1000000) // n_tok AS score FROM f),
+         |tot AS (SELECT sum(n_tok) AS total FROM s),
+         |c AS (SELECT lang, count(*) AS n_docs FROM s GROUP BY lang),
+         |t2 AS (SELECT *, (SELECT sum(n_docs) FROM c) AS totdocs FROM c),
+         |qn AS (SELECT lang,
+         |              CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / totdocs) * 1000000000 + 0.5)
+         |                   AS BIGINT) AS num_q FROM t2),
+         |qd AS (SELECT lang, num_q, (SELECT sum(num_q) FROM qn) AS denom FROM qn),
+         |quota AS (SELECT lang,
+         |                 ((SELECT total // $MixBudgetDen FROM tot) * num_q) // denom AS quota
+         |          FROM qd),
+         |cls AS (SELECT lang, score, sum(n_tok) AS cls_tok FROM s GROUP BY lang, score),
+         |cb AS (SELECT lang, score,
+         |              coalesce(sum(cls_tok) OVER (PARTITION BY lang ORDER BY score DESC
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                AS cum_before
+         |       FROM cls),
+         |pick AS (
+         |  SELECT s.doc_id, s.lang, s.score, s.n_tok,
+         |         cb.cum_before + sum(s.n_tok) OVER (PARTITION BY s.lang, s.score
+         |                         ORDER BY s.doc_id
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         q.quota
+         |  FROM s JOIN cb USING (lang, score) JOIN quota q USING (lang))
+         |SELECT doc_id, lang, CAST(score AS BIGINT) AS score_q, n_tok AS n_tokens
+         |FROM pick WHERE cum <= quota ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens(col("text"))
+      val stop = countIn(toks, Stopwords)
+      val s0 = graft.ops.Release.afterFirstUse(t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tok"), stop.cast("long").as("n_stop"))
+        .withColumn("score", expr("(n_stop * 1000000) div n_tok")))
+      val tot = s0.agg(sum(col("n_tok")).as("total"))
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val quota = s0.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("totdocs", sum(col("n_docs")).over(whole))
+        .withColumn("num_q",
+          floor(sqrt(col("n_docs").cast("double") / col("totdocs")) * 1000000000L + 0.5)
+            .cast("long"))
+        .withColumn("denom", sum(col("num_q")).over(whole))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"),
+          expr(s"((total div $MixBudgetDen) * num_q) div denom").as("quota"))
+      val cb = s0.groupBy(col("lang"), col("score")).agg(sum(col("n_tok")).as("cls_tok"))
+        .withColumn("cum_before",
+          coalesce(sum(col("cls_tok")).over(Window.partitionBy(col("lang"))
+            .orderBy(col("score").desc).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("lang"), col("score"), col("cum_before"))
+      val intra = Window.partitionBy(col("lang"), col("score")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s0.join(broadcast(cb), Seq("lang", "score"))
+        .join(broadcast(quota), "lang")
+        .withColumn("cum", col("cum_before") + sum(col("n_tok")).over(intra))
+        .filter(col("cum") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("score").as("score_q"),
+          col("n_tok").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // ------------------------- similarity: ANN recall evaluation (p61)
     // The "measure, don't guess" step for the ANN scale path: per-query
     // recall@5 of the IVF index (p14's exact parameters) against the
@@ -2640,6 +2723,9 @@ object Pipeline {
 
   /** Neighbors per node in p60's mutual kNN graph. */
   private def KnnK: Int = 3
+
+  /** p62's token budget = corpus total / MixBudgetDen. */
+  private def MixBudgetDen: Long = 5L
 
   /** Hybrid-retrieval (p53) geometry: query-id cutoff, per-leg rank
     * depth entering the fusion, and the fused top-k emitted.

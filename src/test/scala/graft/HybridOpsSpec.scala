@@ -359,6 +359,39 @@ class HybridOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     rows.foreach { case (q, n) => (q - 1) / 100 shouldBe (n - 1) / 100 }
   }
 
+  "p62_mix_select" should "fill each language's quota with the greedy quality prefix and never exceed it" in {
+    val s = spark; import s.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("p62_mix_select")(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect()
+    // recompute quotas + the full order independently
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        org.apache.spark.sql.functions.size(ops.TextOps.tokens(col("text")))
+          .cast("long").as("n_tok"),
+        ops.TextOps.countIn(ops.TextOps.tokens(col("text")), ops.TextOps.Stopwords)
+          .cast("long").as("n_stop"))
+      .as[(Long, String, Long, Long)].collect()
+    val total = docs.map(_._3).sum
+    val byLang = docs.groupBy(_._2)
+    val numQ = byLang.view.mapValues(d =>
+      math.floor(math.sqrt(d.size.toDouble / docs.length) * 1000000000L + 0.5).toLong).toMap
+    val denom = numQ.values.sum
+    val picked = out.groupBy(_._2)
+    byLang.foreach { case (lang, ds) =>
+      val quota = (total / 5) * numQ(lang) / denom
+      val ordered = ds.map { case (id, _, nt, ns) => (ns * 1000000 / nt, id, nt) }
+        .sortBy { case (sc, id, _) => (-sc, id) }
+      // expected greedy prefix
+      var cum = 0L
+      val expect = ordered.takeWhile { case (_, _, nt) => { cum += nt; cum <= quota } }
+        .map(_._2).toSet
+      val got = picked.getOrElse(lang, Array.empty).map(_._1).toSet
+      got shouldBe expect
+      picked.getOrElse(lang, Array.empty).map(_._4).sum should be <= quota
+    }
+  }
+
   "p61_sim_recall_eval" should "emit one bounded row per probe query" in {
     val out = SparkEntry.queries("p61_sim_recall_eval")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

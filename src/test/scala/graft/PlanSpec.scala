@@ -474,6 +474,20 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
   }
 
+  "p62_mix_select" should "join the class cumsum and quotas as broadcasts; doc windows stay class-local" in {
+    val plan = planOf("p62_mix_select")
+    // the (lang, score)-class table and the per-lang quota table ride
+    // broadcasts back onto the doc scan — a SortMergeJoin here would
+    // shuffle the corpus against model-sized state
+    "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    // the doc-level window partitions on (lang, score) — the bounded
+    // class — never on lang alone (the whole-domain sort this design
+    // exists to avoid)
+    plan should include regex "Window.*lang[#0-9L]*, score"
+  }
+
   "p46_txt_novelty" should "shuffle fingerprints once into a shared table; all joins equi" in {
     val plan = planOf("p46_txt_novelty")
     // the exploded shingle table is persisted and feeds BOTH the
