@@ -148,6 +148,69 @@ object SketchOps {
       }
   }
 
+  // ------------------------------- streaming per-key Count-Min (cef45)
+
+  /** One probe estimate from a per-key CM snapshot — emitted per
+    * micro-batch per probe; the max-n_seen row is the full-stream
+    * answer (cef43's snapshot discipline).
+    */
+  final case class CmPointSnap(user_id: Long, n_seen: Long, probe: Long, est_cnt: Long)
+
+  /** Per-key CM accumulator: rows×width counts, flattened. CM updates
+    * are sums, so folding per micro-batch is exactly associative — the
+    * streamed sketch equals the batch sketch however the stream is
+    * sliced (the property the oracle certifies).
+    */
+  final case class CmFoldState(nSeen: Long, counts: Seq[Long])
+
+  /** Streaming per-key Count-Min with fixed point-query probes: the
+    * GroupState holds one rows×width table per key (constant-size,
+    * corpus-independent — the sketch contract), each micro-batch folds
+    * its items in, and every batch emits the probes' min-of-rows
+    * estimates. `hashCol` must carry the same item hash the oracle
+    * recomputes; `probeHashes` aligns with `probes` index-wise.
+    */
+  def streamingCmPoints(
+      events: DataFrame,
+      keyCol: String,
+      hashCol: String,
+      probes: Seq[Long],
+      probeHashes: Seq[Long],
+      seeds: Seq[(Long, Long)],
+      width: Int): Dataset[CmPointSnap] = {
+    require(probes.size == probeHashes.size)
+    implicit val stEnc: Encoder[CmFoldState] = Encoders.product[CmFoldState]
+    implicit val outEnc: Encoder[CmPointSnap] = Encoders.product[CmPointSnap]
+    implicit val kvEnc: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val rows = seeds.size
+    def cell(h: Long, r: Int): Int =
+      (((h * seeds(r)._1 + seeds(r)._2) % TextOps.HashMod) % width).toInt
+    val probeCells = probeHashes.map(h => Array.tabulate(rows)(r => cell(h, r)))
+    events.select(col(keyCol).cast("long"), col(hashCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CmFoldState, CmPointSnap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long)], state: GroupState[CmFoldState]) =>
+          val prev = state.getOption.getOrElse(CmFoldState(0L, Seq.fill(rows * width)(0L)))
+          val counts = prev.counts.toArray
+          var n = prev.nSeen
+          it.foreach { case (_, h) =>
+            var r = 0
+            while (r < rows) { counts(r * width + cell(h, r)) += 1; r += 1 }
+            n += 1
+          }
+          state.update(CmFoldState(n, counts.toSeq))
+          probes.iterator.zip(probeCells.iterator).map { case (p, cells) =>
+            var est = Long.MaxValue
+            var r = 0
+            while (r < rows) { est = math.min(est, counts(r * width + cells(r))); r += 1 }
+            CmPointSnap(key, n, p, est)
+          }
+      }
+  }
+
   // ------------------------------------- sketch-pruned exact heavy hitters
 
   /** φ-heavy hitters with a Count-Min candidate filter (Cormode &

@@ -60,6 +60,12 @@ object TextOps {
   def polyHash(s: Column): Column =
     org.apache.spark.sql.graftexpr.VectorExprs.polyHash(s, HashMod)
 
+  /** JVM twin of [[polyHash]] for driver-side probe hashing (e.g. the
+    * streaming CM point queries) and spec oracles.
+    */
+  def polyHashJvm(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % HashMod)
+
   /** SQL twin of [[polyHash]] for DuckDB oracles. */
   def polyHashSql(expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +

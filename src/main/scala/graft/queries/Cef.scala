@@ -1233,6 +1233,65 @@ object Cef {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // ---------------- streaming per-key Count-Min gate: the second
+    // cross-batch sketch fold (cef43 is KMV). Each key's GroupState
+    // holds one rows×width CM table (constant-size — the sketch
+    // contract); CM updates are sums, so the fold is exactly
+    // associative and the streamed sketch ≡ the batch sketch however
+    // the stream is sliced — which is precisely what the oracle (a
+    // batch CM restated per user in SQL) certifies through the ≥3 real
+    // micro-batches the scaffold forces. Probes mix present and absent
+    // value-buckets to exercise both the overcount and the zero path.
+    Q("cef45_streaming_cm", {
+      import graft.ops.TextOps
+      val seeds = Pipeline.cmSeedsForSpec
+      val aL = seeds.map(_._1).mkString("[", ", ", "]")
+      val bL = seeds.map(_._2).mkString("[", ", ", "]")
+      val probes = StreamCmProbes.mkString("[", ", ", "]")
+      val w = StreamCmWidth
+      s"""WITH b AS (SELECT user_id, CAST(floor(value * 10) AS BIGINT) AS bucket
+         |           FROM events),
+         |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen FROM b GROUP BY user_id),
+         |h AS (SELECT user_id, ${TextOps.polyHashSql("CAST(bucket AS VARCHAR)")} AS h FROM b),
+         |rr AS (SELECT unnest(range(${seeds.size})) AS r),
+         |sk AS (SELECT user_id, r, cell, count(*) AS c FROM (
+         |         SELECT user_id, r, ((h * $aL[r + 1] + $bL[r + 1]) % ${TextOps.HashMod}) % $w
+         |                  AS cell
+         |         FROM h CROSS JOIN rr) GROUP BY user_id, r, cell),
+         |pc AS (SELECT probe, r,
+         |              ((h * $aL[r + 1] + $bL[r + 1]) % ${TextOps.HashMod}) % $w AS cell
+         |       FROM (SELECT probe, ${TextOps.polyHashSql("CAST(probe AS VARCHAR)")} AS h
+         |             FROM (SELECT unnest($probes) AS probe)) CROSS JOIN rr),
+         |est AS (SELECT u.user_id, pc.probe, min(coalesce(sk.c, 0)) AS est_cnt
+         |        FROM (SELECT DISTINCT user_id FROM b) u CROSS JOIN pc
+         |        LEFT JOIN sk ON sk.user_id = u.user_id AND sk.r = pc.r AND sk.cell = pc.cell
+         |        GROUP BY u.user_id, pc.probe)
+         |SELECT e.user_id, e.probe, n.n_seen, CAST(e.est_cnt AS BIGINT) AS est_cnt
+         |FROM est e JOIN n USING (user_id)
+         |ORDER BY user_id, probe""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.{SketchOps, TextOps}
+      val snaps = runEventStream(s, dir, "cef45", "append") { raw =>
+        SketchOps.streamingCmPoints(
+          raw.withColumn("bucket", floor(col("value") * 10).cast("long"))
+            .withColumn("h", TextOps.polyHash(col("bucket").cast("string"))),
+          "user_id", "h",
+          probes = StreamCmProbes,
+          probeHashes = StreamCmProbes.map(p => TextOps.polyHashJvm(p.toString)),
+          seeds = Pipeline.cmSeedsForSpec, width = StreamCmWidth).toDF()
+      }
+      // the gate is vacuous unless some key's sketch folded across ≥2
+      // micro-batches (snapshots with growing n_seen = state restored)
+      val multi = snaps.groupBy(col("user_id"), col("probe")).count()
+        .filter(col("count") >= 2).count()
+      require(multi > 0, "cef45 expected >=1 key folding across >=2 micro-batches")
+      val w = Window.partitionBy(col("user_id"), col("probe"))
+        .orderBy(col("n_seen").desc)
+      snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("probe"), col("n_seen"), col("est_cnt"))
+        .orderBy(col("user_id"), col("probe"))
+    },
+
     // ---------------- F3 smart-scan intervals driver-checked: the
     // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
     // exhaustive SQL window enumeration — the fullScan semantics the
@@ -1363,6 +1422,13 @@ object Cef {
     * first (the same trap Pipeline's CmSeeds documents).
     */
   private def StreamKmvK = 16
+
+  /** cef45's per-key CM geometry (width per hash row) and its fixed
+    * point-query probes — value-buckets both present and absent in the
+    * stream. Defs (queries-val init order).
+    */
+  private def StreamCmWidth = 64
+  private def StreamCmProbes: Seq[Long] = Seq(0L, 7L, 42L, 123L, 999L, 4242L)
 
   /** Sliced-source directories, one per events table: the four streaming
     * gates (cef22/25/28/33) replay the SAME slices, so the slice build —

@@ -186,4 +186,64 @@ class StreamFuzzSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // state across a micro-batch boundary — else the fuzz proved nothing
     crossBatchFolds should be >= 10L
   }
+
+  it should "fold per-key CM sketches identically streaming vs batch under random slicing" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val seeds = Seq((1299721L, 15485863L), (2750159L, 32452843L))
+    var crossBatchFolds = 0L
+    for (trial <- 1 to 6) {
+      val rnd = new scala.util.Random(3000 + trial)
+      val width = Seq(8, 16, 64)(rnd.nextInt(3))
+      val nKeys = 1 + rnd.nextInt(4)
+      val universe = width / 2 + rnd.nextInt(width * 4) // forces collisions at small width
+      val events: Seq[(Long, Long)] = (1 to (40 + rnd.nextInt(160))).map { _ =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(universe).toLong)
+      }
+      def ph(s: String): Long = TextOps.polyHashJvm(s)
+      val probes: Seq[Long] = (0 until 4).map(_ => rnd.nextInt(universe * 2).toLong).distinct
+      val hashed = events.map { case (key, v) => (key, ph(v.toString)) }
+      val slices = randomSlices(hashed, rnd, maxChunks = 8)
+
+      val mem = MemoryStream[(Long, Long)]
+      val q = SketchOps.streamingCmPoints(
+        mem.toDS().toDF("user_id", "h"), "user_id", "h",
+        probes, probes.map(p => ph(p.toString)), seeds, width)
+        .writeStream.format("memory").queryName(s"fuzz_cm_$trial")
+        .outputMode("append").start()
+      slices.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val snaps = sparkS.table(s"fuzz_cm_$trial")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      q.stop()
+      sparkS.catalog.dropTempView(s"fuzz_cm_$trial")
+
+      // final (max n_seen) snapshot per (key, probe) ≡ batch CM estimate
+      def cell(h: Long, r: Int): Long =
+        ((h * seeds(r)._1 + seeds(r)._2) % TextOps.HashMod) % width
+      val expected = hashed.groupBy(_._1).flatMap { case (key, rows) =>
+        probes.map { p =>
+          val phash = ph(p.toString)
+          val est = (0 until seeds.size).map { r =>
+            rows.count(row => cell(row._2, r) == cell(phash, r)).toLong
+          }.min
+          (key, p) -> ((rows.size.toLong, est))
+        }
+      }
+      val got = snaps.groupBy(s => (s._1, s._3))
+        .map { case (kp, ss) => kp -> { val m = ss.maxBy(_._2); (m._2, m._4) } }
+      withClue(s"trial $trial (width=$width, ${slices.size} slices): ") {
+        got shouldBe expected
+        // CM counts only grow: per (key, probe), est non-decreasing in n_seen
+        snaps.groupBy(s => (s._1, s._3)).values.foreach { ss =>
+          ss.sortBy(_._2).map(_._4).sliding(2).foreach {
+            case Array(a, b) => b should be >= a
+            case _           =>
+          }
+        }
+      }
+      crossBatchFolds += snaps.groupBy(s => (s._1, s._3)).values.count(_.size >= 2)
+    }
+    crossBatchFolds should be >= 10L
+  }
 }
