@@ -39,7 +39,7 @@ object ClassifierOps {
     val fs = feats.select(col("x0"), col("x1"), col("x2"), col("x3"), col("y")).persist()
     var w = Array(0L, 0L, 0L, 0L)
     val out = Seq.newBuilder[(Int, Long, Long, Long, Long, Long)]
-    for (e <- 1 to epochs) {
+    try for (e <- 1 to epochs) {
       val margin =
         (col("x0") * lit(w(0)) + col("x1") * lit(w(1)) +
           col("x2") * lit(w(2)) + col("x3") * lit(w(3))) * col("y")
@@ -57,8 +57,7 @@ object ClassifierOps {
         .head()
       w = Array(w(0) + r.getLong(0), w(1) + r.getLong(1), w(2) + r.getLong(2), w(3) + r.getLong(3))
       out += ((e, w(0), w(1), w(2), w(3), r.getLong(4)))
-    }
-    fs.unpersist()
+    } finally fs.unpersist() // a failed epoch must not pin the corpus-scale cache
     import s.implicits._
     out.result().toDF("epoch", "w0", "w1", "w2", "w3", "n_mis")
   }

@@ -597,7 +597,7 @@ object DedupOps {
         posexplode(transform(sequence(lit(0), size(col("toks")) - width),
           j => TextOps.polyHash(array_join(slice(col("toks"), j + 1, lit(width)), " "))))
           .as(Seq("pos", "h")))
-      .withColumn("enc", col("doc_id") * lit(1000000L) + col("pos")))
+      .withColumn("enc", col("doc_id") * lit(4294967296L) + col("pos")))
     val firsts = w.groupBy(col("h"))
       .agg(min(col("enc")).as("first"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
@@ -632,7 +632,7 @@ object DedupOps {
     * paragraph marks; a real corpus would split on '\n\n' — the
     * dedup/reassembly plumbing is identical).
     *
-    * Scale shape: first-occurrence is min(doc·10⁶ + idx) per chunk md5 —
+    * Scale shape: first-occurrence is min(doc·2³² + idx) per chunk md5 —
     * a partially-aggregable groupBy, NOT a window over the hash (a
     * boilerplate chunk repeated 10⁸ times would pile 10⁸ rows into one
     * window partition; the agg combines map-side). The join back is equi
@@ -648,7 +648,7 @@ object DedupOps {
         st => array_join(slice(col("tok"), st, lit(w)), " "))))
       .select(col(idCol), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
       .withColumn("key", md5(col("chunk")))
-      .withColumn("enc", col(idCol) * lit(1000000L) + col("chunk_idx"))
+      .withColumn("enc", col(idCol) * lit(4294967296L) + col("chunk_idx"))
     val first = ch.groupBy(col("key")).agg(min(col("enc")).as("first"))
     ch.join(first, "key")
       .groupBy(col(idCol))

@@ -38,7 +38,22 @@ object Release {
     * completed (or failed) execution that consumed it, or after
     * [[MaxMisses]] unrelated executions (whichever comes first).
     */
-  def afterFirstUse(df: DataFrame): DataFrame = {
+  def afterFirstUse(df: DataFrame): DataFrame =
+    watched(df, releaseOnHit = true, idleBudget = MaxMisses)
+
+  /** Persist `df` for MULTIPLE consumers and unpersist it once
+    * `idleBudget` consecutive executions pass without any of them
+    * touching it (each hit resets the countdown). The shared near-dup
+    * pair memo uses this: p06, p15 and p51 all consume the same chain
+    * at unpredictable points of a sweep, so single-use release would
+    * force whichever runs later to rebuild the dominant cost, while no
+    * release would pin pair-table storage for the session. A released
+    * DataFrame executed again later silently recomputes from lineage.
+    */
+  def afterIdle(df: DataFrame, idleBudget: Int): DataFrame =
+    watched(df, releaseOnHit = false, idleBudget = idleBudget)
+
+  private def watched(df: DataFrame, releaseOnHit: Boolean, idleBudget: Int): DataFrame = {
     val spark = df.sparkSession
     val target = df.queryExecution.analyzed
     val cached = df.persist()
@@ -52,8 +67,9 @@ object Release {
           liveListeners.decrementAndGet()
         }
       private def maybeRelease(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(target))) release()
-        else if (misses.incrementAndGet() >= MaxMisses) release()
+        if (qe.analyzed.exists(_.sameResult(target))) {
+          if (releaseOnHit) release() else misses.set(0)
+        } else if (misses.incrementAndGet() >= idleBudget) release()
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         maybeRelease(qe)
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =

@@ -358,13 +358,21 @@ object SimilarityOps {
   def lshTopK(vecs: DataFrame, k: Int): DataFrame = {
     val withBucket = vecs.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding")).as("bucket"))
-    val q = withBucket.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), col("bucket"))
-    val c = withBucket.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"), col("bucket"))
+    bucketSelfTopK(withBucket, Seq("bucket"), k)
+  }
+
+  /** The shared bucket self-join + per-query ranking behind [[lshTopK]]
+    * and [[lshTopKSalted]] — one place owns the neighbor tie-break.
+    */
+  private def bucketSelfTopK(withBucket: DataFrame, joinKeys: Seq[String], k: Int): DataFrame = {
+    val payload = joinKeys.map(col)
+    val q = withBucket.select(col("vec_id").as("query_id")
+      +: col("embedding").as("q_emb") +: payload: _*)
+    val c = withBucket.select(col("vec_id").as("neighbor_id")
+      +: col("embedding").as("c_emb") +: payload: _*)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, Seq("bucket"))
+    q.join(c, joinKeys)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
       .withColumn("rnk", row_number().over(w))
@@ -386,18 +394,7 @@ object SimilarityOps {
     val withBucket = vecs.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding")).as("bucket"))
       .withColumn("salt", floor((row_number().over(wb) - lit(1)) / lit(cap)).cast("long"))
-    val q = withBucket.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), col("bucket"), col("salt"))
-    val c = withBucket.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"), col("bucket"), col("salt"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, Seq("bucket", "salt"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cos"), col("rnk"))
+    bucketSelfTopK(withBucket, Seq("bucket", "salt"), k)
   }
 
   // ----------------------------------- random projection (JL reduction)

@@ -238,8 +238,10 @@ object SketchOps {
       denom: Long,
       seeds: Seq[(Long, Long)],
       width: Int): DataFrame = {
-    val g = Release.afterFirstUse(
-      grams.select(col("ngram"), TextOps.polyHash(col("ngram")).as("h")))
+    // two streaming passes over the occurrences, NO cache: at corpus
+    // scale the occurrence table is exactly the thing you cannot pin,
+    // and the second (candidate-filtered) pass is the designed phase 2
+    val g = grams.select(col("ngram"), TextOps.polyHash(col("ngram")).as("h"))
     def bucket(h: Column, a: Long, b: Long): Column =
       pmod(pmod(h * a + b, lit(TextOps.HashMod)), lit(width.toLong))
     val skRows = g
@@ -247,9 +249,11 @@ object SketchOps {
         .as(Seq("row", "bucket")))
       .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
       .collect()
-    val n = g.count()
     val tables = Array.fill(seeds.size)(Array.fill(width)(0L))
     skRows.foreach(r => tables(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    // every occurrence lands in exactly one cell of each row, so N is
+    // any single row's total — no extra count() job over the corpus
+    val n = tables(0).sum
     val est = least(seeds.zipWithIndex.map { case ((a, b), r) =>
       element_at(typedLit(tables(r).toSeq), (bucket(col("h"), a, b) + 1).cast("int"))
     }: _*)

@@ -166,12 +166,12 @@ class HybridOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
     val chunksOf = (text: String) => text.split(" ").grouped(w).map(_.mkString(" ")).toVector
     val firstEnc = docs.flatMap { case (id, t) =>
-      chunksOf(t).zipWithIndex.map { case (c, ix) => (c, id * 1000000L + ix) }
+      chunksOf(t).zipWithIndex.map { case (c, ix) => (c, id * 4294967296L + ix) }
     }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     val want = docs.map { case (id, t) =>
       val cs = chunksOf(t)
       val kept = cs.zipWithIndex.collect {
-        case (c, ix) if firstEnc(c) == id * 1000000L + ix => c
+        case (c, ix) if firstEnc(c) == id * 4294967296L + ix => c
       }
       (id, cs.size.toLong, kept.size.toLong, kept.mkString(" "))
     }
@@ -232,8 +232,8 @@ class HybridOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
         p <- 0 to t.length - width
         g = t.slice(p, p + width).mkString(" ")
         insts = byWin(g) if insts.size > 1
-        firstEnc = insts.map { case (_, d, q) => d * 1000000L + q }.min
-        if id * 1000000L + p > firstEnc
+        firstEnc = insts.map { case (_, d, q) => d * 4294967296L + q }.min
+        if id * 4294967296L + p > firstEnc
         k <- p until p + width
       } covered(k) = true
       val kept = t.indices.filterNot(covered).map(t)

@@ -108,9 +108,10 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
   }
 
   "the shared near-dup pair table" should "survive a stale pair DataFrame executed after the grouping query" in {
-    // p06's DataFrame wraps the memoized pair table; p15 releases it when
-    // its grouping completes. A persisted table recomputes from lineage
-    // after unpersist — build p06 first, run p15, THEN execute p06.
+    // p06's DataFrame wraps the memoized pair table, which auto-releases
+    // on idleness (Release.afterIdle). A persisted table recomputes from
+    // lineage after unpersist — build p06 first, run p15, THEN execute
+    // p06 (which must work whether the memo is still warm or released).
     val p06 = SparkEntry.queries("p06_dd_minhash_pairs")(spark, sfDir)
     SparkEntry.queries("p15_dd_neardup_groups")(spark, sfDir).count() should be > 0L
     p06.count() should be > 0L

@@ -19,8 +19,10 @@ import org.scalatest.BeforeAndAfterAll
   *     event must fuse two sessions already sitting in the session store
   *     (arrival order is shuffled, so bridges routinely arrive after both
   *     sides);
-  *   - the half-open gap boundary: increments are drawn with extra mass
-  *     at EXACTLY the gap (an event at prev + gap starts a new session);
+  *   - the gap boundary tie: increments are drawn with extra mass at
+  *     EXACTLY the gap (an event at prev + gap JOINS the session —
+  *     touching windows merge; see expectedSessions for the full story
+  *     of how this fuzz caught the opposite encoding);
   *   - KMV k-min folds where a batch's candidates straddle the current
   *     kth minimum, duplicate hashes recur across batches, and some keys
   *     are seen in only one batch while others fold across many.
