@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-key weighted-sample snapshot emitted by
+  * [[StatsOps.streamingWeightedSample]] each time a key appears in a
+  * micro-batch. `ids`/`pris` are index-aligned and sorted by
+  * (pri, id) ascending — the k current winners of the order sample.
+  */
+final case class WsSnap(
+    user_id: Long,
+    n_seen: Long,
+    n_sample: Long,
+    ids: Seq[Long],
+    pris: Seq[Long])
+
+/** GroupState for the streaming weighted sample: O(k) per key. */
+final case class WsState(nSeen: Long, ids: Seq[Long], pris: Seq[Long])
+
+/** Weighted-sampling and corpus-statistics kernels.
+  *
+  * The batch side (p63) and the streaming side (cef46) share one
+  * sampling design: Ohlsson's SEQUENTIAL POISSON (order) sampling —
+  * each item draws priority u/w from a deterministic uniform
+  * u = polyHash(id + seed) and weight w, and the sample is the k
+  * smallest priorities. Inclusion probability is ≈ proportional to w
+  * (exactly PPS as k/N → 0), the draw is reproducible across cluster
+  * sizes and reruns, and "k smallest of a set" is associative and
+  * commutative — so the same sample falls out of a per-partition top-k
+  * (batch: TakeOrderedAndProject, no shuffle) or a cross-micro-batch
+  * GroupState fold (streaming), however the data is split.
+  *
+  * Priorities are INTEGER: pri = (u * PriScale) div w. Both engines
+  * (Spark and the DuckDB oracle) compute the identical bigint, so the
+  * sample carries no float boundary; u < 2^30 and PriScale = 10^9 keep
+  * u·PriScale < 2^60, far from bigint overflow.
+  */
+object StatsOps {
+
+  /** Priority scale: u < HashMod ≈ 2^30, so u·PriScale < 2^60. */
+  val PriScale = 1000000000L
+
+  /** Fold one batch of (pri, id) pairs into the k smallest seen so far.
+    * Associative + commutative (min-k of a set), so the streamed fold
+    * equals the batch order sample for ANY micro-batch split —
+    * StatsOpsSpec fuzzes arbitrary splits against the global top-k.
+    * Ties break on id: (pri, id) lexicographic.
+    */
+  def mergeTopK(
+      prev: Seq[(Long, Long)],
+      batch: Iterable[(Long, Long)],
+      k: Int): Seq[(Long, Long)] =
+    (prev.toSet ++ batch).toSeq.sorted.take(k)
+
+  /** Streaming per-key weighted (order) sample: fold each micro-batch's
+    * (pri, id) pairs into the k smallest per key (GroupState), emitting
+    * a snapshot row per touched key per batch. The FINAL snapshot (max
+    * n_seen per key) equals the batch sequential-Poisson sample over
+    * the whole stream — what the driver's oracle checks — while the
+    * intermediate snapshots prove the sample state round-trips
+    * micro-batch boundaries (cef43's snapshot discipline, applied to a
+    * reservoir instead of a distinct-count sketch).
+    *
+    * Scale shape: state is O(k) per key regardless of stream length;
+    * the only shuffle is the groupByKey the stateful operator needs
+    * anyway; a skewed key's micro-batch is folded in bounded chunks so
+    * memory stays O(k + chunk).
+    */
+  def streamingWeightedSample(
+      events: DataFrame,
+      keyCol: String,
+      idCol: String,
+      priCol: String,
+      k: Int): Dataset[WsSnap] = {
+    implicit val stEnc: Encoder[WsState] = Encoders.product[WsState]
+    implicit val outEnc: Encoder[WsSnap] = Encoders.product[WsSnap]
+    implicit val rowEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events
+      .select(col(keyCol).cast("long"), col(priCol).cast("long"), col(idCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[WsState, WsSnap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[WsState]) =>
+          val prev = state.getOption.getOrElse(WsState(0L, Nil, Nil))
+          var merged: Seq[(Long, Long)] = prev.pris.zip(prev.ids)
+          var nNew = 0L
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          rows.foreach { r =>
+            buf += ((r._2, r._3)); nNew += 1
+            if (buf.size >= 4096) { merged = mergeTopK(merged, buf, k); buf.clear() }
+          }
+          if (buf.nonEmpty) merged = mergeTopK(merged, buf, k)
+          val nSeen = prev.nSeen + nNew
+          state.update(WsState(nSeen, merged.map(_._2), merged.map(_._1)))
+          Iterator.single(
+            WsSnap(key, nSeen, merged.size.toLong, merged.map(_._2), merged.map(_._1)))
+      }
+  }
+}

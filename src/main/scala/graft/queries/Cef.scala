@@ -1292,6 +1292,60 @@ object Cef {
         .orderBy(col("user_id"), col("probe"))
     },
 
+    // ---------------- streaming per-key weighted sample: the third
+    // cross-batch state fold (cef43 = KMV sketch, cef45 = CM sketch,
+    // this = a RESERVOIR). Sequential-Poisson order sampling (p63's
+    // exact design: integer priority (u·10⁹) div w, u = seeded
+    // polyHash(event_id), w from the event's value) folded per key
+    // through GroupState — "k smallest of a set" is associative and
+    // commutative, so the streamed sample ≡ the batch sample however
+    // the micro-batches split (StatsOpsSpec fuzzes arbitrary splits);
+    // the oracle restates it as a per-key row_number over priorities.
+    // State is O(k) per key; the final snapshot per key carries the
+    // sample, exploded to (event, rank) rows.
+    Q("cef46_streaming_wsample", {
+      import graft.ops.{StatsOps, TextOps}
+      val h = TextOps.polyHashSql("CAST(event_id AS VARCHAR) || '#graft-stream-ws'")
+      s"""WITH p AS (
+         |  SELECT user_id, event_id,
+         |         ($h * ${StatsOps.PriScale})
+         |           // (CAST(floor(value * 10) AS BIGINT) + 1) AS pri
+         |  FROM events),
+         |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen
+         |      FROM events GROUP BY user_id),
+         |r AS (SELECT user_id, event_id, pri,
+         |             row_number() OVER (PARTITION BY user_id ORDER BY pri, event_id)
+         |               AS rk
+         |      FROM p)
+         |SELECT r.user_id, n.n_seen, r.event_id, r.pri, CAST(r.rk AS BIGINT) AS rk
+         |FROM r JOIN n USING (user_id) WHERE rk <= $StreamWsK
+         |ORDER BY user_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.{StatsOps, TextOps}
+      val snaps = runEventStream(s, dir, "cef46", "append") { raw =>
+        StatsOps.streamingWeightedSample(
+          raw.withColumn("w", floor(col("value") * 10).cast("long") + 1)
+            .withColumn("num",
+              TextOps.polyHash(concat(col("event_id").cast("string"),
+                lit("#graft-stream-ws"))) * StatsOps.PriScale)
+            .withColumn("pri", expr("num div w")),
+          "user_id", "event_id", "pri", StreamWsK).toDF()
+      }
+      // the gate is vacuous unless some key's reservoir folded across
+      // ≥2 micro-batches (multiple snapshots = state restored + merged)
+      val multi = snaps.groupBy(col("user_id")).count()
+        .filter(col("count") >= 2).count()
+      require(multi > 0, "cef46 expected >=1 key folding across >=2 micro-batches")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n_seen").desc)
+      snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("n_seen"),
+          posexplode(arrays_zip(col("ids"), col("pris"))))
+        .select(col("user_id"), col("n_seen"),
+          col("col.ids").as("event_id"), col("col.pris").as("pri"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy(col("user_id"), col("rk"))
+    },
+
     // ---------------- F3 smart-scan intervals driver-checked: the
     // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
     // exhaustive SQL window enumeration — the fullScan semantics the
@@ -1422,6 +1476,13 @@ object Cef {
     * first (the same trap Pipeline's CmSeeds documents).
     */
   private def StreamKmvK = 16
+
+  /** cef46 reservoir size: smaller than any key's event count at
+    * sf0.01+ (~67 events/user) so the sample actually SELECTS, while
+    * several micro-batches each beat the current kth priority and force
+    * real cross-batch merges. A def (queries-val init order).
+    */
+  private def StreamWsK = 8
 
   /** cef45's per-key CM geometry (width per hash row) and its fixed
     * point-query probes — value-buckets both present and absent in the

@@ -2637,8 +2637,175 @@ object Pipeline {
         when(size(toks) >= 20 && stop > 0, 1L).otherwise(-1L).as("y"))
       graft.ops.ClassifierOps.perceptronEpochs(s, feats, PerceptronEpochs)
         .orderBy(col("epoch"))
+    },
+
+    // ------------------------- sampling: sequential Poisson / PPS (p63)
+    // Weighted sampling for data mixing (sample long documents more):
+    // Ohlsson's sequential Poisson order sampling — priority
+    // (u · 10⁹) div w with u = seeded polyHash(doc_id) and w = n_chars,
+    // sample = the k smallest priorities. Inclusion probability is
+    // ≈ proportional to length, the draw is reproducible across
+    // cluster sizes/reruns (pure function of doc_id), and the priority
+    // is INTEGER so both engines agree bit-for-bit. Physical shape:
+    // map-only priority + per-partition top-k merged on the driver
+    // (TakeOrderedAndProject — PlanSpec pins NO shuffle exchange): at
+    // 100 TB the corpus is never sorted, each task ships k rows.
+    Q("p63_sample_weighted", {
+      val h = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-wsample-3'")
+      s"""SELECT doc_id, n_chars, pri
+         |FROM (SELECT doc_id, n_chars,
+         |             ($h * ${graft.ops.StatsOps.PriScale}) // greatest(n_chars, 1) AS pri
+         |      FROM documents)
+         |ORDER BY pri, doc_id LIMIT $WsampleK""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (TextOps.polyHash(concat(col("doc_id").cast("string"), lit("#graft-wsample-3")))
+            * graft.ops.StatsOps.PriScale).as("num"))
+        .withColumn("pri", expr("num div greatest(n_chars, 1)"))
+        .select(col("doc_id"), col("n_chars"), col("pri"))
+        .orderBy(col("pri"), col("doc_id"))
+        .limit(WsampleK)
+    },
+
+    // ------------------- decontamination: contamination SCORE (p64)
+    // p17's gate is binary (≥5 shared shingles → drop); audits want the
+    // per-document contamination FRACTION — shared 3-gram shingles over
+    // the doc's total distinct shingles — ranked, to review partial
+    // benchmark leaks below the drop threshold. Benchmark = every 97th
+    // doc (a real suite is MBs → its shingle set broadcasts; the corpus
+    // side is one map + one per-doc count shuffle — the corpus NEVER
+    // joins itself). Score ships as an exact ×10⁶ integer.
+    Q("p64_contaminate_score", {
+      val sh = DedupOps.shingleHashesSql("text", 3)
+      s"""WITH sh AS (
+         |  SELECT doc_id, $sh AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |bl AS (SELECT list(DISTINCT h) AS hs
+         |       FROM (SELECT unnest(sh) AS h FROM sh WHERE doc_id % 97 = 0)),
+         |sc AS (SELECT doc_id,
+         |              CAST(len(sh) AS BIGINT) AS n_grams,
+         |              CAST(len(list_intersect(sh, hs)) AS BIGINT) AS n_hit
+         |       FROM sh CROSS JOIN bl WHERE doc_id % 97 <> 0)
+         |SELECT doc_id, n_grams, n_hit, (n_hit * 1000000) // n_grams AS score_q
+         |FROM sc WHERE n_hit > 0 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val sh = graft.ops.Release.afterFirstUse(
+        t(s, dir, "documents")
+          .select(col("doc_id"), DedupOps.shingleHashes(col("text"), 3).as("sh")))
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("h")).distinct()
+      val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+      corpus.select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(broadcast(bench), "h")
+        .groupBy(col("doc_id")).agg(count(col("h")).as("n_hit"))
+        .join(corpus.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams")),
+          "doc_id")
+        .withColumn("score_q", expr("(n_hit * 1000000) div n_grams"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"), col("score_q"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ----------------- statistics: exact group quantiles (p65)
+    // Exact p25/p50/p90/p99 of document length per language — the
+    // corpus-profiling numbers a mixing run reads before setting
+    // truncation budgets. NOT a distributed sort: document length is a
+    // bounded integer domain, so the exact answer falls out of a VALUE
+    // HISTOGRAM — one map-side-combining groupBy(lang, n_chars), then a
+    // cumulative window over the (tiny) histogram and a rank probe
+    // ceil(q·n/100). At 100 TB the only corpus-wide work is the
+    // histogram aggregate; the sort the naive plan would shuffle never
+    // happens (PlanSpec pins: the scan reads ONLY lang+n_chars, and no
+    // exchange carries doc rows). Unbounded domains would swap in a
+    // sketch; for a bounded one the histogram IS the exact algorithm.
+    Q("p65_group_quantiles",
+      """WITH h AS (SELECT lang, n_chars, count(*) AS cnt
+        |           FROM documents GROUP BY lang, n_chars),
+        |n AS (SELECT lang, sum(cnt) AS n_docs FROM h GROUP BY lang),
+        |c AS (SELECT lang, n_chars, cnt,
+        |             sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+        |      FROM h),
+        |q AS (SELECT CAST(unnest([25, 50, 90, 99]) AS BIGINT) AS pct),
+        |r AS (SELECT lang, pct, n_docs, (pct * n_docs + 99) // 100 AS rnk
+        |      FROM n CROSS JOIN q)
+        |SELECT r.lang, r.pct, CAST(r.n_docs AS BIGINT) AS n_docs,
+        |       min(c.n_chars) AS nchars_q
+        |FROM r JOIN c ON c.lang = r.lang AND c.cum >= r.rnk
+        |GROUP BY r.lang, r.pct, r.n_docs
+        |ORDER BY r.lang, r.pct""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val h = graft.ops.Release.afterFirstUse(
+        t(s, dir, "documents")
+          .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("cnt")))
+      val c = h.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("lang")).orderBy(col("n_chars"))))
+      val n = h.groupBy(col("lang")).agg(sum(col("cnt")).as("n_docs"))
+      val qs = Seq(25L, 50L, 90L, 99L).toDF("pct")
+      n.crossJoin(broadcast(qs))
+        .withColumn("rnk", expr("(pct * n_docs + 99) div 100"))
+        .join(c, Seq("lang"))
+        .filter(col("cum") >= col("rnk"))
+        .groupBy(col("lang"), col("pct"), col("n_docs"))
+        .agg(min(col("n_chars")).as("nchars_q"))
+        .orderBy(col("lang"), col("pct"))
+    },
+
+    // -------------------- statistics: per-source drift (p66)
+    // Distribution-shift audit: L1 distance between each source's
+    // unigram distribution and the corpus distribution — the number a
+    // crawl pipeline watches to catch a source going off-profile before
+    // it pollutes the mix. All-INTEGER cross-multiplication
+    // |c_s·N − c·N_s| (no float division until the final ×10⁶
+    // quantization, which is integer too), with the absent-token mass
+    // folded in closed form ((N − Σ_present c)·N_s) so the per-source
+    // term table stays the size of the SOURCE'S vocabulary — never
+    // vocab × sources. Shape at 100 TB: one (source, word) count with
+    // map-side combine, a vocab-bounded re-agg, one vocab-keyed join;
+    // sources are bounded so their totals broadcast.
+    Q("p66_source_drift",
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |sc AS (SELECT source, word, count(*) AS c FROM w GROUP BY source, word),
+        |cc AS (SELECT word, sum(c) AS ct FROM sc GROUP BY word),
+        |ns AS (SELECT source, sum(c) AS n_s FROM sc GROUP BY source),
+        |tot AS (SELECT sum(c) AS n FROM sc),
+        |pres AS (SELECT sc.source,
+        |                sum(abs(sc.c * t.n - cc.ct * ns.n_s)) AS pterm,
+        |                sum(cc.ct) AS c_pres
+        |         FROM sc JOIN cc USING (word) JOIN ns USING (source) CROSS JOIN tot t
+        |         GROUP BY sc.source)
+        |SELECT p.source, CAST(ns.n_s AS BIGINT) AS n_tokens,
+        |       CAST((p.pterm + (t.n - p.c_pres) * ns.n_s)
+        |         // greatest((2 * ns.n_s * t.n) // 1000000, 1) AS BIGINT) AS drift_q
+        |FROM pres p JOIN ns USING (source) CROSS JOIN tot t
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val wc = graft.ops.Release.afterFirstUse(
+        t(s, dir, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("word"))
+          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c")))
+      val cc = wc.groupBy(col("word")).agg(sum(col("c")).as("ct"))
+      val ns = wc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val tot = ns.agg(sum(col("n_s")).as("n"))
+      wc.join(cc, "word")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("source"))
+        .agg(sum(abs(col("c") * col("n") - col("ct") * col("n_s"))).as("pterm"),
+          sum(col("ct")).as("c_pres"))
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("drift_q",
+          expr("(pterm + (n - c_pres) * n_s) div greatest((2 * n_s * n) div 1000000, 1)"))
+        .select(col("source"), col("n_s").as("n_tokens"), col("drift_q"))
+        .orderBy(col("source"))
     }
   )
+
+  /** p63 sample size: per-partition top-k merged on the driver — k rows
+    * per task regardless of corpus size. A def (queries-val init order).
+    */
+  private def WsampleK: Int = 100
 
   /** Posting-list block width (docs per shard row) for p39. A def — see
     * QualityStopwords on initialization order.

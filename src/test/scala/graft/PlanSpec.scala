@@ -499,4 +499,40 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "BroadcastNestedLoopJoin"
     plan should include regex "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
   }
+
+  "p63_sample_weighted" should "be a shuffle-free per-partition top-k (TakeOrderedAndProject)" in {
+    val plan = planOf("p63_sample_weighted")
+    // the whole point of order sampling: the corpus is NEVER sorted or
+    // shuffled — each task ships its k best priorities to the driver
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Exchange"
+  }
+
+  "p65_group_quantiles" should "read only (lang, n_chars) and never sort or shuffle doc rows" in {
+    val plan = planOf("p65_group_quantiles")
+    // the histogram design: the scan must prune to the two tiny columns
+    // (reading `text` here would be a 100 TB scan for a 20-row answer)
+    plan should include("ReadSchema: struct<lang:string,n_chars:bigint")
+    plan should not include "text"
+    // the only corpus-wide operator is the partially-aggregable
+    // histogram groupBy; the window/cumsum runs over histogram rows
+    plan should not include "CartesianProduct"
+  }
+
+  "p64_contaminate_score" should "probe the benchmark shingle set via broadcast; the corpus never self-joins" in {
+    val plan = planOf("p64_contaminate_score")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    // the shingle table is persisted and feeds the benchmark set, the
+    // hit counting AND the per-doc gram sizes from one computation
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
+  }
+
+  "p66_source_drift" should "keep all joins equi/broadcast off one persisted (source, word) count" in {
+    val plan = planOf("p66_source_drift")
+    // sc feeds cc, ns and the term sum — one corpus-scale count, three
+    // cached reads; totals ride broadcasts (sources are bounded)
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
+    plan should not include "CartesianProduct"
+  }
 }
