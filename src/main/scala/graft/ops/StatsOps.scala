@@ -19,6 +19,20 @@ final case class WsSnap(
 /** GroupState for the streaming weighted sample: O(k) per key. */
 final case class WsState(nSeen: Long, ids: Seq[Long], pris: Seq[Long])
 
+/** Per-key Misra-Gries snapshot emitted by
+  * [[StatsOps.streamingMisraGries]] each time a key appears in a
+  * micro-batch. `items`/`cnts` are index-aligned, sorted by
+  * (cnt desc, item) — the surviving counters after the batch's fold.
+  */
+final case class MgSnap(
+    user_id: Long,
+    n_seen: Long,
+    items: Seq[String],
+    cnts: Seq[Long])
+
+/** GroupState for the streaming heavy-hitter fold: ≤ k counters. */
+final case class MgState(nSeen: Long, items: Seq[String], cnts: Seq[Long])
+
 /** Weighted-sampling and corpus-statistics kernels.
   *
   * The batch side (p63) and the streaming side (cef46) share one
@@ -53,6 +67,71 @@ object StatsOps {
       batch: Iterable[(Long, Long)],
       k: Int): Seq[(Long, Long)] =
     (prev.toSet ++ batch).toSeq.sorted.take(k)
+
+  /** One Misra-Gries reduction: if more than k counters survive, subtract
+    * the (k+1)-th largest count from every counter and drop the
+    * non-positives — the "Mergeable Summaries" (Agarwal et al., PODS'12)
+    * merge rule, which preserves the MG guarantee
+    * (true_count − total/(k+1) ≤ counter ≤ true_count) across folds.
+    * The threshold is an order statistic of the COUNT multiset, so the
+    * reduction is a pure deterministic function of the counts — no tie
+    * ambiguity (equal counts at the boundary all drop to ≤ 0 together).
+    * Output sorted by (cnt desc, item) for a stable snapshot.
+    */
+  def mgReduce(counts: Map[String, Long], k: Int): Seq[(String, Long)] = {
+    val kept =
+      if (counts.size <= k) counts.toSeq
+      else {
+        val t = counts.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+        counts.toSeq.map { case (i, c) => (i, c - t) }.filter(_._2 > 0)
+      }
+    kept.sortBy { case (i, c) => (-c, i) }
+  }
+
+  /** Streaming per-key heavy hitters: fold each micro-batch's exact item
+    * counts into a ≤ k-counter Misra-Gries summary per key (GroupState),
+    * emitting a snapshot per touched key per batch. The batch side of
+    * each fold is the key's EXACT count map for that micro-batch
+    * (bounded by the batch's distinct items), so the result is a pure
+    * deterministic function of the slice contents — the DuckDB oracle
+    * replays the same fold with the slice rule (ntile over stream order)
+    * and one reduction CTE per micro-batch.
+    *
+    * Scale shape: state is O(k) per key regardless of stream length or
+    * item cardinality; the only shuffle is the stateful groupByKey.
+    * Unlike the KMV/CM folds (cef43/cef45) this one is ORDER-dependent
+    * across batches — which is exactly what it gates: the state must
+    * round-trip every micro-batch boundary in sequence.
+    */
+  def streamingMisraGries(
+      events: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      k: Int): Dataset[MgSnap] = {
+    implicit val stEnc: Encoder[MgState] = Encoders.product[MgState]
+    implicit val outEnc: Encoder[MgSnap] = Encoders.product[MgSnap]
+    implicit val rowEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.select(col(keyCol).cast("long"), col(itemCol).cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, MgSnap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, String)], state: GroupState[MgState]) =>
+          val prev = state.getOption.getOrElse(MgState(0L, Nil, Nil))
+          val counts = scala.collection.mutable.Map.empty[String, Long]
+          prev.items.zip(prev.cnts).foreach { case (i, c) => counts(i) = c }
+          var nNew = 0L
+          rows.foreach { r =>
+            counts(r._2) = counts.getOrElse(r._2, 0L) + 1L; nNew += 1
+          }
+          val merged = mgReduce(counts.toMap, k)
+          val nSeen = prev.nSeen + nNew
+          state.update(MgState(nSeen, merged.map(_._1), merged.map(_._2)))
+          Iterator.single(MgSnap(key, nSeen, merged.map(_._1), merged.map(_._2)))
+      }
+  }
 
   /** Streaming per-key weighted (order) sample: fold each micro-batch's
     * (pri, id) pairs into the k smallest per key (GroupState), emitting

@@ -1346,6 +1346,75 @@ object Cef {
         .orderBy(col("user_id"), col("rk"))
     },
 
+    // ---------------- streaming per-key Misra-Gries heavy hitters: the
+    // fourth cross-batch state fold, and the first ORDER-dependent one
+    // (KMV/CM/the reservoir are associative-commutative; MG folds
+    // sequentially). Each micro-batch contributes the key's EXACT item
+    // counts; the state merges them into ≤ k counters via the
+    // "Mergeable Summaries" rule (sum counterwise, subtract the
+    // (k+1)-th largest count, drop non-positives) — a pure function of
+    // the counts, so the DuckDB oracle replays the identical fold:
+    // slice assignment is ntile(StreamSlices) over (ts, event_id), the
+    // exact rule buildSlices uses, and one reduction CTE per
+    // micro-batch. This gates that GroupState round-trips EVERY batch
+    // boundary in sequence — a restore skipping batch 2 would shift
+    // every surviving count.
+    Q("cef47_streaming_mg", {
+      val k = StreamMgK
+      def reduce(src: String, dst: String) =
+        s"""$dst AS (
+           |  SELECT user_id, item, c - t AS c FROM (
+           |    SELECT user_id, item, c,
+           |           coalesce(max(CASE WHEN rn = ${k + 1} THEN c END)
+           |                    OVER (PARTITION BY user_id), 0) AS t
+           |    FROM (SELECT user_id, item, c,
+           |                 row_number() OVER (PARTITION BY user_id
+           |                                    ORDER BY c DESC, item) AS rn
+           |          FROM $src))
+           |  WHERE c - t > 0)""".stripMargin
+      def merge(prev: String, cnts: String, dst: String) =
+        s"""$dst AS (SELECT coalesce(m.user_id, c.user_id) AS user_id,
+           |              coalesce(m.item, c.item) AS item,
+           |              coalesce(m.c, 0) + coalesce(c.c, 0) AS c
+           |       FROM $prev m FULL OUTER JOIN $cnts c
+           |         ON m.user_id = c.user_id AND m.item = c.item)""".stripMargin
+      val slices = (1 to 3).map(i =>
+        s"c$i AS (SELECT user_id, item, count(*) AS c FROM e WHERE sl = $i GROUP BY user_id, item)")
+        .mkString(",\n")
+      s"""WITH e AS (SELECT user_id, event_type AS item,
+         |                  ntile(3) OVER (ORDER BY ts, event_id) AS sl
+         |           FROM events),
+         |$slices,
+         |${reduce("c1", "m1")},
+         |${merge("m1", "c2", "a2")},
+         |${reduce("a2", "m2")},
+         |${merge("m2", "c3", "a3")},
+         |${reduce("a3", "m3")},
+         |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen
+         |      FROM events GROUP BY user_id)
+         |SELECT m.user_id, n.n_seen, m.item, CAST(m.c AS BIGINT) AS cnt,
+         |       CAST(row_number() OVER (PARTITION BY m.user_id
+         |                               ORDER BY m.c DESC, m.item) AS BIGINT) AS rk
+         |FROM m3 m JOIN n USING (user_id) ORDER BY user_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.StatsOps
+      val snaps = runEventStream(s, dir, "cef47", "append") { raw =>
+        StatsOps.streamingMisraGries(raw, "user_id", "event_type", StreamMgK).toDF()
+      }
+      // vacuous unless some key's counters folded across ≥2 batches
+      val multi = snaps.groupBy(col("user_id")).count()
+        .filter(col("count") >= 2).count()
+      require(multi > 0, "cef47 expected >=1 key folding across >=2 micro-batches")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n_seen").desc)
+      snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("n_seen"),
+          posexplode(arrays_zip(col("items"), col("cnts"))))
+        .select(col("user_id"), col("n_seen"),
+          col("col.items").as("item"), col("col.cnts").as("cnt"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy(col("user_id"), col("rk"))
+    },
+
     // ---------------- F3 smart-scan intervals driver-checked: the
     // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
     // exhaustive SQL window enumeration — the fullScan semantics the
@@ -1483,6 +1552,13 @@ object Cef {
     * real cross-batch merges. A def (queries-val init order).
     */
   private def StreamWsK = 8
+
+  /** cef47 Misra-Gries counter budget: below the 5-type item domain so
+    * the reduction genuinely decrements/evicts every batch (k ≥ domain
+    * would degenerate to exact counting). A def (queries-val init
+    * order).
+    */
+  private def StreamMgK = 3
 
   /** cef45's per-key CM geometry (width per hash row) and its fixed
     * point-query probes — value-buckets both present and absent in the

@@ -2799,8 +2799,191 @@ object Pipeline {
           expr("(pterm + (n - c_pres) * n_s) div greatest((2 * n_s * n) div 1000000, 1)"))
         .select(col("source"), col("n_s").as("n_tokens"), col("drift_q"))
         .orderBy(col("source"))
+    },
+
+    // ---------------- similarity: kNN-graph cluster audit (p67)
+    // The SemDeDup-style curation view one level up from p60: mutual
+    // kNN edges (both directions in each other's top-k) define the
+    // conservative similarity graph; its connected components are the
+    // content clusters a curation run audits (size + internal edge
+    // count per cluster). Reuses p60's exact salted-LSH edge list and
+    // p15's CC machinery — the mutual filter makes components tight
+    // (diameter-bounded by construction), so the label propagation
+    // converges in a handful of pointer-jumped rounds at any scale, and
+    // the per-cluster aggregation is one keyed groupBy. Only clusters
+    // (≥2 members) are emitted — singletons are the corpus.
+    Q("p67_sim_cluster_stats", {
+      val bucket = SimilarityOps.lshBucketSql("embedding")
+      val cos = SimilarityOps.cosineSql("q.embedding", "c.embedding")
+      val cap = DedupOps.BandBucketCap
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, bucket,
+         |         CAST(floor((row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1)
+         |              / $cap.0) AS BIGINT) AS salt
+         |  FROM (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)),
+         |sc AS (SELECT q.vec_id AS vec_id, c.vec_id AS nn_id,
+         |              row_number() OVER (PARTITION BY q.vec_id
+         |                                 ORDER BY $cos DESC, c.vec_id) AS rnk
+         |       FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.salt = c.salt
+         |                          AND q.vec_id <> c.vec_id),
+         |e AS (SELECT vec_id, nn_id FROM sc WHERE rnk <= $KnnK),
+         |mut AS (SELECT e.vec_id AS a, e.nn_id AS b
+         |        FROM e JOIN e r ON r.vec_id = e.nn_id AND r.nn_id = e.vec_id
+         |        WHERE e.vec_id < e.nn_id),
+         |verts AS (SELECT a AS v FROM mut UNION SELECT b FROM mut),
+         |edges AS (SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT v, v FROM verts
+         |    UNION
+         |    SELECT r.a, e2.b FROM r JOIN edges e2 ON e2.a = r.b)
+         |  SELECT * FROM r),
+         |lbl AS (SELECT a AS v, min(b) AS grp FROM reach GROUP BY a),
+         |mem AS (SELECT grp, count(*) AS n_members FROM lbl GROUP BY grp),
+         |ec AS (SELECT l.grp, count(*) AS n_edges
+         |       FROM mut JOIN lbl l ON l.v = mut.a GROUP BY l.grp)
+         |SELECT m.grp AS group_id, CAST(m.n_members AS BIGINT) AS n_members,
+         |       CAST(ec.n_edges AS BIGINT) AS n_edges
+         |FROM mem m JOIN ec USING (grp) ORDER BY group_id""".stripMargin
+    }) { (s, dir) =>
+      // the LSH edge list feeds the mutual join, the vertex set, the
+      // union-find probes AND the edge-count join; idle-release keeps
+      // it warm through the CC rounds' intermediate actions
+      val edges = graft.ops.Release.afterIdle(
+        SimilarityOps.lshTopKSalted(t(s, dir, "embeddings"), KnnK)
+          .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id")), 64)
+      val rev = edges.select(col("vec_id").as("r_vec"), col("nn_id").as("r_nn"))
+      val mut = edges
+        .join(rev, col("r_vec") === col("nn_id") && col("r_nn") === col("vec_id"))
+        .filter(col("vec_id") < col("nn_id"))
+        .select(col("vec_id").as("a"), col("nn_id").as("b"))
+      val verts = mut.select(col("a").as("v")).union(mut.select(col("b"))).distinct()
+      val lbl = DedupOps.neardupGroups(verts, "v", mut, "a", "b")
+      val mem = lbl.groupBy(col("group_id")).agg(count(lit(1)).as("n_members"))
+      val ec = mut.join(lbl.withColumnRenamed("v", "a"), "a")
+        .groupBy(col("group_id")).agg(count(lit(1)).as("n_edges"))
+      mem.join(ec, "group_id")
+        .select(col("group_id"), col("n_members"), col("n_edges"))
+        .orderBy(col("group_id"))
+    },
+
+    // ---------------- text: Dice-scored bigram collocations (p68)
+    // Phrase detection for tokenizer/vocab prep (the word2vec-phrases /
+    // Smadja collocation step): score adjacent word pairs by the Dice
+    // coefficient 2·c_xy / (c_x + c_y), integer-quantized ×10⁶ so both
+    // engines agree exactly (no logs, no floats — Dice ranks like PMI
+    // for the high-support pairs a phrase pass keeps). Shape at 100 TB:
+    // two map-side-combining counts (unigrams, adjacent bigrams), two
+    // vocabulary-bounded equi joins, and a per-partition top-k — the
+    // corpus is scanned twice and never sorted.
+    Q("p68_txt_collocations",
+      s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS w FROM d),
+         |uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+         |b AS (SELECT unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+         |                    i -> [toks[i + 1], toks[i + 2]])) AS bg FROM d),
+         |bc AS (SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS c_xy
+         |       FROM b GROUP BY bg[1], bg[2] HAVING count(*) >= $CollocMinCount)
+         |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+         |       CAST((2 * c_xy * 1000000) // (x.c + y.c) AS BIGINT) AS dice_q
+         |FROM bc JOIN uc x ON x.w = w1 JOIN uc y ON y.w = w2
+         |ORDER BY dice_q DESC, w1, w2 LIMIT $CollocTopK""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("toks", tokens(col("text")))
+      val uni = docs.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val bc = docs.select(explode(expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+            |ELSE transform(sequence(0, size(toks) - 2),
+            |               i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) END"""
+            .stripMargin)).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= CollocMinCount)
+      bc.join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+        .withColumn("dice_q", expr("(2 * c_xy * 1000000) div (c_x + c_y)"))
+        .select(col("w1"), col("w2"), col("c_xy"), col("dice_q"))
+        .orderBy(col("dice_q").desc, col("w1"), col("w2"))
+        .limit(CollocTopK)
+    },
+
+    // ---------------- dedup: MinHash calibration audit (p69)
+    // "Measure, don't guess" for the dedup family (p61's discipline
+    // applied to MinHash): over the recall-leaning 16-band LSH
+    // candidate pairs, compare the 64-lane MinHash Jaccard ESTIMATE
+    // (matching lanes / 64) against the EXACT token-set Jaccard, and
+    // report the mean absolute error per exact-Jaccard decile — the
+    // table that justifies (or indicts) the band thresholds p06/p15
+    // run with. All-integer: exact = (|∩|·10⁶) div |∪|, estimate =
+    // matches·15625, so the audit carries no float boundary. Output is
+    // ≤ 11 rows however large the corpus.
+    Q("p69_dd_minhash_calibration", {
+      val th = TextOps.tokenHashesSql("text")
+      val sig = DedupOps.minHashSigSql("hs")
+      val bands = DedupOps.bandKeysSql("sig", DedupOps.NnBands)
+      s"""WITH sh AS (
+         |  SELECT doc_id, hs, sig, $bands AS bands
+         |  FROM (SELECT doc_id, hs, $sig AS sig
+         |        FROM (SELECT doc_id, $th AS hs FROM documents))),
+         |sx AS (${DedupOps.saltedBandsSql("sh", "doc_id", DedupOps.NnBands)}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sx a JOIN sx b
+         |    ON a.key = b.key AND a.band = b.band AND a.salt = b.salt
+         |   AND a.doc_id < b.doc_id),
+         |pe AS (
+         |  SELECT (inter * 1000000) // greatest(uni, 1) AS jacc_q,
+         |         matches * 15625 AS est_q
+         |  FROM (SELECT len(list_intersect(a.hs, b.hs)) AS inter,
+         |               len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS uni,
+         |               len(list_filter(range(${DedupOps.MinHashK}),
+         |                               i -> a.sig[i + 1] = b.sig[i + 1])) AS matches
+         |        FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b))
+         |SELECT jacc_q // 100000 AS decile,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(abs(est_q - jacc_q)) // count(*) AS BIGINT) AS mean_err_q
+         |FROM pe GROUP BY jacc_q // 100000 ORDER BY decile""".stripMargin
+    }) { (s, dir) =>
+      // one signature table feeds the band explode and both join-backs
+      val sh = graft.ops.Release.afterFirstUse(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenHashes(col("text")).as("hs"))
+          .withColumn("sig", DedupOps.minHashSig(col("hs")))
+          .withColumn("bands", DedupOps.bandKeys(col("sig"), DedupOps.NnBands)))
+      val exploded = DedupOps.saltedBands(sh, "doc_id")
+      val cand = exploded.as("x")
+        .join(exploded.as("y"),
+          col("x.key") === col("y.key") && col("x.band") === col("y.band")
+            && col("x.salt") === col("y.salt") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("hs").as("ha"), col("sig").as("sa")),
+          "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hb"), col("sig").as("sb")),
+          "id_b")
+        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("uni",
+          size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter"))
+        .withColumn("jacc_q", expr("(inter * 1000000) div greatest(uni, 1)"))
+        .withColumn("matches", expr(
+          s"aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, x) -> a + x)"))
+        .withColumn("est_q", col("matches") * 15625L)
+        .withColumn("decile", expr("jacc_q div 100000"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("est_q") - col("jacc_q"))).as("sum_err"))
+        .withColumn("mean_err_q", expr("sum_err div n_pairs"))
+        .select(col("decile"), col("n_pairs"), col("mean_err_q"))
+        .orderBy(col("decile"))
     }
   )
+
+  /** p68 collocation thresholds: min bigram support and the audit's
+    * top-k. Defs (queries-val init order).
+    */
+  private def CollocMinCount: Int = 5
+  private def CollocTopK: Int = 100
 
   /** p63 sample size: per-partition top-k merged on the driver — k rows
     * per task regardless of corpus size. A def (queries-val init order).

@@ -535,4 +535,26 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
     plan should not include "CartesianProduct"
   }
+
+  "p68_txt_collocations" should "end in a per-partition top-k with only equi joins" in {
+    val plan = planOf("p68_txt_collocations")
+    // the collocation table is vocabulary-bounded but still unsorted —
+    // the final ranking must be TakeOrderedAndProject, never a global sort
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "p69_dd_minhash_calibration" should "serve the band explode and both join-backs from one signature cache" in {
+    val plan = planOf("p69_dd_minhash_calibration")
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "p67_sim_cluster_stats" should "never go all-pairs: LSH-bucketed edges, equi joins throughout" in {
+    val plan = planOf("p67_sim_cluster_stats")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }

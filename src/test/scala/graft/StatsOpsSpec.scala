@@ -58,6 +58,39 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  "mgReduce folds" should "keep <= k counters and satisfy the Misra-Gries error bound under arbitrary splits" in {
+    (1 to 200).foreach { _ =>
+      val k = 1 + rnd.nextInt(5)
+      val n = rnd.nextInt(200)
+      // skewed item draw so real heavy hitters exist
+      val stream = (1 to n).map(_ => s"i${math.min(rnd.nextInt(12), rnd.nextInt(12))}")
+      val truth = stream.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+      // random split into batches, fold with exact per-batch counts
+      var batches = List.empty[Seq[String]]
+      var rest = stream
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(rest.size)
+        batches ::= rest.take(take); rest = rest.drop(take)
+      }
+      var state = Seq.empty[(String, Long)]
+      batches.reverse.foreach { b =>
+        val counts = scala.collection.mutable.Map(state: _*)
+        b.foreach(i => counts(i) = counts.getOrElse(i, 0L) + 1L)
+        state = ops.StatsOps.mgReduce(counts.toMap, k)
+        state.size should be <= k
+      }
+      // MG guarantee: true − n/(k+1) ≤ counter ≤ true (absent ⇒ 0)
+      val est = state.toMap
+      truth.foreach { case (i, t) =>
+        val e = est.getOrElse(i, 0L)
+        e should be <= t
+        e should be >= t - n.toLong / (k + 1)
+      }
+      // counters never invent items
+      est.keySet.subsetOf(truth.keySet) shouldBe true
+    }
+  }
+
   "p63_sample_weighted" should "equal the in-JVM sequential Poisson sample" in {
     val want = docs()
       .map { case (id, _, _, _, nc) =>
@@ -133,6 +166,61 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }.sortBy(_._1)
     val got = run("p66_source_drift").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+  }
+
+  "p68_txt_collocations" should "equal the in-JVM Dice-scored bigram top-k" in {
+    val toks = docs().map(_._2.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val bc = toks.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).map { case (bg, bs) => bg -> bs.size.toLong }
+      .filter(_._2 >= 5L)
+    val want = bc.toSeq.map { case ((w1, w2), cxy) =>
+      (w1, w2, cxy, 2L * cxy * 1000000L / (uni(w1) + uni(w2)))
+    }.sortBy { case (w1, w2, _, d) => (-d, w1, w2) }.take(100)
+    val got = run("p68_txt_collocations").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+  }
+
+  "p69_dd_minhash_calibration" should "equal the in-JVM decile error table" in {
+    import ops.{DedupOps, TextOps}
+    // JVM twins of the signature chain. At sf0.001 (500 docs) no band
+    // bucket can exceed BandBucketCap=1000, so salt is uniformly 0 and
+    // candidates are exactly "share >= 1 band key".
+    val sigs = docs().map { case (id, text, _, _, _) =>
+      val hs = text.split(" ", -1).map(TextOps.polyHashJvm).distinct.toSeq
+      val sig = (0 until DedupOps.MinHashK).map(i =>
+        if (hs.isEmpty) 0L
+        else hs.map(h => (DedupOps.MinHashA(i) * h + DedupOps.MinHashB(i)) % TextOps.HashMod).min)
+      val rows = DedupOps.MinHashK / DedupOps.NnBands
+      val bands = (0 until DedupOps.NnBands).map(b =>
+        (b * rows until (b + 1) * rows)
+          .foldLeft(b.toLong)((acc, r) => (acc * 31 + sig(r)) % TextOps.HashMod))
+      (id, hs.toSet, sig, bands)
+    }
+    val byBand = sigs.flatMap { case (id, _, _, bands) =>
+      bands.zipWithIndex.map { case (key, b) => (b, key) -> id }
+    }.groupBy(_._1)
+    val cand = byBand.values.flatMap { ids =>
+      val sorted = ids.map(_._2).sorted
+      for (a <- sorted; b <- sorted if a < b) yield (a, b)
+    }.toSet
+    val bySig = sigs.map(s4 => s4._1 -> s4).toMap
+    val errs = cand.toSeq.map { case (a, b) =>
+      val (_, ha, sa, _) = bySig(a)
+      val (_, hb, sb, _) = bySig(b)
+      val inter = ha.intersect(hb).size.toLong
+      val uniSz = math.max(ha.size + hb.size - inter, 1L)
+      val jaccQ = inter * 1000000L / uniSz
+      val estQ = sa.zip(sb).count { case (x, y) => x == y } * 15625L
+      (jaccQ / 100000L, math.abs(estQ - jaccQ))
+    }
+    val want = errs.groupBy(_._1).toSeq.map { case (d, es) =>
+      (d, es.size.toLong, es.map(_._2).sum / es.size)
+    }.sortBy(_._1)
+    val got = run("p69_dd_minhash_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     got shouldBe want
   }
 }
