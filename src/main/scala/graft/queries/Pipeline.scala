@@ -2917,20 +2917,35 @@ object Pipeline {
     // run with. All-integer: exact = (|∩|·10⁶) div |∪|, estimate =
     // matches·15625, so the audit carries no float boundary. Output is
     // ≤ 11 rows however large the corpus.
+    //
+    // The audit runs on a DETERMINISTIC sample at two levels — that is
+    // the 100 TB design, not a shortcut: (1) a seeded-hash 1-in-
+    // CalibDocMod DOCUMENT sample applied in the scan stage, which
+    // shrinks the band self-join QUADRATICALLY (the recall-leaning
+    // 16-band join yields ~54M distinct pairs on 50k word-soup docs —
+    // enumerating them for an 11-row error table is wasted corpus
+    // passes); and (2) a pure integer hash keeping 1-in-CalibSampleMod
+    // of the surviving pairs, applied BEFORE the distinct so duplicate
+    // band hits of a pair sample consistently. Per-decile means are
+    // unbiased under any fixed sample.
     Q("p69_dd_minhash_calibration", {
       val th = TextOps.tokenHashesSql("text")
       val sig = DedupOps.minHashSigSql("hs")
       val bands = DedupOps.bandKeysSql("sig", DedupOps.NnBands)
+      val docSample = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-calib-9'")
       s"""WITH sh AS (
          |  SELECT doc_id, hs, sig, $bands AS bands
          |  FROM (SELECT doc_id, hs, $sig AS sig
-         |        FROM (SELECT doc_id, $th AS hs FROM documents))),
+         |        FROM (SELECT doc_id, $th AS hs FROM documents
+         |              WHERE $docSample % $CalibDocMod = 0))),
          |sx AS (${DedupOps.saltedBandsSql("sh", "doc_id", DedupOps.NnBands)}),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM sx a JOIN sx b
          |    ON a.key = b.key AND a.band = b.band AND a.salt = b.salt
-         |   AND a.doc_id < b.doc_id),
+         |   AND a.doc_id < b.doc_id
+         |   AND ((a.doc_id * 1000003 + b.doc_id * 31 + 7) % 1000000007)
+         |         % $CalibSampleMod = 0),
          |pe AS (
          |  SELECT (inter * 1000000) // greatest(uni, 1) AS jacc_q,
          |         matches * 15625 AS est_q
@@ -2944,9 +2959,14 @@ object Pipeline {
          |       CAST(sum(abs(est_q - jacc_q)) // count(*) AS BIGINT) AS mean_err_q
          |FROM pe GROUP BY jacc_q // 100000 ORDER BY decile""".stripMargin
     }) { (s, dir) =>
-      // one signature table feeds the band explode and both join-backs
+      // one signature table feeds the band explode and both join-backs;
+      // the doc-sample predicate runs in the scan stage — dropped docs
+      // never pay for signatures
       val sh = graft.ops.Release.afterFirstUse(
         t(s, dir, "documents")
+          .filter(pmod(
+            TextOps.polyHash(concat(col("doc_id").cast("string"), lit("#graft-calib-9"))),
+            lit(CalibDocMod.toLong)) === 0)
           .select(col("doc_id"), TextOps.tokenHashes(col("text")).as("hs"))
           .withColumn("sig", DedupOps.minHashSig(col("hs")))
           .withColumn("bands", DedupOps.bandKeys(col("sig"), DedupOps.NnBands)))
@@ -2956,6 +2976,8 @@ object Pipeline {
           col("x.key") === col("y.key") && col("x.band") === col("y.band")
             && col("x.salt") === col("y.salt") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .filter(expr(
+          s"((id_a * 1000003 + id_b * 31 + 7) % 1000000007) % $CalibSampleMod = 0"))
         .distinct()
       cand
         .join(sh.select(col("doc_id").as("id_a"), col("hs").as("ha"), col("sig").as("sa")),
@@ -2984,6 +3006,14 @@ object Pipeline {
     */
   private def CollocMinCount: Int = 5
   private def CollocTopK: Int = 100
+
+  /** p69 sampling moduli: 1-in-CalibDocMod documents enter the band
+    * join at all (quadratic join shrink), then 1-in-CalibSampleMod of
+    * the surviving candidate pairs feed the calibration table. Defs
+    * (queries-val init order).
+    */
+  private def CalibDocMod: Int = 4
+  private def CalibSampleMod: Int = 16
 
   /** p63 sample size: per-partition top-k merged on the driver — k rows
     * per task regardless of corpus size. A def (queries-val init order).

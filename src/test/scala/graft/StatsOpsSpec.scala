@@ -188,7 +188,11 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // JVM twins of the signature chain. At sf0.001 (500 docs) no band
     // bucket can exceed BandBucketCap=1000, so salt is uniformly 0 and
     // candidates are exactly "share >= 1 band key".
-    val sigs = docs().map { case (id, text, _, _, _) =>
+    val sigs = docs()
+      // the registered query's 1-in-4 seeded document sample
+      .filter { case (id, _, _, _, _) =>
+        TextOps.polyHashJvm(s"$id#graft-calib-9") % 4 == 0 }
+      .map { case (id, text, _, _, _) =>
       val hs = text.split(" ", -1).map(TextOps.polyHashJvm).distinct.toSeq
       val sig = (0 until DedupOps.MinHashK).map(i =>
         if (hs.isEmpty) 0L
@@ -204,7 +208,12 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }.groupBy(_._1)
     val cand = byBand.values.flatMap { ids =>
       val sorted = ids.map(_._2).sorted
-      for (a <- sorted; b <- sorted if a < b) yield (a, b)
+      for {
+        a <- sorted; b <- sorted
+        if a < b
+        // the registered query's deterministic 1-in-16 pair sample
+        if ((a * 1000003L + b * 31L + 7L) % 1000000007L) % 16L == 0L
+      } yield (a, b)
     }.toSet
     val bySig = sigs.map(s4 => s4._1 -> s4).toMap
     val errs = cand.toSeq.map { case (a, b) =>
