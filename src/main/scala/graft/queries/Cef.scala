@@ -1195,13 +1195,8 @@ object Cef {
             .withColumn("h", TextOps.polyHash(col("bucket").cast("string"))),
           "user_id", "h", StreamKmvK).toDF()
       }
-      // the gate is vacuous unless some key's sketch actually crossed a
-      // micro-batch boundary (multiple snapshots = state restored + grown)
-      val multi = snaps.groupBy(col("user_id")).count()
-        .filter(col("count") >= 2).count()
-      require(multi > 0, "cef43 expected >=1 key folding across >=2 micro-batches")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("n_seen").desc)
-      snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      requireCrossBatchFold(snaps, "cef43", "user_id")
+      latestSnapshotPerKey(snaps, "user_id")
         .select(col("user_id"), col("n_seen"), col("n_sample"),
           col("kth_min"), col("est_distinct"))
         .orderBy(col("user_id"))
@@ -1280,14 +1275,8 @@ object Cef {
           probeHashes = StreamCmProbes.map(p => TextOps.polyHashJvm(p.toString)),
           seeds = Pipeline.cmSeedsForSpec, width = StreamCmWidth).toDF()
       }
-      // the gate is vacuous unless some key's sketch folded across ≥2
-      // micro-batches (snapshots with growing n_seen = state restored)
-      val multi = snaps.groupBy(col("user_id"), col("probe")).count()
-        .filter(col("count") >= 2).count()
-      require(multi > 0, "cef45 expected >=1 key folding across >=2 micro-batches")
-      val w = Window.partitionBy(col("user_id"), col("probe"))
-        .orderBy(col("n_seen").desc)
-      snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      requireCrossBatchFold(snaps, "cef45", "user_id", "probe")
+      latestSnapshotPerKey(snaps, "user_id", "probe")
         .select(col("user_id"), col("probe"), col("n_seen"), col("est_cnt"))
         .orderBy(col("user_id"), col("probe"))
     },
@@ -1331,13 +1320,8 @@ object Cef {
             .withColumn("pri", expr("num div w")),
           "user_id", "event_id", "pri", StreamWsK).toDF()
       }
-      // the gate is vacuous unless some key's reservoir folded across
-      // ≥2 micro-batches (multiple snapshots = state restored + merged)
-      val multi = snaps.groupBy(col("user_id")).count()
-        .filter(col("count") >= 2).count()
-      require(multi > 0, "cef46 expected >=1 key folding across >=2 micro-batches")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("n_seen").desc)
-      snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      requireCrossBatchFold(snaps, "cef46", "user_id")
+      latestSnapshotPerKey(snaps, "user_id")
         .select(col("user_id"), col("n_seen"),
           posexplode(arrays_zip(col("ids"), col("pris"))))
         .select(col("user_id"), col("n_seen"),
@@ -1401,12 +1385,8 @@ object Cef {
       val snaps = runEventStream(s, dir, "cef47", "append") { raw =>
         StatsOps.streamingMisraGries(raw, "user_id", "event_type", StreamMgK).toDF()
       }
-      // vacuous unless some key's counters folded across ≥2 batches
-      val multi = snaps.groupBy(col("user_id")).count()
-        .filter(col("count") >= 2).count()
-      require(multi > 0, "cef47 expected >=1 key folding across >=2 micro-batches")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("n_seen").desc)
-      snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      requireCrossBatchFold(snaps, "cef47", "user_id")
+      latestSnapshotPerKey(snaps, "user_id")
         .select(col("user_id"), col("n_seen"),
           posexplode(arrays_zip(col("items"), col("cnts"))))
         .select(col("user_id"), col("n_seen"),
@@ -1660,6 +1640,29 @@ object Cef {
     * hyper-state round-tripping through GroupState at each boundary
     * (asserted: ≥[[StreamSlices]] non-empty batches per run).
     */
+  /** Shared discipline of the streaming sketch/reservoir gates
+    * (cef43/45/46/47): the gate is vacuous unless some key emitted
+    * snapshots in ≥ 2 micro-batches (multiple snapshots = GroupState
+    * restored + grown across a boundary) — one owner for the
+    * threshold, so every gate checks the SAME discipline.
+    */
+  private def requireCrossBatchFold(
+      snaps: DataFrame, tag: String, keyCols: String*): Unit = {
+    val multi = snaps.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") >= 2).count()
+    require(multi > 0, s"$tag expected >=1 key folding across >=2 micro-batches")
+  }
+
+  /** Each key's max-n_seen snapshot — the full-stream answer the
+    * oracles restate. One owner for the selection rule (and its
+    * implicit invariant: n_seen strictly grows per key, so the max is
+    * unique and no secondary tie-break is needed).
+    */
+  private def latestSnapshotPerKey(snaps: DataFrame, keyCols: String*): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("n_seen").desc)
+    snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   private def runEventStream(s: SparkSession, dir: String, tag: String, mode: String,
       late: Boolean = false)(
       transform: DataFrame => DataFrame): DataFrame = {

@@ -2760,9 +2760,14 @@ object Pipeline {
     // quantization, which is integer too), with the absent-token mass
     // folded in closed form ((N − Σ_present c)·N_s) so the per-source
     // term table stays the size of the SOURCE'S vocabulary — never
-    // vocab × sources. Shape at 100 TB: one (source, word) count with
-    // map-side combine, a vocab-bounded re-agg, one vocab-keyed join;
-    // sources are bounded so their totals broadcast.
+    // vocab × sources. The cross-products run in DECIMAL(38,0) /
+    // HUGEINT: c·N exceeds int64 once N passes ~1e10 tokens (real
+    // corpora are 1e12+), where Spark's Long would silently wrap while
+    // DuckDB errors — decimal keeps both engines exact to 1e38, far
+    // past any corpus (the neardupGroups lblSum precedent). Shape at
+    // 100 TB: one (source, word) count with map-side combine, a
+    // vocab-bounded re-agg, one vocab-keyed join; sources are bounded
+    // so their totals broadcast.
     Q("p66_source_drift",
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
         |           FROM documents),
@@ -2771,13 +2776,15 @@ object Pipeline {
         |ns AS (SELECT source, sum(c) AS n_s FROM sc GROUP BY source),
         |tot AS (SELECT sum(c) AS n FROM sc),
         |pres AS (SELECT sc.source,
-        |                sum(abs(sc.c * t.n - cc.ct * ns.n_s)) AS pterm,
+        |                sum(abs(CAST(sc.c AS HUGEINT) * t.n
+        |                        - CAST(cc.ct AS HUGEINT) * ns.n_s)) AS pterm,
         |                sum(cc.ct) AS c_pres
         |         FROM sc JOIN cc USING (word) JOIN ns USING (source) CROSS JOIN tot t
         |         GROUP BY sc.source)
         |SELECT p.source, CAST(ns.n_s AS BIGINT) AS n_tokens,
-        |       CAST((p.pterm + (t.n - p.c_pres) * ns.n_s)
-        |         // greatest((2 * ns.n_s * t.n) // 1000000, 1) AS BIGINT) AS drift_q
+        |       CAST((p.pterm + CAST(t.n - p.c_pres AS HUGEINT) * ns.n_s)
+        |         // greatest((2 * CAST(ns.n_s AS HUGEINT) * t.n) // 1000000, 1)
+        |         AS BIGINT) AS drift_q
         |FROM pres p JOIN ns USING (source) CROSS JOIN tot t
         |ORDER BY source""".stripMargin) { (s, dir) =>
       val wc = graft.ops.Release.afterFirstUse(
@@ -2791,12 +2798,15 @@ object Pipeline {
         .join(broadcast(ns), "source")
         .crossJoin(broadcast(tot))
         .groupBy(col("source"))
-        .agg(sum(abs(col("c") * col("n") - col("ct") * col("n_s"))).as("pterm"),
+        .agg(sum(abs(expr("CAST(c AS DECIMAL(38,0)) * n - CAST(ct AS DECIMAL(38,0)) * n_s")))
+            .as("pterm"),
           sum(col("ct")).as("c_pres"))
         .join(broadcast(ns), "source")
         .crossJoin(broadcast(tot))
-        .withColumn("drift_q",
-          expr("(pterm + (n - c_pres) * n_s) div greatest((2 * n_s * n) div 1000000, 1)"))
+        .withColumn("drift_q", expr(
+          """(pterm + CAST(n - c_pres AS DECIMAL(38,0)) * n_s)
+            |  div greatest((2 * CAST(n_s AS DECIMAL(38,0)) * n) div 1000000, 1)"""
+            .stripMargin))
         .select(col("source"), col("n_s").as("n_tokens"), col("drift_q"))
         .orderBy(col("source"))
     },

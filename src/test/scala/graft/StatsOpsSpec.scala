@@ -169,6 +169,38 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got shouldBe want
   }
 
+  "p66's decimal cross-multiplication" should "stay exact where int64 would wrap (the 100 TB count regime)" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions.expr
+    // counts from a hypothetical 2e10-token corpus: c*n ≈ 1e20 > 2^63.
+    // The term formula must match BigInt arithmetic, not wrap.
+    val rows = Seq(
+      (5000000000L, 1000000000L, 20000000000L, 4000000000L),
+      (1234567890L, 9876543210L, 20000000000L, 4000000000L),
+      (1L, 19999999999L, 20000000000L, 4000000000L))
+    val got = rows.toDF("c", "ct", "n", "n_s")
+      .select(expr(
+        "CAST(abs(CAST(c AS DECIMAL(38,0)) * n - CAST(ct AS DECIMAL(38,0)) * n_s) AS STRING)")
+        .as("term"))
+      .as[String].collect().toSeq
+    val want = rows.map { case (c, ct, n, ns) =>
+      (BigInt(c) * n - BigInt(ct) * ns).abs.toString
+    }
+    got shouldBe want
+    // and the final quantization div survives the same regime
+    val driftGot = rows.toDF("c", "ct", "n", "n_s")
+      .select(expr(
+        """(CAST(c AS DECIMAL(38,0)) * n)
+          |  div greatest((2 * CAST(n_s AS DECIMAL(38,0)) * n) div 1000000, 1)"""
+          .stripMargin).as("d"))
+      .as[Long].collect().toSeq
+    val driftWant = rows.map { case (c, _, n, ns) =>
+      ((BigInt(c) * n) / ((BigInt(2) * ns * n / 1000000).max(BigInt(1)))).toLong
+    }
+    driftGot shouldBe driftWant
+  }
+
   "p68_txt_collocations" should "equal the in-JVM Dice-scored bigram top-k" in {
     val toks = docs().map(_._2.split(" ", -1).toSeq)
     val uni = toks.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
