@@ -3008,6 +3008,126 @@ object Pipeline {
         .withColumn("mean_err_q", expr("sum_err div n_pairs"))
         .select(col("decile"), col("n_pairs"), col("mean_err_q"))
         .orderBy(col("decile"))
+    },
+
+    // ---------------- embeddings: dominant direction via power
+    // iteration (p70). The whitening/centering prep an embedding
+    // pipeline runs before dedup projections (ABBA-style): estimate
+    // the top singular direction of the embedding cloud. Pipeline
+    // shape for 100 TB: a seeded 1-in-PcaSampleMod vector sample (scan
+    // stage), a global max-|x| scalar, int8 quantization (p22's
+    // round/clamp), ONE pass accumulating the d(d+1)/2 upper-triangle
+    // second-moment entries (map-side combine collapses to 2,080 keys
+    // at d=64), then power iteration on the COLLECTED model-sized
+    // matrix — fixed-point integer arithmetic (rescale by max |w| to
+    // ×10⁶ each step), exact in BigInt on the Spark side and replayed
+    // by the oracle as one unrolled CTE per iteration (the perceptron
+    // p55 discipline). Both engines truncate integer division toward
+    // zero (probed), so negative components carry no boundary.
+    Q("p70_embed_pca", {
+      val docSample = TextOps.polyHashSql("CAST(vec_id AS VARCHAR) || '#graft-pca-11'")
+      val absMax = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), (a, b) -> greatest(a, b))"
+      val d = PcaDim
+      def iter(prev: String, n: Int) =
+        s"""w$n AS (SELECT mf.i AS dim, sum(CAST(mf.c AS HUGEINT) * v.x) AS w
+           |        FROM mf JOIN $prev v ON v.dim = mf.j GROUP BY mf.i),
+           |mx$n AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w$n),
+           |v$n AS (SELECT dim, CAST((w * 1000000) // mx AS BIGINT) AS x
+           |        FROM w$n CROSS JOIN mx$n)""".stripMargin
+      val iters = (1 to PcaIters)
+        .map(n => iter(if (n == 1) "v0" else s"v${n - 1}", n)).mkString(",\n")
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE $docSample % $PcaSampleMod = 0),
+         |g AS (SELECT greatest(max($absMax), 1e-12) / 127.0 AS scale FROM s),
+         |q AS (SELECT list_transform(embedding,
+         |               x -> CAST(least(greatest(round(CAST(x AS DOUBLE) / scale, 0),
+         |                                        -127.0), 127.0) AS BIGINT)) AS qv
+         |      FROM s CROSS JOIN g),
+         |ij AS (SELECT i.i, j.j
+         |       FROM (SELECT unnest(range($d)) AS i) i,
+         |            (SELECT unnest(range($d)) AS j) j
+         |       WHERE i.i <= j.j),
+         |m AS (SELECT i, j, sum(qv[i + 1] * qv[j + 1]) AS c
+         |      FROM q CROSS JOIN ij GROUP BY i, j),
+         |mf AS (SELECT i, j, c FROM m UNION ALL SELECT j, i, c FROM m WHERE i < j),
+         |v0 AS (SELECT unnest(range($d)) AS dim, CAST(1000000 AS BIGINT) AS x),
+         |$iters
+         |SELECT CAST(dim AS BIGINT) AS dim, x AS v_q FROM v$PcaIters
+         |ORDER BY dim""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val sample = t(s, dir, "embeddings")
+        .filter(pmod(
+          TextOps.polyHash(concat(col("vec_id").cast("string"), lit("#graft-pca-11"))),
+          lit(PcaSampleMod.toLong)) === 0)
+      val dim0 = sample.select(size(col("embedding"))).first().getInt(0)
+      require(dim0 == PcaDim, s"p70 expects $PcaDim-dim embeddings, got $dim0")
+      val g = sample.agg((greatest(
+        max(aggregate(col("embedding"), lit(0.0),
+          (a, x) => greatest(a, abs(x.cast("double"))))), lit(1e-12)) / 127.0).as("scale"))
+      // one corpus pass: quantize, then emit the 2,080 upper-triangle
+      // products per vector — the groupBy collapses them map-side
+      val moment = sample.crossJoin(broadcast(g))
+        .select(expr(
+          """transform(embedding,
+            |  x -> CAST(least(greatest(round(CAST(x AS DOUBLE) / scale), -127.0D),
+            |                  127.0D) AS BIGINT))""".stripMargin).as("qv"))
+        .select(explode(expr(
+          s"""flatten(transform(sequence(0, ${PcaDim - 1}),
+             |  i -> transform(sequence(i, ${PcaDim - 1}),
+             |    j -> struct(i AS i, j AS j, qv[i] * qv[j] AS p))))""".stripMargin)).as("t"))
+        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+        .agg(sum(col("t.p")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      // model-sized power iteration (2,080 entries), exact in BigInt
+      var v = Array.fill(PcaDim)(BigInt(1000000))
+      for (_ <- 0 until PcaIters) {
+        val w = Array.fill(PcaDim)(BigInt(0))
+        moment.foreach { case (i, j, c) =>
+          w(i) += BigInt(c) * v(j)
+          if (i != j) w(j) += BigInt(c) * v(i)
+        }
+        val mx = w.map(_.abs).max.max(BigInt(1))
+        v = w.map(x => x * 1000000 / mx)
+      }
+      v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong) }.toSeq
+        .toDF("dim", "v_q").orderBy(col("dim"))
+    },
+
+    // ---------------- embeddings: centroid-distance outlier QC (p71)
+    // Embedding-space quality control: every vector's cosine to its
+    // best IVF centroid (p14's exact coarse quantizer); the bottom
+    // OutlierK are the cloud's outliers — mojibake, wrong-modality and
+    // encoder-failure rows surface here before they pollute ANN
+    // structures. One broadcast-centroid argmax pass (the semDedup/IVF
+    // assignment shape) and a per-partition bottom-k; the score ships
+    // ×10⁶-quantized (both engines fold the dot product sequentially,
+    // so the double is bit-identical — p22's discipline).
+    Q("p71_embed_outliers", {
+      val cosEC = SimilarityOps.cosineSql("e.embedding", "c.c_emb")
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |              FROM embeddings ORDER BY vec_id LIMIT ${SimilarityOps.IvfK}),
+         |asg AS (
+         |  SELECT vec_id, cluster, cos FROM (
+         |    SELECT e.vec_id, c.c_id AS cluster, $cosEC AS cos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY $cosEC DESC, c.c_id) AS rnk
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rnk = 1)
+         |SELECT vec_id, cluster, CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_q
+         |FROM asg ORDER BY cos_q, vec_id LIMIT $OutlierK""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cent = broadcast(e.orderBy(col("vec_id")).limit(SimilarityOps.IvfK)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+      e.crossJoin(cent)
+        .withColumn("cos", SimilarityOps.cosine(col("embedding"), col("c_emb")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("c_id")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cluster"),
+          floor(col("m.cos") * 1000000 + 0.5).cast("long").as("cos_q"))
+        .orderBy(col("cos_q"), col("vec_id"))
+        .limit(OutlierK)
     }
   )
 
@@ -3024,6 +3144,17 @@ object Pipeline {
     */
   private def CalibDocMod: Int = 4
   private def CalibSampleMod: Int = 16
+
+  /** p70 geometry: embedding dim (required, loud failure on drift),
+    * 1-in-PcaSampleMod seeded vector sample, fixed power-iteration
+    * count. Defs (queries-val init order).
+    */
+  private def PcaDim: Int = 64
+  private def PcaSampleMod: Int = 4
+  private def PcaIters: Int = 4
+
+  /** p71 outlier report size. A def (queries-val init order). */
+  private def OutlierK: Int = 50
 
   /** p63 sample size: per-partition top-k merged on the driver — k rows
     * per task regardless of corpus size. A def (queries-val init order).

@@ -557,4 +557,14 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  "p71_embed_outliers" should "broadcast the centroid table and end in a per-partition bottom-k" in {
+    val plan = planOf("p71_embed_outliers")
+    // the K-row centroid table rides a broadcast against one corpus
+    // scan; the outlier report is TakeOrdered, never a global sort
+    plan should include("BroadcastNestedLoopJoin") // K-row cross join by design
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
 }

@@ -264,4 +264,64 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     got shouldBe want
   }
+
+  "p70_embed_pca" should "equal an independent BigInt moment + power iteration" in {
+    import org.apache.spark.sql.functions._
+    // quantized vectors come from the same double round/clamp both
+    // engines share; the INDEPENDENT part of this check is everything
+    // downstream — the upper-triangle moment accumulation and the
+    // fixed-point iterations, recomputed here densely in BigInt
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(pmod(ops.TextOps.polyHash(
+        concat(col("vec_id").cast("string"), lit("#graft-pca-11"))), lit(4L)) === 0)
+    val gmax = emb.agg(max(aggregate(col("embedding"), lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double")))))).collect()(0).getDouble(0)
+    val scale = math.max(gmax, 1e-12) / 127.0
+    val qvs = emb.select(expr(
+      s"""transform(embedding,
+         |  x -> CAST(least(greatest(round(CAST(x AS DOUBLE) / $scale), -127.0D),
+         |                  127.0D) AS BIGINT))""".stripMargin).as("qv"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val d = qvs.head.length
+    val m = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- 0 until d) m(i)(j) = BigInt(0)
+    qvs.foreach { q =>
+      for (i <- 0 until d; j <- 0 until d) m(i)(j) += BigInt(q(i)) * q(j)
+    }
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 0 until 4) {
+      val w = (0 until d).map(i => (0 until d).map(j => m(i)(j) * v(j)).sum).toArray
+      val mx = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(x => x * 1000000 / mx)
+    }
+    val want = v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong) }.toSeq
+    val got = run("p70_embed_pca").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe want
+  }
+
+  "p71_embed_outliers" should "equal the in-JVM bottom-k centroid-cosine scan" in {
+    val sparkS = spark
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .orderBy(org.apache.spark.sql.functions.col("vec_id")).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    // EXACTLY the engines' shared formula: sequential folds, then
+    // dot / (sqrt(na) * sqrt(nb)) — not sqrt(na*nb), which can differ
+    // in the last ulp and flip the ×10⁶ quantization
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = vecs.take(32)
+    val want = vecs.map { case (id, e) =>
+      val (bc, cid) = cents.map { case (cid0, ce) => (cos(e, ce), cid0) }
+        .maxBy { case (c, cid0) => (c, -cid0) }
+      (id, cid, math.floor(bc * 1000000 + 0.5).toLong)
+    }.sortBy { case (id, _, q) => (q, id) }.take(50).toSeq
+    val got = run("p71_embed_outliers").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+  }
 }
