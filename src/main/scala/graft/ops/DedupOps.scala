@@ -127,9 +127,18 @@ object DedupOps {
 
   /** LSH band keys from a K-wide signature: `bands` values, each the
     * poly-combination of its K/bands rows — docs sharing any band key
-    * are candidate pairs.
+    * are candidate pairs. Native fused pass (ExprSpec pins value
+    * equality against the element_at fold it replaces): the fold
+    * referenced `sig` K times, and in unpersisted pipelines projection
+    * collapse re-inlined the whole signature chain into every
+    * reference — a measured ~60× per-row blowup in the streaming
+    * near-dup gate, the one signature consumer that cannot persist.
     */
-  def bandKeys(sig: Column, bands: Int): Column = {
+  def bandKeys(sig: Column, bands: Int): Column =
+    org.apache.spark.sql.graftexpr.VectorExprs.bandKeys(sig, bands, HashMod)
+
+  /** The pre-fusion fold formulation — kept as the ExprSpec oracle. */
+  private[graft] def bandKeysHof(sig: Column, bands: Int): Column = {
     val rows = MinHashK / bands
     array((0 until bands).map { b =>
       (0 until rows).foldLeft(lit(b.toLong): Column)((acc, r) =>

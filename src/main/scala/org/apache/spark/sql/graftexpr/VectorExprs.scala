@@ -57,6 +57,18 @@ object VectorExprs {
   def hyperplaneBuckets(emb: Column, numPlanes: Int, numTables: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(emb), numPlanes, numTables))
 
+  /** All LSH band keys of a MinHash signature in one codegen'd pass.
+    * Value-identical to the per-band `(acc*31 + element_at(sig, i)) % mod`
+    * fold chain (ExprSpec-pinned) — but it references the signature
+    * array ONCE. The fold formulation referenced it `K` times, and in an
+    * UNPERSISTED pipeline (the streaming near-dup gate, where persist is
+    * impossible) projection collapse re-inlined the whole
+    * tokenHashes→sort→minHashSig chain into every reference — a
+    * measured ~60× per-row blowup at sf0.1.
+    */
+  def bandKeys(sig: Column, bands: Int, mod: Long): Column =
+    Bridge.column(BandKeysExpr(Bridge.expression(sig), bands, mod))
+
   /** Rolling polynomial string hash in one codegen'd char loop (replaces
     * aggregate(split(s, ""), ...) — a per-CHARACTER array of strings plus a
     * higher-order fold, the dominant cost of the signature tables). */
@@ -250,6 +262,69 @@ final case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], m
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** LSH band keys of a K-wide signature in one pass: band b's key folds
+  * `(acc*31 + sig[b*rows + r]) % mod` over its rows/K-slice from seed b,
+  * where rows = numElements/bands. Null semantics mirror the
+  * element_at fold it replaces: a null signature lane nulls its band's
+  * key (null propagates through the fold's arithmetic).
+  */
+final case class BandKeysExpr(child: Expression, bands: Int, mod: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val rows = xs.numElements() / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var nulled = false
+      var acc = b.toLong
+      var r = 0
+      while (r < rows && !nulled) {
+        val idx = b * rows + r
+        if (xs.isNullAt(idx)) nulled = true
+        else acc = (acc * 31 + xs.getLong(idx)) % mod
+        r += 1
+      }
+      out(b) = if (nulled) null else java.lang.Long.valueOf(acc)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val rows = ctx.freshName("rows")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      val nulled = ctx.freshName("nulled")
+      val out = ctx.freshName("out")
+      s"""
+         |int $rows = $xs.numElements() / $bands;
+         |Object[] $out = new Object[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  boolean $nulled = false;
+         |  long $acc = (long) $b;
+         |  for (int $r = 0; $r < $rows && !$nulled; $r++) {
+         |    int $idx = $b * $rows + $r;
+         |    if ($xs.isNullAt($idx)) { $nulled = true; }
+         |    else { $acc = ($acc * 31L + $xs.getLong($idx)) % ${mod}L; }
+         |  }
+         |  $out[$b] = $nulled ? null : java.lang.Long.valueOf($acc);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): BandKeysExpr =
     copy(child = c)
 }
 

@@ -105,6 +105,31 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     out.foreach { r => r.getSeq[Any](0) shouldBe r.getSeq[Any](1) }
   }
 
+  "BandKeysExpr" should "be value-identical to the element_at fold composition" in {
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    import ops.DedupOps._
+    import ops.TextOps.HashMod
+    (Seq(PairBands, NnBands)).foreach { bands =>
+      val rows = (1 to 200).map { i =>
+        (i, Seq.fill(MinHashK)(rnd.nextLong().abs % HashMod))
+      }
+      val df = rows.toDF("id", "sig")
+      val out = df.select(
+        bandKeys(col("sig"), bands).as("native"),
+        bandKeysHof(col("sig"), bands).as("composed")).collect()
+      out.foreach { r => r.getSeq[Any](0) shouldBe r.getSeq[Any](1) }
+      // null-lane propagation: a null element nulls exactly its band's key
+      val withNull = spark.sql(
+        s"SELECT transform(sequence(1, $MinHashK), x -> " +
+          s"IF(x = 1, CAST(NULL AS BIGINT), CAST(x AS BIGINT))) AS sig")
+      val nk = withNull.select(bandKeys(col("sig"), bands).as("k")).collect()(0).getSeq[Any](0)
+      assert(nk.head == null)
+      assert(nk.tail.forall(_ != null))
+    }
+  }
+
   "SimHashPack" should "be value-identical to the 61 aggregate() majority votes" in {
     import org.apache.spark.sql.functions._
     val sparkS = spark
