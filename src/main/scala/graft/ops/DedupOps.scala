@@ -135,7 +135,7 @@ object DedupOps {
     * near-dup gate, the one signature consumer that cannot persist.
     */
   def bandKeys(sig: Column, bands: Int): Column =
-    org.apache.spark.sql.graftexpr.VectorExprs.bandKeys(sig, bands, HashMod)
+    org.apache.spark.sql.graftexpr.VectorExprs.bandKeys(sig, bands, MinHashK, HashMod)
 
   /** The pre-fusion fold formulation — kept as the ExprSpec oracle. */
   private[graft] def bandKeysHof(sig: Column, bands: Int): Column = {

@@ -133,6 +133,15 @@ object SimilarityOps {
     * with identical plumbing; by default the K smallest vec_ids seed the
     * quantizer so the SQL oracle can reproduce the cells exactly.
     */
+  /** Deterministic coarse-quantizer seed — the first k corpus vectors
+    * by id as (c_id, c_emb). ONE owner for the seeding rule: ivfTopK,
+    * semDedup, lloydCentroids' init and p71's outlier QC all assign
+    * against this table (or a trained replacement of the same shape).
+    */
+  def seedCentroids(corpus: DataFrame, k: Int): DataFrame =
+    corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -140,9 +149,7 @@ object SimilarityOps {
       numCentroids: Int = IvfK,
       nProbe: Int = IvfProbes,
       centroids: Option[DataFrame] = None): DataFrame = {
-    val cent = broadcast(centroids.getOrElse(
-        corpus.orderBy(col("vec_id")).limit(numCentroids)
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+    val cent = broadcast(centroids.getOrElse(seedCentroids(corpus, numCentroids))
       .select(col("c_id"), col("c_emb")))
     val asg = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
       .crossJoin(cent)
@@ -182,8 +189,8 @@ object SimilarityOps {
       corpus: DataFrame,
       numCentroids: Int = IvfK,
       iters: Int = 5): DataFrame = {
-    var cent = corpus.orderBy(col("vec_id")).limit(numCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_emb"))
+    var cent = seedCentroids(corpus, numCentroids)
+      .select(col("c_id"), col("c_emb").cast("array<double>").as("c_emb"))
       .localCheckpoint(true)
     val vecs = corpus.select(col("vec_id"), col("embedding"))
     for (_ <- 0 until iters) {
@@ -229,9 +236,7 @@ object SimilarityOps {
       tau: Double,
       numCentroids: Int = IvfK,
       centroids: Option[DataFrame] = None): DataFrame = {
-    val cent = broadcast(centroids.getOrElse(
-        corpus.orderBy(col("vec_id")).limit(numCentroids)
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+    val cent = broadcast(centroids.getOrElse(seedCentroids(corpus, numCentroids))
       .select(col("c_id"), col("c_emb")))
     // the assignment table feeds three consumers (both pair-join sides
     // and the final output) — persist the narrow (vec_id, cluster) pair

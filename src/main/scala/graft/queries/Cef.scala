@@ -1624,22 +1624,6 @@ object Cef {
     srcDir
   }
 
-  /** The generic half of the scaffold: the raw streaming events DataFrame
-    * (ts already nanos→micros) through any transform into the drained,
-    * released memory sink. `mode` is "append" for the stateful detection
-    * runtimes and "complete" for windowed aggregations (under
-    * AvailableNow a final open window would otherwise be withheld by the
-    * watermark).
-    *
-    * The source is REWRITTEN as [[StreamSlices]] event-time-ordered
-    * parquet slices consumed one file per trigger, so every run exercises
-    * ≥3 micro-batches: slice i holds the (ts, event_id)-contiguous range
-    * before slice i+1, which restricted to any key is exactly the per-key
-    * order the runtimes sort to within a batch — cross-batch replay is
-    * therefore the same total order as the single-batch path, with the
-    * hyper-state round-tripping through GroupState at each boundary
-    * (asserted: ≥[[StreamSlices]] non-empty batches per run).
-    */
   /** Shared discipline of the streaming sketch/reservoir gates
     * (cef43/45/46/47): the gate is vacuous unless some key emitted
     * snapshots in ≥ 2 micro-batches (multiple snapshots = GroupState
@@ -1663,6 +1647,22 @@ object Cef {
     snaps.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** The generic half of the scaffold: the raw streaming events DataFrame
+    * (ts already nanos→micros) through any transform into the drained,
+    * released memory sink. `mode` is "append" for the stateful detection
+    * runtimes and "complete" for windowed aggregations (under
+    * AvailableNow a final open window would otherwise be withheld by the
+    * watermark).
+    *
+    * The source is REWRITTEN as [[StreamSlices]] event-time-ordered
+    * parquet slices consumed one file per trigger, so every run exercises
+    * ≥3 micro-batches: slice i holds the (ts, event_id)-contiguous range
+    * before slice i+1, which restricted to any key is exactly the per-key
+    * order the runtimes sort to within a batch — cross-batch replay is
+    * therefore the same total order as the single-batch path, with the
+    * hyper-state round-tripping through GroupState at each boundary
+    * (asserted: ≥[[StreamSlices]] non-empty batches per run).
+    */
   private def runEventStream(s: SparkSession, dir: String, tag: String, mode: String,
       late: Boolean = false)(
       transform: DataFrame => DataFrame): DataFrame = {

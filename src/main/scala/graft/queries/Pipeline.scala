@@ -2782,9 +2782,8 @@ object Pipeline {
         |         FROM sc JOIN cc USING (word) JOIN ns USING (source) CROSS JOIN tot t
         |         GROUP BY sc.source)
         |SELECT p.source, CAST(ns.n_s AS BIGINT) AS n_tokens,
-        |       CAST((p.pterm + CAST(t.n - p.c_pres AS HUGEINT) * ns.n_s)
-        |         // greatest((2 * CAST(ns.n_s AS HUGEINT) * t.n) // 1000000, 1)
-        |         AS BIGINT) AS drift_q
+        |       CAST(((p.pterm + CAST(t.n - p.c_pres AS HUGEINT) * ns.n_s) * 1000000)
+        |         // (2 * CAST(ns.n_s AS HUGEINT) * t.n) AS BIGINT) AS drift_q
         |FROM pres p JOIN ns USING (source) CROSS JOIN tot t
         |ORDER BY source""".stripMargin) { (s, dir) =>
       val wc = graft.ops.Release.afterFirstUse(
@@ -2803,10 +2802,13 @@ object Pipeline {
           sum(col("ct")).as("c_pres"))
         .join(broadcast(ns), "source")
         .crossJoin(broadcast(tot))
+        // ONE integral divide at the end (its decimal divisor stays
+        // decimal; Spark's `div` would truncate an INNER divisor through
+        // Long, reintroducing the wrap this formula exists to avoid).
+        // divisor ≥ 2 always: a source exists only with ≥ 1 token.
         .withColumn("drift_q", expr(
-          """(pterm + CAST(n - c_pres AS DECIMAL(38,0)) * n_s)
-            |  div greatest((2 * CAST(n_s AS DECIMAL(38,0)) * n) div 1000000, 1)"""
-            .stripMargin))
+          """((pterm + CAST(n - c_pres AS DECIMAL(38,0)) * n_s) * 1000000)
+            |  div (2 * CAST(n_s AS DECIMAL(38,0)) * n)""".stripMargin))
         .select(col("source"), col("n_s").as("n_tokens"), col("drift_q"))
         .orderBy(col("source"))
     },
@@ -3057,42 +3059,54 @@ object Pipeline {
          |ORDER BY dim""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
+      // persisted: the dim probe, the scale aggregate and the moment
+      // pass all read the sampled table — pay the scan + hash filter
+      // once; released the moment the (in-line) collect completes
       val sample = t(s, dir, "embeddings")
         .filter(pmod(
           TextOps.polyHash(concat(col("vec_id").cast("string"), lit("#graft-pca-11"))),
           lit(PcaSampleMod.toLong)) === 0)
-      val dim0 = sample.select(size(col("embedding"))).first().getInt(0)
-      require(dim0 == PcaDim, s"p70 expects $PcaDim-dim embeddings, got $dim0")
-      val g = sample.agg((greatest(
-        max(aggregate(col("embedding"), lit(0.0),
-          (a, x) => greatest(a, abs(x.cast("double"))))), lit(1e-12)) / 127.0).as("scale"))
-      // one corpus pass: quantize, then emit the 2,080 upper-triangle
-      // products per vector — the groupBy collapses them map-side
-      val moment = sample.crossJoin(broadcast(g))
-        .select(expr(
-          """transform(embedding,
-            |  x -> CAST(least(greatest(round(CAST(x AS DOUBLE) / scale), -127.0D),
-            |                  127.0D) AS BIGINT))""".stripMargin).as("qv"))
-        .select(explode(expr(
-          s"""flatten(transform(sequence(0, ${PcaDim - 1}),
-             |  i -> transform(sequence(i, ${PcaDim - 1}),
-             |    j -> struct(i AS i, j AS j, qv[i] * qv[j] AS p))))""".stripMargin)).as("t"))
-        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-        .agg(sum(col("t.p")).as("c"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-      // model-sized power iteration (2,080 entries), exact in BigInt
-      var v = Array.fill(PcaDim)(BigInt(1000000))
-      for (_ <- 0 until PcaIters) {
-        val w = Array.fill(PcaDim)(BigInt(0))
-        moment.foreach { case (i, j, c) =>
-          w(i) += BigInt(c) * v(j)
-          if (i != j) w(j) += BigInt(c) * v(i)
+        .persist()
+      try {
+        val head = sample.select(size(col("embedding")).as("d")).limit(1).collect()
+        if (head.isEmpty) {
+          // empty sample: the oracle's CTE chain yields 0 rows — match it
+          Seq.empty[(Long, Long)].toDF("dim", "v_q")
+        } else {
+          val dim0 = head(0).getInt(0)
+          require(dim0 == PcaDim, s"p70 expects $PcaDim-dim embeddings, got $dim0")
+          val g = sample.agg((greatest(
+            max(aggregate(col("embedding"), lit(0.0),
+              (a, x) => greatest(a, abs(x.cast("double"))))), lit(1e-12)) / 127.0).as("scale"))
+          // one corpus pass: quantize, then emit the 2,080 upper-triangle
+          // products per vector — the groupBy collapses them map-side
+          val moment = sample.crossJoin(broadcast(g))
+            .select(expr(
+              """transform(embedding,
+                |  x -> CAST(least(greatest(round(CAST(x AS DOUBLE) / scale), -127.0D),
+                |                  127.0D) AS BIGINT))""".stripMargin).as("qv"))
+            .select(explode(expr(
+              s"""flatten(transform(sequence(0, ${PcaDim - 1}),
+                 |  i -> transform(sequence(i, ${PcaDim - 1}),
+                 |    j -> struct(i AS i, j AS j, qv[i] * qv[j] AS p))))""".stripMargin)).as("t"))
+            .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+            .agg(sum(col("t.p")).as("c"))
+            .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+          // model-sized power iteration (2,080 entries), exact in BigInt
+          var v = Array.fill(PcaDim)(BigInt(1000000))
+          for (_ <- 0 until PcaIters) {
+            val w = Array.fill(PcaDim)(BigInt(0))
+            moment.foreach { case (i, j, c) =>
+              w(i) += BigInt(c) * v(j)
+              if (i != j) w(j) += BigInt(c) * v(i)
+            }
+            val mx = w.map(_.abs).max.max(BigInt(1))
+            v = w.map(x => x * 1000000 / mx)
+          }
+          v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong) }.toSeq
+            .toDF("dim", "v_q").orderBy(col("dim"))
         }
-        val mx = w.map(_.abs).max.max(BigInt(1))
-        v = w.map(x => x * 1000000 / mx)
-      }
-      v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong) }.toSeq
-        .toDF("dim", "v_q").orderBy(col("dim"))
+      } finally sample.unpersist(false)
     },
 
     // ---------------- embeddings: centroid-distance outlier QC (p71)
@@ -3106,22 +3120,35 @@ object Pipeline {
     // so the double is bit-identical — p22's discipline).
     Q("p71_embed_outliers", {
       val cosEC = SimilarityOps.cosineSql("e.embedding", "c.c_emb")
+      val dee = SimilarityOps.dotSql("e.embedding", "e.embedding")
+      val dcc = SimilarityOps.dotSql("c.c_emb", "c.c_emb")
       s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
          |              FROM embeddings ORDER BY vec_id LIMIT ${SimilarityOps.IvfK}),
+         |p AS (SELECT e.vec_id, c.c_id AS cluster,
+         |             CASE WHEN $dee = 0 OR $dcc = 0 THEN -2.0 ELSE $cosEC END AS cos
+         |      FROM embeddings e CROSS JOIN cent c),
          |asg AS (
          |  SELECT vec_id, cluster, cos FROM (
-         |    SELECT e.vec_id, c.c_id AS cluster, $cosEC AS cos,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |                              ORDER BY $cosEC DESC, c.c_id) AS rnk
-         |    FROM embeddings e CROSS JOIN cent c) WHERE rnk = 1)
+         |    SELECT vec_id, cluster, cos,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cos DESC, cluster) AS rnk
+         |    FROM p) WHERE rnk = 1)
          |SELECT vec_id, cluster, CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_q
          |FROM asg ORDER BY cos_q, vec_id LIMIT $OutlierK""".stripMargin
     }) { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val cent = broadcast(e.orderBy(col("vec_id")).limit(SimilarityOps.IvfK)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+        .withColumn("ze", SimilarityOps.dot(col("embedding"), col("embedding")) === 0.0)
+      val cent = broadcast(SimilarityOps.seedCentroids(t(s, dir, "embeddings"),
+        SimilarityOps.IvfK)
+        .withColumn("zc", SimilarityOps.dot(col("c_emb"), col("c_emb")) === 0.0))
+      // zero-norm guard: an all-zero embedding (an encoder-failure row —
+      // exactly what outlier QC exists to catch) makes cosine 0/0 = NaN,
+      // which Spark's long cast would silently zero while DuckDB errors
+      // on the NaN→BIGINT cast; the -2.0 sentinel ranks it WORST on both
+      // engines (below any real cosine), so it tops the outlier report
       e.crossJoin(cent)
-        .withColumn("cos", SimilarityOps.cosine(col("embedding"), col("c_emb")))
+        .withColumn("cos", when(col("ze") || col("zc"), lit(-2.0))
+          .otherwise(SimilarityOps.cosine(col("embedding"), col("c_emb"))))
         .groupBy(col("vec_id"))
         .agg(max(struct(col("cos"), (-col("c_id")).as("nc"))).as("m"))
         .select(col("vec_id"), (-col("m.nc")).as("cluster"),

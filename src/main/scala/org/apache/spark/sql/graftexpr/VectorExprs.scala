@@ -3,6 +3,7 @@ package graftexpr
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -66,8 +67,8 @@ object VectorExprs {
     * tokenHashes→sort→minHashSig chain into every reference — a
     * measured ~60× per-row blowup at sf0.1.
     */
-  def bandKeys(sig: Column, bands: Int, mod: Long): Column =
-    Bridge.column(BandKeysExpr(Bridge.expression(sig), bands, mod))
+  def bandKeys(sig: Column, bands: Int, k: Int, mod: Long): Column =
+    Bridge.column(BandKeysExpr(Bridge.expression(sig), bands, k, mod))
 
   /** Rolling polynomial string hash in one codegen'd char loop (replaces
     * aggregate(split(s, ""), ...) — a per-CHARACTER array of strings plus a
@@ -265,64 +266,81 @@ final case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], m
     copy(child = c)
 }
 
-/** LSH band keys of a K-wide signature in one pass: band b's key folds
-  * `(acc*31 + sig[b*rows + r]) % mod` over its rows/K-slice from seed b,
-  * where rows = numElements/bands. Null semantics mirror the
-  * element_at fold it replaces: a null signature lane nulls its band's
-  * key (null propagates through the fold's arithmetic).
+/** LSH band keys of a k-wide signature in one pass: band b's key folds
+  * `(acc*31 + sig[b*rows + r]) % mod` over its rows = k/bands slice from
+  * seed b. Null semantics mirror the element_at fold it replaces
+  * EXACTLY (ExprSpec-pinned): a null signature lane — or a lane past the
+  * array's end, when the sig is shorter than k — nulls its band's key,
+  * and a NULL signature array yields an array of `bands` null keys (the
+  * fold's array(...) of null folds), NOT a null array — saltedBands'
+  * posexplode cardinality depends on that.
   */
-final case class BandKeysExpr(child: Expression, bands: Int, mod: Long)
+final case class BandKeysExpr(child: Expression, bands: Int, k: Int, mod: Long)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
 
-  override def nullSafeEval(input: Any): Any = {
-    val xs = input.asInstanceOf[ArrayData]
-    val rows = xs.numElements() / bands
-    val out = new Array[Any](bands)
-    var b = 0
-    while (b < bands) {
-      var nulled = false
-      var acc = b.toLong
-      var r = 0
-      while (r < rows && !nulled) {
-        val idx = b * rows + r
-        if (xs.isNullAt(idx)) nulled = true
-        else acc = (acc * 31 + xs.getLong(idx)) % mod
-        r += 1
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(new Array[Any](bands))
+    else {
+      val xs = v.asInstanceOf[ArrayData]
+      val n = xs.numElements()
+      val rows = k / bands
+      val out = new Array[Any](bands)
+      var b = 0
+      while (b < bands) {
+        var nulled = false
+        var acc = b.toLong
+        var r = 0
+        while (r < rows && !nulled) {
+          val idx = b * rows + r
+          if (idx >= n || xs.isNullAt(idx)) nulled = true
+          else acc = (acc * 31 + xs.getLong(idx)) % mod
+          r += 1
+        }
+        out(b) = if (nulled) null else java.lang.Long.valueOf(acc)
+        b += 1
       }
-      out(b) = if (nulled) null else java.lang.Long.valueOf(acc)
-      b += 1
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, xs => {
-      val rows = ctx.freshName("rows")
-      val b = ctx.freshName("b")
-      val r = ctx.freshName("r")
-      val idx = ctx.freshName("idx")
-      val acc = ctx.freshName("acc")
-      val nulled = ctx.freshName("nulled")
-      val out = ctx.freshName("out")
-      s"""
-         |int $rows = $xs.numElements() / $bands;
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val rows = k / bands
+    val n = ctx.freshName("n")
+    val b = ctx.freshName("b")
+    val r = ctx.freshName("r")
+    val idx = ctx.freshName("idx")
+    val acc = ctx.freshName("acc")
+    val nulled = ctx.freshName("nulled")
+    val out = ctx.freshName("out")
+    val code =
+      code"""
+         |${c.code}
          |Object[] $out = new Object[$bands];
-         |for (int $b = 0; $b < $bands; $b++) {
-         |  boolean $nulled = false;
-         |  long $acc = (long) $b;
-         |  for (int $r = 0; $r < $rows && !$nulled; $r++) {
-         |    int $idx = $b * $rows + $r;
-         |    if ($xs.isNullAt($idx)) { $nulled = true; }
-         |    else { $acc = ($acc * 31L + $xs.getLong($idx)) % ${mod}L; }
+         |if (!${c.isNull}) {
+         |  int $n = ${c.value}.numElements();
+         |  for (int $b = 0; $b < $bands; $b++) {
+         |    boolean $nulled = false;
+         |    long $acc = (long) $b;
+         |    for (int $r = 0; $r < $rows && !$nulled; $r++) {
+         |      int $idx = $b * $rows + $r;
+         |      if ($idx >= $n || ${c.value}.isNullAt($idx)) { $nulled = true; }
+         |      else { $acc = ($acc * 31L + ${c.value}.getLong($idx)) % ${mod}L; }
+         |    }
+         |    $out[$b] = $nulled ? null : java.lang.Long.valueOf($acc);
          |  }
-         |  $out[$b] = $nulled ? null : java.lang.Long.valueOf($acc);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
-    })
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(c: Expression): BandKeysExpr =
     copy(child = c)

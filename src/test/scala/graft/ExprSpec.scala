@@ -127,6 +127,23 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       val nk = withNull.select(bandKeys(col("sig"), bands).as("k")).collect()(0).getSeq[Any](0)
       assert(nk.head == null)
       assert(nk.tail.forall(_ != null))
+      // a NULL signature yields an array of `bands` null keys (the
+      // fold's array-of-null-folds), NOT a null array — saltedBands'
+      // posexplode row cardinality depends on it
+      val nullSig = spark.sql("SELECT CAST(NULL AS ARRAY<BIGINT>) AS sig")
+      val nn = nullSig.select(bandKeys(col("sig"), bands).as("k")).collect()(0)
+      nn.isNullAt(0) shouldBe false
+      val ks = nn.getSeq[Any](0)
+      ks.size shouldBe bands
+      assert(ks.forall(_ == null))
+      // a sig shorter than MinHashK nulls every band whose slice runs
+      // past the end instead of silently folding wrong keys
+      val short = spark.sql("SELECT sequence(CAST(1 AS BIGINT), 8) AS sig")
+      val sk = short.select(bandKeys(col("sig"), bands).as("k")).collect()(0).getSeq[Any](0)
+      val laneRows = MinHashK / bands
+      sk.zipWithIndex.foreach { case (kv, b) =>
+        if ((b + 1) * laneRows <= 8) assert(kv != null) else assert(kv == null)
+      }
     }
   }
 

@@ -161,8 +161,7 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       // .keys is a Set — map+sum over it would collapse equal counts
       val cPres = BigInt(counts.keysIterator.map(corpus).sum)
       val total = present + (n - cPres) * nS
-      val denom = (BigInt(2) * nS * n / 1000000).max(BigInt(1))
-      (src, nS.toLong, (total / denom).toLong)
+      (src, nS.toLong, (total * 1000000 / (BigInt(2) * nS * n)).toLong)
     }.sortBy(_._1)
     val got = run("p66_source_drift").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
@@ -188,15 +187,16 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       (BigInt(c) * n - BigInt(ct) * ns).abs.toString
     }
     got shouldBe want
-    // and the final quantization div survives the same regime
+    // and the final quantization div survives the same regime — the
+    // divisor stays DECIMAL all the way into the single integral
+    // divide (an inner `div` would truncate it through Long and wrap)
     val driftGot = rows.toDF("c", "ct", "n", "n_s")
       .select(expr(
-        """(CAST(c AS DECIMAL(38,0)) * n)
-          |  div greatest((2 * CAST(n_s AS DECIMAL(38,0)) * n) div 1000000, 1)"""
-          .stripMargin).as("d"))
+        """(CAST(c AS DECIMAL(38,0)) * n * 1000000)
+          |  div (2 * CAST(n_s AS DECIMAL(38,0)) * n)""".stripMargin).as("d"))
       .as[Long].collect().toSeq
     val driftWant = rows.map { case (c, _, n, ns) =>
-      ((BigInt(c) * n) / ((BigInt(2) * ns * n / 1000000).max(BigInt(1)))).toLong
+      (BigInt(c) * n * 1000000 / (BigInt(2) * ns * n)).toLong
     }
     driftGot shouldBe driftWant
   }
