@@ -3155,6 +3155,55 @@ object Pipeline {
           floor(col("m.cos") * 1000000 + 0.5).cast("long").as("cos_q"))
         .orderBy(col("cos_q"), col("vec_id"))
         .limit(OutlierK)
+    },
+
+    // ---------------- text: language-ID confusion audit (p72)
+    // The third "measure, don't guess" evaluator (p61 = ANN recall,
+    // p69 = MinHash calibration, this = the p03 language-ID heuristic):
+    // confusion matrix of predicted vs true language with the row share
+    // as an exact ×10⁶ integer — the table that decides whether the
+    // marker-word heuristic is good enough before a mixing run trusts
+    // its lang routing. Shape: one map pass scoring every doc (the
+    // marker sets are literals in the scan stage), one
+    // languages²-bounded groupBy, a broadcast-sized row-total join.
+    Q("p72_langid_eval", {
+      val toks = "string_split(text, ' ')"
+      val scores = LangMarkers.map { case (lg, ws) =>
+        s"${TextOps.countInSql(toks, ws)} AS score_$lg"
+      }.mkString(",\n       ")
+      val best = LangMarkers.map(_._1).map(lg => s"score_$lg")
+        .reduceLeft((a, b) => s"greatest($a, $b)")
+      val guess = LangMarkers.map(_._1)
+        .map(lg => s"WHEN score_$lg = best THEN '$lg'").mkString(" ")
+      s"""WITH g AS (
+         |  SELECT lang, CASE $guess END AS lang_guess
+         |  FROM (SELECT lang, $scores, $best AS best FROM documents)),
+         |cm AS (SELECT lang, lang_guess, count(*) AS n_docs
+         |       FROM g GROUP BY lang, lang_guess),
+         |tt AS (SELECT lang, sum(n_docs) AS total FROM cm GROUP BY lang)
+         |SELECT cm.lang, cm.lang_guess, CAST(cm.n_docs AS BIGINT) AS n_docs,
+         |       CAST((cm.n_docs * 1000000) // tt.total AS BIGINT) AS share_q
+         |FROM cm JOIN tt USING (lang)
+         |ORDER BY lang, lang_guess""".stripMargin
+    }) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val scored = t(s, dir, "documents").select(
+        col("lang") +: LangMarkers.map { case (lg, ws) =>
+          countIn(toks, ws).as(s"score_$lg")
+        }: _*)
+      val best = LangMarkers.map(m => col(s"score_${m._1}")).reduceLeft(greatest(_, _))
+      val guessCol = LangMarkers.map(_._1).reverse
+        .foldLeft(lit(null).cast("string")) { (acc, lg) =>
+          when(col(s"score_$lg") === col("best"), lg).otherwise(acc)
+        }
+      val cm = scored.withColumn("best", best)
+        .withColumn("lang_guess", guessCol)
+        .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n_docs"))
+      val tt = cm.groupBy(col("lang")).agg(sum(col("n_docs")).as("total"))
+      cm.join(broadcast(tt), "lang")
+        .withColumn("share_q", expr("(n_docs * 1000000) div total"))
+        .select(col("lang"), col("lang_guess"), col("n_docs"), col("share_q"))
+        .orderBy(col("lang"), col("lang_guess"))
     }
   )
 
