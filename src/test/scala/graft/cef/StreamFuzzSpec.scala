@@ -248,4 +248,108 @@ class StreamFuzzSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
     crossBatchFolds should be >= 10L
   }
+
+  it should "fold the weighted reservoir identically streaming vs batch under random slicing" in {
+    import graft.ops.StatsOps
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    var crossBatchFolds = 0L
+    for (trial <- 1 to 6) {
+      val rnd = new scala.util.Random(4000 + trial)
+      val k = Seq(2, 4, 8)(rnd.nextInt(3))
+      val nKeys = 1 + rnd.nextInt(5)
+      // (key, id, pri): priorities from a SMALL universe so exact ties
+      // recur across batches and the (pri, id) tie-break is exercised
+      val events: Seq[(Long, Long, Long)] =
+        (1 to (40 + rnd.nextInt(160))).map { i =>
+          (rnd.nextInt(nKeys).toLong, i.toLong, (1 + rnd.nextInt(4 * k)).toLong)
+        }
+      val slices = randomSlices(events, rnd, maxChunks = 8)
+      val mem = MemoryStream[(Long, Long, Long)]
+      val q = StatsOps.streamingWeightedSample(
+        mem.toDS().toDF("user_id", "event_id", "pri"), "user_id", "event_id", "pri", k)
+        .writeStream.format("memory").queryName(s"fuzz_ws_$trial")
+        .outputMode("append").start()
+      slices.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val snaps = sparkS.table(s"fuzz_ws_$trial")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](r.fieldIndex("ids")), r.getSeq[Long](r.fieldIndex("pris"))))
+      q.stop()
+      sparkS.catalog.dropTempView(s"fuzz_ws_$trial")
+      // final snapshot per key ≡ the global (pri, id) bottom-k — the
+      // associative-commutative min-k claim under arbitrary slicing
+      val finalByKey = snaps.groupBy(_._1).map { case (key, ss) =>
+        val last = ss.maxBy(_._2)
+        key -> (last._2, last._4.zip(last._3).toSeq)
+      }
+      val expected = events.groupBy(_._1).map { case (key, rows) =>
+        key -> (rows.size.toLong,
+          rows.map(r => (r._3, r._2)).sorted.take(k))
+      }
+      withClue(s"trial $trial (k=$k, ${slices.size} slices): ") {
+        finalByKey shouldBe expected
+      }
+      crossBatchFolds += snaps.groupBy(_._1).values.count(_.size >= 2)
+    }
+    crossBatchFolds should be >= 10L
+  }
+
+  it should "fold Misra-Gries counters identically streaming vs the JVM fold under random slicing" in {
+    import graft.ops.StatsOps
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    var crossBatchFolds = 0L
+    for (trial <- 1 to 6) {
+      val rnd = new scala.util.Random(5000 + trial)
+      val k = Seq(2, 3, 4)(rnd.nextInt(3))
+      val nKeys = 1 + rnd.nextInt(4)
+      // skewed items (min of two draws) so real heavy hitters survive
+      val events: Seq[(Long, String)] =
+        (1 to (40 + rnd.nextInt(160))).map { _ =>
+          (rnd.nextInt(nKeys).toLong,
+            s"i${math.min(rnd.nextInt(2 * k + 2), rnd.nextInt(2 * k + 2))}")
+        }
+      val slices = randomSlices(events, rnd, maxChunks = 8)
+      val mem = MemoryStream[(Long, String)]
+      val q = StatsOps.streamingMisraGries(
+        mem.toDS().toDF("user_id", "item"), "user_id", "item", k)
+        .writeStream.format("memory").queryName(s"fuzz_mg_$trial")
+        .outputMode("append").start()
+      slices.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val snaps = sparkS.table(s"fuzz_mg_$trial")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[String](r.fieldIndex("items")), r.getSeq[Long](r.fieldIndex("cnts"))))
+      q.stop()
+      sparkS.catalog.dropTempView(s"fuzz_mg_$trial")
+      // MG is ORDER-dependent across batches: the expectation replays
+      // the IDENTICAL fold (exact per-slice counts per key, mgReduce at
+      // each boundary) over the same slicing — streaming must match it
+      // exactly, which only holds if state survives every boundary
+      val finalByKey = snaps.groupBy(_._1).map { case (key, ss) =>
+        val last = ss.maxBy(_._2)
+        key -> (last._2, last._3.zip(last._4).toSeq)
+      }
+      val expected = events.groupBy(_._1).map { case (key, all) =>
+        var state = Seq.empty[(String, Long)]
+        var n = 0L
+        slices.foreach { slice =>
+          val mine = slice.filter(_._1 == key)
+          if (mine.nonEmpty) {
+            val counts = scala.collection.mutable.Map(state: _*)
+            mine.foreach { e => counts(e._2) = counts.getOrElse(e._2, 0L) + 1L }
+            state = StatsOps.mgReduce(counts.toMap, k)
+            n += mine.size
+          }
+        }
+        key -> (n, state)
+      }
+      withClue(s"trial $trial (k=$k, ${slices.size} slices): ") {
+        finalByKey shouldBe expected
+      }
+      crossBatchFolds += snaps.groupBy(_._1).values.count(_.size >= 2)
+    }
+    crossBatchFolds should be >= 10L
+  }
 }
