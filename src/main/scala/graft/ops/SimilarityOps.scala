@@ -308,6 +308,23 @@ object SimilarityOps {
     * absorbs the `dim % m` remainder dimensions (r9 advice: silently
     * dropping trailing dims loses signal on both engines at once, which
     * the oracle cannot catch) — the oracle mirrors the same geometry.
+    *
+    * Physical shape (r10 verdict #1 — the earlier join-based form
+    * shuffled N·M encode rows and N·M·Q ADC rows): the codebook is
+    * collected to the driver (ks rows — model-sized, the same discipline
+    * as [[lloydCentroids]]'s broadcast) and inlined as a literal, so
+    * BOTH the encode argmin and the per-query LUT are computed map-side
+    * with zero joins; the ADC scan is one BroadcastNestedLoopJoin whose
+    * build side is Q rows of (query_id, M·Ks-double LUT). The only
+    * exchange in the whole plan is the top-k window's hashpartitioning
+    * on query_id (PlanSpec pins Exchange ≤ 1). Arithmetic — slice
+    * geometry, element-order double accumulation, sub-ascending ADC
+    * fold, (d2, c_code) tie-break — is unchanged, so results are
+    * bit-identical to the join form and to the DuckDB oracle.
+    *
+    * Assumes a fixed embedding dimension across the corpus (PQ geometry
+    * is undefined otherwise); the dimension is read off the collected
+    * codebook rows.
     */
   def pqTopK(
       corpus: DataFrame,
@@ -315,42 +332,52 @@ object SimilarityOps {
       k: Int,
       m: Int = PqM,
       ks: Int = PqKs): DataFrame = {
-    val dim = size(col("embedding"))
-    val dsub = (dim / m).cast("int")
-    val subs = explode(sequence(lit(0), lit(m - 1))).as("sub")
+    // codebook seeds: the ks smallest vec_ids (c_code = rank in vec_id
+    // order, reproducible by the oracle); ks rows — model-sized collect
+    val cents: Seq[Seq[Double]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(ks).collect()
+      .sortBy(_.getAs[Long]("vec_id"))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val dim = cents.head.length
+    val dsub = dim / m
     // last subspace takes dsub + dim % m dims so no dimension is dropped
-    def subVec(as: String) =
-      slice(col("embedding"), col("sub") * dsub + 1,
-        when(col("sub") === lit(m - 1), dim - dsub * (m - 1)).otherwise(dsub)).as(as)
-    val w = Window.orderBy(col("vec_id"))
-    val cent = broadcast(
-      corpus.orderBy(col("vec_id")).limit(ks)
-        .withColumn("c_code", row_number().over(w) - 1)
-        .select(col("c_code"), subs, col("embedding"))
-        .select(col("c_code"), col("sub"), subVec("c_sub")))
-    val codes = corpus
-      .select(col("vec_id"), subs, col("embedding"))
-      .select(col("vec_id"), col("sub"), subVec("v_sub"))
-      .join(cent, Seq("sub"))
-      .withColumn("d2", l2sq(col("v_sub"), col("c_sub")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("d2"), col("c_code"))).as("mn"))
-      .select(col("vec_id"), col("sub"), col("mn.c_code").as("code"))
-    val lut = broadcast(
-      queries
-        .select(col("vec_id").as("query_id"), subs, col("embedding"))
-        .select(col("query_id"), col("sub"), subVec("q_sub"))
-        .join(cent, Seq("sub"))
-        .withColumn("d2", l2sq(col("q_sub"), col("c_sub")))
-        .select(col("query_id"), col("sub"), col("c_code"), col("d2")))
+    def segLen(sub: Column) =
+      when(sub === lit(m - 1), lit(dim - dsub * (m - 1))).otherwise(lit(dsub))
+    def seg(sub: Column) = slice(col("embedding"), sub * dsub + 1, segLen(sub))
+    // [sub][code][d] centroid slices, inlined (m·ks·dim/m doubles)
+    val centLit = typedLit(Seq.tabulate(m) { s =>
+      val hi = if (s == m - 1) dim else (s + 1) * dsub
+      cents.map(_.slice(s * dsub, hi))
+    })
+    def centSub(sub: Column, c: Column) = element_at(element_at(centLit, sub + 1), c + 1)
+    // map-side encode: per subspace, scan the ks centroids keeping the
+    // (d2, c)-minimal — first strict improvement wins, i.e. smallest
+    // c_code on ties, identical to min(struct(d2, c_code))
+    val codesCol = transform(sequence(lit(0), lit(m - 1)), sub =>
+      aggregate(sequence(lit(0), lit(ks - 1)),
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("c")),
+        (acc, c) => {
+          val d2 = l2sq(seg(sub), centSub(sub, c))
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), c.as("c"))).otherwise(acc)
+        }).getField("c"))
+    val codes = corpus.select(col("vec_id"), codesCol.as("codes"))
+    // map-side LUT: per query, sub-major flattened d2 table — entry for
+    // (sub, code) lives at index sub·ks + code (1-based element_at below)
+    val lutArr = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .select(col("query_id"), flatten(transform(sequence(lit(0), lit(m - 1)), sub =>
+        transform(sequence(lit(0), lit(ks - 1)), c =>
+          l2sq(seg(sub), centSub(sub, c))))).as("lut")))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
-    codes
-      .join(lut, codes("sub") === lut("sub") && codes("code") === lut("c_code"))
+    codes.crossJoin(lutArr)
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sort_array(collect_list(struct(codes("sub"), col("d2")))).as("ds"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(col("ds"), lit(0d), (acc, s) => acc + s.getField("d2")).as("adc"))
+      // sub-ascending fold, same order as the oracle's list(d2 ORDER BY sub)
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0d),
+        (acc, sub) => acc +
+          element_at(col("lut"), sub * ks + element_at(col("codes"), sub + 1) + 1)))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
       .withColumn("rnk", row_number().over(wq))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("rnk"))

@@ -146,6 +146,15 @@ object StatsOps {
     * the only shuffle is the groupByKey the stateful operator needs
     * anyway; a skewed key's micro-batch is folded in bounded chunks so
     * memory stays O(k + chunk).
+    *
+    * PRECONDITION (r10 advice): ids must be UNIQUE per key across the
+    * whole stream. [[mergeTopK]] folds through a set, so a redelivered
+    * (pri, id) pair collapses to one entry — i.e. the fold is
+    * idempotent under at-least-once delivery, which is the desirable
+    * semantics for a sample keyed by stable record ids — while a batch
+    * replay that counts rows (e.g. a row_number oracle) would count
+    * the duplicate twice and diverge. The driver oracle (cef46) is
+    * sound because event_id is the events table's primary key.
     */
   def streamingWeightedSample(
       events: DataFrame,

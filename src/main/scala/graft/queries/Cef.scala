@@ -1362,24 +1362,29 @@ object Cef {
            |              coalesce(m.c, 0) + coalesce(c.c, 0) AS c
            |       FROM $prev m FULL OUTER JOIN $cnts c
            |         ON m.user_id = c.user_id AND m.item = c.item)""".stripMargin
-      val slices = (1 to 3).map(i =>
+      // the slice/merge/reduce chain is GENERATED from StreamSlices
+      // (r10 advice): MG is order-dependent across batches, so a
+      // hard-coded 3 would silently desynchronize this oracle from the
+      // stream the scaffold actually replays if StreamSlices changed
+      val slices = (1 to StreamSlices).map(i =>
         s"c$i AS (SELECT user_id, item, count(*) AS c FROM e WHERE sl = $i GROUP BY user_id, item)")
         .mkString(",\n")
+      val fold = (Seq(reduce("c1", "m1")) ++
+        (2 to StreamSlices).flatMap(i =>
+          Seq(merge(s"m${i - 1}", s"c$i", s"a$i"), reduce(s"a$i", s"m$i"))))
+        .mkString(",\n")
       s"""WITH e AS (SELECT user_id, event_type AS item,
-         |                  ntile(3) OVER (ORDER BY ts, event_id) AS sl
+         |                  ntile($StreamSlices) OVER (ORDER BY ts, event_id) AS sl
          |           FROM events),
          |$slices,
-         |${reduce("c1", "m1")},
-         |${merge("m1", "c2", "a2")},
-         |${reduce("a2", "m2")},
-         |${merge("m2", "c3", "a3")},
-         |${reduce("a3", "m3")},
+         |$fold,
          |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen
          |      FROM events GROUP BY user_id)
          |SELECT m.user_id, n.n_seen, m.item, CAST(m.c AS BIGINT) AS cnt,
          |       CAST(row_number() OVER (PARTITION BY m.user_id
          |                               ORDER BY m.c DESC, m.item) AS BIGINT) AS rk
-         |FROM m3 m JOIN n USING (user_id) ORDER BY user_id, rk""".stripMargin
+         |FROM m$StreamSlices m JOIN n USING (user_id)
+         |ORDER BY user_id, rk""".stripMargin
     }) { (s, dir) =>
       import graft.ops.StatsOps
       val snaps = runEventStream(s, dir, "cef47", "append") { raw =>
@@ -1514,9 +1519,12 @@ object Cef {
   /** Micro-batches every streaming scaffold run replays (source slices ×
     * maxFilesPerTrigger=1): >1 so the driver's oracle gates the
     * cross-batch GroupState snapshot/restore path, not just a
-    * single-batch pass.
+    * single-batch pass. A def, not a val: since r11 it is interpolated
+    * inside the `queries` val above (cef47's generated fold), which
+    * initializes first — as a val it would read 0 there (the CmSeeds /
+    * StreamKmvK trap).
     */
-  private val StreamSlices = 3
+  private def StreamSlices = 3
 
   /** cef43 KMV size: small enough that the cap path (est from kth_min)
     * engages at sf0.01+ where per-user distinct value-buckets exceed it,

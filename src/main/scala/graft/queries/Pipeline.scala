@@ -2939,7 +2939,11 @@ object Pipeline {
     // passes); and (2) a pure integer hash keeping 1-in-CalibSampleMod
     // of the surviving pairs, applied BEFORE the distinct so duplicate
     // band hits of a pair sample consistently. Per-decile means are
-    // unbiased under any fixed sample.
+    // unbiased under any fixed sample — but they ARE estimates: a user
+    // comparing n_pairs against an exhaustive calibration sweep will
+    // see ~1/(CalibDocMod²·CalibSampleMod) of the pair counts. The
+    // sample predicates are pure functions of (id, seed) — reruns and
+    // repartitionings reproduce the identical table (StatsOpsSpec).
     Q("p69_dd_minhash_calibration", {
       val th = TextOps.tokenHashesSql("text")
       val sig = DedupOps.minHashSigSql("hs")
@@ -2956,7 +2960,8 @@ object Pipeline {
          |  FROM sx a JOIN sx b
          |    ON a.key = b.key AND a.band = b.band AND a.salt = b.salt
          |   AND a.doc_id < b.doc_id
-         |   AND ((a.doc_id * 1000003 + b.doc_id * 31 + 7) % 1000000007)
+         |   AND (((a.doc_id % 1000000007) * 1000003
+         |         + (b.doc_id % 1000000007) * 31 + 7) % 1000000007)
          |         % $CalibSampleMod = 0),
          |pe AS (
          |  SELECT (inter * 1000000) // greatest(uni, 1) AS jacc_q,
@@ -2988,8 +2993,13 @@ object Pipeline {
           col("x.key") === col("y.key") && col("x.band") === col("y.band")
             && col("x.salt") === col("y.salt") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        // ids are reduced mod p BEFORE the multiply (r10 advice): the
+        // raw product overflows int64 for ids beyond ~9·10¹², where
+        // Spark wraps silently but DuckDB errors — reduced, the product
+        // is bounded by p·1000003 ≈ 10¹⁵ on both engines
         .filter(expr(
-          s"((id_a * 1000003 + id_b * 31 + 7) % 1000000007) % $CalibSampleMod = 0"))
+          s"(((id_a % 1000000007) * 1000003 + (id_b % 1000000007) * 31 + 7)" +
+            s" % 1000000007) % $CalibSampleMod = 0"))
         .distinct()
       cand
         .join(sh.select(col("doc_id").as("id_a"), col("hs").as("ha"), col("sig").as("sa")),

@@ -315,14 +315,20 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include regex "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*cluster"
   }
 
-  "p43_sim_pq_topk" should "scan codes against broadcast codebook/LUT — no cartesian, no NL join" in {
+  "p43_sim_pq_topk" should "encode and ADC-scan map-side — one bounded NL join, one exchange" in {
     val plan = planOf("p43_sim_pq_topk")
-    // codebook and per-query LUT are broadcast-sized; every join is an
-    // equi-join on (sub) or (sub, code) — an ADC scan never goes
-    // corpus x corpus
+    // the codebook is a driver-collected literal, so encode and the
+    // per-query LUT are map-side; the only join is the ADC scan's
+    // BroadcastNestedLoopJoin whose build side is the Q-row LUT table
+    // (query-count-bounded, never corpus-sized), and the only exchange
+    // in the ranked plan is the top-k window's hashpartitioning
     plan should not include "CartesianProduct"
-    plan should not include "BroadcastNestedLoopJoin"
-    plan should include ("BroadcastHashJoin")
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size shouldBe 1
+    // shuffles: window hashpartitioning + the registered orderBy's
+    // rangepartitioning only (the third Exchange match is the LUT's
+    // BroadcastExchange — data movement bounded by the query count)
+    "Exchange (hash|range)partitioning".r.findAllIn(plan).size should be <= 2
+    plan should not include "SortMergeJoin"
   }
 
   "p42's merge loop" should "never touch the corpus after the single word-count pass" in {

@@ -324,4 +324,39 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     got shouldBe want
   }
+
+  // p69's registered semantics are a two-level deterministic SAMPLE
+  // (1-in-4 docs by seeded polyHash, then 1-in-16 of surviving pairs) —
+  // the decile table is an estimate, not exhaustive counts. Pin that
+  // both sample predicates are pure functions of (id, seed): stable
+  // across evaluations/partitionings, and (r10 advice) the pair hash
+  // stays overflow-free for ids far beyond the mod-p reduction point,
+  // where the unreduced product would wrap in Spark and error in DuckDB.
+  "p69's sample predicates" should "be deterministic in (id, seed) and overflow-free at huge ids" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val p = 1000000007L
+    val ids = Seq(0L, 1L, 7L, 999L, 1000000006L, 1000000008L,
+      123456789012L, 9000000000000000000L, 9223372036854775807L)
+    val pairs = for (a <- ids; b <- ids if a < b) yield (a, b)
+    def pairExprOn(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "id_a", "id_b",
+      s"(((id_a % $p) * 1000003 + (id_b % $p) * 31 + 7) % $p) % 16 AS s")
+    val one = pairExprOn(pairs.toDF("id_a", "id_b").repartition(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val two = pairExprOn(pairs.toDF("id_a", "id_b").repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    one shouldBe two
+    // BigInt reference: the reduced formula NEVER wraps (its Long result
+    // equals exact integer arithmetic), even at Long.MaxValue ids
+    pairs.foreach { case (a, b) =>
+      val exact = (((BigInt(a) % p) * 1000003 + (BigInt(b) % p) * 31 + 7) % p) % 16
+      withClue(s"pair ($a, $b): ") { one((a, b)) shouldBe exact.toLong }
+    }
+    // doc-level predicate: same hash for the same (id, seed) on every
+    // evaluation; a different seed decorrelates
+    val h1 = graft.ops.TextOps.polyHashJvm("123#graft-calib-9")
+    h1 shouldBe graft.ops.TextOps.polyHashJvm("123#graft-calib-9")
+    h1 should not be graft.ops.TextOps.polyHashJvm("123#graft-calib-8")
+  }
 }
