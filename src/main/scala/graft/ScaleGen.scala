@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   * ranges) stay fixed, matching how TPC-H scales.
   *
   * Usage: runMain graft.ScaleGen <srcSfDir> <destDir> <copies>
+  *
+  * `copies` is also the WORLD-LAYOUT knob for the streaming gates
+  * (r10 verdict #2): the doc/event stream scaffolds slice the scaled
+  * table into StreamSlices ntile blocks over id/time order, and worlds
+  * are id-contiguous — so if `copies` divides evenly by the slice
+  * count, every world lands wholly inside one micro-batch and no
+  * near-dup (which exist only WITHIN a world by construction) can
+  * cross a batch boundary, leaving cross-boundary gates (e.g. p50's)
+  * vacuously satisfied. Pick `copies` COPRIME to the slice count
+  * (e.g. 31 worlds / 3 slices) to make straddling worlds — and hence
+  * non-vacuous cross-boundary checks — guaranteed.
   */
 object ScaleGen {
   private val Off = 1000000000L
