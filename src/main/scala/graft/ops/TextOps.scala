@@ -335,65 +335,145 @@ object TextOps {
     *     — a merge only rewrites adjacencies touching its own symbols —
     *     and (b) the chained `replace`s commute, so one combined
     *     rewrite equals any sequential order.
-    *  2. STRICT DOMINANCE over the first rejected row: applying a merge
-    *     (l,r)→m creates new pairs (x,m)/(m,y) whose counts are bounded
-    *     by the OLD counts of the overlapping pairs (x,l)/(r,y) — every
-    *     occurrence of a new pair was an occurrence of an overlapping
-    *     old pair. All pairs overlapping an accepted pair sit at or
-    *     after the first rejected row in (cnt DESC, lhs, rhs) order, so
-    *     requiring every accepted cnt > that row's cnt guarantees no
-    *     created pair can outrank (or tie-break past) a later batch
-    *     member mid-sequence. The first rejected row is the first
-    *     conflict, the batch-size cut, or — when the fetch limit was
-    *     hit, so unseen rows with cnt ≤ the last fetched may exist —
-    *     the last fetched row.
+    *  2. STRICT DOMINANCE over every row the batch can INTERACT with:
+    *     applying a merge (l,r)→m creates new pairs (x,m)/(m,y) whose
+    *     counts are bounded by the OLD counts of the overlapping pairs
+    *     (x,l)/(r,y) — every occurrence of a new pair was an occurrence
+    *     of an overlapping old pair — and existing overlapping pairs
+    *     only LOSE occurrences. So the bound is max(first overlapping
+    *     row's cnt — it tops all overlapping rows in (cnt DESC, lhs,
+    *     rhs) order; the last fetched row's cnt when the fetch limit
+    *     was hit, since unseen rows may overlap): every non-head batch
+    *     member's cnt must EXCEED it. Rows symbol-disjoint from the
+    *     whole batch but skipped (budget cut, or sorted below the
+    *     conflict) do NOT enter the bound: the batch leaves their
+    *     counts untouched and they sort at-or-after the members they
+    *     tie, so they cannot outrank them mid-sequence. The batch HEAD
+    *     is exempt from strictness entirely — it is the verbatim global
+    *     argmax and nothing has been created before the first merge.
     *
-    * If strictness empties the batch (the runner-up ties the argmax),
-    * the round degrades to the exact single argmax step — never wrong,
-    * merely unbatched for that round. Per-round work is the same
-    * vocabulary-bounded pair aggregation as the sequential loop.
+    * If strictness cuts the batch to one, the round degrades to the
+    * exact single argmax step — never wrong, merely unbatched for that
+    * round. Per-round work is the same vocabulary-bounded pair
+    * aggregation as the sequential loop.
     */
   def bpeMergesBatched(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String,
       numMerges: Int,
-      maxBatch: Int = 16): org.apache.spark.sql.DataFrame = {
+      maxBatch: Int = 16): org.apache.spark.sql.DataFrame =
+    bpeMergesBatchedCore(docs, textCol, numMerges,
+      initTarget = maxBatch, capTarget = maxBatch)._1
+
+  /** [[bpeMergesBatched]] with a per-round ADAPTIVE batch target
+    * (r10 verdict #7): the right k is corpus-dependent — it is bounded
+    * by the conflict density of the CURRENT top pairs (symbol overlaps
+    * + count ties), which changes as merges reshape the pair table, so
+    * no fixed `maxBatch` is right for a 50k-merge vocabulary. The
+    * policy reads the quantity each round already collected — how many
+    * pairs SURVIVED the two acceptance rules against this round's
+    * budget:
+    *
+    *  - batch filled the whole budget (our own cap was the binding
+    *    constraint, not the data): double the target — the top of the
+    *    pair table is conflict-sparse, so probe higher;
+    *  - the rules cut the batch short at `got < budget`: set the
+    *    target to 2·got — track twice the observed survivable size, so
+    *    the cap decays geometrically toward tight regions (heavy ties
+    *    near the tail) yet recovers just as fast when density drops.
+    *
+    * Output is byte-identical to [[bpeMerges]] for ANY target sequence
+    * (the acceptance rules carry the proof, not the schedule); the
+    * schedule only changes the ROUND count, i.e. the number of Spark
+    * job launches. BpeSpec certifies equality at 1,000 merges and pins
+    * rounds ≈ merges/k̄.
+    */
+  def bpeMergesAdaptive(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int,
+      initBatch: Int = 8,
+      capBatch: Int = 512): org.apache.spark.sql.DataFrame =
+    bpeMergesBatchedCore(docs, textCol, numMerges, initBatch, capBatch)._1
+
+  /** The shared round loop behind [[bpeMergesBatched]] (fixed target:
+    * init = cap) and [[bpeMergesAdaptive]] (doubling/tracking target).
+    * Returns (merge table, number of rounds) — the round count is the
+    * job-launch economy the batching exists for, so the spec asserts
+    * on it directly.
+    */
+  private[graft] def bpeMergesBatchedCore(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int,
+      initTarget: Int,
+      capTarget: Int): (org.apache.spark.sql.DataFrame, Int) = {
+    require(initTarget >= 1 && capTarget >= initTarget,
+      s"need 1 <= initTarget <= capTarget, got $initTarget/$capTarget")
     val spark = docs.sparkSession
     var words = bpeWordStates(docs, textCol).localCheckpoint(true)
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var step = 1
     var exhausted = false
+    var target = initTarget
+    var rounds = 0
     while (step <= numMerges && !exhausted) {
-      val fetch = 4 * maxBatch + 1
+      rounds += 1
+      val fetch = 4 * target + 1
       val top = bpePairCounts(words)
         .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
         .limit(fetch).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val budget = math.min(maxBatch, numMerges - step + 1)
+        val budget = math.min(target, numMerges - step + 1)
         val used = scala.collection.mutable.Set.empty[String]
         val accepted = Seq.newBuilder[(String, String, Long)]
         var nAcc = 0
-        // cnt of the first row NOT taken into the batch (whatever the
-        // reason) — the strict-dominance bound for rule 2
-        var stopCnt = Long.MinValue
-        var stopped = false
-        for (row <- top if !stopped) {
+        // The strict-dominance bound for rule 2 is the max cnt among
+        // rows the accepted merges can still INTERACT with in the
+        // sequential replay: (a) rows sharing a symbol with an accepted
+        // pair (their counts only decrease under the batch's merges,
+        // and every pair a merge CREATES is count-bounded by such an
+        // overlapping row), and (b) the unfetched horizon when the
+        // fetched list is full (an unseen row may overlap). A row that
+        // is symbol-DISJOINT from the whole batch but skipped — budget
+        // cut, or sorted below a conflict — does NOT enter the bound:
+        // its count is unchanged by the batch and it sorts at/after the
+        // accepted rows it ties, so it can never outrank them
+        // mid-sequence. (The earlier form bounded by the first rejected
+        // row regardless of reason, which truncated batches at every
+        // count tie against a disjoint runner-up.)
+        var bound = Long.MinValue
+        var conflicted = false
+        for (row <- top if !conflicted) {
           val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
           val syms = Seq(l, r, l + r)
-          if (nAcc < budget && !syms.exists(used)) {
+          if (syms.exists(used)) {
+            // first overlap: it has the max cnt of all overlapping rows
+            // (sorted desc), and no later row can clear a bound this
+            // high — acceptance is over
+            bound = c; conflicted = true
+          } else if (nAcc < budget) {
             used ++= syms; accepted += ((l, r, c)); nAcc += 1
-          } else { stopCnt = c; stopped = true }
+          }
+          // else: disjoint row beyond budget — no bound contribution,
+          // keep scanning in case a LATER row overlaps the accepted set
         }
-        if (!stopped && top.length == fetch) stopCnt = top.last.getLong(2)
+        if (top.length == fetch)
+          bound = math.max(bound, top.last.getLong(2))
         val acc = accepted.result()
-        val batch = {
-          val strict = acc.takeWhile(_._3 > stopCnt)
-          if (strict.nonEmpty) strict else acc.take(1)
-        }
+        // the head is exempt from strictness: it is the verbatim global
+        // argmax and no created pair exists before the first merge
+        val batch = acc.take(1) ++ acc.drop(1).takeWhile(_._3 > bound)
         for ((l, r, c) <- batch) {
           merges += ((step.toLong, l, r, l + r, c)); step += 1
         }
+        // adaptive target (a no-op when init = cap, the fixed API):
+        // budget-bound rounds probe up, rule-bound rounds track 2x the
+        // observed batch
+        if (initTarget != capTarget)
+          target = math.max(1, math.min(capTarget,
+            if (batch.length == budget) 2 * budget else 2 * batch.length))
         val next = bpeApplyMerges(words, batch.map(p => (p._1, p._2)))
           .localCheckpoint(true)
         org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
@@ -402,7 +482,7 @@ object TextOps {
     }
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
     import spark.implicits._
-    merges.result().toDF("step", "lhs", "rhs", "merged", "cnt")
+    (merges.result().toDF("step", "lhs", "rhs", "merged", "cnt"), rounds)
   }
 
   /** The single corpus-scale pass of [[bpeMerges]]: word frequencies,

@@ -1815,13 +1815,20 @@ object Pipeline {
     // The production-scale answer to the job-per-merge launch cost: each
     // round computes the pair table once and applies a symbol-disjoint,
     // strictly-dominant top-k prefix in ONE rewrite (proof on
-    // TextOps.bpeMergesBatched). The oracle is the SAME unrolled
-    // SEQUENTIAL recursion p42 uses — a matching hash certifies the
-    // batched selection byte-equal to k argmax steps on real data, which
-    // is the whole claim.
+    // TextOps.bpeMergesBatched). Registered through the ADAPTIVE
+    // schedule (r10 verdict #7): the per-round batch target is picked
+    // from the previous round's surviving-pair count, because the
+    // achievable k is a corpus property (conflict/tie density of the
+    // current top pairs). A deliberately small initBatch makes the
+    // driver gate exercise the doubling policy across several rounds at
+    // BpeSteps=10 rather than one lucky batch. The oracle is the SAME
+    // unrolled SEQUENTIAL recursion p42 uses — a matching hash
+    // certifies the adaptively-batched selection byte-equal to k argmax
+    // steps on real data, which is the whole claim (OpsEdgeSpec pins it
+    // at 1,000 merges: 90 rounds, mean batch 11).
     Q("p48_txt_bpe_batched", BpeUnrolledOracle) { (s, dir) =>
-      TextOps.bpeMergesBatched(t(s, dir, "documents"), "text", BpeSteps,
-          maxBatch = 4)
+      TextOps.bpeMergesAdaptive(t(s, dir, "documents"), "text", BpeSteps,
+          initBatch = 2)
         .orderBy(col("step"))
     },
 

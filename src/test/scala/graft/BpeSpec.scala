@@ -142,6 +142,55 @@ class BpeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     runBpeBatched(texts, 10, 4) shouldBe referenceBpe(texts, 10)
   }
 
+  it should "not let a symbol-disjoint tied runner-up truncate the batch at a budget cut" in {
+    // three disjoint pairs, all cnt 5; budget 2 accepts (a,b),(c,d) and
+    // cuts at (e,f). The dominance bound must EXCLUDE the cut row — it
+    // shares no symbol with the batch, its count is untouched by the
+    // batch's merges, and it sorts after the rows it ties — so both
+    // accepted merges ship in ONE round. (The earlier rule bounded by
+    // the first rejected row regardless of reason, degrading this round
+    // to a single merge.) Equality with the sequential loop is what
+    // makes the wider batch LEGAL; the round count is what it buys.
+    val corpus = Seq.fill(5)("ab cd ef").map(identity)
+    val df = spark.createDataFrame(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+    val want = referenceBpe(corpus, 3)
+    val (got, rounds) = TextOps.bpeMergesBatchedCore(
+      df, "text", 3, initTarget = 2, capTarget = 2)
+    got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq shouldBe want
+    rounds shouldBe 2 // (ab, cd) in round 1, (ef) in round 2 — not 3
+  }
+
+  "bpeMergesAdaptive" should "equal the sequential loop on tie-heavy corpora at any (init, cap)" in {
+    // the adaptive schedule changes WHICH rounds learn how many merges,
+    // never the merges themselves — same acceptance rules, so the
+    // tie/conflict-dense corpora that stress the fixed batcher stress it
+    // identically; sweep odd (init, cap) pairs including cap = init
+    val rnd = new scala.util.Random(20260815)
+    for (trial <- 1 to 6) {
+      val alpha = "abcd".take(2 + rnd.nextInt(3))
+      val corpus = Seq.fill(12 + rnd.nextInt(8)) {
+        Seq.fill(3 + rnd.nextInt(5)) {
+          Seq.fill(1 + rnd.nextInt(6))(alpha(rnd.nextInt(alpha.length))).mkString
+        }.mkString(" ")
+      }
+      val want = referenceBpe(corpus, 8)
+      val init = 1 + rnd.nextInt(4)
+      val cap = init + rnd.nextInt(12)
+      val df = spark.createDataFrame(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+        .toDF("doc_id", "text")
+      val got = TextOps.bpeMergesAdaptive(df, "text", 8, initBatch = init, capBatch = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+      withClue(s"trial $trial (alpha=$alpha, init=$init, cap=$cap, corpus=$corpus): ") {
+        got shouldBe want
+      }
+    }
+  }
+
   "bpeEncode" should "tokenize with the greedy merge semantics of the reference replay" in {
     val corpus = Seq("aaab aaab banana", "banana banana band", "aaab and band and")
     val merges = referenceBpe(corpus, 4).map(m => (m._2, m._3))

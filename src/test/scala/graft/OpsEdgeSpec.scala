@@ -241,4 +241,96 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // steps are consecutive from 1 (the loop stops cleanly, no gaps)
     merges.map(_.getLong(0)).toSeq shouldBe (1L to merges.length).toSeq
   }
+
+  "TextOps.bpeMergesAdaptive" should "learn 1,000 merges byte-identical to the sequential algorithm in ~merges/k rounds" in {
+    // r10 verdict #7: at a production vocabulary the right batch size k
+    // is corpus-dependent (conflict density of the current top pairs),
+    // so the adaptive policy picks it per round from the surviving-pair
+    // count. This certifies BOTH claims at 1k merges: (a) output is
+    // byte-identical to the sequential argmax recursion (the in-JVM
+    // reference below IS p42's semantics — BpeSpec pins bpeMerges to
+    // the same reference), (b) the round count — the job-launch economy
+    // the batching exists for — is a small fraction of the merge count.
+    val sparkS = spark
+    import sparkS.implicits._
+    val numMerges = 1000
+    val r = new Random(20260814)
+    // The achievable batch width is a CORPUS property — which is the
+    // whole reason the target must adapt. Two things bound it under the
+    // equality-preserving rules, and the corpus controls both:
+    //  - symbol conflicts among the top pairs (the acceptance scan must
+    //    stop at the first overlapping row for the proof to hold): a
+    //    12-letter corpus measured mean batch 1.7 because nearly every
+    //    top pair shares a letter with another. Wide alphabet → sparse
+    //    conflicts. BMP CJK characters keep Spark's UTF-8 binary order
+    //    and Java's compareTo in agreement (no surrogates).
+    //  - SEQUENTIAL DEPENDENCE of a long word's merge chain: merging
+    //    (c1,c2) inside its hottest word immediately creates
+    //    ([c1c2],c3) at the SAME count, which sequential argmax must
+    //    take next — no batcher that equals the sequential algorithm
+    //    can parallelize a chain (measured mean 2.2-3.7 on random
+    //    length-8-14 words, where the tail is word-by-word chains).
+    //    Two-char words have no chains: each word is exactly one merge,
+    //    so the schedule's economy is what the test isolates.
+    // DISTINCT multiplicities keep pair counts tie-free (1,200 words →
+    // each pair's count is its word's multiplicity, all different);
+    // multiplicity via repetition because bpeWordStates counts
+    // occurrences, not docs.
+    val letters = (0 until 400).map(i => ('一' + i).toChar)
+    val words = r.shuffle((0 until 1200).map { i =>
+      val w = Seq.fill(2)(letters(r.nextInt(letters.length))).mkString
+      (w, 1 + i)
+    }.toMap.keys.toSeq).zipWithIndex.map { case (w, i) => (w, 1 + i) }
+    val instances = r.shuffle(words.flatMap { case (w, f) => Seq.fill(f)(w) })
+    val docs = instances.grouped(100).map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+
+    // sequential reference: freq-weighted pair counts over the distinct-
+    // word multiset, (cnt DESC, lhs, rhs) argmax, greedy left-to-right
+    // rewrite — one merge per step
+    var vocab: Map[List[String], Long] = instances
+      .groupBy(identity).map { case (w, g) => w.map(_.toString).toList -> g.size.toLong }
+    def rewrite(toks: List[String], l: String, r0: String): List[String] = {
+      val out = List.newBuilder[String]
+      var t = toks
+      while (t.nonEmpty) t match {
+        case a :: b :: rest if a == l && b == r0 => out += (l + r0); t = rest
+        case a :: rest => out += a; t = rest
+        case Nil => ()
+      }
+      out.result()
+    }
+    val want = Seq.newBuilder[(Long, String, String, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= numMerges && !dry) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((toks, f) <- vocab; p <- toks.zip(toks.tail))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      if (counts.isEmpty) dry = true
+      else {
+        val ((l, r0), c) = counts.minBy { case ((l, r0), c) => (-c, l, r0) }
+        want += ((step.toLong, l, r0, l + r0, c))
+        vocab = vocab.toSeq.map { case (t, f) => (rewrite(t, l, r0), f) }
+          .groupBy(_._1).map { case (t, g) => (t, g.map(_._2).sum) }
+        step += 1
+      }
+    }
+    val wantSeq = want.result()
+    wantSeq should have size numMerges // the corpus supports the full run
+
+    val (mergesDf, rounds) = graft.ops.TextOps.bpeMergesBatchedCore(
+      docs, "text", numMerges, initTarget = 8, capTarget = 512)
+    val got = mergesDf.collect()
+      .map(r2 => (r2.getLong(0), r2.getString(1), r2.getString(2), r2.getString(3), r2.getLong(4)))
+      .sortBy(_._1).toSeq
+    got shouldBe wantSeq
+
+    info(s"adaptive BPE: $numMerges merges in $rounds rounds " +
+      f"(mean batch ${numMerges.toDouble / rounds}%.1f)")
+    // round count ~ merges/k: the adaptive schedule must beat any small
+    // fixed k by a wide margin — at least mean batch 4 (the p48 gate's
+    // fixed setting), in practice far higher on this corpus
+    rounds should be <= (numMerges / 4)
+  }
 }
