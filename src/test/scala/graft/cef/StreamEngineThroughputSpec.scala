@@ -168,6 +168,37 @@ class StreamEngineThroughputSpec extends AnyFlatSpec with Matchers with BeforeAn
     rate should be > 50000.0
   }
 
+  it should "sustain >30k events/s through the streaming DSRA register path at steady state" in {
+    // C10: register pattern (value bound + register comparison) with a
+    // count window — the hyper-state (configuration set + valuations +
+    // window anchors) round-trips through GroupState per micro-batch
+    val cpR = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""")
+    val src = writeSlices(Seq(eventsDf(0, WarmRows), eventsDf(WarmRows, MainRows)))
+    val (rate, detections) = bestSteadyRate(src, attempts = 2) { raw =>
+      Stream.detectionsDsra(toEvents(raw), cpR).toDF()
+    }
+    info(f"streaming DSRA steady state: ${rate / 1e6}%.2f M events/s " +
+      f"(best of 2 × $MainRows-row batches, $detections detections, 8 cores)")
+    detections should be > 0L
+    rate should be > 30000.0
+  }
+
+  it should "sustain >30k events/s through the streaming match-enumeration path at steady state" in {
+    // R4: full nondeterministic match enumeration — the thread pool
+    // lives in GroupState; the windowed SREMO pattern bounds threads
+    val cpM = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""")
+    val src = writeSlices(Seq(eventsDf(0, WarmRows), eventsDf(WarmRows, MainRows)))
+    val (rate, matches) = bestSteadyRate(src, attempts = 2) { raw =>
+      Stream.matches(toEvents(raw), cpM).toDF()
+    }
+    info(f"streaming match enumeration steady state: ${rate / 1e6}%.2f M events/s " +
+      f"(best of 2 × $MainRows-row batches, $matches matches, 8 cores)")
+    matches should be > 0L
+    rate should be > 30000.0
+  }
+
   it should "measure the per-micro-batch scaffold cost the driver gates pay" in {
     // the gates' shape: tiny batches, where triggerExecution is almost
     // entirely fixed cost. Recorded so SCALE.md can attribute the
