@@ -339,6 +339,13 @@ object SimilarityOps {
       .orderBy(col("vec_id")).limit(ks).collect()
       .sortBy(_.getAs[Long]("vec_id"))
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    if (cents.isEmpty)
+      // empty corpus: no codebook to train — empty result, same schema
+      // (the join-based form degraded the same way)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0d).as("adc"), lit(0).as("rnk"))
+        .limit(0)
     val dim = cents.head.length
     val dsub = dim / m
     // last subspace takes dsub + dim % m dims so no dimension is dropped

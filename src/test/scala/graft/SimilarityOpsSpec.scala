@@ -187,6 +187,16 @@ class SimilarityOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     got.toSeq shouldBe Seq(3L, 5L)
   }
 
+  it should "return an empty frame on an empty corpus (no codebook to collect)" in {
+    // the map-side rewrite collects the codebook driver-side; an empty
+    // corpus must degrade to an empty result like the join form did,
+    // not throw on cents.head
+    val none = emb.filter(col("vec_id") < 0)
+    val out = SimilarityOps.pqTopK(none, none, k = 3)
+    out.columns.toSeq shouldBe Seq("query_id", "neighbor_id", "adc", "rnk")
+    out.count() shouldBe 0L
+  }
+
   it should "plug a Lloyd-trained codebook into semDedup unchanged" in {
     val trained = SimilarityOps.lloydCentroids(emb, numCentroids = 8, iters = 2)
     val out = SimilarityOps.semDedup(emb, tau = 0.95, centroids = Some(trained))
