@@ -93,6 +93,14 @@ def main():
         ctes51, order51, final51 = split_ctes(oracles["p51_split_leakage_safe"])
         for name in ["sigs", "sx", "cand", "prs"]:
             assert ctes51[name] == ctes[name], f"p51 {name} CTE drifted from p15's"
+    # p75 (canonical keep) shares the chain AND the closure; its gd/k
+    # stages + final SELECT run verbatim off the propagated labels
+    check_p75 = "p75_dd_canonical" in oracles and \
+        glob.glob(f"{outdir}/p75_dd_canonical/*.parquet")
+    if check_p75:
+        ctes75, order75, final75 = split_ctes(oracles["p75_dd_canonical"])
+        for name in ["sigs", "sx", "cand", "prs", "edges"]:
+            assert ctes75[name] == ctes[name], f"p75 {name} CTE drifted from p15's"
 
     # ---- stage 1: materialize the pair pipeline, one stage at a time
     for name in ["sigs", "sx", "cand", "prs", "edges"]:
@@ -194,6 +202,31 @@ def main():
         print(("OK" if ok51 else "BAD") +
               f"  p51_split_leakage_safe: {len(exp51)} docs, {nval} in val/test")
         ok = ok and ok51
+
+    if check_p75:
+        con.sql("CREATE TEMP TABLE IF NOT EXISTS g AS "
+                "SELECT doc_id, label AS group_id FROM lbl")
+        con.sql(f"CREATE TEMP TABLE gd AS {ctes75['gd']}")
+        exp75 = con.sql(f"WITH k AS ({ctes75['k']}) {final75}") \
+            .df().reset_index(drop=True)
+        got75 = pd.read_parquet(
+            sorted(glob.glob(f"{outdir}/p75_dd_canonical/*.parquet")))
+        got75 = got75.sort_values("group_id").reset_index(drop=True)
+        ok75 = len(got75) == len(exp75)
+        if not ok75:
+            print(f"BAD p75 row count: spark {len(got75)} vs oracle {len(exp75)}")
+        else:
+            for c in ["group_id", "keep_id", "n_docs", "keep_chars",
+                      "dropped_chars"]:
+                if not (got75[c].to_numpy() == exp75[c].to_numpy()).all():
+                    bad = (got75[c].to_numpy() != exp75[c].to_numpy()).sum()
+                    print(f"BAD p75 column {c}: {bad} mismatching rows")
+                    ok75 = False
+        nsave = int(exp75["dropped_chars"].sum()) if len(exp75) else 0
+        print(("OK" if ok75 else "BAD") +
+              f"  p75_dd_canonical: {len(exp75)} multi-doc clusters, "
+              f"{nsave} chars dropped")
+        ok = ok and ok75
     sys.exit(0 if ok else 1)
 
 

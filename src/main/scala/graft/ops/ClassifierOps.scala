@@ -61,4 +61,51 @@ object ClassifierOps {
     import s.implicits._
     out.result().toDF("epoch", "w0", "w1", "w2", "w3", "n_mis")
   }
+
+  /** Exact ROC-AUC of an integer score against a ±1 label, per group —
+    * the Mann-Whitney rank-sum form with average-rank tie handling:
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), R⁺ = Σ avg-rank of positives,
+    * reported as a ×10⁶-quantized integer (`auc_q`; −1 when a group is
+    * single-class and AUC is undefined).
+    *
+    * Every quantity is integer: for a tie group of size t ending at
+    * cumulative count c, twice the average rank is 2c − t + 1, so
+    * 2R⁺ = Σ n⁺_g·(2c_g − t_g + 1) and
+    * auc_q = (2R⁺ − n⁺(n⁺+1))·10⁶ div (2·n⁺·n⁻) — bit-identical across
+    * engines and row orders, no float boundary.
+    *
+    * Scale shape: one map-side-combinable aggregation collapses the
+    * corpus to a (group, score) HISTOGRAM; the rank window and final
+    * fold run over distinct scores only (≪ rows for any quantized
+    * score). Like p61/p69/p72, this is an EVALUATOR: at production
+    * scale it runs on an eval sample, and the integer form is exact up
+    * to ~2·10⁶ scored rows per group before (2R⁺)·10⁶ would need
+    * DECIMAL(38) headroom.
+    *
+    * @param scored columns `groupCol` (any orderable type), `scoreCol`
+    *               (BIGINT, higher = predicted more positive), `yCol`
+    *               (BIGINT in {-1, +1})
+    * @return one row per group: (groupCol, n_pos, n_neg, auc_q)
+    */
+  def rocAucQ(scored: DataFrame, groupCol: String, scoreCol: String, yCol: String): DataFrame = {
+    val h = scored.groupBy(col(groupCol), col(scoreCol))
+      .agg(
+        count(lit(1)).as("n_tot"),
+        count(when(col(yCol) === 1L, lit(1))).as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    h.withColumn("two_avg", lit(2L) * sum(col("n_tot")).over(w) - col("n_tot") + 1L)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("n_pos")).as("np"),
+        (sum(col("n_tot")) - sum(col("n_pos"))).as("nn"),
+        sum(col("n_pos") * col("two_avg")).as("two_r"))
+      .select(
+        col(groupCol),
+        col("np").as("n_pos"),
+        col("nn").as("n_neg"),
+        when(col("np") === 0L || col("nn") === 0L, lit(-1L))
+          .otherwise(expr("((two_r - np * (np + 1)) * 1000000) div (2 * np * nn)"))
+          .as("auc_q"))
+  }
 }

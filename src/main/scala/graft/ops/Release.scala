@@ -30,9 +30,19 @@ object Release {
     */
   val MaxMisses = 64
 
-  // live listener count, observable by tests (listenerManager has no size API)
-  private val liveListeners = new java.util.concurrent.atomic.AtomicInteger(0)
-  def activeListeners: Int = liveListeners.get()
+  // live listeners, observable by tests (listenerManager has no size
+  // API). A listener whose session has STOPPED can never fire again —
+  // its bus is dead — so keeping it "live" would leak its captured plan
+  // and cache reference for the JVM's lifetime in a server that cycles
+  // sessions (the same hazard Pipeline's pairCache prunes for its map
+  // keys). Every registration and every count observation reaps them.
+  private val live =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[WatchedListener]()
+
+  def activeListeners: Int = { reapStopped(); live.size }
+
+  private def reapStopped(): Unit =
+    live.forEach(w => if (w.spark.sparkContext.isStopped) w.release())
 
   /** Persist `df` and unpersist it automatically after the first
     * completed (or failed) execution that consumed it, or after
@@ -54,29 +64,37 @@ object Release {
     watched(df, releaseOnHit = false, idleBudget = idleBudget)
 
   private def watched(df: DataFrame, releaseOnHit: Boolean, idleBudget: Int): DataFrame = {
-    val spark = df.sparkSession
-    val target = df.queryExecution.analyzed
+    reapStopped()
     val cached = df.persist()
-    val listener: QueryExecutionListener = new QueryExecutionListener {
-      private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def release(): Unit =
-        if (done.compareAndSet(false, true)) {
-          cached.unpersist(false)
-          spark.listenerManager.unregister(this)
-          liveListeners.decrementAndGet()
-        }
-      private def maybeRelease(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(target))) {
-          if (releaseOnHit) release() else misses.set(0)
-        } else if (misses.incrementAndGet() >= idleBudget) release()
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        maybeRelease(qe)
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        maybeRelease(qe)
-    }
-    liveListeners.incrementAndGet()
-    spark.listenerManager.register(listener)
+    val listener = new WatchedListener(df.sparkSession, cached, releaseOnHit, idleBudget)
+    live.add(listener)
+    df.sparkSession.listenerManager.register(listener)
     cached
+  }
+
+  private final class WatchedListener(
+      val spark: org.apache.spark.sql.SparkSession,
+      cached: DataFrame,
+      releaseOnHit: Boolean,
+      idleBudget: Int) extends QueryExecutionListener {
+    private val target = cached.queryExecution.analyzed
+    private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit =
+      if (done.compareAndSet(false, true)) {
+        // on a stopped session both calls are dead-context cleanup —
+        // failure must not keep the listener in the live set
+        try cached.unpersist(false) catch { case _: Exception => () }
+        try spark.listenerManager.unregister(this) catch { case _: Exception => () }
+        live.remove(this)
+      }
+    private def maybeRelease(qe: QueryExecution): Unit =
+      if (qe.analyzed.exists(_.sameResult(target))) {
+        if (releaseOnHit) release() else misses.set(0)
+      } else if (misses.incrementAndGet() >= idleBudget) release()
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      maybeRelease(qe)
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      maybeRelease(qe)
   }
 }

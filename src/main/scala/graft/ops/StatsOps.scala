@@ -33,6 +33,16 @@ final case class MgSnap(
 /** GroupState for the streaming heavy-hitter fold: ≤ k counters. */
 final case class MgState(nSeen: Long, items: Seq[String], cnts: Seq[Long])
 
+/** Per-key histogram snapshot emitted by
+  * [[StatsOps.streamingHistogram]] each time a key appears in a
+  * micro-batch: the q fixed-resolution bucket counters after the
+  * batch's fold.
+  */
+final case class QhSnap(user_id: Long, n_seen: Long, cnts: Seq[Long])
+
+/** GroupState for the streaming histogram fold: exactly q counters. */
+final case class QhState(nSeen: Long, cnts: Seq[Long])
+
 /** Weighted-sampling and corpus-statistics kernels.
   *
   * The batch side (p63) and the streaming side (cef46) share one
@@ -187,6 +197,58 @@ object StatsOps {
           state.update(WsState(nSeen, merged.map(_._2), merged.map(_._1)))
           Iterator.single(
             WsSnap(key, nSeen, merged.size.toLong, merged.map(_._2), merged.map(_._1)))
+      }
+  }
+
+  /** One micro-batch of bucket indices folded into a q-cell histogram —
+    * the pure kernel of [[streamingHistogram]], factored out so the
+    * spec can fuzz arbitrary splits. Counter addition is associative
+    * and commutative, so the streamed fold equals the whole-stream
+    * histogram for ANY micro-batch split. Out-of-range buckets clamp
+    * to the edge cells (the caller's bucketize rule should already
+    * clamp; this keeps a stray row from throwing inside the fold).
+    */
+  def foldHistogram(prev: Seq[Long], batch: Iterable[Int], q: Int): Seq[Long] = {
+    val cnts = if (prev.size == q) prev.toArray else Array.fill(q)(0L)
+    batch.foreach { b => cnts(math.min(math.max(b, 0), q - 1)) += 1L }
+    cnts.toSeq
+  }
+
+  /** Streaming per-key fixed-resolution histogram: q bucket counters
+    * per key folded through GroupState, emitting a snapshot per touched
+    * key per batch — the batch histogram-quantile design (p65) as a
+    * cross-batch state fold, completing the per-key sketch family
+    * (KMV cef43, CM cef45, reservoir cef46, Misra-Gries cef47).
+    * Quantiles read off the FINAL snapshot's cumulative counts are
+    * exact for the bucketized distribution, whatever the split.
+    *
+    * Scale shape: state is O(q) per key regardless of stream length or
+    * value range (the bucketize rule clamps); the only shuffle is the
+    * stateful groupByKey; quantile extraction downstream touches q
+    * rows per key, never the stream.
+    */
+  def streamingHistogram(
+      events: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      q: Int): Dataset[QhSnap] = {
+    implicit val stEnc: Encoder[QhState] = Encoders.product[QhState]
+    implicit val outEnc: Encoder[QhSnap] = Encoders.product[QhSnap]
+    implicit val rowEnc: Encoder[(Long, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.select(col(keyCol).cast("long"), col(bucketCol).cast("int"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QhState, QhSnap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Int)], state: GroupState[QhState]) =>
+          val prev = state.getOption.getOrElse(QhState(0L, Seq.fill(q)(0L)))
+          var nNew = 0L
+          val cnts = foldHistogram(prev.cnts, rows.map { r => nNew += 1; r._2 }.toSeq, q)
+          val nSeen = prev.nSeen + nNew
+          state.update(QhState(nSeen, cnts))
+          Iterator.single(QhSnap(key, nSeen, cnts))
       }
   }
 }

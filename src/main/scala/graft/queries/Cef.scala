@@ -1400,6 +1400,67 @@ object Cef {
         .orderBy(col("user_id"), col("rk"))
     },
 
+    // ---------------- streaming per-key histogram quantiles: the batch
+    // histogram-quantile design (p65) as a cross-batch state fold —
+    // q fixed-resolution bucket counters per key (value div 8, clamped),
+    // folded through GroupState. Counter addition is associative and
+    // commutative, so the final snapshot's histogram equals the
+    // whole-stream histogram however the micro-batches split, and the
+    // p50/p90/p99 buckets read off its cumulative counts (smallest
+    // bucket whose cum reaches p% of n_seen) are EXACT for the
+    // bucketized distribution — which is why the oracle can restate the
+    // whole stream in one batch statement. The div-8 bucketize is an
+    // exact binary-exponent shift, so no float boundary crosses the
+    // engines. Completes the per-key streaming sketch family:
+    // KMV (cef43), CM (cef45), reservoir (cef46), Misra-Gries (cef47),
+    // quantiles (this).
+    Q("cef48_streaming_quantiles", {
+      val qb = StreamQhBuckets
+      s"""WITH b AS (
+         |  SELECT user_id,
+         |         LEAST(GREATEST(CAST(floor(value / 8) AS BIGINT), 0), ${qb - 1})
+         |           AS bucket
+         |  FROM events),
+         |h AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS c
+         |      FROM b GROUP BY user_id, bucket),
+         |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen
+         |      FROM b GROUP BY user_id),
+         |cum AS (SELECT user_id, bucket,
+         |               sum(c) OVER (PARTITION BY user_id ORDER BY bucket) AS cum
+         |        FROM h)
+         |SELECT user_id, n_seen,
+         |       min(CASE WHEN cum * 100 >= 50 * n_seen THEN bucket END) AS p50_b,
+         |       min(CASE WHEN cum * 100 >= 90 * n_seen THEN bucket END) AS p90_b,
+         |       min(CASE WHEN cum * 100 >= 99 * n_seen THEN bucket END) AS p99_b
+         |FROM cum JOIN n USING (user_id)
+         |GROUP BY user_id, n_seen
+         |ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.StatsOps
+      val qb = StreamQhBuckets
+      val snaps = runEventStream(s, dir, "cef48", "append") { raw =>
+        StatsOps.streamingHistogram(
+          raw.withColumn("bucket",
+            least(greatest(floor(col("value") / 8).cast("long"), lit(0L)),
+              lit((qb - 1).toLong))),
+          "user_id", "bucket", qb).toDF()
+      }
+      requireCrossBatchFold(snaps, "cef48", "user_id")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("pos"))
+      latestSnapshotPerKey(snaps, "user_id")
+        .select(col("user_id"), col("n_seen"), posexplode(col("cnts")).as(Seq("pos", "c")))
+        .withColumn("cum", sum(col("c")).over(w))
+        .groupBy(col("user_id"), col("n_seen"))
+        .agg(
+          min(when(col("cum") * 100 >= col("n_seen") * 50, col("pos")))
+            .cast("long").as("p50_b"),
+          min(when(col("cum") * 100 >= col("n_seen") * 90, col("pos")))
+            .cast("long").as("p90_b"),
+          min(when(col("cum") * 100 >= col("n_seen") * 99, col("pos")))
+            .cast("long").as("p99_b"))
+        .orderBy(col("user_id"))
+    },
+
     // ---------------- F3 smart-scan intervals driver-checked: the
     // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
     // exhaustive SQL window enumeration — the fullScan semantics the
@@ -1554,6 +1615,14 @@ object Cef {
     */
   private def StreamCmWidth = 64
   private def StreamCmProbes: Seq[Long] = Seq(0L, 7L, 42L, 123L, 999L, 4242L)
+
+  /** cef48 histogram resolution: 64 buckets of width 8 cover the
+    * events value range (0–490) without clamp saturation, and per-key
+    * counts at sf0.01+ (~67 events/user) spread across enough buckets
+    * that p50/p90/p99 land in distinct cells. A def (queries-val init
+    * order).
+    */
+  private def StreamQhBuckets = 64
 
   /** Sliced-source directories, one per events table: the four streaming
     * gates (cef22/25/28/33) replay the SAME slices, so the slice build —

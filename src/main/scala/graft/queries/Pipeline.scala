@@ -2595,54 +2595,15 @@ object Pipeline {
     // discipline): each epoch's update is Σ y·x over rows the previous
     // weights misclassify.
     Q("p55_quality_perceptron", {
-      val toks = "string_split(text, ' ')"
-      val stop = TextOps.countInSql(toks, TextOps.Stopwords)
-      def epoch(prev: Option[String], n: Int) = {
-        val inner = prev match {
-          case None =>
-            "SELECT f.*, CAST(0 AS BIGINT) AS pw0, CAST(0 AS BIGINT) AS pw1, " +
-              "CAST(0 AS BIGINT) AS pw2, CAST(0 AS BIGINT) AS pw3, TRUE AS m FROM f"
-          case Some(p) =>
-            s"""SELECT f.*, $p.w0 AS pw0, $p.w1 AS pw1, $p.w2 AS pw2, $p.w3 AS pw3,
-               |       ($p.w0 * x0 + $p.w1 * x1 + $p.w2 * x2 + $p.w3 * x3) * y <= 0 AS m
-               |FROM f CROSS JOIN $p""".stripMargin
-        }
-        s"""e$n AS (
-           |  SELECT max(pw0) + coalesce(sum(CASE WHEN m THEN y * x0 END), 0) AS w0,
-           |         max(pw1) + coalesce(sum(CASE WHEN m THEN y * x1 END), 0) AS w1,
-           |         max(pw2) + coalesce(sum(CASE WHEN m THEN y * x2 END), 0) AS w2,
-           |         max(pw3) + coalesce(sum(CASE WHEN m THEN y * x3 END), 0) AS w3,
-           |         CAST(count(*) FILTER (WHERE m) AS BIGINT) AS n_mis
-           |  FROM ($inner))""".stripMargin
-      }
-      val epochs = (1 to PerceptronEpochs).map(n =>
-        epoch(if (n == 1) None else Some(s"e${n - 1}"), n)).mkString(",\n")
       val out = (1 to PerceptronEpochs).map(n =>
         s"SELECT CAST($n AS INT) AS epoch, CAST(w0 AS BIGINT) AS w0, " +
           s"CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2, " +
           s"CAST(w3 AS BIGINT) AS w3, n_mis FROM e$n")
         .mkString("\nUNION ALL\n")
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |         CAST(1 AS BIGINT) AS x0,
-         |         CAST(len($toks) AS BIGINT) AS x1,
-         |         CAST($stop AS BIGINT) AS x2,
-         |         CAST(len(list_filter($toks, t -> length(t) >= 6)) AS BIGINT) AS x3,
-         |         CAST(CASE WHEN len($toks) >= 20 AND $stop > 0
-         |                   THEN 1 ELSE -1 END AS BIGINT) AS y
-         |  FROM documents),
-         |$epochs
+      s"""WITH $PerceptronCtes
          |SELECT * FROM ($out) ORDER BY epoch""".stripMargin
     }) { (s, dir) =>
-      val toks = tokens(col("text"))
-      val stop = countIn(toks, Stopwords)
-      val feats = t(s, dir, "documents").select(
-        lit(1L).as("x0"),
-        size(toks).cast("long").as("x1"),
-        stop.cast("long").as("x2"),
-        size(filter(toks, tk => length(tk) >= 6)).cast("long").as("x3"),
-        when(size(toks) >= 20 && stop > 0, 1L).otherwise(-1L).as("y"))
-      graft.ops.ClassifierOps.perceptronEpochs(s, feats, PerceptronEpochs)
+      graft.ops.ClassifierOps.perceptronEpochs(s, perceptronFeats(s, dir), PerceptronEpochs)
         .orderBy(col("epoch"))
     },
 
@@ -3221,6 +3182,180 @@ object Pipeline {
         .withColumn("share_q", expr("(n_docs * 1000000) div total"))
         .select(col("lang"), col("lang_guess"), col("n_docs"), col("share_q"))
         .orderBy(col("lang"), col("lang_guess"))
+    },
+
+    // --------------------- evaluation: quality-classifier ROC-AUC (p73)
+    // The fourth "measure, don't guess" evaluator (after p61 ANN recall,
+    // p69 MinHash calibration, p72 lang-ID confusion): ROC-AUC of the
+    // p55 perceptron's margin against the quality labels, per epoch — a
+    // misclassification COUNT (p55's n_mis) hides ranking quality; AUC
+    // is what a threshold-tuned filter actually buys. Exact Mann-Whitney
+    // rank-sum with average-rank ties, all-integer (ClassifierOps
+    // .rocAucQ), so both engines agree bit-for-bit. Physical shape: the
+    // corpus collapses to a (epoch, margin) histogram in one
+    // map-side-combinable agg; ranks run over distinct margins only.
+    Q("p73_quality_auc", {
+      val ws = (1 to PerceptronEpochs).map(n =>
+        s"SELECT CAST($n AS INT) AS epoch, w0, w1, w2, w3 FROM e$n")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $PerceptronCtes,
+         |wt AS ($ws),
+         |sc AS (SELECT epoch, w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3 AS score, y
+         |       FROM f CROSS JOIN wt),
+         |h AS (SELECT epoch, score, CAST(count(*) AS BIGINT) AS n_tot,
+         |             CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_pos
+         |      FROM sc GROUP BY epoch, score),
+         |r AS (SELECT epoch, n_tot, n_pos,
+         |             2 * sum(n_tot) OVER (PARTITION BY epoch ORDER BY score)
+         |               - n_tot + 1 AS two_avg
+         |      FROM h),
+         |a AS (SELECT epoch, sum(n_pos) AS np, sum(n_tot) - sum(n_pos) AS nn,
+         |             sum(n_pos * two_avg) AS two_r
+         |      FROM r GROUP BY epoch)
+         |SELECT epoch, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         |       CAST(CASE WHEN np = 0 OR nn = 0 THEN -1
+         |            ELSE ((two_r - np * (np + 1)) * 1000000) // (2 * np * nn)
+         |            END AS BIGINT) AS auc_q
+         |FROM a ORDER BY epoch""".stripMargin
+    }) { (s, dir) =>
+      val feats = perceptronFeats(s, dir)
+      val wdf = graft.ops.ClassifierOps
+        .perceptronEpochs(s, feats, PerceptronEpochs)
+        .select(col("epoch"), col("w0"), col("w1"), col("w2"), col("w3"))
+      val scored = feats.crossJoin(broadcast(wdf)).select(
+        col("epoch"),
+        (col("w0") * col("x0") + col("w1") * col("x1")
+          + col("w2") * col("x2") + col("w3") * col("x3")).as("score"),
+        col("y"))
+      graft.ops.ClassifierOps.rocAucQ(scored, "epoch", "score", "y")
+        .orderBy(col("epoch"))
+    },
+
+    // ------------------------ dedup: pairwise source-overlap matrix (p74)
+    // "How much of source B is already in source A?" — the question a
+    // mixing plan asks before paying for a cross-source dedup (e.g. a
+    // fresh crawl vs an existing dump). Per-source KMV bottom-k sketches
+    // of the distinct-token universe, merged pairwise: for sources
+    // (A, B), the k smallest hashes of S_A ∪ S_B are an unbiased sample
+    // of the union, so |sample ∩ S_A ∩ S_B| / |sample| estimates
+    // Jaccard(A, B) (Beyer et al., SIGMOD'07). Bottom-k is a pure
+    // function of the hash set — both engines build the identical
+    // sketch, so the ESTIMATE itself is the oracle-checked value.
+    // Physical shape: the only corpus-scale stages are the distinct agg
+    // and the per-source bottom-k (the p34 KMV shape); everything
+    // pairwise runs on sources² × k sketch rows with broadcast joins —
+    // the corpus is never joined to itself.
+    Q("p74_source_overlap", {
+      s"""WITH d AS (SELECT DISTINCT source, unnest(${tokenHashesSql("text")}) AS h
+         |           FROM documents),
+         |r AS (SELECT source, h,
+         |             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+         |      FROM d),
+         |sk AS (SELECT source, h FROM r WHERE rk <= $OverlapK),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |ps AS (SELECT a.source AS src_a, b.source AS src_b
+         |       FROM srcs a JOIN srcs b ON a.source < b.source),
+         |u AS (SELECT src_a, src_b, h,
+         |             max(side) AS in_b, min(side) AS in_a_inv
+         |      FROM (SELECT ps.src_a, ps.src_b, sk.h, 0 AS side
+         |            FROM ps JOIN sk ON sk.source = ps.src_a
+         |            UNION ALL
+         |            SELECT ps.src_a, ps.src_b, sk.h, 1 AS side
+         |            FROM ps JOIN sk ON sk.source = ps.src_b)
+         |      GROUP BY src_a, src_b, h),
+         |m AS (SELECT src_a, src_b, in_a_inv, in_b,
+         |             row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+         |      FROM u),
+         |j AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_merged,
+         |             CAST(count(*) FILTER (WHERE in_a_inv = 0 AND in_b = 1)
+         |                  AS BIGINT) AS n_both
+         |      FROM m WHERE rk <= $OverlapK GROUP BY src_a, src_b)
+         |SELECT src_a, src_b, n_merged, n_both,
+         |       (n_both * 1000000) // n_merged AS jacc_q
+         |FROM j ORDER BY src_a, src_b""".stripMargin
+    }) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"))
+      val sk = t(s, dir, "documents")
+        .select(col("source"), explode(tokenHashes(col("text"))).as("h"))
+        .distinct()
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= OverlapK)
+        .select(col("source"), col("h"))
+        .persist()
+      val srcs = sk.select(col("source")).distinct()
+      val ps = srcs.as("a").join(srcs.as("b"),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      val tagged = ps.join(broadcast(sk), col("source") === col("src_a"))
+        .select(col("src_a"), col("src_b"), col("h"), lit(0).as("side"))
+        .union(ps.join(broadcast(sk), col("source") === col("src_b"))
+          .select(col("src_a"), col("src_b"), col("h"), lit(1).as("side")))
+      val u = tagged.groupBy(col("src_a"), col("src_b"), col("h"))
+        .agg(max(col("side")).as("in_b"), min(col("side")).as("in_a_inv"))
+      val mw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+      val out = u.withColumn("rk", row_number().over(mw))
+        .filter(col("rk") <= OverlapK)
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(
+          count(lit(1)).as("n_merged"),
+          count(when(col("in_a_inv") === 0 && col("in_b") === 1, lit(1))).as("n_both"))
+        .withColumn("jacc_q", expr("(n_both * 1000000) div n_merged"))
+        .orderBy(col("src_a"), col("src_b"))
+      graft.ops.Release.afterFirstUse(sk)
+      out
+    },
+
+    // -------------------- dedup: canonical keep per near-dup group (p75)
+    // The near-dup chain's LAST step: p15 labels the clusters; this op
+    // DECIDES — per multi-doc cluster, keep the longest document
+    // (n_chars desc, doc_id tiebreak) and report what the drop saves.
+    // Shares the memoized ≥0.9 pair chain with p06/p15/p51, so in a
+    // sweep it costs one extra keyed agg over the group labels; the
+    // argmax is a max(struct) — no per-group window, one shuffle.
+    Q("p75_dd_canonical", {
+      s"""$NearDupPairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN edges e ON e.a = r.b)
+         |  SELECT * FROM r),
+         |g AS (SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a),
+         |gd AS (SELECT g.group_id, g.doc_id, d.n_chars
+         |       FROM g JOIN documents d USING (doc_id)),
+         |k AS (SELECT group_id, doc_id AS keep_id, n_chars AS keep_chars,
+         |             row_number() OVER (PARTITION BY group_id
+         |                                ORDER BY n_chars DESC, doc_id) AS rk,
+         |             count(*) OVER (PARTITION BY group_id) AS n_docs,
+         |             sum(n_chars) OVER (PARTITION BY group_id) AS sum_chars
+         |      FROM gd)
+         |SELECT group_id, keep_id, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(keep_chars AS BIGINT) AS keep_chars,
+         |       CAST(sum_chars - keep_chars AS BIGINT) AS dropped_chars
+         |FROM k WHERE rk = 1 AND n_docs >= 2 ORDER BY group_id""".stripMargin
+    }) { (s, dir) =>
+      val prsCp = nearDupPairs(s, dir).localCheckpoint(true)
+      val groups = DedupOps.neardupGroups(
+        t(s, dir, "documents"), "doc_id", prsCp, "id_a", "id_b")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(prsCp)
+      groups
+        .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("group_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          max(struct(col("n_chars").as("c"), (-col("doc_id")).as("negid"))).as("mx"))
+        .filter(col("n_docs") >= 2)
+        .select(
+          col("group_id"),
+          (-col("mx.negid")).as("keep_id"),
+          col("n_docs"),
+          col("mx.c").as("keep_chars"),
+          (col("sum_chars") - col("mx.c")).as("dropped_chars"))
+        .orderBy(col("group_id"))
     }
   )
 
@@ -3356,6 +3491,67 @@ object Pipeline {
 
   /** Training epochs for p55's batch perceptron. */
   private def PerceptronEpochs: Int = 3
+
+  /** The perceptron feature projection shared by p55 (training) and p73
+    * (AUC evaluation) — one owner for the feature/label formulas so the
+    * trainer and its evaluator can never drift apart. Features: bias,
+    * token count, stopword count, long-token count; labels from the p02
+    * quality rule.
+    */
+  private def perceptronFeats(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = countIn(toks, Stopwords)
+    t(s, dir, "documents").select(
+      lit(1L).as("x0"),
+      size(toks).cast("long").as("x1"),
+      stop.cast("long").as("x2"),
+      size(filter(toks, tk => length(tk) >= 6)).cast("long").as("x3"),
+      when(size(toks) >= 20 && stop > 0, 1L).otherwise(-1L).as("y"))
+  }
+
+  /** SQL twin of [[perceptronFeats]] + the unrolled epoch recursion:
+    * CTEs `f` (features) and `e1..eN` (weights after each epoch), shared
+    * by the p55 and p73 oracles. Each epoch's update is Σ y·x over the
+    * rows the previous weights misclassify (margin ≤ 0); epoch 1 starts
+    * from w = 0, under which every row is misclassified.
+    */
+  private def PerceptronCtes: String = {
+    val toks = "string_split(text, ' ')"
+    val stop = TextOps.countInSql(toks, TextOps.Stopwords)
+    def epoch(prev: Option[String], n: Int) = {
+      val inner = prev match {
+        case None =>
+          "SELECT f.*, CAST(0 AS BIGINT) AS pw0, CAST(0 AS BIGINT) AS pw1, " +
+            "CAST(0 AS BIGINT) AS pw2, CAST(0 AS BIGINT) AS pw3, TRUE AS m FROM f"
+        case Some(p) =>
+          s"""SELECT f.*, $p.w0 AS pw0, $p.w1 AS pw1, $p.w2 AS pw2, $p.w3 AS pw3,
+             |       ($p.w0 * x0 + $p.w1 * x1 + $p.w2 * x2 + $p.w3 * x3) * y <= 0 AS m
+             |FROM f CROSS JOIN $p""".stripMargin
+      }
+      s"""e$n AS (
+         |  SELECT max(pw0) + coalesce(sum(CASE WHEN m THEN y * x0 END), 0) AS w0,
+         |         max(pw1) + coalesce(sum(CASE WHEN m THEN y * x1 END), 0) AS w1,
+         |         max(pw2) + coalesce(sum(CASE WHEN m THEN y * x2 END), 0) AS w2,
+         |         max(pw3) + coalesce(sum(CASE WHEN m THEN y * x3 END), 0) AS w3,
+         |         CAST(count(*) FILTER (WHERE m) AS BIGINT) AS n_mis
+         |  FROM ($inner))""".stripMargin
+    }
+    val epochs = (1 to PerceptronEpochs).map(n =>
+      epoch(if (n == 1) None else Some(s"e${n - 1}"), n)).mkString(",\n")
+    s"""f AS (
+       |  SELECT doc_id,
+       |         CAST(1 AS BIGINT) AS x0,
+       |         CAST(len($toks) AS BIGINT) AS x1,
+       |         CAST($stop AS BIGINT) AS x2,
+       |         CAST(len(list_filter($toks, t -> length(t) >= 6)) AS BIGINT) AS x3,
+       |         CAST(CASE WHEN len($toks) >= 20 AND $stop > 0
+       |                   THEN 1 ELSE -1 END AS BIGINT) AS y
+       |  FROM documents),
+       |$epochs""".stripMargin
+  }
+
+  /** KMV sample size per source for p74's overlap matrix. */
+  private def OverlapK: Int = 256
 
   /** Gopher-style stopword set for the quality gate (the synthetic corpus
     * carries 'the'/'a' as its function words). Defs, not vals: they are

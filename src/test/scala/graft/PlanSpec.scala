@@ -573,4 +573,34 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "CartesianProduct"
     plan should not include "SortMergeJoin"
   }
+
+  "p73_quality_auc" should "score via a model-row broadcast and rank over the histogram only" in {
+    val plan = planOf("p73_quality_auc")
+    // the (epochs × 5)-cell weight table rides a broadcast over one
+    // feature scan; the corpus collapses to a (epoch, margin) histogram
+    // before any sort — a SortMergeJoin or corpus-scale Window here
+    // would shuffle rows the rank-sum never needs
+    plan should include("BroadcastNestedLoopJoin") // epoch-weights cross join by design
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
+  "p74_source_overlap" should "keep everything past the per-source sketch on broadcast joins" in {
+    val plan = planOf("p74_source_overlap")
+    // corpus-scale work ends at the distinct agg + per-source bottom-k;
+    // the pairwise merge joins sources² × k sketch rows — broadcast,
+    // never a corpus shuffle join, and the corpus never self-joins
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    // the sketch is persisted once and feeds both sides of the pair tag
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
+  }
+
+  "p75_dd_canonical" should "decide keeps in one keyed agg — no per-group window, no all-pairs" in {
+    val plan = planOf("p75_dd_canonical")
+    // the argmax is max(struct(n_chars, -id)) inside the group agg; a
+    // row_number window here would re-sort every cluster's rows
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
 }

@@ -359,4 +359,46 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     h1 shouldBe graft.ops.TextOps.polyHashJvm("123#graft-calib-9")
     h1 should not be graft.ops.TextOps.polyHashJvm("123#graft-calib-8")
   }
+
+  "foldHistogram" should "equal the whole-stream histogram for arbitrary splits, clamping strays" in {
+    val q = 8
+    (1 to 100).foreach { _ =>
+      val n = rnd.nextInt(80)
+      // include out-of-range buckets to exercise the clamp edges
+      val buckets = (1 to n).map(_ => rnd.nextInt(q + 4) - 2)
+      val want = {
+        val a = Array.fill(q)(0L)
+        buckets.foreach(b => a(math.min(math.max(b, 0), q - 1)) += 1L)
+        a.toSeq
+      }
+      var batches = List.empty[Seq[Int]]
+      var rest = rnd.shuffle(buckets)
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(rest.size)
+        batches ::= rest.take(take); rest = rest.drop(take)
+      }
+      val got = batches.foldLeft(ops.StatsOps.foldHistogram(Nil, Nil, q))(
+        (acc, b) => ops.StatsOps.foldHistogram(acc, b, q))
+      got shouldBe want
+    }
+  }
+
+  "cef48's quantile pick" should "equal sort-based bucket ranks (min bucket with cum >= p% of n)" in {
+    // the pick rule shared by both engines: smallest bucket whose
+    // cumulative count reaches p% of n_seen == the bucket holding the
+    // ceil(p*n/100)-th smallest value
+    (1 to 100).foreach { _ =>
+      val n = 1 + rnd.nextInt(200)
+      val buckets = (1 to n).map(_ => rnd.nextInt(64)).sorted
+      val hist = buckets.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      for (p <- Seq(50, 90, 99)) {
+        val viaRule = (0 until 64).find { b =>
+          val cum = (0 to b).map(i => hist.getOrElse(i, 0L)).sum
+          cum * 100 >= p.toLong * n
+        }.get
+        val viaSort = buckets((p * n + 99) / 100 - 1)
+        viaRule shouldBe viaSort
+      }
+    }
+  }
 }
