@@ -575,16 +575,7 @@ object TextOps {
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
-    val words = docs
-      .select(explode(split(col(textCol), " ")).as("word"))
-      .filter(length(col("word")) > 0 && !col("word").contains("|"))
-      .distinct()
-    val encoded = merges.foldLeft(
-        words.select(col("word"), regexp_replace(col("word"), "(.)", "|$1|").as("state"))) {
-      case (df, (l, r)) =>
-        df.select(col("word"),
-          replace(col("state"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")).as("state"))
-    }.select(col("word"), split(trim(col("state"), "|"), "\\|\\|").as("toks"))
+    val encoded = bpeVocab(docs, textCol, merges)
     docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
@@ -594,22 +585,36 @@ object TextOps {
         posexplode(col("toks")).as(Seq("spos", "token")))
   }
 
-  def bpeEncode(
+  /** The tokenized DISTINCT-word vocabulary `(word, toks)` a learned
+    * merge list induces: every corpus word split to characters, then the
+    * merges applied in order. This is the model-sized table every BPE
+    * application path ([[bpeTokenize]], [[bpeEncode]], the per-source
+    * fertility stats) broadcasts — the corpus itself never enters the
+    * merge rewriting, only its distinct-word table does.
+    */
+  def bpeVocab(
       docs: org.apache.spark.sql.DataFrame,
-      idCol: String,
       textCol: String,
       merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val words = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0 && !col("word").contains("|"))
       .distinct()
-    val encoded = merges.foldLeft(
+    merges.foldLeft(
         words.select(col("word"), regexp_replace(col("word"), "(.)", "|$1|").as("state"))) {
       case (df, (l, r)) =>
         df.select(col("word"),
           replace(col("state"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")).as("state"))
-    }.select(col("word"),
-      size(split(trim(col("state"), "|"), "\\|\\|")).cast("long").as("n_sub"))
+    }.select(col("word"), split(trim(col("state"), "|"), "\\|\\|").as("toks"))
+  }
+
+  def bpeEncode(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val encoded = bpeVocab(docs, textCol, merges)
+      .select(col("word"), size(col("toks")).cast("long").as("n_sub"))
     docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)

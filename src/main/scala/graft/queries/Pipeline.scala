@@ -277,9 +277,9 @@ object Pipeline {
          |       CAST(floor(wcnt.topw * 1000000.0 / wcnt.n_tokens + 0.5) AS BIGINT) AS top_word_q,
          |       CAST(floor(coalesce(bi.topb, 0) * 1000000.0 / greatest(coalesce(bi.n_bi, 0), 1) + 0.5) AS BIGINT) AS top_bigram_q,
          |       CAST(floor(coalesce(tri.dup_tri, 0) * 1000000.0 / greatest(coalesce(tri.n_tri, 0), 1) + 0.5) AS BIGINT) AS dup_trigram_q,
-         |       (floor(wcnt.topw * 1000000.0 / wcnt.n_tokens + 0.5) < 300000
-         |        AND floor(coalesce(bi.topb, 0) * 1000000.0 / greatest(coalesce(bi.n_bi, 0), 1) + 0.5) < 180000
-         |        AND floor(coalesce(tri.dup_tri, 0) * 1000000.0 / greatest(coalesce(tri.n_tri, 0), 1) + 0.5) < 300000) AS keep
+         |       (floor(wcnt.topw * 1000000.0 / wcnt.n_tokens + 0.5) < $RepTopWordMax
+         |        AND floor(coalesce(bi.topb, 0) * 1000000.0 / greatest(coalesce(bi.n_bi, 0), 1) + 0.5) < $RepTopBigramMax
+         |        AND floor(coalesce(tri.dup_tri, 0) * 1000000.0 / greatest(coalesce(tri.n_tri, 0), 1) + 0.5) < $RepDupTrigramMax) AS keep
          |FROM documents d
          |JOIN wcnt USING (doc_id)
          |LEFT JOIN bi USING (doc_id)
@@ -302,8 +302,8 @@ object Pipeline {
           q((size(col("trig")) - size(array_distinct(col("trig")))).cast("long"),
             greatest(size(col("trig")), lit(1)).cast("long")).as("dup_trigram_q"))
         .withColumn("keep",
-          col("top_word_q") < 300000 && col("top_bigram_q") < 180000
-            && col("dup_trigram_q") < 300000)
+          col("top_word_q") < RepTopWordMax && col("top_bigram_q") < RepTopBigramMax
+            && col("dup_trigram_q") < RepDupTrigramMax)
         .orderBy(col("doc_id"))
     },
 
@@ -1142,9 +1142,9 @@ object Pipeline {
          |SELECT doc_id, CAST(n_words AS INT) AS n_words,
          |       (sum_len * 100) // n_words AS mean_wl_q,
          |       (n_stop * 10000) // n_words AS stop_q,
-         |       (n_words BETWEEN 30 AND 80)
-         |         AND ((sum_len * 100) // n_words BETWEEN 300 AND 460)
-         |         AND ((n_stop * 10000) // n_words >= 200) AS keep
+         |       (n_words BETWEEN $QWordsMin AND $QWordsMax)
+         |         AND ((sum_len * 100) // n_words BETWEEN $QWlMin AND $QWlMax)
+         |         AND ((n_stop * 10000) // n_words >= $QStopMin) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val ws = split(col("text"), " ")
@@ -1156,9 +1156,9 @@ object Pipeline {
       m.select(col("doc_id"), col("n_words"),
           expr("(sum_len * 100) div n_words").as("mean_wl_q"),
           expr("(n_stop * 10000) div n_words").as("stop_q"),
-          (col("n_words").between(30, 80)
-            && expr("(sum_len * 100) div n_words").between(300, 460)
-            && (expr("(n_stop * 10000) div n_words") >= 200)).as("keep"))
+          (col("n_words").between(QWordsMin, QWordsMax)
+            && expr("(sum_len * 100) div n_words").between(QWlMin, QWlMax)
+            && (expr("(n_stop * 10000) div n_words") >= QStopMin)).as("keep"))
         .orderBy(col("doc_id"))
     },
 
@@ -1926,25 +1926,7 @@ object Pipeline {
     // join, same scale shape as p45; the output explode is the tensor a
     // tokenizer must emit anyway.
     Q("p49_txt_bpe_tokenize", {
-      val steps = (1 to BpeSteps).map { k =>
-        s"""p$k AS (SELECT l, r, sum(freq) AS cnt FROM (
-           |   SELECT freq,
-           |          unnest(list_slice(toks, 1, len(toks) - 1)) AS l,
-           |          unnest(list_slice(toks, 2, len(toks))) AS r
-           |   FROM (SELECT freq, string_split(trim(state, '|'), '||') AS toks FROM v${k - 1})
-           | ) GROUP BY l, r),
-           |b$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-           |v$k AS (SELECT word, replace(state, '|' || b.l || '||' || b.r || '|',
-           |                             '|' || b.l || b.r || '|') AS state, freq
-           |        FROM v${k - 1} CROSS JOIN b$k b)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH v0 AS (
-         |  SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS state,
-         |         CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE length(word) > 0 AND NOT contains(word, '|') GROUP BY word),
-         |$steps,
-         |tok AS (SELECT word, string_split(trim(state, '|'), '||') AS toks FROM v${BpeSteps}),
+      s"""$BpeVocabCtes,
          |d AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS wpos, unnest(ws) AS word
          |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
          |e AS (SELECT d.doc_id, d.wpos, t.toks
@@ -3356,6 +3338,239 @@ object Pipeline {
           col("mx.c").as("keep_chars"),
           (col("sum_chars") - col("mx.c")).as("dropped_chars"))
         .orderBy(col("group_id"))
+    },
+
+    // ------------------------- pipeline: funnel drop accounting (p76)
+    // Where does the data die? The ingestion funnel runs the cleaning
+    // gates in their pipeline order — quality rules (p30), language-ID
+    // agreement (p03), repetition (p19) — and charges every document to
+    // the FIRST gate that rejects it, aggregating docs and chars per
+    // (source, stage). This is the report a pipeline owner reads before
+    // touching any threshold: which gate is eating which source.
+    // Gate formulas are the registered ones (shared threshold constants
+    // QWords*/QWl*/QStop*/RepTop*; shared countIn/ngram helpers), so the
+    // funnel can never disagree with the standalone gate queries.
+    // Scale shape: ONE corpus scan computing all three verdicts as
+    // per-row array expressions (no joins, no per-gate passes), then a
+    // 4×sources-row aggregate — the funnel costs no more than the most
+    // expensive single gate.
+    Q("p76_pipeline_funnel", {
+      val toks = "string_split(text, ' ')"
+      val stops = TextOps.countInSql("toks", QualityStopwords)
+      val scores = LangMarkers.map { case (lg, ws) =>
+        s"${TextOps.countInSql("toks", ws)} AS score_$lg"
+      }.mkString(",\n       ")
+      val best = LangMarkers.map(_._1).map(lg => s"score_$lg")
+        .reduceLeft((a, b) => s"greatest($a, $b)")
+      val guess = LangMarkers.map(_._1)
+        .map(lg => s"WHEN score_$lg = best THEN '$lg'").mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($toks) AS tok,
+         |         generate_subscripts($toks, 1) AS pos
+         |  FROM documents),
+         |seq AS (SELECT doc_id, tok,
+         |               lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2
+         |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |wcnt AS (SELECT doc_id, max(c) AS topw, sum(c) AS n_tokens
+         |         FROM (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+         |         GROUP BY doc_id),
+         |bi AS (SELECT doc_id, max(c) AS topb, sum(c) AS n_bi
+         |       FROM (SELECT doc_id, tok || ' ' || t1 AS g, count(*) AS c
+         |             FROM seq WHERE t1 IS NOT NULL GROUP BY doc_id, g)
+         |       GROUP BY doc_id),
+         |tri AS (SELECT doc_id, sum(c) - count(*) AS dup_tri, sum(c) AS n_tri
+         |        FROM (SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS g, count(*) AS c
+         |              FROM seq WHERE t2 IS NOT NULL GROUP BY doc_id, g)
+         |        GROUP BY doc_id),
+         |rep AS (SELECT d.doc_id,
+         |               (floor(wcnt.topw * 1000000.0 / wcnt.n_tokens + 0.5) < $RepTopWordMax
+         |                AND floor(coalesce(bi.topb, 0) * 1000000.0 / greatest(coalesce(bi.n_bi, 0), 1) + 0.5) < $RepTopBigramMax
+         |                AND floor(coalesce(tri.dup_tri, 0) * 1000000.0 / greatest(coalesce(tri.n_tri, 0), 1) + 0.5) < $RepDupTrigramMax) AS rep_keep
+         |        FROM documents d
+         |        JOIN wcnt USING (doc_id)
+         |        LEFT JOIN bi USING (doc_id)
+         |        LEFT JOIN tri USING (doc_id)),
+         |m AS (SELECT doc_id, source, lang, n_chars,
+         |             len(toks) AS n_words,
+         |             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+         |             CAST($stops AS BIGINT) AS n_stop,
+         |             $scores
+         |      FROM (SELECT doc_id, source, lang, n_chars, $toks AS toks
+         |            FROM documents)),
+         |g AS (SELECT doc_id, source, n_chars,
+         |             (n_words BETWEEN $QWordsMin AND $QWordsMax)
+         |               AND ((sum_len * 100) // n_words BETWEEN $QWlMin AND $QWlMax)
+         |               AND ((n_stop * 10000) // n_words >= $QStopMin) AS q_keep,
+         |             lang = CASE $guess END AS lang_ok
+         |      FROM (SELECT *, $best AS best FROM m)),
+         |f AS (SELECT g.source,
+         |             CASE WHEN NOT q_keep THEN 'quality'
+         |                  WHEN NOT lang_ok THEN 'langid'
+         |                  WHEN NOT rep_keep THEN 'repetition'
+         |                  ELSE 'kept' END AS stage,
+         |             g.n_chars
+         |      FROM g JOIN rep USING (doc_id))
+         |SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM f GROUP BY source, stage ORDER BY source, stage""".stripMargin
+    }) { (s, dir) =>
+      val toksC = tokens(col("text"))
+      def rq(cnt: Column, denom: Column) =
+        floor(cnt * lit(1000000.0) / denom + lit(0.5)).cast("long")
+      val m = t(s, dir, "documents").select(
+        Seq(
+          col("source"), col("lang"), col("n_chars"),
+          size(toksC).as("n_words"),
+          aggregate(toksC, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+          countIn(toksC, QualityStopwords).cast("long").as("n_stop"),
+          size(toksC).cast("long").as("n_tokens"),
+          TextOps.maxMultiplicity(toksC).as("topw"),
+          TextOps.ngrams(toksC, 2).as("big"),
+          TextOps.ngrams(toksC, 3).as("trig"))
+          ++ LangMarkers.map { case (lg, ws) => countIn(toksC, ws).as(s"score_$lg") }: _*)
+      val best = LangMarkers.map(mk => col(s"score_${mk._1}")).reduceLeft(greatest(_, _))
+      val guessCol = LangMarkers.map(_._1).reverse
+        .foldLeft(lit(null).cast("string")) { (acc, lg) =>
+          when(col(s"score_$lg") === col("best"), lg).otherwise(acc)
+        }
+      m.withColumn("best", best)
+        .select(
+          col("source"), col("n_chars"),
+          (col("n_words").between(QWordsMin, QWordsMax)
+            && expr("(sum_len * 100) div n_words").between(QWlMin, QWlMax)
+            && (expr("(n_stop * 10000) div n_words") >= QStopMin)).as("q_keep"),
+          (col("lang") === guessCol).as("lang_ok"),
+          (rq(col("topw"), col("n_tokens")) < RepTopWordMax
+            && rq(TextOps.maxMultiplicity(col("big")),
+                 greatest(size(col("big")), lit(1)).cast("long")) < RepTopBigramMax
+            && rq((size(col("trig")) - size(array_distinct(col("trig")))).cast("long"),
+                 greatest(size(col("trig")), lit(1)).cast("long")) < RepDupTrigramMax)
+            .as("rep_keep"))
+        .select(col("source"), col("n_chars"),
+          when(!col("q_keep"), "quality")
+            .when(!col("lang_ok"), "langid")
+            .when(!col("rep_keep"), "repetition")
+            .otherwise("kept").as("stage"))
+        .groupBy(col("source"), col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"), col("stage"))
+    },
+
+    // ------------------ similarity: hard-negative mining (p77)
+    // Contrastive-training data prep: for every anchor vector, the
+    // HardNegK most-similar vectors with a DIFFERENT label — "hard"
+    // negatives the loss actually learns from — excluding candidates at
+    // cos ≥ HardNegMaxCos (the near-dup band: probable unlabeled
+    // duplicates, i.e. false negatives that would poison the batch).
+    // Candidates come from the shared salted hyperplane-LSH buckets
+    // (p10's machinery) — never all-pairs; the per-anchor top-k is one
+    // row_number over the bucket-bounded candidate set, shuffled on the
+    // anchor id (full-width key, no skew).
+    Q("p77_sim_hard_negatives", {
+      val cos = cosineSql("a.embedding", "b.embedding")
+      val buckets = lshBucketsSql("embedding")
+      s"""WITH eb AS (SELECT vec_id, embedding, label, $buckets AS buckets
+         |           FROM embeddings),
+         |ex AS (SELECT vec_id, unnest(range(${SimilarityOps.NumTables})) AS tbl,
+         |              unnest(buckets) AS bucket FROM eb),
+         |sx AS (SELECT vec_id, tbl, bucket,
+         |         CAST(floor((row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) - 1)
+         |              / ${DedupOps.BandBucketCap}.0) AS BIGINT) AS salt FROM ex),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sx a JOIN sx b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.salt = b.salt
+         |   AND a.vec_id <> b.vec_id),
+         |pairs AS (
+         |  SELECT id_a AS vec_id, id_b AS neg_id, $cos AS cos
+         |  FROM cand JOIN eb a ON a.vec_id = id_a JOIN eb b ON b.vec_id = id_b
+         |  WHERE a.label <> b.label),
+         |r AS (SELECT vec_id, neg_id, cos,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                                ORDER BY cos DESC, neg_id) AS rnk
+         |      FROM pairs WHERE cos < $HardNegMaxCos)
+         |SELECT vec_id, neg_id, cos, rnk FROM r WHERE rnk <= $HardNegK
+         |ORDER BY vec_id, rnk""".stripMargin
+    }) { (s, dir) =>
+      val eb = graft.ops.Release.afterFirstUse(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"),
+            lshBuckets(col("embedding")).as("buckets")))
+      val ex = DedupOps.saltedBands(eb, "vec_id", "buckets", "tbl", "bucket")
+      val cand = ex.as("x")
+        .join(ex.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket")
+            && col("x.salt") === col("y.salt") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      val pairs = cand
+        .join(eb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+          col("label").as("l_a")), "id_a")
+        .join(eb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+          col("label").as("l_b")), "id_b")
+        .filter(col("l_a") =!= col("l_b"))
+        .withColumn("cos", cosine(col("e_a"), col("e_b")))
+        .filter(col("cos") < HardNegMaxCos)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+      pairs.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= HardNegK)
+        .select(col("id_a").as("vec_id"), col("id_b").as("neg_id"),
+          col("cos"), col("rnk"))
+        .orderBy(col("vec_id"), col("rnk"))
+    },
+
+    // ------------------- text: tokenizer fertility per slice (p78)
+    // Tokenizer evaluation over the learned BPE (p42's merges): per
+    // (source, lang), how many subword tokens the tokenizer spends per
+    // word (fertility ×10⁶) and how many characters ride in each token
+    // (chars/token ×10⁶) — the table a team reads to decide whether a
+    // tokenizer fits a corpus slice before committing a training run.
+    // Scale shape: UNLIKE p49 it never materializes the token stream —
+    // the merge chain rewrites only the DISTINCT-word vocabulary
+    // (TextOps.bpeVocab, the broadcast-sized table), per-word subtoken
+    // stats are computed ON the vocabulary, and the corpus meets it
+    // through one broadcast join feeding a (source, lang)-keyed agg
+    // with map-side combine. One corpus scan, zero token explode.
+    Q("p78_bpe_fertility", {
+      s"""$BpeVocabCtes,
+         |wi AS (SELECT source, lang, word
+         |       FROM (SELECT source, lang, unnest(string_split(text, ' ')) AS word
+         |             FROM documents)
+         |       WHERE length(word) > 0 AND NOT contains(word, '|')),
+         |ws AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_sub,
+         |              CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS tchars
+         |       FROM tok),
+         |a AS (SELECT source, lang,
+         |             CAST(count(*) AS BIGINT) AS n_words,
+         |             CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+         |             CAST(sum(tchars) AS BIGINT) AS n_tok_chars
+         |      FROM wi JOIN ws USING (word) GROUP BY source, lang)
+         |SELECT source, lang, n_words, n_tokens, n_tok_chars,
+         |       (n_tokens * 1000000) // n_words AS fert_q,
+         |       (n_tok_chars * 1000000) // n_tokens AS cpt_q
+         |FROM a ORDER BY source, lang""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.bpeMerges(docs, "text", BpeSteps)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = TextOps.bpeVocab(docs, "text", merges)
+        .select(col("word"),
+          size(col("toks")).cast("long").as("n_sub"),
+          aggregate(col("toks"), lit(0L), (acc, tk) => acc + length(tk)).as("tchars"))
+      docs
+        .select(col("source"), col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0 && !col("word").contains("|"))
+        .join(broadcast(vocab), "word")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tokens"),
+          sum(col("tchars")).as("n_tok_chars"))
+        .select(col("source"), col("lang"), col("n_words"), col("n_tokens"),
+          col("n_tok_chars"),
+          expr("(n_tokens * 1000000) div n_words").as("fert_q"),
+          expr("(n_tok_chars * 1000000) div n_tokens").as("cpt_q"))
+        .orderBy(col("source"), col("lang"))
     }
   )
 
@@ -3428,6 +3643,35 @@ object Pipeline {
        |  WHERE length(word) > 0 AND NOT contains(word, '|') GROUP BY word),
        |$steps
        |SELECT * FROM ($out) ORDER BY step""".stripMargin
+  }
+
+  /** The learned-merge tokenization of the DISTINCT-word vocabulary as
+    * DuckDB CTEs ending at `tok(word, toks)` — the v0→vN merge chain of
+    * [[BpeUnrolledOracle]] applied to the word STATES (not just the
+    * merge list), shared verbatim by p49 (full tokenization) and p78
+    * (fertility stats): both oracles must tokenize through the same
+    * vocabulary or the subtoken counts drift.
+    */
+  private def BpeVocabCtes: String = {
+    val steps = (1 to BpeSteps).map { k =>
+      s"""p$k AS (SELECT l, r, sum(freq) AS cnt FROM (
+         |   SELECT freq,
+         |          unnest(list_slice(toks, 1, len(toks) - 1)) AS l,
+         |          unnest(list_slice(toks, 2, len(toks))) AS r
+         |   FROM (SELECT freq, string_split(trim(state, '|'), '||') AS toks FROM v${k - 1})
+         | ) GROUP BY l, r),
+         |b$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$k AS (SELECT word, replace(state, '|' || b.l || '||' || b.r || '|',
+         |                             '|' || b.l || b.r || '|') AS state, freq
+         |        FROM v${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS (
+       |  SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS state,
+       |         CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 AND NOT contains(word, '|') GROUP BY word),
+       |$steps,
+       |tok AS (SELECT word, string_split(trim(state, '|'), '||') AS toks FROM v${BpeSteps})""".stripMargin
   }
 
   /** Count-Min geometry: 4 independent hash rows × 1024 buckets, with
@@ -3558,6 +3802,32 @@ object Pipeline {
     * referenced inside the `queries` val above, which initializes first.
     */
   private def QualityStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** p30's quality-rule thresholds (word count band, ×100 mean word
+    * length band, ×10⁴ stopword-ratio floor) — one owner shared with
+    * p76's funnel so the standalone rule and the funnel's first gate can
+    * never drift. Defs (queries-val init order).
+    */
+  private def QWordsMin: Int = 30
+  private def QWordsMax: Int = 80
+  private def QWlMin: Int = 300
+  private def QWlMax: Int = 460
+  private def QStopMin: Int = 200
+
+  /** p19's repetition-gate ceilings (×10⁶ top-word share, top-bigram
+    * share, duplicate-trigram share) — shared with p76's third gate.
+    */
+  private def RepTopWordMax: Long = 300000L
+  private def RepTopBigramMax: Long = 180000L
+  private def RepDupTrigramMax: Long = 300000L
+
+  /** p77 hard-negative geometry: negatives returned per anchor, and the
+    * near-dup cosine guard — candidates at or above it are likely
+    * unlabeled duplicates of the anchor (the p10 near-dup threshold),
+    * so they are excluded as probable false negatives.
+    */
+  private def HardNegK: Int = 3
+  private def HardNegMaxCos: Double = 0.95
 
   /** PII patterns restricted to the Java-regex ∩ RE2 common subset. */
   private def PiiEmailRe: String = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"

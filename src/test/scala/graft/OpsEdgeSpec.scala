@@ -333,4 +333,58 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // fixed setting), in practice far higher on this corpus
     rounds should be <= (numMerges / 4)
   }
+
+  "p76_pipeline_funnel" should "charge every doc to the FIRST failing registered gate" in {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // recompose the funnel from the three STANDALONE registered gate
+    // queries — the funnel's fused one-scan verdicts must agree with
+    // the gates a user runs individually
+    val funnel = SparkEntry.queries("p76_pipeline_funnel")(spark, dir)
+      .groupBy(col("stage")).agg(sum(col("n_docs")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q = SparkEntry.queries("p30_quality_rules")(spark, dir)
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val lg = SparkEntry.queries("p03_txt_langid")(spark, dir)
+      .select(col("doc_id"), (col("lang") === col("lang_guess")).as("lang_ok"))
+    val rep = SparkEntry.queries("p19_txt_repetition")(spark, dir)
+      .select(col("doc_id"), col("keep").as("rep_keep"))
+    val expected = q.join(lg, "doc_id").join(rep, "doc_id")
+      .select(
+        when(!col("q_keep"), "quality").when(!col("lang_ok"), "langid")
+          .when(!col("rep_keep"), "repetition").otherwise("kept").as("stage"))
+      .groupBy(col("stage")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    funnel shouldBe expected
+  }
+
+  it should "exercise every arm on a crafted corpus (first-fail order quality -> langid -> repetition)" in {
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val fill = (1 to 38).map(i => f"wd$i%02d")
+    // A: 3 words — fails the word-count band outright
+    val a = "a b c"
+    // B: passes quality (40 words, mean wl 3.75, stopword 25%) but its
+    // English text contradicts lang='de'; ALSO repetitive (top bigram
+    // 10/39) — must still be charged to langid, the EARLIER gate
+    val b = Seq.fill(10)("the cats sits down").mkString(" ")
+    // C: passes quality (mean wl 365, stops 35%) and langid, but 'the'
+    // is 14/40 = 35% >= the 30% top-word ceiling
+    val c = ((1 to 13).flatMap(i => Seq("the", f"fx$i%02d")) ++ Seq("the") ++
+      fill.take(13)).mkString(" ")
+    // D: 40 varied words, in every band — kept
+    val d = (Seq("the", "a") ++ fill).mkString(" ")
+    val docs = Seq(
+      (1L, a, "en", "sA"), (2L, b, "de", "sB"), (3L, c, "en", "sC"), (4L, d, "en", "sD"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("funnel").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("p76_pipeline_funnel")(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    got shouldBe Map(
+      "sA" -> "quality", "sB" -> "langid", "sC" -> "repetition", "sD" -> "kept")
+  }
 }

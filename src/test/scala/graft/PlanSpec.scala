@@ -603,4 +603,35 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "Window"
     plan should not include "CartesianProduct"
   }
+
+  "p76_pipeline_funnel" should "compute all three gates in one join-free corpus scan" in {
+    val plan = planOf("p76_pipeline_funnel")
+    // every gate verdict is a per-row array expression over ONE scan of
+    // documents; a join or window here would mean a gate ran as its own
+    // corpus pass
+    plan should not include "Join"
+    plan should not include "Window"
+    "Scan parquet".r.findAllIn(plan).size should be <= 1
+    // doc_id is never needed — the scan must prune it
+    plan should not include "doc_id"
+  }
+
+  "p77_sim_hard_negatives" should "route candidates through salted LSH buckets, never all-pairs" in {
+    val plan = planOf("p77_sim_hard_negatives")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the label-mismatch filter applies before the cosine top-k window
+    plan should include("Window")
+  }
+
+  "p78_bpe_fertility" should "broadcast the vocabulary stats — the token stream never materializes" in {
+    val plan = planOf("p78_bpe_fertility")
+    // the corpus meets the merge chain only through the broadcast
+    // vocabulary join; per-(source,lang) counts partial-aggregate
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    // no posexplode of subtokens anywhere — that is p49's job
+    plan should not include "posexplode"
+  }
 }
