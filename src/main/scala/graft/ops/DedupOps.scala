@@ -64,6 +64,56 @@ object DedupOps {
         col("nd").cast("long").as("nd"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03): hash every `gram`-token window, then from each run of
+    * `window` consecutive gram hashes keep only the minimum (rightmost
+    * on ties — the paper's robust rule, realized here by an integer
+    * key `h·2³³ + (2³³−1−pos)` whose min IS (min h, max pos); positions
+    * up to 2³² per doc, the same headroom the first-occurrence encoding
+    * uses). Guarantees every shared run of ≥ gram+window−1 tokens
+    * yields a shared fingerprint while indexing only ~2/(window+1) of
+    * the grams — the sparse index that makes [[dupSpans]]-style span
+    * matching affordable at corpus scale. `minDocs` filters the output
+    * to fingerprints selected in at least that many documents (2 = the
+    * shared-only index; 1 = every selected fingerprint, the density
+    * view p82 audits).
+    *
+    * Scale shape: selection happens INSIDE the row (per-doc array
+    * expressions — no window shuffle, no self-join); the only shuffles
+    * are the fingerprint-frequency agg and the join back, both on the
+    * ~2/(window+1)-sparse fingerprint stream.
+    */
+  def winnow(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gram: Int = 8,
+      window: Int = 4,
+      minDocs: Int = 2): DataFrame = {
+    val Shift = 8589934592L // 2^33
+    val base = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= gram + window - 1)
+      .select(col("doc_id"),
+        transform(
+          transform(sequence(lit(0), size(col("toks")) - gram),
+            j => TextOps.polyHash(array_join(slice(col("toks"), j + 1, lit(gram)), " "))),
+          (h, j) => h * Shift + (lit(Shift - 1) - j)).as("keys"))
+    val fps = Release.afterFirstUse(base
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("keys")) - window),
+          p => array_min(slice(col("keys"), p + 1, lit(window)))))).as("key"))
+      .select(col("doc_id"),
+        expr(s"key div $Shift").as("h"),
+        (lit(Shift - 1) - expr(s"key % $Shift")).cast("long").as("pos")))
+    val dup = fps.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+    fps.join(dup, "h")
+      .select(col("doc_id"), col("pos"), col("h"), col("nd").cast("long").as("nd"))
+  }
+
   // --------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (distinct), hashed. Shingle count is

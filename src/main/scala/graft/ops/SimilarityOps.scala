@@ -502,4 +502,45 @@ object SimilarityOps {
         row_number().over(wq.orderBy(col("rrf_q").desc, col("cand_id"))).cast("long"))
       .filter(col("final_rank") <= k)
   }
+
+  // ------------------------------- scalar (per-dimension) quantization
+
+  /** Scalar int8-style quantization audit: fit a per-dimension affine
+    * quantizer (the `levels`-bucket uniform grid between the corpus
+    * min and max of that dimension) and report, per dimension, the
+    * reconstruction-error profile a serving team reads before shipping
+    * a compressed embedding table — the 4× (float32→int8) shrink that
+    * PQ's 32× (p43) trades recall for, audited the same way FAISS's
+    * `ScalarQuantizer` is.
+    *
+    * All error figures are ×10⁶ integer quotients of double arithmetic
+    * evaluated by the identical expression tree on both engines, so the
+    * audit is value-exact cross-engine. Scale shape: the quantizer
+    * parameters are dim-row sized (one partial-aggregated min/max pass,
+    * broadcast back), the error pass is one corpus scan, and the final
+    * agg folds to dim rows map-side — nothing grows with the corpus but
+    * the two scans.
+    */
+  def sqAudit(emb: DataFrame, levels: Int = 256): DataFrame = {
+    val lv = levels - 1
+    val e = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+    val stats = e.groupBy(col("dim")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    e.join(broadcast(stats), "dim")
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor(((col("v") - col("mn")) * lv) / (col("mx") - col("mn"))),
+            lit(lv.toLong))))
+      .withColumn("deq",
+        col("mn") + (col("code").cast("double") * (col("mx") - col("mn"))) / lv)
+      .withColumn("err_q", floor(abs(col("v") - col("deq")) * 1000000d).cast("long"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        floor(min(col("v")) * 1000000d + 0.5).cast("long").as("mn_q"),
+        floor(max(col("v")) * 1000000d + 0.5).cast("long").as("mx_q"),
+        max(col("err_q")).as("max_err_q"),
+        expr("sum(err_q) div count(1)").as("mean_err_q"))
+  }
 }

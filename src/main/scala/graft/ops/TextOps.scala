@@ -150,6 +150,59 @@ object TextOps {
         (col("nll") < threshold).as("keep"))
   }
 
+  /** Word-bigram LM score with count-pruned backoff (the word-level
+    * companion of [[bigramNll]]'s character LM — the KenLM-style filter
+    * CCNet layers on top of the char model): estimate P(w₂|w₁) =
+    * c(w₁w₂)/c(w₁) from the corpus, keep only bigrams seen ≥ `minCount`
+    * times (the pruning every shipped n-gram LM applies — unpruned
+    * bigram tables grow with the corpus; pruned ones are
+    * vocabulary-bounded), and back off to the unigram P(w₂) =
+    * c(w₂)/N_tokens for pruned transitions. Each document's score is
+    * the mean transition probability ×10⁶ — an INTEGER quotient per
+    * transition, so both engines agree exactly (no log/float boundary;
+    * the char LM keeps the float-NLL form, this one demonstrates the
+    * integer discipline at word level).
+    *
+    * Scale shape: two vocabulary-bounded count aggregations (unigram,
+    * pruned bigram) + a broadcastable scalar; scoring is one corpus
+    * explode joined against the two model tables (broadcast at
+    * bench scale via AQE; a hash join keyed on bounded-length words
+    * otherwise) + one ~row-per-doc aggregation.
+    *
+    * Returns (doc_id, n_pairs, score_q ×10⁶).
+    */
+  def wordLmScore(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    val pairs = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
+    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tot = words.agg(count(lit(1)).as("tot"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    pairs
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p_q",
+        when(col("c12").isNotNull, expr("(c12 * 1000000) div c1w1"))
+          .otherwise(expr("(c1w2 * 1000000) div tot")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("p_q")).as("sp"))
+      .select(col("doc_id"), col("n_pairs"),
+        expr("sp div n_pairs").as("score_q"))
+  }
+
   /** Corpus-driven frequent-word pruning (the word-soup analogue of
     * C4/CCNet boilerplate-line removal): drop every token whose document
     * frequency exceeds `threshold` × corpus size, preserving the order

@@ -1461,6 +1461,85 @@ object Cef {
         .orderBy(col("user_id"))
     },
 
+    // ---------------- streaming per-key drift monitor: the first
+    // cross-sketch COMPARISON read on the streaming family. Each key's
+    // value distribution folds through the cef48 histogram GroupState
+    // (associative counters, so the snapshot equals the whole-stream
+    // histogram for any micro-batch split); at read time the per-key
+    // histogram is compared against the GLOBAL reference distribution
+    // (a qb-row broadcast) via an all-integer total-variation score:
+    // tv_q = Σ_b |share_key(b) − share_global(b)| with shares ×10⁶
+    // integer-quotients — the "is this key drifting from the corpus"
+    // alarm a live ingestion pipeline keeps per source. The top
+    // offending bucket rides the same integer argmax encoding both
+    // engines compute identically (diff×qb + (qb−1−bucket): ties break
+    // to the SMALLEST bucket). Scale: state O(qb) per key, reference
+    // O(qb) broadcast, one keyed agg — corpus-size-independent.
+    Q("cef49_streaming_drift", {
+      val qb = StreamQhBuckets
+      s"""WITH b AS (
+         |  SELECT user_id,
+         |         LEAST(GREATEST(CAST(floor(value / 8) AS BIGINT), 0), ${qb - 1})
+         |           AS bucket
+         |  FROM events),
+         |u AS (SELECT DISTINCT user_id FROM b),
+         |bk AS (SELECT user_id, unnest(range($qb)) AS bucket FROM u),
+         |h AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS c
+         |      FROM b GROUP BY user_id, bucket),
+         |hh AS (SELECT bk.user_id, bk.bucket, coalesce(h.c, 0) AS c
+         |       FROM bk LEFT JOIN h USING (user_id, bucket)),
+         |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen
+         |      FROM b GROUP BY user_id),
+         |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS gc
+         |      FROM b GROUP BY bucket),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b),
+         |d AS (SELECT hh.user_id, hh.bucket,
+         |             abs((hh.c * 1000000) // n.n_seen
+         |                 - (coalesce(g.gc, 0) * 1000000) // tot.nn) AS diff_q
+         |      FROM hh JOIN n USING (user_id)
+         |      LEFT JOIN g USING (bucket) CROSS JOIN tot),
+         |a AS (SELECT d.user_id, sum(diff_q) AS tv,
+         |             max(diff_q * $qb + (${qb - 1} - bucket)) AS mk
+         |      FROM d GROUP BY d.user_id)
+         |SELECT a.user_id, n.n_seen, CAST(a.tv AS BIGINT) AS tv_q,
+         |       CAST(${qb - 1} - (a.mk % $qb) AS BIGINT) AS top_bucket,
+         |       CAST(a.mk // $qb AS BIGINT) AS top_diff_q
+         |FROM a JOIN n USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.StatsOps
+      val qb = StreamQhBuckets
+      def bucketize(c: org.apache.spark.sql.Column) =
+        least(greatest(floor(c / 8).cast("long"), lit(0L)), lit((qb - 1).toLong))
+      val snaps = runEventStream(s, dir, "cef49", "append") { raw =>
+        StatsOps.streamingHistogram(
+          raw.withColumn("bucket", bucketize(col("value"))),
+          "user_id", "bucket", qb).toDF()
+      }
+      requireCrossBatchFold(snaps, "cef49", "user_id")
+      // the qb-row global reference (batch leg: the whole-stream
+      // distribution every key is compared against)
+      val ev = graft.Tables(s, dir, "events")
+        .select(bucketize(col("value")).as("bucket"))
+      val g = broadcast(ev.groupBy(col("bucket")).agg(count(lit(1)).as("gc"))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("nn")))))
+      latestSnapshotPerKey(snaps, "user_id")
+        .select(col("user_id"), col("n_seen"),
+          posexplode(col("cnts")).as(Seq("bucket", "c")))
+        .join(g, Seq("bucket"), "left")
+        .withColumn("diff_q",
+          abs(expr("(c * 1000000) div n_seen")
+            - coalesce(expr("(gc * 1000000) div nn"), lit(0L))))
+        .groupBy(col("user_id"), col("n_seen"))
+        .agg(sum(col("diff_q")).as("tv"),
+          max(col("diff_q") * qb + (lit(qb - 1) - col("bucket"))).as("mk"))
+        .select(col("user_id"), col("n_seen"),
+          col("tv").cast("long").as("tv_q"),
+          (lit(qb - 1) - col("mk") % qb).cast("long").as("top_bucket"),
+          (col("mk").cast("long") / qb).cast("long").as("top_diff_q"))
+        .orderBy(col("user_id"))
+    },
+
     // ---------------- F3 smart-scan intervals driver-checked: the
     // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
     // exhaustive SQL window enumeration — the fullScan semantics the

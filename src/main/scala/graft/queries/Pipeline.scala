@@ -3571,6 +3571,135 @@ object Pipeline {
           expr("(n_tokens * 1000000) div n_words").as("fert_q"),
           expr("(n_tok_chars * 1000000) div n_tokens").as("cpt_q"))
         .orderBy(col("source"), col("lang"))
+    },
+
+    // -------------------- dedup: winnowing fingerprints (p79)
+    // Schleimer-Wilkerson-Aiken SIGMOD'03 document fingerprinting: hash
+    // every WinnowGram-token window, keep only the MINIMUM hash of each
+    // WinnowWindow consecutive run (rightmost on ties — the robust
+    // rule), report the selected fingerprints that appear in more than
+    // one document. Same match semantics as p27's dense span index for
+    // any shared run of ≥ gram+window−1 tokens, from an index ~2/(w+1)
+    // the size — the sparse-index trade a corpus-scale plagiarism/
+    // overlap scan actually ships. Selection is per-row array work
+    // (no shuffle); the integer min-key h·2³³+(2³³−1−pos) makes the
+    // rightmost-tie argmin a plain min() on BOTH engines.
+    Q("p79_dd_winnow", {
+      s"""$WinnowFpCtes,
+         |dup AS (SELECT h, count(DISTINCT doc_id) AS nd FROM fp GROUP BY h
+         |        HAVING count(DISTINCT doc_id) > 1)
+         |SELECT fp.doc_id, fp.pos, fp.h, CAST(dup.nd AS BIGINT) AS nd
+         |FROM fp JOIN dup USING (h) ORDER BY doc_id, pos""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.winnow(t(s, dir, "documents"), "doc_id", "text",
+          gram = WinnowGram, window = WinnowWindow)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    // -------------------- dedup: winnowing duplicate-density audit (p82)
+    // The per-source "how much of this source is copied text" dial a
+    // curation team reads before weighting sources: of each document's
+    // selected winnowing fingerprints (p79's sparse index, minDocs=1 so
+    // unshared fingerprints count too), what fraction also appears in
+    // another document? Emitted per source as an exact ×10⁶ integer
+    // density. Scale: adds one dim-sized agg on top of p79's chain —
+    // the fingerprint stream is already ~2/(w+1)-sparse, the per-doc
+    // fold is map-side, and the per-source table is model-sized.
+    Q("p82_dup_density", {
+      s"""$WinnowFpCtes,
+         |dup AS (SELECT h, count(DISTINCT doc_id) AS nd FROM fp GROUP BY h),
+         |pd AS (SELECT fp.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |              CAST(sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sh
+         |       FROM fp JOIN dup USING (h) GROUP BY fp.doc_id)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(pd.n_fp) AS BIGINT) AS n_fp,
+         |       CAST(sum(pd.n_sh) AS BIGINT) AS n_shared,
+         |       (CAST(sum(pd.n_sh) AS BIGINT) * 1000000)
+         |         // CAST(sum(pd.n_fp) AS BIGINT) AS dens_q
+         |FROM pd JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      DedupOps.winnow(docs, "doc_id", "text",
+          gram = WinnowGram, window = WinnowWindow, minDocs = 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_sh"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_fp")).as("n_fp"),
+          sum(col("n_sh")).as("n_shared"))
+        .select(col("source"), col("n_docs"), col("n_fp"), col("n_shared"),
+          expr("(n_shared * 1000000) div n_fp").as("dens_q"))
+        .orderBy(col("source"))
+    },
+
+    // -------------------- quality: word-bigram LM with pruned backoff (p80)
+    // KenLM-style word-level LM filter (the companion of p26's
+    // char-bigram NLL): P(w2|w1) from corpus counts, bigrams pruned
+    // below LmMinCount (the vocabulary-bounding step every shipped
+    // n-gram LM applies), pruned transitions backing off to the unigram
+    // model. Score = mean transition probability ×10⁶, an integer
+    // quotient per transition — value-exact cross-engine with no
+    // log/float boundary. See TextOps.wordLmScore for the scale shape.
+    Q("p80_lm_backoff", {
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM w GROUP BY w),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM w),
+         |pr AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+         |       FROM (SELECT doc_id,
+         |                    unnest(list_zip(list_slice(toks, 1, len(toks) - 1),
+         |                                    list_slice(toks, 2, len(toks)))) AS p
+         |             FROM tk WHERE len(toks) >= 2)),
+         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM pr GROUP BY w1, w2 HAVING count(*) >= $LmMinCount),
+         |sc AS (SELECT pr.doc_id,
+         |              CASE WHEN big.c12 IS NOT NULL
+         |                   THEN (big.c12 * 1000000) // u1.c1
+         |                   ELSE (u2.c1 * 1000000) // tot.tot END AS p_q
+         |       FROM pr LEFT JOIN big USING (w1, w2)
+         |       JOIN uni u1 ON u1.w = pr.w1
+         |       JOIN uni u2 ON u2.w = pr.w2
+         |       CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(p_q) AS BIGINT) // CAST(count(*) AS BIGINT) AS score_q
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      TextOps.wordLmScore(t(s, dir, "documents"), "doc_id", "text", LmMinCount)
+        .orderBy(col("doc_id"))
+    },
+
+    // -------------------- similarity: scalar int8 quantization audit (p81)
+    // Per-dimension affine quantizer fit + reconstruction-error profile
+    // (the FAISS ScalarQuantizer ship-readiness table): a PER-CHANNEL
+    // quantizer trained on corpus min/max — the audit between p22's
+    // per-vector abs-max int8 (row-local, no training pass) and p43's
+    // 32× PQ (codebook-trained). All error figures are ×10⁶ integer
+    // quotients of identical double expression trees.
+    Q("p81_sq_audit", {
+      s"""WITH e AS (SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         |                  CAST(unnest(embedding) AS DOUBLE) AS v
+         |           FROM embeddings),
+         |st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim),
+         |q AS (SELECT e.dim, e.v, st.mn, st.mx,
+         |             CASE WHEN st.mx = st.mn THEN 0
+         |                  ELSE LEAST(CAST(floor(((e.v - st.mn) * 255) / (st.mx - st.mn)) AS BIGINT),
+         |                             255) END AS code
+         |      FROM e JOIN st USING (dim)),
+         |r AS (SELECT dim, v,
+         |             CAST(floor(abs(v - (mn + (CAST(code AS DOUBLE) * (mx - mn)) / 255))
+         |                        * 1000000) AS BIGINT) AS err_q
+         |      FROM q)
+         |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(floor(min(v) * 1000000 + 0.5) AS BIGINT) AS mn_q,
+         |       CAST(floor(max(v) * 1000000 + 0.5) AS BIGINT) AS mx_q,
+         |       max(err_q) AS max_err_q,
+         |       CAST(sum(err_q) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_err_q
+         |FROM r GROUP BY dim ORDER BY dim""".stripMargin
+    }) { (s, dir) =>
+      SimilarityOps.sqAudit(t(s, dir, "embeddings"))
+        .orderBy(col("dim"))
     }
   )
 
@@ -3694,6 +3823,47 @@ object Pipeline {
     * not vals — referenced inside the `queries` val, which inits first).
     */
   private def ChunkW: Int = 16
+
+  /** p79 winnowing geometry: gram width (tokens per hashed window) and
+    * the selection window (consecutive gram hashes per min-pick). Any
+    * shared run of ≥ gram+window−1 tokens is guaranteed a shared
+    * fingerprint (SIGMOD'03 §2).
+    */
+  private def WinnowGram: Int = 8
+  private def WinnowWindow: Int = 4
+
+  /** Shared winnowing CTE chain (p79/p82): everything up to the `fp`
+    * table of selected (doc_id, h, pos) fingerprints — the DuckDB twin
+    * of [[graft.ops.DedupOps.winnow]]'s selection stage.
+    */
+  private def WinnowFpCtes: String = {
+    val shift = 8589934592L
+    val hashOf = TextOps.polyHashSql(
+      s"array_to_string(list_slice(toks, pos + 1, pos + $WinnowGram), ' ')")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(range(0, len(toks) - ${WinnowGram - 1})) AS pos, toks
+       |      FROM tk WHERE len(toks) >= ${WinnowGram + WinnowWindow - 1}),
+       |k AS (SELECT doc_id, pos,
+       |             $hashOf * $shift + ($shift - 1 - pos) AS key
+       |      FROM g),
+       |ng AS (SELECT doc_id, len(toks) - ${WinnowGram - 1} AS n_g FROM tk),
+       |wm AS (SELECT k.doc_id, k.pos - off.o AS p, min(key) AS wkey
+       |       FROM k CROSS JOIN (SELECT unnest(range($WinnowWindow)) AS o) off
+       |       WHERE k.pos - off.o >= 0
+       |       GROUP BY k.doc_id, p),
+       |sel AS (SELECT DISTINCT wm.doc_id, wm.wkey
+       |        FROM wm JOIN ng USING (doc_id)
+       |        WHERE wm.p + ${WinnowWindow - 1} <= ng.n_g - 1),
+       |fp AS (SELECT doc_id, CAST(wkey // $shift AS BIGINT) AS h,
+       |              CAST(($shift - 1) - (wkey % $shift) AS BIGINT) AS pos
+       |       FROM sel)""".stripMargin
+  }
+
+  /** p80's bigram-pruning floor: transitions seen fewer times back off
+    * to the unigram model (the count floor that keeps the shipped
+    * bigram table vocabulary-bounded instead of corpus-bounded).
+    */
+  private def LmMinCount: Int = 3
 
   /** Rolling-window width in tokens for p56's exact-substring scrub. */
   private def ScrubW: Int = 16

@@ -387,4 +387,57 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got shouldBe Map(
       "sA" -> "quality", "sB" -> "langid", "sC" -> "repetition", "sD" -> "kept")
   }
+
+  "DedupOps.winnow" should "catch every planted shared run of >= gram+window-1 tokens" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val gram = 5
+    val win = 3
+    (1 to 10).foreach { trial =>
+      // two docs of random noise sharing one planted run of EXACTLY the
+      // guarantee length t = gram + win - 1 at random offsets
+      val t = gram + win - 1
+      val shared = (1 to t).map(_ => f"sh${rnd.nextInt(50)}%02d")
+      def noise(n: Int) = (1 to n).map(_ => f"zz${rnd.nextInt(100000)}%06d")
+      val d1 = (noise(rnd.nextInt(30)) ++ shared ++ noise(rnd.nextInt(30))).mkString(" ")
+      val d2 = (noise(rnd.nextInt(30)) ++ shared ++ noise(rnd.nextInt(30))).mkString(" ")
+      val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      val hits = ops.DedupOps.winnow(docs, "doc_id", "text", gram, win)
+      // SIGMOD'03 guarantee: at least one fingerprint of the shared run
+      // is selected in BOTH docs (noise collisions can only add hits)
+      hits.select("doc_id").distinct().count() shouldBe 2L
+    }
+  }
+
+  it should "select ~2/(window+1) of the grams and be deterministic on repetitive text" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val gram = 5
+    val win = 3
+    // adversarial: ONE long doc of a repeated 2-token phrase — every
+    // gram hash is one of two values, so ties dominate; the rightmost
+    // tie-break must still pick a deterministic sparse subset
+    val rep = Seq.fill(200)("ping pong").flatMap(p => p.split(" ")).mkString(" ")
+    val vary = (1 to 400).map(i => f"w${rnd.nextInt(1000000)}%07d").mkString(" ")
+    val docs = Seq((1L, rep), (2L, rep), (3L, vary)).toDF("doc_id", "text")
+    val fps = ops.DedupOps.winnow(docs, "doc_id", "text", gram, win)
+    // identical docs select IDENTICAL fingerprint sets (same pos, h)
+    val s1 = fps.filter($"doc_id" === 1L).select("pos", "h").collect().toSet
+    val s2 = fps.filter($"doc_id" === 2L).select("pos", "h").collect().toSet
+    s1 shouldBe s2
+    s1 should not be empty
+    // density on the varied doc: expected 2/(win+1) = 0.5 of grams, and
+    // never more than the number of complete windows
+    val nGrams = 400 - gram + 1
+    val base = docs.filter($"doc_id" === 3L)
+    val nSel = ops.DedupOps.winnow(
+      // count selections irrespective of sharing: pair the doc with
+      // itself under distinct ids so every fingerprint has nd = 2
+      Seq((31L, vary), (32L, vary)).toDF("doc_id", "text"),
+      "doc_id", "text", gram, win)
+      .filter($"doc_id" === 31L).count()
+    base.count() shouldBe 1L
+    nSel.toDouble / nGrams should be > 0.25
+    nSel.toDouble / nGrams should be < 0.75
+  }
 }

@@ -624,6 +624,25 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("Window")
   }
 
+  "p79_dd_winnow" should "select fingerprints inside the row — no window shuffle, no self-join" in {
+    val plan = planOf("p79_dd_winnow")
+    // the SQL-window formulation would shuffle every gram hash; the
+    // per-row array formulation keeps selection in the scan stage
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "cef49_streaming_drift" should "compare against a broadcast reference — never shuffle the corpus twice" in {
+    val plan = planOf("cef49_streaming_drift")
+    // the qb-row global histogram rides a broadcast against the per-key
+    // snapshot explode; a SortMergeJoin here would shuffle sketch rows
+    // on a 64-value key
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
   "p78_bpe_fertility" should "broadcast the vocabulary stats — the token stream never materializes" in {
     val plan = planOf("p78_bpe_fertility")
     // the corpus meets the merge chain only through the broadcast
