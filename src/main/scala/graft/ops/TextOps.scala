@@ -163,11 +163,14 @@ object TextOps {
     * the char LM keeps the float-NLL form, this one demonstrates the
     * integer discipline at word level).
     *
-    * Scale shape: two vocabulary-bounded count aggregations (unigram,
-    * pruned bigram) + a broadcastable scalar; scoring is one corpus
-    * explode joined against the two model tables (broadcast at
-    * bench scale via AQE; a hash join keyed on bounded-length words
-    * otherwise) + one ~row-per-doc aggregation.
+    * Scale shape: TWO corpus scans total — the bigram explode is
+    * persisted (the bigramNll/dupSpans double-pass discipline: the
+    * model aggregation and the scoring join both consume it, and it is
+    * auto-released after the query), and the unigram scan's
+    * vocabulary-bounded count table is likewise persisted so both join
+    * legs AND the token-total scalar read one aggregation. The model
+    * joins broadcast at bench scale via AQE; a hash join keyed on
+    * bounded-length words otherwise.
     *
     * Returns (doc_id, n_pairs, score_q ×10⁶).
     */
@@ -177,16 +180,17 @@ object TextOps {
       textCol: String,
       minCount: Int): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-    val pairs = toks.filter(size(col("toks")) >= 2)
+    val pairs = Release.afterFirstUse(toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
-    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val tot = words.agg(count(lit(1)).as("tot"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    val uni = Release.afterFirstUse(docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1")))
+    val tot = uni.agg(sum(col("c1")).as("tot"))
     val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minCount)
     pairs

@@ -388,6 +388,48 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       "sA" -> "quality", "sB" -> "langid", "sC" -> "repetition", "sD" -> "kept")
   }
 
+  "TextOps.wordLmScore" should "match the hand-computed backoff model on a tiny corpus" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // bigram counts: (a,b)=3 kept at minCount=2; (b,c)=1 and (b,a)=1
+    // pruned -> unigram backoff. uni: a=3 b=3 c=1 z=1, tot=8.
+    val docs = Seq((1L, "a b c"), (2L, "a b a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = ops.TextOps.wordLmScore(docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // doc1: P(b|a)=3/3 -> 1000000, P(c) backoff = 1000000*1/8 = 125000
+    //       -> mean (1000000+125000)/2 = 562500
+    // doc2: 1000000 + P(a)=375000 + 1000000 -> 2375000/3 = 791666
+    got shouldBe Map(1L -> (2L, 562500L), 2L -> (3L, 791666L))
+    // single-token docs have no transitions and are absent, not 0-scored
+    got.contains(3L) shouldBe false
+  }
+
+  "SimilarityOps.sqAudit" should "report exact per-dim error and zero error for exactly-representable and constant dims" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // dim0 {0,1}: both grid points -> zero error everywhere
+    // dim1 {0,0.5,1}: 0.5 -> code 127, deq 127/255, err_q floor(0.0019607..e6)=1960
+    // dim2 constant 0.7: mn==mx branch -> code 0, zero error
+    val emb = Seq(
+      (1L, Seq(0f, 0f, 0.7f)), (2L, Seq(1f, 0.5f, 0.7f)), (3L, Seq(0f, 1f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val got = ops.SimilarityOps.sqAudit(emb)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    got(0L) shouldBe ((3L, 0L, 1000000L, 0L, 0L))
+    got(1L) shouldBe ((3L, 0L, 1000000L, 1960L, 653L))
+    val c7 = math.floor(0.7f.toDouble * 1000000d + 0.5).toLong
+    got(2L) shouldBe ((3L, c7, c7, 0L, 0L))
+    // randomized bound: floor-quantization error is < (mx-mn)/255
+    val rv = (1 to 50).map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    ops.SimilarityOps.sqAudit(rv).collect().foreach { r =>
+      val span = r.getLong(3) - r.getLong(2)
+      r.getLong(4) should be <= (span / 255 + 2)
+    }
+  }
+
   "DedupOps.winnow" should "catch every planted shared run of >= gram+window-1 tokens" in {
     val sparkS = spark
     import sparkS.implicits._

@@ -643,6 +643,37 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "CartesianProduct"
   }
 
+  "p80_lm_backoff" should "persist the bigram explode and unigram model — two corpus scans total" in {
+    val plan = planOf("p80_lm_backoff")
+    // the bigram explode feeds both the model build and the scoring
+    // join from ONE persisted pass; uni feeds both join legs + the
+    // token total. Without the persists this plan scans documents 4×.
+    // (A cached relation's displayed subtree still prints its FileScan,
+    // so count the cache READS: 2 pairs consumers + 3 uni consumers.)
+    ("InMemoryTableScan".r.findAllIn(plan).size) should be >= 5
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
+  "p81_sq_audit" should "broadcast the per-dim quantizer stats back over one error scan" in {
+    val plan = planOf("p81_sq_audit")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    // two corpus passes are inherent (train the quantizer, measure the
+    // error); anything more means the stats weren't reused
+    ("FileScan parquet".r.findAllIn(plan).size) shouldBe 2
+  }
+
+  "p82_dup_density" should "reuse the persisted fingerprint stream — no extra winnowing pass" in {
+    val plan = planOf("p82_dup_density")
+    // the fingerprint stream is persisted by winnow and consumed by
+    // both the nd aggregation and the per-doc fold
+    ("InMemoryTableScan".r.findAllIn(plan).size) should be >= 2
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
   "p78_bpe_fertility" should "broadcast the vocabulary stats — the token stream never materializes" in {
     val plan = planOf("p78_bpe_fertility")
     // the corpus meets the merge chain only through the broadcast
