@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over an edge list — the curation-side
+  * reads of a similarity graph (rank representative members, find the
+  * dense near-dup cores). Both primitives run a FIXED, small number of
+  * rounds so the computation is deterministic, cross-engine exact
+  * (pure integer arithmetic — no float fixpoints), and SQL-unrollable
+  * for the DuckDB oracle.
+  *
+  * Scale shape: every round is an id-keyed equi join against the edge
+  * list plus one map-side-combining keyed aggregation — the classic
+  * distributed PageRank/peeling step. Nothing is ever all-pairs, no
+  * round sorts the graph, and state per round is one (node, value)
+  * table. The driver loops over ROUNDS (a constant), never over data.
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank (Page et al. 1999) with integer
+    * arithmetic: ranks are maintained as ×`scale` integers, each
+    * node's outgoing contribution is `rank div out_degree` (integer
+    * division — both engines truncate identically for non-negative
+    * operands), and the damping update is
+    * `((dampDen - dampNum)·scale + dampNum·Σ contrib) div dampDen`.
+    *
+    * `edges` carries one row per DIRECTED edge (a, b). On a symmetric
+    * (mutual-kNN) graph every node has out-degree ≥ 1, so there is no
+    * dangling-mass term; the left join still guards nodes that receive
+    * no contributions. In-degree on a mutual top-k graph is bounded by
+    * k, so `dampNum · Σ contrib ≤ dampNum · k · scale` — no overflow
+    * headroom issues at any corpus size.
+    *
+    * Returns (v, deg, pr_q): node id, out-degree, final ×scale rank.
+    */
+  def pagerank(edges: DataFrame, iters: Int, scale: Long,
+               dampNum: Int, dampDen: Int): DataFrame = {
+    val nodes = Release.afterFirstUse(edges.select(col("a").as("v")).distinct())
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    // contribution denominator rides the edge list once, outside the loop
+    val ed = Release.afterFirstUse(edges.join(deg, "a"))
+    val teleport = (dampDen - dampNum).toLong * scale
+    var r = nodes.select(col("v"), lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      val m = ed.join(r.withColumnRenamed("v", "a"), "a")
+        .select(col("b").as("v"), expr("r div deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("m"))
+      r = nodes.join(m, Seq("v"), "left")
+        .select(col("v"),
+          expr(s"($teleport + $dampNum * coalesce(m, 0L)) div $dampDen").as("r"))
+    }
+    r.join(deg.select(col("a").as("v"), col("deg")), "v")
+      .select(col("v"), col("deg"), col("r").as("pr_q"))
+  }
+
+  /** Bounded-round k-core peeling (Seidman 1983; Matula–Beck): each
+    * round drops every node whose degree AMONG STILL-ALIVE nodes is
+    * below `k`, for exactly `rounds` rounds. The survivors approximate
+    * the k-core from above (they ARE the k-core once a round removes
+    * nothing); the peel round is the standard coreness-ordering signal
+    * a dedup audit reads — early-peeled nodes are tree-like fringe,
+    * survivors sit in dense near-dup cores.
+    *
+    * `edges` carries one row per DIRECTED edge of a symmetric graph.
+    * Returns (v, deg0, peel_round, in_core): initial degree, the round
+    * that dropped the node (0 = survived all rounds), survivor flag.
+    */
+  def corePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val nodes = Release.afterFirstUse(
+      edges.groupBy(col("a")).agg(count(lit(1)).as("deg0"))
+        .select(col("a").as("v"), col("deg0")))
+    // Peeling is monotone: alive sets only shrink, so a node's
+    // alive-neighbor count is non-increasing across rounds — once it
+    // dips below k the node can never re-qualify. The ≥ k filter on
+    // the fresh count therefore subsumes the "was still alive" check,
+    // and each round is ONE edge join + ONE keyed count (round 1 needs
+    // no join at all: every node is alive, the count is deg0).
+    val alives = Vector.newBuilder[DataFrame]
+    var alive = Release.afterFirstUse(
+      nodes.filter(col("deg0") >= k).select(col("v")))
+    alives += alive
+    for (_ <- 2 to rounds) {
+      alive = Release.afterFirstUse(
+        edges.join(alive.withColumnRenamed("v", "b"), "b")
+          .groupBy(col("a")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= k).select(col("a").as("v")))
+      alives += alive
+    }
+    val marks = alives.result().zipWithIndex.map { case (a, idx) =>
+      a.withColumn(s"alive_${idx + 1}", lit(1L))
+    }
+    val flagged = marks.foldLeft(nodes)((acc, m) => acc.join(m, Seq("v"), "left"))
+    val peel = (1 to rounds).foldRight(lit(0L): Column)((i, rest) =>
+      when(col(s"alive_$i").isNull, lit(i.toLong)).otherwise(rest))
+    flagged.select(col("v"), col("deg0"), peel.as("peel_round"),
+      col(s"alive_$rounds").isNotNull.as("in_core"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{DedupOps, MultimodalOps, PackOps, SimilarityOps, SketchOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, MultimodalOps, PackOps, SimilarityOps, SketchOps, TextOps}
 
 /** Training-data pipeline operators as driver-checkable queries:
   * text analysis, dedup family, similarity search, multimodal plumbing.
@@ -56,6 +56,32 @@ object Pipeline {
     * (several executions each) never evict it mid-sweep.
     */
   private def PairIdleBudget = 512
+
+  /** Shared symmetric mutual-kNN edge list (p83/p84): p60's exact
+    * salted-LSH top-k chain, mutuality-filtered, emitted once per
+    * direction. Memoized per (session, dir) like the near-dup pair
+    * table — the graph family's queries are adjacent in a sorted
+    * sweep, so one idle-released persist serves them all and the LSH
+    * chain (the dominant cost) runs once, not once per consumer.
+    */
+  private val graphCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def mutualEdges(s: SparkSession, dir: String): DataFrame =
+    graphCache.synchronized {
+      graphCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      graphCache.getOrElseUpdate((s, dir), {
+        val e = SimilarityOps.lshTopKSalted(t(s, dir, "embeddings"), KnnK)
+          .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"))
+        val rev = e.select(col("vec_id").as("r_vec"), col("nn_id").as("r_nn"))
+        val mut = e
+          .join(rev, col("r_vec") === col("nn_id") && col("r_nn") === col("vec_id"))
+          .filter(col("vec_id") < col("nn_id"))
+          .select(col("vec_id").as("a"), col("nn_id").as("b"))
+        graft.ops.Release.afterIdle(
+          mut.union(mut.select(col("b").as("a"), col("a").as("b"))), GraphIdleBudget)
+      })
+    }
 
   private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame = {
     val sigs = t(s, dir, "documents")
@@ -3700,6 +3726,82 @@ object Pipeline {
     }) { (s, dir) =>
       SimilarityOps.sqAudit(t(s, dir, "embeddings"))
         .orderBy(col("dim"))
+    },
+
+    // -------------------- graph: PageRank over the mutual-kNN graph (p83)
+    // The "which documents are most representative" read of the p60
+    // similarity graph: fixed-iteration PageRank (Page et al. 1999)
+    // with pure integer arithmetic — ranks are ×PrScale integers, each
+    // contribution is an integer division by out-degree, and the
+    // damping update is integer throughout, so Spark and DuckDB agree
+    // bit-for-bit with no float fixpoint. On a mutual top-k graph
+    // in-degree ≤ KnnK, so the summed contributions stay k·PrScale-
+    // bounded at any corpus size (no overflow headroom to manage).
+    //
+    // Scale shape: the edge list (k·N-bounded, shared with p84 through
+    // the mutualEdges memo) is persisted once; each of the PrIters
+    // rounds is one id-keyed equi join plus one map-side-combining
+    // keyed sum — the textbook distributed PageRank step. The driver
+    // loops over a CONSTANT round count, never over data, and no round
+    // sorts or broadcasts the graph.
+    Q("p83_graph_pagerank", {
+      val teleport = (PrDampDen - PrDampNum).toLong * PrScale
+      val iterCtes = (1 to PrIters).map { i =>
+        s"""r$i AS (SELECT n.v,
+           |  CAST(($teleport + $PrDampNum * coalesce(s.m, 0)) // $PrDampDen AS BIGINT) AS r
+           |  FROM n LEFT JOIN (
+           |    SELECT ed.b AS v, sum(r${i - 1}.r // dg.deg) AS m
+           |    FROM ed JOIN r${i - 1} ON r${i - 1}.v = ed.a
+           |            JOIN dg ON dg.v = ed.a
+           |    GROUP BY ed.b) s ON s.v = n.v)""".stripMargin
+      }.mkString(",\n")
+      s"""$MutualGraphCtes,
+         |r0 AS (SELECT v, CAST($PrScale AS BIGINT) AS r FROM n),
+         |$iterCtes
+         |SELECT n.v AS vec_id, CAST(dg.deg AS BIGINT) AS deg, r$PrIters.r AS pr_q
+         |FROM n JOIN dg ON dg.v = n.v JOIN r$PrIters ON r$PrIters.v = n.v
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      GraphOps.pagerank(mutualEdges(s, dir), PrIters, PrScale, PrDampNum, PrDampDen)
+        .select(col("v").as("vec_id"), col("deg"), col("pr_q"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ------------------- graph: k-core peel of the mutual-kNN graph (p84)
+    // The dense-near-dup-core detector one level up from p67's cluster
+    // sizes: CoreRounds rounds of k-core peeling (Seidman 1983) drop
+    // every node whose still-alive degree is < CoreK. Early-peeled
+    // nodes are tree-like fringe (one mutual neighbor); survivors sit
+    // on cycles — the over-represented content a curation pass
+    // downweights first. The peel round is each node's coreness-order
+    // signal; exactly integer/boolean output, no floats anywhere.
+    //
+    // Scale shape: each round is two id-keyed semi-join-shaped equi
+    // joins of the (persisted, shared) edge list against the alive set
+    // plus one keyed count — alive sets only shrink, rounds are a
+    // constant, and the final flag assembly is node-sized left joins.
+    Q("p84_graph_kcore", {
+      val roundCtes = (1 to CoreRounds).map { i =>
+        val prev = if (i == 1) "n" else s"a${i - 1}"
+        s"""d$i AS (SELECT ed.a AS v, count(*) AS c
+           |  FROM ed JOIN $prev x ON x.v = ed.a JOIN $prev y ON y.v = ed.b
+           |  GROUP BY ed.a),
+           |a$i AS (SELECT v FROM d$i WHERE c >= $CoreK)""".stripMargin
+      }.mkString(",\n")
+      val peelCase = (1 to CoreRounds).map(i => s"WHEN a$i.v IS NULL THEN $i").mkString(" ")
+      val flagJoins = (1 to CoreRounds).map(i => s"LEFT JOIN a$i ON a$i.v = n.v").mkString("\n")
+      s"""$MutualGraphCtes,
+         |$roundCtes
+         |SELECT n.v AS vec_id, CAST(dg.deg AS BIGINT) AS deg0,
+         |       CAST(CASE $peelCase ELSE 0 END AS BIGINT) AS peel_round,
+         |       a$CoreRounds.v IS NOT NULL AS in_core
+         |FROM n JOIN dg ON dg.v = n.v
+         |$flagJoins
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      GraphOps.corePeel(mutualEdges(s, dir), CoreK, CoreRounds)
+        .select(col("v").as("vec_id"), col("deg0"), col("peel_round"), col("in_core"))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -3889,6 +3991,50 @@ object Pipeline {
 
   /** Neighbors per node in p60's mutual kNN graph. */
   private def KnnK: Int = 3
+
+  /** Graph-family (p83/p84) geometry: PageRank iteration count, the
+    * ×10¹² integer rank scale, the 85/100 damping rational, the k-core
+    * threshold and peel-round bound, and the shared edge memo's idle
+    * budget (p83 and p84 are adjacent in a sorted sweep; 128 spans the
+    * handful of executions each runs). Defs (queries-val init order).
+    */
+  private def PrIters: Int = 3
+  private def PrScale: Long = 1000000000000L
+  private def PrDampNum: Int = 85
+  private def PrDampDen: Int = 100
+  private def CoreK: Int = 2
+  private def CoreRounds: Int = 3
+  private def GraphIdleBudget: Int = 128
+
+  /** Shared oracle CTE prefix for the graph family: p60's exact salted
+    * LSH top-k chain (eb/sc/e), the mutual filter (mut), the symmetric
+    * directed edge list (ed), the vertex set (n) and out-degrees (dg).
+    * Mirrors [[mutualEdges]] — one owner for the graph both engines
+    * read. Qualified references in the reversal SELECT keep DuckDB's
+    * lateral column aliases from capturing the swap.
+    */
+  private def MutualGraphCtes: String = {
+    val bucket = SimilarityOps.lshBucketSql("embedding")
+    val cos = SimilarityOps.cosineSql("q.embedding", "c.embedding")
+    val cap = DedupOps.BandBucketCap
+    s"""WITH eb AS (
+       |  SELECT vec_id, embedding, bucket,
+       |         CAST(floor((row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1)
+       |              / $cap.0) AS BIGINT) AS salt
+       |  FROM (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)),
+       |sc AS (SELECT q.vec_id AS vec_id, c.vec_id AS nn_id,
+       |              row_number() OVER (PARTITION BY q.vec_id
+       |                                 ORDER BY $cos DESC, c.vec_id) AS rnk
+       |       FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.salt = c.salt
+       |                          AND q.vec_id <> c.vec_id),
+       |e AS (SELECT vec_id, nn_id FROM sc WHERE rnk <= $KnnK),
+       |mut AS (SELECT e.vec_id AS a, e.nn_id AS b
+       |        FROM e JOIN e r ON r.vec_id = e.nn_id AND r.nn_id = e.vec_id
+       |        WHERE e.vec_id < e.nn_id),
+       |ed AS (SELECT a, b FROM mut UNION ALL SELECT mut.b AS a, mut.a AS b FROM mut),
+       |n AS (SELECT DISTINCT a AS v FROM ed),
+       |dg AS (SELECT a AS v, count(*) AS deg FROM ed GROUP BY a)""".stripMargin
+  }
 
   /** p62's token budget = corpus total / MixBudgetDen. */
   private def MixBudgetDen: Long = 5L

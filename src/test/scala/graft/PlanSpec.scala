@@ -481,6 +481,25 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
   }
 
+  "p83_graph_pagerank" should "iterate as keyed equi joins over cached graph state — never all-pairs" in {
+    val plan = planOf("p83_graph_pagerank")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the shared mutual-edge memo plus the loop-invariant (node, deg)
+    // tables are persisted — each PageRank round reads caches, it never
+    // re-derives the LSH chain
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
+  }
+
+  "p84_graph_kcore" should "peel with one cached-edge join per round — never all-pairs" in {
+    val plan = planOf("p84_graph_kcore")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the edge memo + each round's alive set come from caches; round 1
+    // is a degree filter with no join at all
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
+  }
+
   "p62_mix_select" should "join the class cumsum and quotas as broadcasts; doc windows stay class-local" in {
     val plan = planOf("p62_mix_select")
     // the (lang, score)-class table and the per-lang quota table ride
