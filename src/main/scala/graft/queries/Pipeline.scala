@@ -3747,7 +3747,7 @@ object Pipeline {
     Q("p83_graph_pagerank", {
       val teleport = (PrDampDen - PrDampNum).toLong * PrScale
       val iterCtes = (1 to PrIters).map { i =>
-        s"""r$i AS (SELECT n.v,
+        s"""r$i AS MATERIALIZED (SELECT n.v,
            |  CAST(($teleport + $PrDampNum * coalesce(s.m, 0)) // $PrDampDen AS BIGINT) AS r
            |  FROM n LEFT JOIN (
            |    SELECT ed.b AS v, sum(r${i - 1}.r // dg.deg) AS m
@@ -3786,7 +3786,7 @@ object Pipeline {
         s"""d$i AS (SELECT ed.a AS v, count(*) AS c
            |  FROM ed JOIN $prev x ON x.v = ed.a JOIN $prev y ON y.v = ed.b
            |  GROUP BY ed.a),
-           |a$i AS (SELECT v FROM d$i WHERE c >= $CoreK)""".stripMargin
+           |a$i AS MATERIALIZED (SELECT v FROM d$i WHERE c >= $CoreK)""".stripMargin
       }.mkString(",\n")
       val peelCase = (1 to CoreRounds).map(i => s"WHEN a$i.v IS NULL THEN $i").mkString(" ")
       val flagJoins = (1 to CoreRounds).map(i => s"LEFT JOIN a$i ON a$i.v = n.v").mkString("\n")
@@ -4011,13 +4011,18 @@ object Pipeline {
     * directed edge list (ed), the vertex set (n) and out-degrees (dg).
     * Mirrors [[mutualEdges]] — one owner for the graph both engines
     * read. Qualified references in the reversal SELECT keep DuckDB's
-    * lateral column aliases from capturing the swap.
+    * lateral column aliases from capturing the swap. The multiply-
+    * referenced CTEs are MATERIALIZED: DuckDB inlines CTEs by default,
+    * and the iteration chains reference ed/n/dg once per round — an
+    * inlined LSH self-join re-executes per reference and turns a
+    * seconds-long compare into an exponential blowup at sf1 (the exact
+    * hazard p67's staged oracle works around for recursive closure).
     */
   private def MutualGraphCtes: String = {
     val bucket = SimilarityOps.lshBucketSql("embedding")
     val cos = SimilarityOps.cosineSql("q.embedding", "c.embedding")
     val cap = DedupOps.BandBucketCap
-    s"""WITH eb AS (
+    s"""WITH eb AS MATERIALIZED (
        |  SELECT vec_id, embedding, bucket,
        |         CAST(floor((row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1)
        |              / $cap.0) AS BIGINT) AS salt
@@ -4027,13 +4032,13 @@ object Pipeline {
        |                                 ORDER BY $cos DESC, c.vec_id) AS rnk
        |       FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.salt = c.salt
        |                          AND q.vec_id <> c.vec_id),
-       |e AS (SELECT vec_id, nn_id FROM sc WHERE rnk <= $KnnK),
+       |e AS MATERIALIZED (SELECT vec_id, nn_id FROM sc WHERE rnk <= $KnnK),
        |mut AS (SELECT e.vec_id AS a, e.nn_id AS b
        |        FROM e JOIN e r ON r.vec_id = e.nn_id AND r.nn_id = e.vec_id
        |        WHERE e.vec_id < e.nn_id),
-       |ed AS (SELECT a, b FROM mut UNION ALL SELECT mut.b AS a, mut.a AS b FROM mut),
-       |n AS (SELECT DISTINCT a AS v FROM ed),
-       |dg AS (SELECT a AS v, count(*) AS deg FROM ed GROUP BY a)""".stripMargin
+       |ed AS MATERIALIZED (SELECT a, b FROM mut UNION ALL SELECT mut.b AS a, mut.a AS b FROM mut),
+       |n AS MATERIALIZED (SELECT DISTINCT a AS v FROM ed),
+       |dg AS MATERIALIZED (SELECT a AS v, count(*) AS deg FROM ed GROUP BY a)""".stripMargin
   }
 
   /** p62's token budget = corpus total / MixBudgetDen. */
