@@ -66,6 +66,49 @@ object GraphOps {
     * Returns (v, deg0, peel_round, in_core): initial degree, the round
     * that dropped the node (0 = survived all rounds), survivor flag.
     */
+  /** Id-reduction modulus for the walk hash: terms stay < 2^21·10^6 ≈
+    * 2^41, far from int64 overflow in BOTH engines however large the
+    * raw node ids get (the p69 lesson: reduce before multiplying —
+    * Spark wraps silently where DuckDB errors).
+    */
+  val WalkMod = 1048576L
+
+  /** Deterministic hash-seeded random walks (the DeepWalk / node2vec
+    * corpus-prep step, Perozzi et al. 2014): one walk starts at every
+    * node, and at step s the walk at w chooses the neighbor b of its
+    * current node minimizing h(w, s, b) — a pseudo-random but
+    * reproducible choice, so walks diversify across steps and seeds
+    * while both engines agree exactly (no RNG state, ties broken by
+    * b). On the symmetric mutual-kNN graph every reachable node has a
+    * neighbor, so walks never dead-end.
+    *
+    * Returns (walk_id, step, v) for steps 0..`steps`.
+    *
+    * Scale shape: each step is one id-keyed equi join of the walk
+    * frontier (N rows) against the edge list plus one
+    * map-side-combining min aggregation — never all-pairs, state is
+    * one (walk, position) row per walk, and the driver loops over a
+    * constant step count.
+    */
+  def hashWalks(edges: DataFrame, steps: Int): DataFrame = {
+    var cur = Release.afterFirstUse(
+      edges.select(col("a")).distinct()
+        .select(col("a").as("walk_id"), col("a").as("v")))
+    var out = cur.withColumn("step", lit(0L))
+    for (s <- 1 to steps) {
+      val h = (col("walk_id") % WalkMod) * lit(1000003L) +
+        lit(s.toLong * 31L) + (col("b") % WalkMod) * lit(7919L)
+      cur = Release.afterFirstUse(
+        cur.join(edges, cur("v") === edges("a"))
+          .withColumn("h", h)
+          .groupBy(col("walk_id"))
+          .agg(min(struct(col("h"), col("b"))).as("m"))
+          .select(col("walk_id"), col("m.b").as("v")))
+      out = out.union(cur.withColumn("step", lit(s.toLong)))
+    }
+    out.select(col("walk_id"), col("step"), col("v"))
+  }
+
   def corePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val nodes = Release.afterFirstUse(
       edges.groupBy(col("a")).agg(count(lit(1)).as("deg0"))

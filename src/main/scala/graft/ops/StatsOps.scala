@@ -43,6 +43,16 @@ final case class QhSnap(user_id: Long, n_seen: Long, cnts: Seq[Long])
 /** GroupState for the streaming histogram fold: exactly q counters. */
 final case class QhState(nSeen: Long, cnts: Seq[Long])
 
+/** Per-key decayed-counter snapshot emitted by
+  * [[StatsOps.streamingDecay]] each time a key appears in a
+  * micro-batch: the recency-weighted activity counters after the
+  * batch's fold.
+  */
+final case class DecaySnap(user_id: Long, n_seen: Long, dec_cnt: Long, dec_sum: Long)
+
+/** GroupState for the streaming decay fold: two counters per key. */
+final case class DecayState(nSeen: Long, decCnt: Long, decSum: Long)
+
 /** Weighted-sampling and corpus-statistics kernels.
   *
   * The batch side (p63) and the streaming side (cef46) share one
@@ -227,6 +237,58 @@ object StatsOps {
     * stateful groupByKey; quantile extraction downstream touches q
     * rows per key, never the stream.
     */
+  /** One decay-fold step: halve the carried counters, add the batch's
+    * exact totals. Integer halving truncates toward zero — identical
+    * to DuckDB's `//` for the NON-NEGATIVE counters this op maintains
+    * (callers must clamp the value column at 0; negative carries would
+    * diverge between truncating and flooring division). One owner for
+    * the rule so the streaming fold and its spec can never drift.
+    */
+  def decayStep(prev: DecayState, n: Long, s: Long): DecayState =
+    DecayState(prev.nSeen + n, prev.decCnt / 2 + n, prev.decSum / 2 + s)
+
+  /** Streaming per-key exponentially-decayed activity counters: on each
+    * micro-batch that TOUCHES a key, the key's carried count/value-sum
+    * halve and the batch's exact totals add on — an EWMA with α = 1/2
+    * at micro-batch granularity, the recency-weighted rate estimate a
+    * drift monitor reads next to cef49's full-history histogram. Decay
+    * fires per OBSERVED batch of the key (flatMapGroupsWithState only
+    * invokes groups present in the batch — an absent key's state is
+    * untouched), and the oracle mirrors exactly that with a CASE per
+    * merge CTE. All-integer state, so both engines agree bit-for-bit.
+    *
+    * Like the Misra-Gries fold (cef47) this is ORDER-dependent across
+    * batches — it gates that GroupState round-trips every boundary in
+    * sequence; skipping or reordering one batch shifts every halving.
+    *
+    * Scale shape: state is two longs per key; the only shuffle is the
+    * stateful groupByKey; batch totals fold in O(batch) with no
+    * buffering.
+    */
+  def streamingDecay(
+      events: DataFrame,
+      keyCol: String,
+      valCol: String): Dataset[DecaySnap] = {
+    implicit val stEnc: Encoder[DecayState] = Encoders.product[DecayState]
+    implicit val outEnc: Encoder[DecaySnap] = Encoders.product[DecaySnap]
+    implicit val rowEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.select(col(keyCol).cast("long"), col(valCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DecayState, DecaySnap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[DecayState]) =>
+          var n = 0L
+          var s = 0L
+          rows.foreach { r => n += 1; s += r._2 }
+          val st = decayStep(state.getOption.getOrElse(DecayState(0L, 0L, 0L)), n, s)
+          state.update(st)
+          Iterator.single(DecaySnap(key, st.nSeen, st.decCnt, st.decSum))
+      }
+  }
+
   def streamingHistogram(
       events: DataFrame,
       keyCol: String,

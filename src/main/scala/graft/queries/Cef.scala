@@ -1540,6 +1540,62 @@ object Cef {
         .orderBy(col("user_id"))
     },
 
+    // ---------------- streaming per-key decayed activity counters: an
+    // EWMA with α = 1/2 at micro-batch granularity — on each batch
+    // that touches a key, the carried count/value-sum halve and the
+    // batch's exact totals add on. The recency-weighted rate read a
+    // drift monitor keeps next to cef49's full-history comparison.
+    // Order-dependent across batches like the MG fold (cef47): the
+    // gate certifies GroupState round-trips every boundary IN
+    // SEQUENCE (a skipped or reordered batch shifts every halving).
+    // Decay fires only on batches where the key APPEARS (GroupState
+    // invokes present groups only); the oracle's merge CTEs — one per
+    // micro-batch, generated from StreamSlices (the cef47 discipline)
+    // — mirror that with a CASE on the slice side. All-integer
+    // state; the value column is clamped at 0 on both sides so the
+    // truncating halving agrees between the engines.
+    Q("cef50_streaming_decay", {
+      def merge(prev: String, cur: String, dst: String) =
+        s"""$dst AS (SELECT coalesce(p.user_id, c.user_id) AS user_id,
+           |              CASE WHEN c.user_id IS NULL THEN p.dc
+           |                   ELSE coalesce(p.dc, 0) // 2 + c.n END AS dc,
+           |              CASE WHEN c.user_id IS NULL THEN p.ds
+           |                   ELSE coalesce(p.ds, 0) // 2 + c.s END AS ds
+           |       FROM $prev p FULL OUTER JOIN $cur c
+           |         ON p.user_id = c.user_id)""".stripMargin
+      val slices = (1 to StreamSlices).map(i =>
+        s"""c$i AS (SELECT user_id, count(*) AS n, sum(v_q) AS s
+           |        FROM e WHERE sl = $i GROUP BY user_id)""".stripMargin)
+        .mkString(",\n")
+      val fold = (Seq("d1 AS (SELECT user_id, n AS dc, s AS ds FROM c1)") ++
+        (2 to StreamSlices).map(i => merge(s"d${i - 1}", s"c$i", s"d$i")))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT user_id,
+         |                  GREATEST(CAST(floor(value * 10) AS BIGINT), 0) AS v_q,
+         |                  ntile($StreamSlices) OVER (ORDER BY ts, event_id) AS sl
+         |           FROM events),
+         |$slices,
+         |$fold,
+         |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen
+         |      FROM e GROUP BY user_id)
+         |SELECT d.user_id, n.n_seen, CAST(d.dc AS BIGINT) AS dec_cnt,
+         |       CAST(d.ds AS BIGINT) AS dec_sum
+         |FROM d$StreamSlices d JOIN n USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.StatsOps
+      val snaps = runEventStream(s, dir, "cef50", "append") { raw =>
+        StatsOps.streamingDecay(
+          raw.withColumn("v_q",
+            greatest(floor(col("value") * 10).cast("long"), lit(0L))),
+          "user_id", "v_q").toDF()
+      }
+      requireCrossBatchFold(snaps, "cef50", "user_id")
+      latestSnapshotPerKey(snaps, "user_id")
+        .select(col("user_id"), col("n_seen"), col("dec_cnt"), col("dec_sum"))
+        .orderBy(col("user_id"))
+    },
+
     // ---------------- F3 smart-scan intervals driver-checked: the
     // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
     // exhaustive SQL window enumeration — the fullScan semantics the

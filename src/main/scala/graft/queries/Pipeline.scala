@@ -3802,6 +3802,45 @@ object Pipeline {
       GraphOps.corePeel(mutualEdges(s, dir), CoreK, CoreRounds)
         .select(col("v").as("vec_id"), col("deg0"), col("peel_round"), col("in_core"))
         .orderBy(col("vec_id"))
+    },
+
+    // ------------- graph: deterministic random-walk corpus prep (p85)
+    // The DeepWalk/node2vec sentence-generation step (Perozzi et al.
+    // 2014) over the p60 mutual-kNN graph: one walk per node, WalkLen
+    // steps, each step choosing the neighbor minimizing a seeded hash
+    // h(walk, step, neighbor) — pseudo-random but engine-exact (no RNG
+    // state; ids are modulus-reduced BEFORE multiplying, the p69
+    // overflow discipline). Walk rows are the skip-gram training corpus
+    // a graph-embedding pass consumes downstream.
+    //
+    // Scale shape: the walk frontier is one row per walk; each step is
+    // one id-keyed equi join against the shared persisted edge list
+    // plus a map-side-combined min — constant step count, never
+    // all-pairs, no global sort until the output convention.
+    Q("p85_graph_walks", {
+      val m = GraphOps.WalkMod
+      val stepCtes = (1 to WalkLen).map { i =>
+        val prev = if (i == 1) "w0" else s"s${i - 1}"
+        s"""s$i AS MATERIALIZED (
+           |  SELECT walk_id, b AS cur FROM (
+           |    SELECT w.walk_id, ed.b,
+           |           row_number() OVER (PARTITION BY w.walk_id
+           |             ORDER BY (w.walk_id % $m) * 1000003 + ${i * 31} + (ed.b % $m) * 7919,
+           |                      ed.b) AS rk
+           |    FROM $prev w JOIN ed ON ed.a = w.cur)
+           |  WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to WalkLen).map(i =>
+        s"UNION ALL SELECT walk_id, CAST($i AS BIGINT), cur FROM s$i").mkString("\n")
+      s"""$MutualGraphCtes,
+         |w0 AS (SELECT v AS walk_id, v AS cur FROM n),
+         |$stepCtes
+         |SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS v FROM w0
+         |$unions
+         |ORDER BY walk_id, step""".stripMargin
+    }) { (s, dir) =>
+      GraphOps.hashWalks(mutualEdges(s, dir), WalkLen)
+        .orderBy(col("walk_id"), col("step"))
     }
   )
 
@@ -4005,6 +4044,9 @@ object Pipeline {
   private def CoreK: Int = 2
   private def CoreRounds: Int = 3
   private def GraphIdleBudget: Int = 128
+
+  /** Steps per walk in p85's hash-seeded walk corpus. */
+  private def WalkLen: Int = 3
 
   /** Shared oracle CTE prefix for the graph family: p60's exact salted
     * LSH top-k chain (eb/sc/e), the mutual filter (mut), the symmetric

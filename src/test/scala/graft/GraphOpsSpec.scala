@@ -100,6 +100,44 @@ class GraphOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  "GraphOps.hashWalks" should "match brute-force hash-argmin walks on random graphs" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val m = ops.GraphOps.WalkMod
+    (1 to 4).foreach { _ =>
+      val es = randomEdges(30, 45)
+      val adj = es.groupBy(_._1).map { case (v, e2) => v -> e2.map(_._2).sorted }
+      val steps = 3
+      val want = adj.keys.flatMap { w0 =>
+        var cur = w0
+        (0 to steps).map { s =>
+          if (s > 0)
+            cur = adj(cur).minBy(b => ((w0 % m) * 1000003L + s * 31L + (b % m) * 7919L, b))
+          (w0, s.toLong, cur)
+        }
+      }.toSet
+      val got = ops.GraphOps.hashWalks(es.toDF("a", "b"), steps)
+        .as[(Long, Long, Long)].collect().toSet
+      got shouldBe want
+    }
+  }
+
+  it should "visit a neighbor of the previous node at every step" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val es = randomEdges(25, 35)
+    val nbr = es.groupBy(_._1).map { case (v, e2) => v -> e2.map(_._2).toSet }
+    val walks = ops.GraphOps.hashWalks(es.toDF("a", "b"), 3)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    walks.foreach { w =>
+      val path = w.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach { p =>
+        if (p.length == 2) nbr(p(0)) should contain(p(1))
+      }
+    }
+  }
+
   it should "peel a path inward one round at a time and keep a cycle forever" in {
     val sparkS = spark
     import sparkS.implicits._

@@ -500,6 +500,15 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
   }
 
+  "p85_graph_walks" should "advance the walk frontier by cached-edge equi joins — never all-pairs" in {
+    val plan = planOf("p85_graph_walks")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // each step reads the shared edge memo + the persisted frontier;
+    // the neighbor choice is a keyed min aggregation, not a sort
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
+  }
+
   "p62_mix_select" should "join the class cumsum and quotas as broadcasts; doc windows stay class-local" in {
     val plan = planOf("p62_mix_select")
     // the (lang, score)-class table and the per-lang quota table ride

@@ -91,6 +91,32 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  "decayStep folds" should "track the real-valued EWMA within the truncation bound and stay geometrically bounded" in {
+    import ops.{StatsOps, DecayState}
+    (1 to 50).foreach { _ =>
+      val batches = Seq.fill(2 + rnd.nextInt(8))(
+        Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(100).toLong))
+      var st = DecayState(0L, 0L, 0L)
+      for (b <- batches) st = StatsOps.decayStep(st, b.size.toLong, b.sum)
+      // real-valued EWMA closed form: Σ_j x_j · 2^-(T-j). Each integer
+      // step loses < 1 to truncation and carries prior error halved, so
+      // the accumulated gap is < Σ 2^-i = 2 (and one-sided: truncation
+      // only undershoots).
+      val T = batches.size
+      def ewma(xs: Seq[Long]): Double =
+        xs.zipWithIndex.map { case (x, j) => x.toDouble / (1L << (T - 1 - j)) }.sum
+      val realCnt = ewma(batches.map(_.size.toLong))
+      val realSum = ewma(batches.map(_.sum))
+      st.decCnt.toDouble should (be <= realCnt and be > realCnt - 2.0)
+      st.decSum.toDouble should (be <= realSum and be > realSum - 2.0)
+      // geometric bound: the carry can never exceed twice the largest
+      // single-batch contribution (state is O(1) however long the stream)
+      st.decCnt should be <= 2 * batches.map(_.size.toLong).max
+      st.decSum should be <= 2 * batches.map(_.sum).max
+      st.nSeen shouldBe batches.map(_.size.toLong).sum
+    }
+  }
+
   "p63_sample_weighted" should "equal the in-JVM sequential Poisson sample" in {
     val want = docs()
       .map { case (id, _, _, _, nc) =>
