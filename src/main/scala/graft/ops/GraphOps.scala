@@ -109,6 +109,40 @@ object GraphOps {
     out.select(col("walk_id"), col("step"), col("v"))
   }
 
+  /** Triangle counting via the ordered wedge join (the classic
+    * distributed formulation: each triangle a<b<c is generated exactly
+    * once from the wedge (a,b)+(b,c) closed by (a,c), so no triangle
+    * is double-counted and the join is keyed, never all-pairs). Wedge
+    * volume is Σ deg² — bounded on a mutual top-k graph (deg ≤ k) and
+    * kept skew-safe at scale by the same degree-boundedness. Returns
+    * per node (v, deg, n_tri, cc_q): degree, incident triangles, and
+    * the local clustering coefficient 2·tri/(deg·(deg−1)) as an exact
+    * ×10⁶ integer (0 when deg < 2) — the "how dense is this near-dup
+    * neighborhood" dial one level below p84's core flags.
+    */
+  def triangles(edges: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val mut = Release.afterFirstUse(
+      edges.filter(col("a") < col("b")))
+    val deg = Release.afterFirstUse(
+      edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .select(col("a").as("v"), col("deg")))
+    val wedge = mut.select(col("a").as("x"), col("b").as("y"))
+      .join(mut.select(col("a").as("y"), col("b").as("z")), "y")
+    val tri = Release.afterFirstUse(
+      wedge.join(mut.select(col("a").as("x"), col("b").as("z")),
+        Seq("x", "z"), "left_semi"))
+    val tc = tri.select(col("x").as("v"))
+      .union(tri.select(col("y")))
+      .union(tri.select(col("z")))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.join(tc, Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr(s"(2 * coalesce(n_tri, 0L) * $scale) div (deg * (deg - 1))"))
+          .as("cc_q"))
+  }
+
   def corePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val nodes = Release.afterFirstUse(
       edges.groupBy(col("a")).agg(count(lit(1)).as("deg0"))

@@ -3841,6 +3841,40 @@ object Pipeline {
     }) { (s, dir) =>
       GraphOps.hashWalks(mutualEdges(s, dir), WalkLen)
         .orderBy(col("walk_id"), col("step"))
+    },
+
+    // -------------- graph: triangles + clustering coefficient (p86)
+    // The neighborhood-density dial one level below p84's core flags:
+    // triangles via the ordered wedge join (each a<b<c generated once
+    // from wedge (a,b)+(b,c), closed by (a,c) with a semi join — the
+    // classic distributed formulation, keyed throughout), per-node
+    // incident-triangle counts from one role-union agg, and the local
+    // clustering coefficient 2·tri/(deg·(deg−1)) as an exact ×10⁶
+    // integer. Wedge volume is Σ deg², k²-bounded per node on the
+    // mutual top-k graph — no skew hazard at any corpus size.
+    Q("p86_graph_triangles", {
+      s"""$MutualGraphCtes,
+         |mut2 AS MATERIALIZED (SELECT a, b FROM ed WHERE a < b),
+         |tri AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM mut2 e1 JOIN mut2 e2 ON e2.a = e1.b
+         |  JOIN mut2 e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tc AS (SELECT v, count(*) AS n_tri FROM (
+         |         SELECT x AS v FROM tri
+         |         UNION ALL SELECT y FROM tri
+         |         UNION ALL SELECT z FROM tri) u
+         |       GROUP BY v)
+         |SELECT n.v AS vec_id, CAST(dg.deg AS BIGINT) AS deg,
+         |       CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+         |       CAST(CASE WHEN dg.deg < 2 THEN 0
+         |            ELSE (2 * coalesce(tc.n_tri, 0) * 1000000)
+         |                 // (dg.deg * (dg.deg - 1)) END AS BIGINT) AS cc_q
+         |FROM n JOIN dg ON dg.v = n.v LEFT JOIN tc ON tc.v = n.v
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      GraphOps.triangles(mutualEdges(s, dir))
+        .select(col("v").as("vec_id"), col("deg"), col("n_tri"), col("cc_q"))
+        .orderBy(col("vec_id"))
     }
   )
 

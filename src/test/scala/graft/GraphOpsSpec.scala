@@ -100,6 +100,45 @@ class GraphOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
+  "GraphOps.triangles" should "match brute-force triangle counts and clustering coefficients" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    (1 to 4).foreach { _ =>
+      val es = randomEdges(30, 60)
+      val und = es.filter(e => e._1 < e._2).toSet
+      val adj = es.groupBy(_._1).map { case (v, e2) => v -> e2.map(_._2).toSet }
+      val triCnt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        (a, b) <- und
+        c <- adj(b) if b < c && und.contains((a, c))
+      } { triCnt(a) += 1; triCnt(b) += 1; triCnt(c) += 1 }
+      val want = adj.map { case (v, ns) =>
+        val d = ns.size.toLong
+        val t = triCnt(v)
+        val cc = if (d < 2) 0L else (2 * t * 1000000L) / (d * (d - 1))
+        v -> ((d, t, cc))
+      }
+      val got = ops.GraphOps.triangles(es.toDF("a", "b"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      got shouldBe want
+    }
+  }
+
+  it should "count a clique's triangles exactly and give its members cc = 1" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // K4 on 0..3 (4 triangles, each node in 3) plus a pendant 4-0
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b))
+    val es = k4 ++ Seq((4L, 0L), (0L, 4L))
+    val got = ops.GraphOps.triangles(es.toDF("a", "b"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    (1L to 3L).foreach(v => got(v) shouldBe ((3L, 3L, 1000000L)))
+    got(0L) shouldBe ((4L, 3L, 500000L)) // pendant dilutes: 6/(4·3)
+    got(4L) shouldBe ((1L, 0L, 0L))
+  }
+
   "GraphOps.hashWalks" should "match brute-force hash-argmin walks on random graphs" in {
     val sparkS = spark
     import sparkS.implicits._

@@ -509,6 +509,13 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
   }
 
+  "p86_graph_triangles" should "close wedges with keyed joins over the cached oriented edges — never all-pairs" in {
+    val plan = planOf("p86_graph_triangles")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
+  }
+
   "p62_mix_select" should "join the class cumsum and quotas as broadcasts; doc windows stay class-local" in {
     val plan = planOf("p62_mix_select")
     // the (lang, score)-class table and the per-lang quota table ride
