@@ -264,4 +264,146 @@ object SketchOps {
       .select(col("ngram"), col("est_cnt"), col("exact_cnt"),
         (col("exact_cnt") * denom > n).as("is_heavy"))
   }
+
+  // ------------------------------- streaming per-key MinHash (cef51)
+
+  /** Streaming per-key MinHash signature: the GroupState holds one
+    * `lanes`-wide vector of per-permutation minima (the same universal
+    * hash family as [[DedupOps.MinHashA]]/[[MinHashB]], first `lanes`
+    * coefficients), each micro-batch folds its item hashes in with an
+    * elementwise min, and every batch emits a snapshot carrying the
+    * signature. Elementwise min is exactly associative and commutative,
+    * so the streamed signature equals the batch signature however the
+    * stream is sliced — MinHashFoldSpec fuzzes arbitrary splits.
+    *
+    * Scale shape: state is O(lanes) per key regardless of stream
+    * length; per-item work is O(lanes) multiplies; the only shuffle is
+    * the stateful operator's own groupByKey. Unlike KMV (one global
+    * k-min order statistic), the lanes make the signature usable for
+    * cross-key SIMILARITY — the cef51 gate estimates each key's Jaccard
+    * overlap with the global item set from it.
+    */
+  final case class MhState(nSeen: Long, mins: Seq[Long])
+  final case class MhSnap(user_id: Long, n_seen: Long, sig: Seq[Long])
+
+  /** Fold one batch of item hashes into the per-lane minima IN PLACE.
+    * Elementwise min is associative/commutative/idempotent, so any
+    * batching of the stream yields the same signature (SketchSpec
+    * fuzzes arbitrary splits against the one-batch fold).
+    */
+  def foldMinHash(mins: Array[Long], hs: Iterator[Long], as: Array[Long],
+      bs: Array[Long], mod: Long): Long = {
+    var n = 0L
+    hs.foreach { h =>
+      var i = 0
+      while (i < mins.length) {
+        val v = (as(i) * h + bs(i)) % mod
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      n += 1
+    }
+    n
+  }
+
+  def streamingMinHash(
+      events: DataFrame, keyCol: String, hashCol: String, lanes: Int): Dataset[MhSnap] = {
+    val as = DedupOps.MinHashA.take(lanes).toArray
+    val bs = DedupOps.MinHashB.take(lanes).toArray
+    val mod = TextOps.HashMod
+    implicit val stEnc: Encoder[MhState] = Encoders.product[MhState]
+    implicit val outEnc: Encoder[MhSnap] = Encoders.product[MhSnap]
+    implicit val kvEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.select(col(keyCol).cast("long"), col(hashCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MhState, MhSnap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[MhState]) =>
+          val prev = state.getOption.getOrElse(MhState(0L, Seq.fill(lanes)(mod)))
+          val mins = prev.mins.toArray
+          val nNew = foldMinHash(mins, rows.map(_._2), as, bs, mod)
+          val nSeen = prev.nSeen + nNew
+          state.update(MhState(nSeen, mins.toSeq))
+          Iterator.single(MhSnap(key, nSeen, mins.toSeq))
+      }
+  }
+
+  // ----------------------------------- streaming per-key HLL (cef52)
+
+  /** Streaming per-key HyperLogLog: the GroupState holds [[HllM]]
+    * registers (max-rho per register, 0 = never hit; a real hit's rho
+    * is ≥ 1 by construction — w < HashMod/HllM keeps bin(w) ≤ 25
+    * digits), each micro-batch folds its item hashes in with a
+    * register-wise max, and every batch emits the p38 summary
+    * (n_regs_hit, s_scaled, est_hll) from the current registers.
+    * Register max is exactly associative, so the streamed registers
+    * equal the batch registers under any slicing (HllFoldSpec).
+    */
+  final case class HllState(nSeen: Long, regs: Seq[Long])
+  final case class HllSnap(
+      user_id: Long, n_seen: Long, n_regs_hit: Long, s_scaled: Long, est_hll: Long)
+
+  /** JVM twin of the hllRegister/hllRho Column pair (register index and
+    * rank of one hash) — the streaming fold and the specs share it.
+    */
+  def hllRegRho(h: Long): (Int, Long) = {
+    val reg = (h % HllM).toInt
+    val w = h / HllM
+    val rho = if (w == 0L) HllRhoMax.toLong
+      else (HllRhoMax - java.lang.Long.toBinaryString(w).length).toLong
+    (reg, rho)
+  }
+
+  /** Fold one batch of item hashes into the registers IN PLACE.
+    * Register-wise max is associative/commutative/idempotent — any
+    * batching yields the same registers (SketchSpec fuzzes splits).
+    */
+  def foldHll(regs: Array[Long], hs: Iterator[Long]): Long = {
+    var n = 0L
+    hs.foreach { h =>
+      val (reg, rho) = hllRegRho(h)
+      if (rho > regs(reg)) regs(reg) = rho
+      n += 1
+    }
+    n
+  }
+
+  def hllSummary(key: Long, nSeen: Long, regs: Array[Long]): HllSnap = {
+    val twoPow = 1L << HllRhoMax
+    var hit = 0L
+    var sHit = 0L
+    var i = 0
+    while (i < HllM) {
+      if (regs(i) > 0L) { hit += 1; sHit += 1L << (HllRhoMax - regs(i).toInt) }
+      i += 1
+    }
+    val sScaled = sHit + (HllM - hit) * twoPow
+    val num = HllAlphaNum * HllM * HllM * twoPow
+    HllSnap(key, nSeen, hit, sScaled, num / (HllAlphaDen * sScaled))
+  }
+
+  def streamingHll(events: DataFrame, keyCol: String, hashCol: String): Dataset[HllSnap] = {
+    val mod = TextOps.HashMod
+    implicit val stEnc: Encoder[HllState] = Encoders.product[HllState]
+    implicit val outEnc: Encoder[HllSnap] = Encoders.product[HllSnap]
+    implicit val kvEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.select(col(keyCol).cast("long"), col(hashCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HllState, HllSnap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[HllState]) =>
+          val prev = state.getOption.getOrElse(HllState(0L, Seq.fill(HllM)(0L)))
+          val regs = prev.regs.toArray
+          val nNew = foldHll(regs, rows.map(_._2))
+          val nSeen = prev.nSeen + nNew
+          state.update(HllState(nSeen, regs.toSeq))
+          Iterator.single(hllSummary(key, nSeen, regs))
+      }
+  }
 }

@@ -313,4 +313,51 @@ object StatsOps {
           Iterator.single(QhSnap(key, nSeen, cnts))
       }
   }
+
+  // ------------------------------ robust per-group location statistics
+
+  /** Exact per-group median, MAD and |x − med| > madK·MAD outlier count
+    * from the BOUNDED (group, value) histogram (p93).
+    *
+    * Median = the value at rank (n+1)//2 of the ascending order (the
+    * LOWER median — the rank formula itself is the contract; the p93
+    * oracle replays it rather than calling an engine median, and
+    * StatsOpsSpec pins it against a brute-force sort). MAD = the same
+    * statistic over |value − median|.
+    *
+    * Scale shape: the corpus collapses map-side into (group, value)
+    * histogram cells; every window and join after that runs over
+    * histogram rows (distinct values × groups), never corpus rows —
+    * exact order statistics with no global sort and no per-group
+    * corpus-sized partitions. The two histograms are persisted for the
+    * query's duration and auto-released (Release.afterFirstUse).
+    *
+    * Output: keyCol, n, med, mad, n_out.
+    */
+  def groupedMedianMadOutliers(
+      rows: DataFrame, keyCol: String, valCol: String, madK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = rows.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("c"))
+    val hCp = Release.afterFirstUse(h)
+    val n = hCp.groupBy(col(keyCol)).agg(sum(col("c")).as("n"))
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+    val med = hCp.withColumn("cc", sum(col("c")).over(wc))
+      .join(broadcast(n), keyCol)
+      .filter(col("cc") >= expr("(n + 1) div 2"))
+      .groupBy(col(keyCol)).agg(min(col(valCol)).as("med"))
+    val dh = hCp.join(broadcast(med), keyCol)
+      .withColumn("dev", abs(col(valCol) - col("med")))
+      .groupBy(col(keyCol), col("dev")).agg(sum(col("c")).as("c"))
+    val dhCp = Release.afterFirstUse(dh)
+    val wd = Window.partitionBy(col(keyCol)).orderBy(col("dev"))
+    val mad = dhCp.withColumn("cc", sum(col("c")).over(wd))
+      .join(broadcast(n), keyCol)
+      .filter(col("cc") >= expr("(n + 1) div 2"))
+      .groupBy(col(keyCol)).agg(min(col("dev")).as("mad"))
+    val outl = dhCp.join(broadcast(mad), keyCol)
+      .groupBy(col(keyCol))
+      .agg(coalesce(sum(when(col("dev") > col("mad") * madK, col("c"))), lit(0L))
+        .as("n_out"))
+    n.join(med, keyCol).join(mad, keyCol).join(outl, keyCol)
+  }
 }

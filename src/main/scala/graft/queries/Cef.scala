@@ -1596,6 +1596,127 @@ object Cef {
         .orderBy(col("user_id"))
     },
 
+    // ---------------- streaming per-key MinHash signature: the fourth
+    // cross-batch sketch fold (cef43 KMV, cef45 CM, cef47 MG). Each
+    // key's GroupState holds StreamMhLanes per-permutation minima —
+    // elementwise min is exactly associative, so the streamed signature
+    // equals the batch signature however the stream is sliced (the
+    // property MinHashFoldSpec fuzzes and this oracle certifies through
+    // ≥3 real micro-batches). Unlike KMV, the lanes make the state a
+    // SIMILARITY sketch: the finalize step estimates each key's Jaccard
+    // overlap with the global value-bucket set by comparing its
+    // signature with the elementwise-min of all final signatures (the
+    // signature of the union — a snapshot-sized batch epilogue, never a
+    // second pass over the stream).
+    Q("cef51_streaming_minhash", {
+      import graft.ops.{DedupOps, TextOps}
+      val lanes = StreamMhLanes
+      val sigSql = (0 until lanes).map { i =>
+        s"list_min(list_transform(hs, x -> (${DedupOps.MinHashA(i)} * x" +
+          s" + ${DedupOps.MinHashB(i)}) % ${TextOps.HashMod}))"
+      }.mkString("[", ", ", "]")
+      val fp = s"list_reduce(list_prepend(CAST(0 AS BIGINT), sig), " +
+        s"(a, b) -> (a * 31 + b) % ${TextOps.HashMod})"
+      s"""WITH b AS (SELECT user_id, CAST(floor(value * 10) AS BIGINT) AS bucket
+         |           FROM events),
+         |h AS (SELECT DISTINCT user_id,
+         |             ${TextOps.polyHashSql("CAST(bucket AS VARCHAR)")} AS h
+         |      FROM b),
+         |u AS (SELECT user_id, $sigSql AS sig
+         |      FROM (SELECT user_id, list(h) AS hs FROM h GROUP BY user_id)),
+         |g AS (SELECT $sigSql AS sig
+         |      FROM (SELECT list(DISTINCT h) AS hs FROM h)),
+         |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen
+         |      FROM events GROUP BY user_id),
+         |m AS (SELECT user_id, u.sig AS sig,
+         |             len(list_filter(range($lanes),
+         |                             i -> u.sig[i + 1] = g.sig[i + 1])) AS n_match
+         |      FROM u CROSS JOIN g)
+         |SELECT m.user_id, n.n_seen, $fp AS sig_fp,
+         |       CAST(n_match AS BIGINT) AS n_match,
+         |       CAST(n_match * ${1000000 / lanes} AS BIGINT) AS est_jacc_q
+         |FROM m JOIN n ON n.user_id = m.user_id
+         |ORDER BY m.user_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.{SketchOps, TextOps}
+      val lanes = StreamMhLanes
+      val snaps = runEventStream(s, dir, "cef51", "append") { raw =>
+        SketchOps.streamingMinHash(
+          raw.withColumn("bucket", floor(col("value") * 10).cast("long"))
+            .withColumn("h", TextOps.polyHash(col("bucket").cast("string"))),
+          "user_id", "h", lanes).toDF()
+      }
+      requireCrossBatchFold(snaps, "cef51", "user_id")
+      val fin = latestSnapshotPerKey(snaps, "user_id")
+      // union signature = elementwise min over the final per-key
+      // signatures: lane-explode the snapshot table (keys × lanes rows,
+      // model-sized), min per lane, compare back — a batch epilogue on
+      // sketch-sized data, no second stream pass
+      val lanesDf = fin.select(col("user_id"),
+        posexplode(col("sig")).as(Seq("lane", "v")))
+      val gmin = lanesDf.groupBy(col("lane")).agg(min(col("v")).as("gv"))
+      val matches = lanesDf.join(broadcast(gmin), "lane")
+        .groupBy(col("user_id"))
+        .agg(count(when(col("v") === col("gv"), 1)).as("n_match"))
+      fin
+        .withColumn("sig_fp", aggregate(col("sig"), lit(0L),
+          (acc, x) => (acc * 31 + x) % TextOps.HashMod))
+        .join(matches, "user_id")
+        .select(col("user_id"), col("n_seen"), col("sig_fp"), col("n_match"),
+          (col("n_match") * lit((1000000 / lanes).toLong)).as("est_jacc_q"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---------------- streaming per-key HyperLogLog: register-wise max
+    // is exactly associative, so the streamed registers equal the batch
+    // registers under any slicing — the oracle restates p38's HLL
+    // formulas per user over the full stream and the gate certifies the
+    // fold through ≥3 real micro-batches (HllFoldSpec fuzzes arbitrary
+    // splits). Next to cef43's KMV this covers the OTHER classical
+    // distinct sketch: constant 32-register state per key vs KMV's
+    // k-min list, same one-shuffle stateful shape.
+    Q("cef52_streaming_hll", {
+      import graft.ops.{SketchOps, TextOps}
+      val twoPow = 1L << SketchOps.HllRhoMax
+      val num = SketchOps.HllAlphaNum * SketchOps.HllM * SketchOps.HllM * twoPow
+      s"""WITH b AS (SELECT user_id, CAST(floor(value * 10) AS BIGINT) AS bucket
+         |           FROM events),
+         |d AS (SELECT DISTINCT user_id,
+         |             ${TextOps.polyHashSql("CAST(bucket AS VARCHAR)")} AS h
+         |      FROM b),
+         |r AS (SELECT user_id, ${SketchOps.hllRegisterSql("h")} AS reg,
+         |             ${SketchOps.hllRhoSql("h")} AS rho
+         |      FROM d),
+         |mx AS (SELECT user_id, reg, max(rho) AS mr FROM r GROUP BY user_id, reg),
+         |sa AS (SELECT user_id, count(*) AS n_regs_hit,
+         |              sum(CAST(power(2, ${SketchOps.HllRhoMax} - mr) AS BIGINT)) AS s_hit
+         |       FROM mx GROUP BY user_id),
+         |tt AS (SELECT user_id, n_regs_hit,
+         |              s_hit + (${SketchOps.HllM} - n_regs_hit) * $twoPow AS s_scaled
+         |       FROM sa),
+         |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen
+         |      FROM events GROUP BY user_id)
+         |SELECT tt.user_id, n.n_seen,
+         |       CAST(n_regs_hit AS BIGINT) AS n_regs_hit,
+         |       CAST(s_scaled AS BIGINT) AS s_scaled,
+         |       CAST($num // (${SketchOps.HllAlphaDen} * s_scaled) AS BIGINT) AS est_hll
+         |FROM tt JOIN n ON n.user_id = tt.user_id
+         |ORDER BY tt.user_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.{SketchOps, TextOps}
+      val snaps = runEventStream(s, dir, "cef52", "append") { raw =>
+        SketchOps.streamingHll(
+          raw.withColumn("bucket", floor(col("value") * 10).cast("long"))
+            .withColumn("h", TextOps.polyHash(col("bucket").cast("string"))),
+          "user_id", "h").toDF()
+      }
+      requireCrossBatchFold(snaps, "cef52", "user_id")
+      latestSnapshotPerKey(snaps, "user_id")
+        .select(col("user_id"), col("n_seen"), col("n_regs_hit"),
+          col("s_scaled"), col("est_hll"))
+        .orderBy(col("user_id"))
+    },
+
     // ---------------- F3 smart-scan intervals driver-checked: the
     // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
     // exhaustive SQL window enumeration — the fullScan semantics the
@@ -1729,6 +1850,12 @@ object Cef {
     * first (the same trap Pipeline's CmSeeds documents).
     */
   private def StreamKmvK = 16
+
+  /** cef51 signature width: 16 permutation lanes divide 10⁶ exactly
+    * (est_jacc_q = n_match · 62500) and keep per-key state at 16 longs.
+    * A def (queries-val init order).
+    */
+  private def StreamMhLanes = 16
 
   /** cef46 reservoir size: smaller than any key's event count at
     * sf0.01+ (~67 events/user) so the sample actually SELECTS, while

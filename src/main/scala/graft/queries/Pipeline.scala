@@ -83,6 +83,108 @@ object Pipeline {
       })
     }
 
+  /** Shared SAMPLED calibration pair table (p69's decile audit and
+    * p89's threshold-yield sweep): 1-in-CalibDocMod documents enter the
+    * recall-leaning NnBands salted band join, 1-in-CalibSampleMod of
+    * the surviving candidate pairs are kept, and each kept pair carries
+    * its exact quantized Jaccard plus the MinHash-signature estimate.
+    * Memoized per (session, dir) like the near-dup pair memo — both
+    * consumers are audit queries over the SAME sampled population, so
+    * one idle-released persist serves them and the band join (the
+    * dominant cost) runs once. Sampled semantics are part of the
+    * registered contract (both oracles restate the same predicates);
+    * the sample hashes are deterministic functions of (id, seed).
+    */
+  private val calibCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def CalibIdleBudget = 256
+
+  private def calibPairs(s: SparkSession, dir: String): DataFrame =
+    calibCache.synchronized {
+      calibCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      calibCache.getOrElseUpdate((s, dir), {
+        // one signature table feeds the band explode and both join-backs;
+        // the doc-sample predicate runs in the scan stage — dropped docs
+        // never pay for signatures
+        val sh = t(s, dir, "documents")
+          .filter(pmod(
+            TextOps.polyHash(concat(col("doc_id").cast("string"), lit("#graft-calib-9"))),
+            lit(CalibDocMod.toLong)) === 0)
+          .select(col("doc_id"), TextOps.tokenHashes(col("text")).as("hs"))
+          .withColumn("sig", DedupOps.minHashSig(col("hs")))
+          .withColumn("bands", DedupOps.bandKeys(col("sig"), DedupOps.NnBands))
+          .persist()
+        val exploded = DedupOps.saltedBands(sh, "doc_id")
+        val cand = exploded.as("x")
+          .join(exploded.as("y"),
+            col("x.key") === col("y.key") && col("x.band") === col("y.band")
+              && col("x.salt") === col("y.salt") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          // ids are reduced mod p BEFORE the multiply (r10 advice): the
+          // raw product overflows int64 for ids beyond ~9·10¹², where
+          // Spark wraps silently but DuckDB errors — reduced, the product
+          // is bounded by p·1000003 ≈ 10¹⁵ on both engines
+          .filter(expr(
+            s"(((id_a % 1000000007) * 1000003 + (id_b % 1000000007) * 31 + 7)" +
+              s" % 1000000007) % $CalibSampleMod = 0"))
+          .distinct()
+        val pairs = cand
+          .join(sh.select(col("doc_id").as("id_a"), col("hs").as("ha"), col("sig").as("sa")),
+            "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hb"), col("sig").as("sb")),
+            "id_b")
+          .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+          .withColumn("uni",
+            size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter"))
+          .withColumn("jacc_q", expr("(inter * 1000000) div greatest(uni, 1)"))
+          .withColumn("matches", expr(
+            s"aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, x) -> a + x)"))
+          .withColumn("est_q", col("matches") * 15625L)
+          .select(col("id_a"), col("id_b"), col("jacc_q"), col("est_q"))
+        val memo = graft.ops.Release.afterIdle(pairs, CalibIdleBudget)
+        memo.count()
+        sh.unpersist()
+        memo
+      })
+    }
+
+  /** DuckDB twin of [[calibPairs]] ending at `pe(id_a, id_b, jacc_q,
+    * est_q)` — shared verbatim by the p69 and p89 oracles so the two
+    * audits can never disagree on the sampled pair population.
+    */
+  private lazy val CalibPairsCte: String = {
+    val th = TextOps.tokenHashesSql("text")
+    val sig = DedupOps.minHashSigSql("hs")
+    val bands = DedupOps.bandKeysSql("sig", DedupOps.NnBands)
+    val docSample = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-calib-9'")
+    s"""WITH sh AS (
+       |  SELECT doc_id, hs, sig, $bands AS bands
+       |  FROM (SELECT doc_id, hs, $sig AS sig
+       |        FROM (SELECT doc_id, $th AS hs FROM documents
+       |              WHERE $docSample % $CalibDocMod = 0))),
+       |sx AS (${DedupOps.saltedBandsSql("sh", "doc_id", DedupOps.NnBands)}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sx a JOIN sx b
+       |    ON a.key = b.key AND a.band = b.band AND a.salt = b.salt
+       |   AND a.doc_id < b.doc_id
+       |   AND (((a.doc_id % 1000000007) * 1000003
+       |         + (b.doc_id % 1000000007) * 31 + 7) % 1000000007)
+       |         % $CalibSampleMod = 0),
+       |pe AS (
+       |  SELECT id_a, id_b,
+       |         (inter * 1000000) // greatest(uni, 1) AS jacc_q,
+       |         matches * 15625 AS est_q
+       |  FROM (SELECT id_a, id_b,
+       |               len(list_intersect(a.hs, b.hs)) AS inter,
+       |               len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS uni,
+       |               len(list_filter(range(${DedupOps.MinHashK}),
+       |                               i -> a.sig[i + 1] = b.sig[i + 1])) AS matches
+       |        FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b))"""
+      .stripMargin
+  }
+
   private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame = {
     val sigs = t(s, dir, "documents")
       .select(col("doc_id"), sort_array(tokenHashes(col("text"))).as("hashes"))
@@ -2920,75 +3022,17 @@ object Pipeline {
     // see ~1/(CalibDocMod²·CalibSampleMod) of the pair counts. The
     // sample predicates are pure functions of (id, seed) — reruns and
     // repartitionings reproduce the identical table (StatsOpsSpec).
+    // The sampled pair table itself is the shared calibPairs memo:
+    // p89's threshold-yield sweep reads the SAME population, so the
+    // band join (the dominant cost) runs once for both audits.
     Q("p69_dd_minhash_calibration", {
-      val th = TextOps.tokenHashesSql("text")
-      val sig = DedupOps.minHashSigSql("hs")
-      val bands = DedupOps.bandKeysSql("sig", DedupOps.NnBands)
-      val docSample = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-calib-9'")
-      s"""WITH sh AS (
-         |  SELECT doc_id, hs, sig, $bands AS bands
-         |  FROM (SELECT doc_id, hs, $sig AS sig
-         |        FROM (SELECT doc_id, $th AS hs FROM documents
-         |              WHERE $docSample % $CalibDocMod = 0))),
-         |sx AS (${DedupOps.saltedBandsSql("sh", "doc_id", DedupOps.NnBands)}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sx a JOIN sx b
-         |    ON a.key = b.key AND a.band = b.band AND a.salt = b.salt
-         |   AND a.doc_id < b.doc_id
-         |   AND (((a.doc_id % 1000000007) * 1000003
-         |         + (b.doc_id % 1000000007) * 31 + 7) % 1000000007)
-         |         % $CalibSampleMod = 0),
-         |pe AS (
-         |  SELECT (inter * 1000000) // greatest(uni, 1) AS jacc_q,
-         |         matches * 15625 AS est_q
-         |  FROM (SELECT len(list_intersect(a.hs, b.hs)) AS inter,
-         |               len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS uni,
-         |               len(list_filter(range(${DedupOps.MinHashK}),
-         |                               i -> a.sig[i + 1] = b.sig[i + 1])) AS matches
-         |        FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b))
+      s"""$CalibPairsCte
          |SELECT jacc_q // 100000 AS decile,
          |       CAST(count(*) AS BIGINT) AS n_pairs,
          |       CAST(sum(abs(est_q - jacc_q)) // count(*) AS BIGINT) AS mean_err_q
          |FROM pe GROUP BY jacc_q // 100000 ORDER BY decile""".stripMargin
     }) { (s, dir) =>
-      // one signature table feeds the band explode and both join-backs;
-      // the doc-sample predicate runs in the scan stage — dropped docs
-      // never pay for signatures
-      val sh = graft.ops.Release.afterFirstUse(
-        t(s, dir, "documents")
-          .filter(pmod(
-            TextOps.polyHash(concat(col("doc_id").cast("string"), lit("#graft-calib-9"))),
-            lit(CalibDocMod.toLong)) === 0)
-          .select(col("doc_id"), TextOps.tokenHashes(col("text")).as("hs"))
-          .withColumn("sig", DedupOps.minHashSig(col("hs")))
-          .withColumn("bands", DedupOps.bandKeys(col("sig"), DedupOps.NnBands)))
-      val exploded = DedupOps.saltedBands(sh, "doc_id")
-      val cand = exploded.as("x")
-        .join(exploded.as("y"),
-          col("x.key") === col("y.key") && col("x.band") === col("y.band")
-            && col("x.salt") === col("y.salt") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        // ids are reduced mod p BEFORE the multiply (r10 advice): the
-        // raw product overflows int64 for ids beyond ~9·10¹², where
-        // Spark wraps silently but DuckDB errors — reduced, the product
-        // is bounded by p·1000003 ≈ 10¹⁵ on both engines
-        .filter(expr(
-          s"(((id_a % 1000000007) * 1000003 + (id_b % 1000000007) * 31 + 7)" +
-            s" % 1000000007) % $CalibSampleMod = 0"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("id_a"), col("hs").as("ha"), col("sig").as("sa")),
-          "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hb"), col("sig").as("sb")),
-          "id_b")
-        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
-        .withColumn("uni",
-          size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter"))
-        .withColumn("jacc_q", expr("(inter * 1000000) div greatest(uni, 1)"))
-        .withColumn("matches", expr(
-          s"aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, x) -> a + x)"))
-        .withColumn("est_q", col("matches") * 15625L)
+      calibPairs(s, dir)
         .withColumn("decile", expr("jacc_q div 100000"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -3875,6 +3919,496 @@ object Pipeline {
       GraphOps.triangles(mutualEdges(s, dir))
         .select(col("v").as("vec_id"), col("deg"), col("n_tri"), col("cc_q"))
         .orderBy(col("vec_id"))
+    },
+
+    // -------------------- text: vocabulary growth / Heaps' law (p87)
+    // The tokenizer-budget planning curve: per source, vocabulary size
+    // and token mass at four doc-id checkpoints (quarters of the global
+    // id range). Sub-linear vocabulary growth (Heaps' law) is the
+    // assumption behind every vocabulary-bounded claim in this library
+    // (p78's merge chain, p88's lift table) — this op MEASURES it.
+    // Scale shape: ONE explode into a (source, word) first-occurrence
+    // agg (map-side combined, vocabulary-bounded out), one conditional
+    // doc-level agg, a broadcast scalar for the checkpoints — no
+    // corpus-sized join, no window over corpus rows; checkpoints are
+    // id-VALUE thresholds, not ranks, precisely so no global sort or
+    // per-source ordering is ever needed.
+    Q("p87_txt_vocab_growth", {
+      val quarters = (1 to 4).map(q =>
+        s"""SELECT source, CAST($q AS BIGINT) AS quarter,
+           |       CAST(d$q AS BIGINT) AS n_docs,
+           |       CAST(coalesce(n$q, 0) AS BIGINT) AS n_tokens,
+           |       CAST(v$q AS BIGINT) AS vocab FROM j""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      val fvCols = (1 to 4)
+        .map(q => s"count(*) FILTER (WHERE fd <= t$q) AS v$q").mkString(", ")
+      val ddCols = (1 to 4).map(q =>
+        s"count(*) FILTER (WHERE doc_id <= t$q) AS d$q, " +
+          s"sum(len(string_split(text, ' '))) FILTER (WHERE doc_id <= t$q) AS n$q")
+        .mkString(", ")
+      s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+         |thr AS (SELECT (m * 1) // 4 AS t1, (m * 2) // 4 AS t2,
+         |               (m * 3) // 4 AS t3, (m * 4) // 4 AS t4 FROM mx),
+         |w AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+         |      FROM documents),
+         |fw AS (SELECT source, word, min(doc_id) AS fd FROM w GROUP BY source, word),
+         |fv AS (SELECT source, $fvCols FROM fw CROSS JOIN thr GROUP BY source),
+         |dd AS (SELECT source, $ddCols FROM documents CROSS JOIN thr GROUP BY source),
+         |j AS (SELECT * FROM dd JOIN fv USING (source))
+         |$quarters
+         |ORDER BY source, quarter""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val mx = docs.agg(max(col("doc_id")).as("m"))
+      def thr(q: Int) = expr(s"(m * $q) div 4")
+      val fw = docs
+        .select(col("source"), col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy(col("source"), col("word")).agg(min(col("doc_id")).as("fd"))
+      val fvAggs = (1 to 4).map(q => count(when(col("fd") <= thr(q), 1)).as(s"v$q"))
+      val fv = fw.crossJoin(broadcast(mx)).groupBy(col("source"))
+        .agg(fvAggs.head, fvAggs.tail: _*)
+      val ddAggs = (1 to 4).flatMap(q => Seq(
+        count(when(col("doc_id") <= thr(q), 1)).as(s"d$q"),
+        coalesce(sum(when(col("doc_id") <= thr(q), col("nt"))), lit(0L)).as(s"n$q")))
+      val dd = docs
+        .select(col("source"), col("doc_id"), size(tokens(col("text"))).cast("long").as("nt"))
+        .crossJoin(broadcast(mx)).groupBy(col("source"))
+        .agg(ddAggs.head, ddAggs.tail: _*)
+      dd.join(fv, "source")
+        .select(col("source"), explode(array((1 to 4).map(q => struct(
+          lit(q.toLong).as("quarter"), col(s"d$q").as("n_docs"),
+          col(s"n$q").as("n_tokens"), col(s"v$q").as("vocab"))): _*)).as("r"))
+        .select(col("source"), col("r.quarter").as("quarter"),
+          col("r.n_docs").as("n_docs"), col("r.n_tokens").as("n_tokens"),
+          col("r.vocab").as("vocab"))
+        .orderBy(col("source"), col("quarter"))
+    },
+
+    // ----------------------- text: source-distinctive words via lift (p88)
+    // The "what is this source made of" table a mix designer reads:
+    // per source, the top-LiftTopK words by frequency LIFT (in-source
+    // share over corpus share), all-integer staged ppm arithmetic so
+    // neither engine ever divides floats. Scale shape: one explode into
+    // the (source, word) count agg; everything after is
+    // vocabulary-bounded (word totals, source totals, the per-source
+    // top-k window over candidates already gated by LiftMinCount) —
+    // the p78 sub-linear-vocabulary argument, measured by p87.
+    Q("p88_txt_word_lift", {
+      s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |sw AS (SELECT source, word, count(*) AS c_sw FROM w GROUP BY source, word),
+         |wt AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY word),
+         |st AS (SELECT source, sum(c_sw) AS t_s FROM sw GROUP BY source),
+         |tt AS (SELECT sum(c_sw) AS tot FROM sw),
+         |li AS (SELECT sw.source, sw.word, c_sw,
+         |              ((c_sw * 1000000) // c_w * 1000000)
+         |                // greatest((t_s * 1000000) // tot, 1) AS lift_q
+         |       FROM sw JOIN wt USING (word) JOIN st USING (source) CROSS JOIN tt
+         |       WHERE c_sw >= $LiftMinCount),
+         |rk AS (SELECT source, word, c_sw, lift_q,
+         |              row_number() OVER (PARTITION BY source
+         |                                 ORDER BY lift_q DESC, word) AS rk
+         |       FROM li)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, word,
+         |       CAST(c_sw AS BIGINT) AS c_sw, CAST(lift_q AS BIGINT) AS lift_q
+         |FROM rk WHERE rk <= $LiftTopK ORDER BY source, rk""".stripMargin
+    }) { (s, dir) =>
+      val sw = t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c_sw"))
+      val wt = sw.groupBy(col("word")).agg(sum(col("c_sw")).as("c_w"))
+      val st = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
+      val tt = st.agg(sum(col("t_s")).as("tot"))
+      val li = sw.filter(col("c_sw") >= LiftMinCount)
+        .join(wt, "word")
+        .join(broadcast(st), "source")
+        .crossJoin(broadcast(tt))
+        .withColumn("lift_q", expr(
+          "((c_sw * 1000000) div c_w * 1000000) div greatest((t_s * 1000000) div tot, 1)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("lift_q").desc, col("word"))
+      li.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= LiftTopK)
+        .select(col("source"), col("rk"), col("word"), col("c_sw"), col("lift_q"))
+        .orderBy(col("source"), col("rk"))
+    },
+
+    // -------------------- dedup: threshold-yield sensitivity sweep (p89)
+    // "What would a different cutoff cost?" — pair and document yield
+    // at six Jaccard thresholds, measured over the SAME deterministic
+    // sampled pair population as p69 (the shared calibPairs memo: one
+    // band join serves both audits, and the two tables can never
+    // disagree about which pairs exist). Like p69, the counts are
+    // sampled estimates — ~1/(CalibDocMod²·CalibSampleMod) of an
+    // exhaustive sweep — which IS the 100 TB design for a 6-row dial
+    // report. The threshold probe is a 6-row broadcast nested-loop
+    // join: bounded-build-side BNLJ, the p53 discipline.
+    Q("p89_dd_threshold_sweep", {
+      val thrList = SweepThresholds.mkString("[", ", ", "]")
+      s"""$CalibPairsCte,
+         |th AS (SELECT CAST(unnest($thrList) AS BIGINT) AS thr_q),
+         |ag AS (SELECT thr_q, count(*) AS n_pairs
+         |       FROM th JOIN pe ON jacc_q >= thr_q GROUP BY thr_q),
+         |dc AS (SELECT thr_q, count(DISTINCT d) AS n_docs
+         |       FROM (SELECT thr_q, id_a AS d FROM th JOIN pe ON jacc_q >= thr_q
+         |             UNION ALL
+         |             SELECT thr_q, id_b FROM th JOIN pe ON jacc_q >= thr_q)
+         |       GROUP BY thr_q)
+         |SELECT th.thr_q, CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+         |FROM th LEFT JOIN ag USING (thr_q) LEFT JOIN dc USING (thr_q)
+         |ORDER BY thr_q""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val th = SweepThresholds.toDF("thr_q")
+      val j = calibPairs(s, dir).join(broadcast(th), col("jacc_q") >= col("thr_q"))
+      val ag = j.groupBy(col("thr_q")).agg(count(lit(1)).as("n_pairs"))
+      val dc = j.select(col("thr_q"), col("id_a").as("d"))
+        .union(j.select(col("thr_q"), col("id_b").as("d")))
+        .groupBy(col("thr_q")).agg(countDistinct(col("d")).as("n_docs"))
+      th.join(ag, Seq("thr_q"), "left").join(dc, Seq("thr_q"), "left")
+        .select(col("thr_q"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy(col("thr_q"))
+    },
+
+    // ------------------------------ splits: balance audit table (p90)
+    // The check a pipeline owner runs after p29's hash split: per
+    // (split, source) cell, doc and char mass plus the ppm deviation of
+    // the cell's in-split share from the source's corpus share — a
+    // hash split is unbiased, and this table is the evidence (or the
+    // alarm). Scale shape: one scan into a split×source agg (15 cells);
+    // every join after is model-sized.
+    Q("p90_split_balance", {
+      val h = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-split-7'")
+      s"""WITH b AS (SELECT source, n_chars,
+         |                  CASE WHEN bucket < 98 THEN 'train'
+         |                       WHEN bucket < 99 THEN 'val'
+         |                       ELSE 'test' END AS split
+         |           FROM (SELECT source, n_chars, $h % 100 AS bucket FROM documents)),
+         |g AS (SELECT split, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |      FROM b GROUP BY split, source),
+         |st AS (SELECT split, sum(n_docs) AS split_total FROM g GROUP BY split),
+         |so AS (SELECT source, sum(n_docs) AS src_total FROM g GROUP BY source),
+         |tt AS (SELECT sum(n_docs) AS total FROM g)
+         |SELECT split, source, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(sum_chars AS BIGINT) AS sum_chars,
+         |       CAST(abs((n_docs * 1000000) // split_total
+         |                - (src_total * 1000000) // total) AS BIGINT) AS dev_ppm
+         |FROM g JOIN st USING (split) JOIN so USING (source) CROSS JOIN tt
+         |ORDER BY split, source""".stripMargin
+    }) { (s, dir) =>
+      val bucket = pmod(
+        TextOps.polyHash(concat(col("doc_id").cast("string"), lit("#graft-split-7"))),
+        lit(100L))
+      val g = t(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          when(bucket < 98, "train").when(bucket < 99, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val st = g.groupBy(col("split")).agg(sum(col("n_docs")).as("split_total"))
+      val so = g.groupBy(col("source")).agg(sum(col("n_docs")).as("src_total"))
+      val tt = so.agg(sum(col("src_total")).as("total"))
+      g.join(broadcast(st), "split").join(broadcast(so), "source")
+        .crossJoin(broadcast(tt))
+        .select(col("split"), col("source"), col("n_docs"), col("sum_chars"),
+          abs(expr("(n_docs * 1000000) div split_total")
+            - expr("(src_total * 1000000) div total")).as("dev_ppm"))
+        .orderBy(col("split"), col("source"))
+    },
+
+    // --------------- embeddings: per-label centroid shift audit (p91)
+    // Encoder drift surveillance: quantize every embedding with p70's
+    // int8 round/clamp (one global max-|x| scale), build per-label and
+    // global ×10³ integer centroids, and report each label's SIGNED
+    // squared cosine to the global centroid as an exact ×10⁶ integer
+    // (dot·|dot|·10⁶ // (‖l‖²·‖g‖²) — the square sidesteps the integer
+    // sqrt no engine shares, the sign keeps direction). Scale shape:
+    // ONE corpus explode into a (label, dim) sum agg (map-side combined
+    // to labels×64 cells; the global side derives from the SAME agg,
+    // not a second pass), then model-sized joins; the big-integer
+    // division rides decimal(38)/HUGEINT — both engines truncate
+    // toward zero (p70's probed contract).
+    Q("p91_embed_centroid_shift", {
+      val absMax = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), (a, b) -> greatest(a, b))"
+      s"""WITH g AS (SELECT greatest(max($absMax), 1e-12) / 127.0 AS scale
+         |           FROM embeddings),
+         |q AS (SELECT label, list_transform(embedding,
+         |        x -> CAST(least(greatest(round(CAST(x AS DOUBLE) / scale, 0),
+         |                                 -127.0), 127.0) AS BIGINT)) AS qv
+         |      FROM embeddings CROSS JOIN g),
+         |e AS (SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS dim FROM q),
+         |ls AS (SELECT label, dim, sum(v) AS sv, count(*) AS cnt
+         |       FROM e GROUP BY label, dim),
+         |ln AS (SELECT label, cnt AS n FROM ls WHERE dim = 1),
+         |lc AS (SELECT label, dim, (sv * 1000) // n AS c FROM ls JOIN ln USING (label)),
+         |gs AS (SELECT dim, sum(sv) AS sv FROM ls GROUP BY dim),
+         |gn AS (SELECT sum(n) AS n FROM ln),
+         |gc AS (SELECT dim, (sv * 1000) // n AS c FROM gs CROSS JOIN gn),
+         |dt AS (SELECT label, sum(l.c * g2.c) AS dot, sum(l.c * l.c) AS nl
+         |       FROM lc l JOIN gc g2 USING (dim) GROUP BY label),
+         |ng AS (SELECT sum(c * c) AS ng FROM gc)
+         |SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_vecs,
+         |       CAST(dot AS BIGINT) AS dot_q,
+         |       CAST((CAST(dot AS HUGEINT) * abs(CAST(dot AS HUGEINT)) * 1000000)
+         |            // greatest(CAST(nl AS HUGEINT) * ng, 1) AS BIGINT) AS cos2_q
+         |FROM dt JOIN ln USING (label) CROSS JOIN ng ORDER BY label""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val g = emb.agg((greatest(
+        max(aggregate(col("embedding"), lit(0.0),
+          (a, x) => greatest(a, abs(x.cast("double"))))), lit(1e-12)) / 127.0).as("scale"))
+      val ls = emb.crossJoin(broadcast(g))
+        .select(col("label"), posexplode(expr(
+          """transform(embedding,
+            |  x -> CAST(least(greatest(round(CAST(x AS DOUBLE) / scale), -127.0D),
+            |                  127.0D) AS BIGINT))""".stripMargin)).as(Seq("dim0", "v")))
+        .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      // every downstream table is model-sized (labels×64); persist the
+      // one corpus-pass product and release after the query's action
+      val lsCp = graft.ops.Release.afterFirstUse(ls)
+      val ln = lsCp.filter(col("dim") === 1).select(col("label"), col("cnt").as("n"))
+      val lc = lsCp.join(broadcast(ln), "label")
+        .select(col("label"), col("dim"), expr("(sv * 1000) div n").as("c"))
+      val gs = lsCp.groupBy(col("dim")).agg(sum(col("sv")).as("sv"))
+      val gn = ln.agg(sum(col("n")).as("n"))
+      val gc = gs.crossJoin(broadcast(gn))
+        .select(col("dim"), expr("(sv * 1000) div n").as("c"))
+      val dt = lc.join(broadcast(gc.withColumnRenamed("c", "gcv")), "dim")
+        .groupBy(col("label"))
+        .agg(sum(col("c") * col("gcv")).as("dot"), sum(col("c") * col("c")).as("nl"))
+      val ng = gc.agg(sum(col("c") * col("c")).as("ng"))
+      dt.join(broadcast(ln), "label").crossJoin(broadcast(ng))
+        .select(col("label").cast("long").as("label"), col("n").as("n_vecs"),
+          col("dot").as("dot_q"),
+          expr("""cast((cast(dot as decimal(38,0)) * abs(cast(dot as decimal(38,0)))
+                 |      * cast(1000000 as decimal(38,0)))
+                 |     div greatest(cast(nl as decimal(38,0)) * cast(ng as decimal(38,0)),
+                 |                  cast(1 as decimal(38,0))) as bigint)""".stripMargin)
+            .as("cos2_q"))
+        .orderBy(col("label"))
+    },
+
+    // ------------------ text: quality-ordered token budget curve (p92)
+    // The curriculum/threshold dial: bucket documents by quantized
+    // stopword density (the p02-family naturalness proxy), then report
+    // the CUMULATIVE doc and token mass from the most-natural bucket
+    // down — the table that answers "what density cutoff buys an
+    // N-token corpus". Scale shape: one scan into a ≤11-bucket agg;
+    // the cumulative window runs over those ≤11 rows, never the corpus.
+    Q("p92_token_budget_curve", {
+      val toks = "string_split(text, ' ')"
+      val stop = countInSql(toks, Stopwords)
+      s"""WITH m AS (SELECT len($toks) AS n_words, $stop AS n_stop FROM documents),
+         |b AS (SELECT ((n_stop * 1000000) // n_words) // 100000 AS bucket,
+         |             count(*) AS n_docs, sum(n_words) AS n_tokens
+         |      FROM m GROUP BY bucket),
+         |c AS (SELECT bucket, n_docs, n_tokens,
+         |             sum(n_docs) OVER (ORDER BY bucket DESC) AS cum_docs,
+         |             sum(n_tokens) OVER (ORDER BY bucket DESC) AS cum_tokens,
+         |             sum(n_tokens) OVER () AS tot
+         |      FROM b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(cum_docs AS BIGINT) AS cum_docs,
+         |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |       CAST((cum_tokens * 1000000) // tot AS BIGINT) AS cum_share_ppm
+         |FROM c ORDER BY bucket DESC""".stripMargin
+    }) { (s, dir) =>
+      val toksC = tokens(col("text"))
+      val b = t(s, dir, "documents")
+        .select(size(toksC).cast("long").as("n_words"),
+          countIn(toksC, Stopwords).cast("long").as("n_stop"))
+        .withColumn("bucket", expr("((n_stop * 1000000) div n_words) div 100000"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("bucket").desc)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      b.withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+        .withColumn("tot", sum(col("n_tokens")).over(wAll))
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          col("cum_docs"), col("cum_tokens"),
+          expr("(cum_tokens * 1000000) div tot").as("cum_share_ppm"))
+        .orderBy(col("bucket").desc)
+    },
+
+    // ------------- quality: robust length outliers via median/MAD (p93)
+    // The QC gate a scrape pipeline runs per source: exact median and
+    // median-absolute-deviation of n_chars from the BOUNDED
+    // (source, n_chars) histogram (rank = (n+1)//2 lower median — the
+    // formula itself is the contract, both engines replay it rather
+    // than calling an engine median), and the count of docs beyond
+    // median ± MadOutlierK·MAD. Scale shape: the corpus collapses
+    // map-side into the histogram (distinct lengths × sources cells);
+    // the cumulative windows run over histogram rows, never corpus
+    // rows — exact order statistics with no global sort.
+    Q("p93_len_mad_outliers", {
+      s"""WITH h AS (SELECT source, n_chars, count(*) AS c
+         |           FROM documents GROUP BY source, n_chars),
+         |n AS (SELECT source, sum(c) AS n FROM h GROUP BY source),
+         |cum AS (SELECT source, n_chars, c,
+         |               sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cc
+         |        FROM h),
+         |med AS (SELECT source, min(n_chars) AS med
+         |        FROM cum JOIN n USING (source)
+         |        WHERE cc >= (n + 1) // 2 GROUP BY source),
+         |dh AS (SELECT h.source, abs(n_chars - med) AS dev, sum(c) AS c
+         |       FROM h JOIN med USING (source) GROUP BY h.source, abs(n_chars - med)),
+         |dcum AS (SELECT source, dev, c,
+         |                sum(c) OVER (PARTITION BY source ORDER BY dev) AS cc
+         |         FROM dh),
+         |mad AS (SELECT source, min(dev) AS mad
+         |        FROM dcum JOIN n USING (source)
+         |        WHERE cc >= (n + 1) // 2 GROUP BY source),
+         |outl AS (SELECT dh.source,
+         |                coalesce(sum(c) FILTER (WHERE dev > $MadOutlierK * mad), 0)
+         |                  AS n_out
+         |         FROM dh JOIN mad USING (source) GROUP BY dh.source)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(med AS BIGINT) AS median_chars,
+         |       CAST(mad AS BIGINT) AS mad, CAST(n_out AS BIGINT) AS n_outliers,
+         |       CAST((n_out * 1000000) // n AS BIGINT) AS outlier_ppm
+         |FROM n JOIN med USING (source) JOIN mad USING (source) JOIN outl USING (source)
+         |ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      graft.ops.StatsOps.groupedMedianMadOutliers(
+        t(s, dir, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars", MadOutlierK)
+        .select(col("source"), col("n").as("n_docs"), col("med").as("median_chars"),
+          col("mad"), col("n_out").as("n_outliers"),
+          expr("(n_out * 1000000) div n").as("outlier_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // ----------------------- text: hapax tail and head coverage (p94)
+    // The two ends of the Zipf curve a tokenizer designer reads: per
+    // source, the hapax-legomena share of the vocabulary (the tail that
+    // a vocab can never amortize) and the token share covered by the
+    // HeadK most frequent words (what a tiny vocab already buys).
+    // Scale shape: one explode into the (source, word) agg; everything
+    // downstream — per-source rollup, the head-k window — is
+    // vocabulary-bounded.
+    Q("p94_txt_hapax_tail", {
+      s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |wc AS (SELECT source, word, count(*) AS c FROM w GROUP BY source, word),
+         |ag AS (SELECT source, count(*) AS vocab,
+         |              sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+         |              sum(c) AS n_tokens
+         |       FROM wc GROUP BY source),
+         |rk AS (SELECT source, word, c,
+         |              row_number() OVER (PARTITION BY source
+         |                                 ORDER BY c DESC, word) AS rk
+         |       FROM wc),
+         |hd AS (SELECT source, sum(c) AS head_tokens FROM rk
+         |       WHERE rk <= $HeadK GROUP BY source)
+         |SELECT source, CAST(vocab AS BIGINT) AS vocab, CAST(hapax AS BIGINT) AS hapax,
+         |       CAST((hapax * 1000000) // vocab AS BIGINT) AS hapax_ppm,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST((head_tokens * 1000000) // n_tokens AS BIGINT) AS head_ppm
+         |FROM ag JOIN hd USING (source) ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val wc = t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      val wcCp = graft.ops.Release.afterFirstUse(wc)
+      val ag = wcCp.groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum(col("c")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("c").desc, col("word"))
+      val hd = wcCp.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= HeadK)
+        .groupBy(col("source")).agg(sum(col("c")).as("head_tokens"))
+      ag.join(hd, "source")
+        .select(col("source"), col("vocab"), col("hapax"),
+          expr("(hapax * 1000000) div vocab").as("hapax_ppm"),
+          col("n_tokens"),
+          expr("(head_tokens * 1000000) div n_tokens").as("head_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // ------------------- dedup: SimHash hamming calibration audit (p95)
+    // p69's discipline pointed at the OTHER near-dup sketch: over the
+    // sampled 4-band SimHash candidate pairs, the exact token-set
+    // Jaccard per hamming distance — the table that justifies (or
+    // indicts) p18's hamming ≤ 3 cutoff. Same two-level deterministic
+    // sampling (seeded doc gate in the scan stage shrinking the band
+    // join quadratically, integer pair hash before the distinct), same
+    // all-integer arithmetic, ≤ 65 rows out however large the corpus.
+    Q("p95_dd_simhash_calibration", {
+      val th = TextOps.tokenHashesSql("text")
+      val sim = DedupOps.simHashSql("hs")
+      val bandsSql = DedupOps.SimHashBandSplit.map { case (off, w) =>
+        s"(sim >> $off) & ${(1L << w) - 1}"
+      }.mkString("[", ", ", "]")
+      val docSample = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-simcal-13'")
+      s"""WITH sh AS (
+         |  SELECT doc_id, hs, sim, $bandsSql AS bands
+         |  FROM (SELECT doc_id, hs, $sim AS sim
+         |        FROM (SELECT doc_id, $th AS hs FROM documents
+         |              WHERE $docSample % $SimCalDocMod = 0))),
+         |sx AS (${DedupOps.saltedBandsSql("sh", "doc_id", 4)}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sx a JOIN sx b
+         |    ON a.key = b.key AND a.band = b.band AND a.salt = b.salt
+         |   AND a.doc_id < b.doc_id
+         |   AND (((a.doc_id % 1000000007) * 1000003
+         |         + (b.doc_id % 1000000007) * 31 + 7) % 1000000007)
+         |         % $SimCalSampleMod = 3),
+         |pe AS (
+         |  SELECT bit_count(xor(a.sim, b.sim)) AS hamming,
+         |         (len(list_intersect(a.hs, b.hs)) * 1000000)
+         |           // greatest(len(a.hs) + len(b.hs)
+         |                      - len(list_intersect(a.hs, b.hs)), 1) AS jacc_q
+         |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+         |SELECT CAST(hamming AS BIGINT) AS hamming,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(jacc_q) // count(*) AS BIGINT) AS mean_jacc_q
+         |FROM pe GROUP BY hamming ORDER BY hamming""".stripMargin
+    }) { (s, dir) =>
+      val sh = graft.ops.Release.afterFirstUse(
+        t(s, dir, "documents")
+          .filter(pmod(
+            TextOps.polyHash(concat(col("doc_id").cast("string"), lit("#graft-simcal-13"))),
+            lit(SimCalDocMod.toLong)) === 0)
+          .select(col("doc_id"), TextOps.tokenHashes(col("text")).as("hs"))
+          .withColumn("sim", DedupOps.simHash(col("hs")))
+          .withColumn("bands", array(DedupOps.SimHashBandSplit.map { case (off, w) =>
+            shiftright(col("sim"), off).bitwiseAND(lit((1L << w) - 1))
+          }: _*)))
+      val exploded = DedupOps.saltedBands(sh, "doc_id")
+      val cand = exploded.as("x")
+        .join(exploded.as("y"),
+          col("x.key") === col("y.key") && col("x.band") === col("y.band")
+            && col("x.salt") === col("y.salt") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .filter(expr(
+          s"(((id_a % 1000000007) * 1000003 + (id_b % 1000000007) * 31 + 7)" +
+            s" % 1000000007) % $SimCalSampleMod = 3"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("hs").as("ha"), col("sim").as("sma")),
+          "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hb"), col("sim").as("smb")),
+          "id_b")
+        .withColumn("hamming", DedupOps.hamming(col("sma"), col("smb")).cast("long"))
+        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("uni",
+          size(col("ha")).cast("long") + size(col("hb")).cast("long") - col("inter"))
+        .withColumn("jacc_q", expr("(inter * 1000000) div greatest(uni, 1)"))
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("jacc_q")).as("sum_j"))
+        .withColumn("mean_jacc_q", expr("sum_j div n_pairs"))
+        .select(col("hamming"), col("n_pairs"), col("mean_jacc_q"))
+        .orderBy(col("hamming"))
     }
   )
 
@@ -3889,6 +4423,29 @@ object Pipeline {
     * the surviving candidate pairs feed the calibration table. Defs
     * (queries-val init order).
     */
+  /** p88 lift gate: minimum in-source occurrences before a word can
+    * enter the lift table (noise floor), and the per-source top-k.
+    */
+  private def LiftMinCount: Int = 8
+  private def LiftTopK: Int = 20
+
+  /** p89 threshold grid (×10⁶ Jaccard). */
+  private def SweepThresholds: Seq[Long] =
+    Seq(500000L, 600000L, 700000L, 800000L, 900000L, 950000L)
+
+  /** p93 outlier gate: |n_chars − median| > MadOutlierK · MAD. */
+  private def MadOutlierK: Int = 3
+
+  /** p94 head-coverage size (token share of the top-HeadK words). */
+  private def HeadK: Int = 100
+
+  /** p95 sampling moduli (the p69 two-level discipline with its own
+    * seed): 1-in-SimCalDocMod docs enter the SimHash band join,
+    * 1-in-SimCalSampleMod of the surviving candidate pairs are kept.
+    */
+  private def SimCalDocMod: Int = 2
+  private def SimCalSampleMod: Int = 8
+
   private def CalibDocMod: Int = 4
   private def CalibSampleMod: Int = 16
 

@@ -719,4 +719,50 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // no posexplode of subtokens anywhere — that is p49's job
     plan should not include "posexplode"
   }
+
+  "p87_txt_vocab_growth" should "collapse to conditional aggregates — one explode, no corpus join" in {
+    val plan = planOf("p87_txt_vocab_growth")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    // the id-range checkpoints ride single-row broadcasts; vocabulary
+    // comes from ONE (source, word) first-occurrence aggregation
+    plan should include("HashAggregate")
+  }
+
+  "p89_dd_threshold_sweep" should "probe the shared pair memo with a bounded broadcast threshold join" in {
+    val plan = planOf("p89_dd_threshold_sweep")
+    plan should not include "CartesianProduct"
+    // the 6-row threshold table is the BNLJ build side (the p53
+    // bounded-query discipline); the pair population comes from the
+    // calibPairs cache, not a rebuilt band join
+    plan should include("BroadcastNestedLoopJoin")
+    plan should include("InMemoryTableScan")
+  }
+
+  "p91_embed_centroid_shift" should "derive label and global centroids from ONE explode agg" in {
+    val plan = planOf("p91_embed_centroid_shift")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    // the labels×64 sum table is persisted and reused by every branch
+    // (per-label centroids, global centroid, counts)
+    plan should include("InMemoryTableScan")
+    plan should include("BroadcastHashJoin")
+  }
+
+  "p93_len_mad_outliers" should "run order statistics over the bounded histogram only" in {
+    val plan = planOf("p93_len_mad_outliers")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    // both cumulative windows partition on source OVER HISTOGRAM ROWS;
+    // the group aggregates ride broadcasts back onto histogram cells
+    plan should include("Window")
+    plan should include("BroadcastHashJoin")
+    plan should include("InMemoryTableScan")
+  }
+
+  "p95_dd_simhash_calibration" should "form candidates bucket-locally — never all-pairs" in {
+    val plan = planOf("p95_dd_simhash_calibration")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -72,4 +72,74 @@ class SketchSpec extends AnyFlatSpec with Matchers {
       rhoOf(w) should be <= 26
     }
   }
+
+  "foldMinHash" should "equal the one-batch signature for arbitrary stream splits" in {
+    val mod = graft.ops.TextOps.HashMod
+    val lanes = 16
+    val as = graft.ops.DedupOps.MinHashA.take(lanes).toArray
+    val bs = graft.ops.DedupOps.MinHashB.take(lanes).toArray
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 100) {
+      val n = rnd.nextInt(300)
+      val stream = Seq.fill(n)(rnd.nextInt(100000).toLong)
+      // brute-force per-lane minimum over the whole (multiset) stream
+      val expected = (0 until lanes).map { i =>
+        if (stream.isEmpty) mod else stream.map(h => (as(i) * h + bs(i)) % mod).min
+      }
+      var rest = stream
+      val acc = Array.fill(lanes)(mod)
+      var total = 0L
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(rest.size)
+        total += SketchOps.foldMinHash(acc, rest.take(take).iterator, as, bs, mod)
+        rest = rest.drop(take)
+      }
+      withClue(s"trial $trial n=$n: ") {
+        acc.toSeq shouldBe expected
+        total shouldBe n.toLong
+      }
+    }
+  }
+
+  "foldHll" should "equal the one-batch registers for arbitrary stream splits" in {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 100) {
+      val n = rnd.nextInt(300)
+      val stream = Seq.fill(n)(rnd.nextLong(graft.ops.TextOps.HashMod))
+      val expected = Array.fill(SketchOps.HllM)(0L)
+      stream.foreach { h =>
+        // independent formulation: bin-length via leading zeros
+        val reg = (h % SketchOps.HllM).toInt
+        val w = h / SketchOps.HllM
+        val rho = if (w == 0L) SketchOps.HllRhoMax.toLong
+          else (SketchOps.HllRhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))).toLong
+        if (rho > expected(reg)) expected(reg) = rho
+      }
+      var rest = stream
+      val acc = Array.fill(SketchOps.HllM)(0L)
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(rest.size)
+        SketchOps.foldHll(acc, rest.take(take).iterator)
+        rest = rest.drop(take)
+      }
+      withClue(s"trial $trial n=$n: ") { acc.toSeq shouldBe expected.toSeq }
+    }
+  }
+
+  "hllSummary" should "replay the p38 formulas from any register state" in {
+    val rnd = new scala.util.Random(17)
+    val twoPow = 1L << SketchOps.HllRhoMax
+    for (_ <- 1 to 50) {
+      val regs = Array.fill(SketchOps.HllM)(
+        if (rnd.nextBoolean()) 0L else 1L + rnd.nextInt(SketchOps.HllRhoMax))
+      val snap = SketchOps.hllSummary(1L, 42L, regs)
+      val hit = regs.count(_ > 0L)
+      val sHit = regs.filter(_ > 0L).map(r => 1L << (SketchOps.HllRhoMax - r.toInt)).sum
+      val sScaled = sHit + (SketchOps.HllM - hit) * twoPow
+      snap.n_regs_hit shouldBe hit.toLong
+      snap.s_scaled shouldBe sScaled
+      val num = BigInt(SketchOps.HllAlphaNum) * SketchOps.HllM * SketchOps.HllM * twoPow
+      snap.est_hll shouldBe (num / (BigInt(SketchOps.HllAlphaDen) * sScaled)).toLong
+    }
+  }
 }

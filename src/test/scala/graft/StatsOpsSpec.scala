@@ -427,4 +427,28 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       }
     }
   }
+
+  "groupedMedianMadOutliers" should "equal brute-force median/MAD/outliers on random grouped data" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    for (trial <- 1 to 10) {
+      val groups = 1 + rnd.nextInt(4)
+      val rows = (1 to (20 + rnd.nextInt(300))).map { _ =>
+        (s"g${rnd.nextInt(groups)}", (rnd.nextInt(50) + 1).toLong)
+      }
+      val got = graft.ops.StatsOps
+        .groupedMedianMadOutliers(rows.toDF("k", "v"), "k", "v", 3)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val exp = rows.groupBy(_._1).map { case (k, vs) =>
+        def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+        val values = vs.map(_._2)
+        val med = lowerMedian(values)
+        val mad = lowerMedian(values.map(v => math.abs(v - med)))
+        val nOut = values.count(v => math.abs(v - med) > 3 * mad)
+        k -> ((values.size.toLong, med, mad, nOut.toLong))
+      }
+      withClue(s"trial $trial: ") { got shouldBe exp }
+    }
+  }
 }
