@@ -265,6 +265,80 @@ object SketchOps {
         (col("exact_cnt") * denom > n).as("is_heavy"))
   }
 
+  // --------------------------------- streaming per-key Bloom (cef53)
+
+  /** JVM twin of [[bloomPositions]] for probe precompute and specs. */
+  def bloomPositionsJvm(h: Long): Seq[Int] =
+    BloomSeeds.map { case (a, b) => ((h * a + b) % TextOps.HashMod % BloomBits).toInt }
+
+  /** One per-probe membership snapshot per touched key per micro-batch
+    * (cef45's probe discipline applied to the bit-set sketch).
+    */
+  final case class BloomPointSnap(
+      user_id: Long, n_seen: Long, n_bits: Long, probe: Long, hit: Boolean)
+
+  final case class BloomFoldState(nSeen: Long, words: Seq[Long])
+
+  /** Fold one batch of item hashes into the 4096-bit set IN PLACE.
+    * Bitwise OR is associative/commutative/idempotent — the streamed
+    * filter equals the batch filter under any slicing (SketchSpec).
+    */
+  def foldBloom(words: Array[Long], hs: Iterator[Long]): Long = {
+    var n = 0L
+    hs.foreach { h =>
+      bloomPositionsJvm(h).foreach { p =>
+        words(p >> 6) |= (1L << (p & 63))
+      }
+      n += 1
+    }
+    n
+  }
+
+  /** Streaming per-key Bloom filter with fixed membership probes: the
+    * GroupState holds one BloomBits-bit set per key (64 longs —
+    * constant-size, the sketch contract), each micro-batch ORs its
+    * items' positions in, and every batch emits each probe's
+    * membership verdict plus the live bit count. OR is exactly
+    * associative, so the streamed filter equals the batch filter
+    * however the stream is sliced — which the oracle (p37's Bloom
+    * arithmetic restated per key) certifies through ≥3 real
+    * micro-batches. Probes mix present and absent value-buckets so
+    * both the hit and the miss path cross batch boundaries.
+    */
+  def streamingBloomPoints(
+      events: DataFrame,
+      keyCol: String,
+      hashCol: String,
+      probes: Seq[Long],
+      probeHashes: Seq[Long]): Dataset[BloomPointSnap] = {
+    require(probes.size == probeHashes.size)
+    val probePos: Seq[(Long, Seq[Int])] =
+      probes.zip(probeHashes.map(bloomPositionsJvm))
+    val words = BloomBits / 64
+    implicit val stEnc: Encoder[BloomFoldState] = Encoders.product[BloomFoldState]
+    implicit val outEnc: Encoder[BloomPointSnap] = Encoders.product[BloomPointSnap]
+    implicit val kvEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.select(col(keyCol).cast("long"), col(hashCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BloomFoldState, BloomPointSnap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[BloomFoldState]) =>
+          val prev = state.getOption.getOrElse(BloomFoldState(0L, Seq.fill(words)(0L)))
+          val bits = prev.words.toArray
+          val nNew = foldBloom(bits, rows.map(_._2))
+          val nSeen = prev.nSeen + nNew
+          state.update(BloomFoldState(nSeen, bits.toSeq))
+          val nBits = bits.map(java.lang.Long.bitCount).sum.toLong
+          probePos.iterator.map { case (p, pos) =>
+            val hit = pos.forall(i => (bits(i >> 6) & (1L << (i & 63))) != 0L)
+            BloomPointSnap(key, nSeen, nBits, p, hit)
+          }
+      }
+  }
+
   // ------------------------------- streaming per-key MinHash (cef51)
 
   /** Streaming per-key MinHash signature: the GroupState holds one

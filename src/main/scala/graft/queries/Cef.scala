@@ -1717,6 +1717,62 @@ object Cef {
         .orderBy(col("user_id"))
     },
 
+    // ---------------- streaming per-key Bloom filter: bitwise OR is
+    // the remaining associative fold of the sketch family (min = KMV/
+    // MinHash/reservoir, sum = CM, max = HLL, order-dependent = MG/
+    // decay; OR = this). Each key's GroupState holds one 4096-bit set
+    // (64 longs, constant-size), and every batch emits the fixed
+    // probes' membership verdicts plus the live bit count — the
+    // streamed filter must equal the batch filter however the stream
+    // is sliced, which the oracle (p37's Bloom position arithmetic
+    // restated per key over the full stream) certifies through ≥3
+    // real micro-batches. Probes mix present and absent value-buckets
+    // so hits AND misses cross batch boundaries; Bloom's one-sided
+    // guarantee (no false negatives) is visible in the final table.
+    Q("cef53_streaming_bloom", {
+      import graft.ops.{SketchOps, TextOps}
+      val probes = StreamCmProbes.mkString("[", ", ", "]")
+      val probePos = SketchOps.bloomPositionsSql(
+        TextOps.polyHashSql("CAST(probe AS VARCHAR)"))
+      s"""WITH b AS (SELECT user_id, CAST(floor(value * 10) AS BIGINT) AS bucket
+         |           FROM events),
+         |h AS (SELECT DISTINCT user_id,
+         |             ${TextOps.polyHashSql("CAST(bucket AS VARCHAR)")} AS h
+         |      FROM b),
+         |pos AS (SELECT DISTINCT user_id,
+         |               unnest(${SketchOps.bloomPositionsSql("h")}) AS pos
+         |        FROM h),
+         |nb AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_bits
+         |       FROM pos GROUP BY user_id),
+         |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen
+         |      FROM events GROUP BY user_id),
+         |pr AS (SELECT CAST(unnest($probes) AS BIGINT) AS probe),
+         |pp AS (SELECT DISTINCT probe, unnest($probePos) AS pos FROM pr),
+         |need AS (SELECT probe, count(*) AS k FROM pp GROUP BY probe),
+         |hitc AS (SELECT u.user_id, d.probe, count(*) AS got
+         |         FROM pp d JOIN pos u ON u.pos = d.pos
+         |         GROUP BY u.user_id, d.probe)
+         |SELECT n.user_id, n.n_seen, nb.n_bits, need.probe,
+         |       coalesce(hitc.got, 0) = need.k AS hit
+         |FROM n JOIN nb USING (user_id) CROSS JOIN need
+         |LEFT JOIN hitc ON hitc.user_id = n.user_id AND hitc.probe = need.probe
+         |ORDER BY n.user_id, need.probe""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.{SketchOps, TextOps}
+      val snaps = runEventStream(s, dir, "cef53", "append") { raw =>
+        SketchOps.streamingBloomPoints(
+          raw.withColumn("bucket", floor(col("value") * 10).cast("long"))
+            .withColumn("h", TextOps.polyHash(col("bucket").cast("string"))),
+          "user_id", "h",
+          probes = StreamCmProbes,
+          probeHashes = StreamCmProbes.map(p => TextOps.polyHashJvm(p.toString))).toDF()
+      }
+      requireCrossBatchFold(snaps, "cef53", "user_id", "probe")
+      latestSnapshotPerKey(snaps, "user_id", "probe")
+        .select(col("user_id"), col("n_seen"), col("n_bits"), col("probe"), col("hit"))
+        .orderBy(col("user_id"), col("probe"))
+    },
+
     // ---------------- F3 smart-scan intervals driver-checked: the
     // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
     // exhaustive SQL window enumeration — the fullScan semantics the

@@ -4409,6 +4409,88 @@ object Pipeline {
         .withColumn("mean_jacc_q", expr("sum_j div n_pairs"))
         .select(col("hamming"), col("n_pairs"), col("mean_jacc_q"))
         .orderBy(col("hamming"))
+    },
+
+    // ------------- quality: score reliability / calibration table (p96)
+    // The companion to p73's AUC: does the trained quality score MEAN
+    // anything at a given value? Final-epoch perceptron scores bucketed
+    // into 21 max-|score|-normalized bins, each reporting its empirical
+    // positive rate — the calibration diagram a threshold-picker reads
+    // before trusting a cutoff. All-integer: scores are exact integer
+    // dot products (the p55 weights), the bin edge is (score·10)//max.
+    // Scale shape: weights are driver-collected model state (the p55
+    // discipline), scoring is one scan with a broadcast weight row, the
+    // max-|score| scalar is one agg, the table is ≤21 rows.
+    Q("p96_quality_reliability", {
+      s"""WITH $PerceptronCtes,
+         |sc AS (SELECT w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3 AS score, y
+         |       FROM f CROSS JOIN e$PerceptronEpochs),
+         |mx AS (SELECT greatest(max(abs(score)), 1) AS mx FROM sc),
+         |bk AS (SELECT (score * 10) // mx AS bucket, count(*) AS n_tot,
+         |              count(*) FILTER (WHERE y = 1) AS n_pos
+         |       FROM sc CROSS JOIN mx GROUP BY bucket)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_tot AS BIGINT) AS n_tot,
+         |       CAST(n_pos AS BIGINT) AS n_pos,
+         |       CAST((n_pos * 1000000) // n_tot AS BIGINT) AS pos_ppm
+         |FROM bk ORDER BY bucket""".stripMargin
+    }) { (s, dir) =>
+      val feats = perceptronFeats(s, dir)
+      val wN = graft.ops.ClassifierOps.perceptronEpochs(s, feats, PerceptronEpochs)
+        .filter(col("epoch") === PerceptronEpochs)
+        .select(col("w0"), col("w1"), col("w2"), col("w3"))
+      val sc = graft.ops.Release.afterFirstUse(
+        feats.crossJoin(broadcast(wN)).select(
+          (col("w0") * col("x0") + col("w1") * col("x1")
+            + col("w2") * col("x2") + col("w3") * col("x3")).as("score"),
+          col("y")))
+      val mx = sc.agg(greatest(max(abs(col("score"))), lit(1L)).as("mx"))
+      sc.crossJoin(broadcast(mx))
+        .withColumn("bucket", expr("(score * 10) div mx"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_tot"),
+          count(when(col("y") === 1L, 1)).as("n_pos"))
+        .select(col("bucket"), col("n_tot"), col("n_pos"),
+          expr("(n_pos * 1000000) div n_tot").as("pos_ppm"))
+        .orderBy(col("bucket"))
+    },
+
+    // ------------- dedup: cross-source near-dup contamination matrix (p97)
+    // "Which sources duplicate which?" — the ≥0.9 near-dup pair memo
+    // (the SAME population p06/p15/p51/p75 act on) rolled up by
+    // unordered source pair, with each cell's share of all near-dup
+    // mass and a cross-source flag. The table that decides whether a
+    // new crawl needs cross-corpus dedup at all. Scale shape: the pair
+    // table joins the slim (doc_id, source) projection twice (keyed,
+    // pair-table-sized), then collapses to ≤ sources² rows; the LSH
+    // chain cost is the shared memo's, paid once per session.
+    Q("p97_dd_source_matrix", {
+      s"""$NearDupPairsCte,
+         |m AS (SELECT least(da.source, db.source) AS src_a,
+         |             greatest(da.source, db.source) AS src_b,
+         |             count(*) AS n_pairs
+         |      FROM prs JOIN documents da ON da.doc_id = id_a
+         |               JOIN documents db ON db.doc_id = id_b
+         |      GROUP BY 1, 2),
+         |tot AS (SELECT sum(n_pairs) AS tot FROM m)
+         |SELECT src_a, src_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |       CAST((n_pairs * 1000000) // tot AS BIGINT) AS share_ppm,
+         |       src_a <> src_b AS is_cross
+         |FROM m CROSS JOIN tot ORDER BY src_a, src_b""".stripMargin
+    }) { (s, dir) =>
+      val docsSrc = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val m = graft.ops.Release.afterFirstUse(
+        nearDupPairs(s, dir)
+          .join(docsSrc.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+          .join(docsSrc.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+          .select(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"))
+          .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs")))
+      val tot = m.agg(sum(col("n_pairs")).as("tot"))
+      m.crossJoin(broadcast(tot))
+        .select(col("src_a"), col("src_b"), col("n_pairs"),
+          expr("(n_pairs * 1000000) div tot").as("share_ppm"),
+          (col("src_a") =!= col("src_b")).as("is_cross"))
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 

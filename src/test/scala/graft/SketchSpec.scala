@@ -142,4 +142,40 @@ class SketchSpec extends AnyFlatSpec with Matchers {
       snap.est_hll shouldBe (num / (BigInt(SketchOps.HllAlphaDen) * sScaled)).toLong
     }
   }
+
+  "foldBloom" should "equal the one-batch bit-set for arbitrary stream splits" in {
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 100) {
+      val n = rnd.nextInt(300)
+      val stream = Seq.fill(n)(rnd.nextLong(graft.ops.TextOps.HashMod))
+      val expected = Array.fill(SketchOps.BloomBits / 64)(0L)
+      stream.foreach { h =>
+        SketchOps.bloomPositionsJvm(h).foreach(p => expected(p >> 6) |= (1L << (p & 63)))
+      }
+      var rest = stream
+      val acc = Array.fill(SketchOps.BloomBits / 64)(0L)
+      var total = 0L
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(rest.size)
+        total += SketchOps.foldBloom(acc, rest.take(take).iterator)
+        rest = rest.drop(take)
+      }
+      withClue(s"trial $trial n=$n: ") {
+        acc.toSeq shouldBe expected.toSeq
+        total shouldBe n.toLong
+      }
+    }
+  }
+
+  "bloomPositionsJvm" should "match the Column formula's arithmetic for boundary hashes" in {
+    val maxH = graft.ops.TextOps.HashMod - 1
+    for (h <- Seq(0L, 1L, 31L, maxH / 2, maxH)) {
+      val pos = SketchOps.bloomPositionsJvm(h)
+      pos should have size SketchOps.BloomSeeds.size.toLong
+      pos.foreach { p => p should be >= 0; p should be < SketchOps.BloomBits }
+      pos shouldBe SketchOps.BloomSeeds.map { case (a, b) =>
+        ((h * a + b) % graft.ops.TextOps.HashMod % SketchOps.BloomBits).toInt
+      }
+    }
+  }
 }
