@@ -4491,6 +4491,129 @@ object Pipeline {
           expr("(n_pairs * 1000000) div tot").as("share_ppm"),
           (col("src_a") =!= col("src_b")).as("is_cross"))
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // ------------------ splits: token-distribution drift audit (p98)
+    // p90 checks the split's DOC balance; this checks its CONTENT
+    // balance: the pairwise L1 distance between the three splits'
+    // unigram distributions, as exact ×10⁶ integers via the p66
+    // HUGEINT/decimal cross-multiplication (|c_a·t_b − c_b·t_a| summed
+    // over the vocabulary, scaled once at the end — no inner division,
+    // no float). A hash split drawn from one corpus should sit near the
+    // sampling noise floor; a big L1 here means the split leaked
+    // structure (e.g. id-correlated content). Scale shape: ONE explode
+    // into a per-word conditional-count agg (vocabulary-bounded out),
+    // then three global sums — the corpus is scanned once.
+    Q("p98_split_token_drift", {
+      val h = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-split-7'")
+      def pair(nm: String, ta: String, tb: String) =
+        s"""SELECT '$nm' AS pair, CAST($ta AS BIGINT) AS tot_a,
+           |       CAST($tb AS BIGINT) AS tot_b,
+           |       CAST((s_$nm * 1000000) // greatest(CAST($ta AS HUGEINT) * $tb, 1)
+           |            AS BIGINT) AS l1_ppm
+           |FROM l CROSS JOIN t""".stripMargin
+      s"""WITH b AS (SELECT CASE WHEN bucket < 98 THEN 'train'
+         |                       WHEN bucket < 99 THEN 'val'
+         |                       ELSE 'test' END AS split,
+         |                  string_split(text, ' ') AS toks
+         |           FROM (SELECT text, $h % 100 AS bucket FROM documents)),
+         |w AS (SELECT split, unnest(toks) AS word FROM b),
+         |wc AS (SELECT word,
+         |              count(*) FILTER (WHERE split = 'train') AS c_tr,
+         |              count(*) FILTER (WHERE split = 'val') AS c_va,
+         |              count(*) FILTER (WHERE split = 'test') AS c_te
+         |       FROM w GROUP BY word),
+         |t AS (SELECT sum(c_tr) AS t_tr, sum(c_va) AS t_va, sum(c_te) AS t_te
+         |      FROM wc),
+         |l AS (SELECT
+         |        sum(abs(CAST(c_tr AS HUGEINT) * t_va - CAST(c_va AS HUGEINT) * t_tr))
+         |          AS s_tv,
+         |        sum(abs(CAST(c_tr AS HUGEINT) * t_te - CAST(c_te AS HUGEINT) * t_tr))
+         |          AS s_tt,
+         |        sum(abs(CAST(c_va AS HUGEINT) * t_te - CAST(c_te AS HUGEINT) * t_va))
+         |          AS s_vt
+         |      FROM wc CROSS JOIN t)
+         |${pair("tv", "t_tr", "t_va")}
+         |UNION ALL
+         |${pair("tt", "t_tr", "t_te")}
+         |UNION ALL
+         |${pair("vt", "t_va", "t_te")}
+         |ORDER BY pair""".stripMargin
+    }) { (s, dir) =>
+      val bucket = pmod(
+        TextOps.polyHash(concat(col("doc_id").cast("string"), lit("#graft-split-7"))),
+        lit(100L))
+      val wc = t(s, dir, "documents")
+        .select(when(bucket < 98, "train").when(bucket < 99, "val")
+          .otherwise("test").as("split"), explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(
+          count(when(col("split") === "train", 1)).as("c_tr"),
+          count(when(col("split") === "val", 1)).as("c_va"),
+          count(when(col("split") === "test", 1)).as("c_te"))
+      val wcCp = graft.ops.Release.afterFirstUse(wc)
+      val tt = wcCp.agg(sum(col("c_tr")).as("t_tr"), sum(col("c_va")).as("t_va"),
+        sum(col("c_te")).as("t_te"))
+      val l = wcCp.crossJoin(broadcast(tt)).agg(
+        sum(abs(expr("CAST(c_tr AS DECIMAL(38,0)) * t_va - CAST(c_va AS DECIMAL(38,0)) * t_tr"))).as("s_tv"),
+        sum(abs(expr("CAST(c_tr AS DECIMAL(38,0)) * t_te - CAST(c_te AS DECIMAL(38,0)) * t_tr"))).as("s_tt"),
+        sum(abs(expr("CAST(c_va AS DECIMAL(38,0)) * t_te - CAST(c_te AS DECIMAL(38,0)) * t_va"))).as("s_vt"))
+      val j = l.crossJoin(broadcast(tt))
+      def row(nm: String, sCol: String, ta: String, tb: String) =
+        j.select(lit(nm).as("pair"), col(ta).as("tot_a"), col(tb).as("tot_b"),
+          expr(s"""cast(($sCol * cast(1000000 as decimal(38,0)))
+                  |     div greatest(cast($ta as decimal(38,0)) * cast($tb as decimal(38,0)),
+                  |                  cast(1 as decimal(38,0))) as bigint)""".stripMargin)
+            .as("l1_ppm"))
+      row("tv", "s_tv", "t_tr", "t_va")
+        .union(row("tt", "s_tt", "t_tr", "t_te"))
+        .union(row("vt", "s_vt", "t_va", "t_te"))
+        .orderBy(col("pair"))
+    },
+
+    // --------------- dedup: duplicate-rate trend over ingest order (p99)
+    // The crawler-loop detector: exact-hash duplicate share per
+    // sixteenth of the doc-id range (ingestion order). A healthy crawl
+    // has a slowly rising dup rate as the frontier saturates; a spike
+    // in late buckets means the crawler is revisiting. Exact semantics:
+    // a doc is a duplicate iff an EARLIER doc_id carries the same text
+    // hash — bucket-exactly accounted by comparing each (fp, bucket)
+    // cell's min id against the fp's global first id. Scale shape: ONE
+    // (fp, bucket) corpus agg with map-side combine (the p04 exact-
+    // dedup shuffle), then fp-bounded joins; never a corpus self-join.
+    Q("p99_dup_rate_trend", {
+      val fp = TextOps.polyHashSql("text")
+      s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+         |d AS (SELECT doc_id, $fp AS fp,
+         |             least((doc_id * 16) // (m + 1), 15) AS bucket
+         |      FROM documents CROSS JOIN mx),
+         |g AS (SELECT fp, bucket, count(*) AS c, min(doc_id) AS bmin
+         |      FROM d GROUP BY fp, bucket),
+         |f AS (SELECT fp, min(bmin) AS first FROM g GROUP BY fp),
+         |pb AS (SELECT bucket, sum(c) AS n_docs,
+         |              sum(c - CASE WHEN bmin = first THEN 1 ELSE 0 END) AS n_dups
+         |       FROM g JOIN f USING (fp) GROUP BY bucket)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_dups AS BIGINT) AS n_dups,
+         |       CAST((n_dups * 1000000) // n_docs AS BIGINT) AS dup_ppm
+         |FROM pb ORDER BY bucket""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val mx = docs.agg(max(col("doc_id")).as("m"))
+      val g = docs.crossJoin(broadcast(mx))
+        .select(col("doc_id"), TextOps.polyHash(col("text")).as("fp"),
+          least(expr("(doc_id * 16) div (m + 1)"), lit(15L)).as("bucket"))
+        .groupBy(col("fp"), col("bucket"))
+        .agg(count(lit(1)).as("c"), min(col("doc_id")).as("bmin"))
+      val gCp = graft.ops.Release.afterFirstUse(g)
+      val f = gCp.groupBy(col("fp")).agg(min(col("bmin")).as("first"))
+      gCp.join(f, "fp")
+        .groupBy(col("bucket"))
+        .agg(sum(col("c")).as("n_docs"),
+          sum(col("c") - when(col("bmin") === col("first"), 1L).otherwise(0L)).as("n_dups"))
+        .select(col("bucket"), col("n_docs"), col("n_dups"),
+          expr("(n_dups * 1000000) div n_docs").as("dup_ppm"))
+        .orderBy(col("bucket"))
     }
   )
 

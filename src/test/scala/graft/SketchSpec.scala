@@ -178,4 +178,40 @@ class SketchSpec extends AnyFlatSpec with Matchers {
       }
     }
   }
+
+  "the new sketch folds" should "sustain multi-M items/s in-JVM (engine cost, not scaffold)" in {
+    // the cef51/52/53 gates' bench seconds are scaffold-dominated
+    // (forced state-store commits); this pins what the FOLDS cost.
+    // Floors are ~10x under quiet-machine rates (ThroughputSpec's
+    // rationale): they catch O(lanes*log)-style regressions, not
+    // machine weather.
+    val n = 2000000
+    val rnd = new scala.util.Random(23)
+    val hs = Array.fill(n)(rnd.nextLong(graft.ops.TextOps.HashMod))
+    def rate(body: => Unit): Double = {
+      body // warm-up (JIT)
+      val t0 = System.nanoTime(); body
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+    val lanes = 16
+    val as = graft.ops.DedupOps.MinHashA.take(lanes).toArray
+    val bs = graft.ops.DedupOps.MinHashB.take(lanes).toArray
+    val mh = rate {
+      val acc = Array.fill(lanes)(graft.ops.TextOps.HashMod)
+      SketchOps.foldMinHash(acc, hs.iterator, as, bs, graft.ops.TextOps.HashMod)
+    }
+    val hll = rate {
+      val acc = Array.fill(SketchOps.HllM)(0L)
+      SketchOps.foldHll(acc, hs.iterator)
+    }
+    val bloom = rate {
+      val acc = Array.fill(SketchOps.BloomBits / 64)(0L)
+      SketchOps.foldBloom(acc, hs.iterator)
+    }
+    info(f"foldMinHash ${mh / 1e6}%.1f M items/s, foldHll ${hll / 1e6}%.1f M items/s, " +
+      f"foldBloom ${bloom / 1e6}%.1f M items/s")
+    mh should be > 1e6    // 16 multiplies per item
+    hll should be > 4e6
+    bloom should be > 2e6
+  }
 }
