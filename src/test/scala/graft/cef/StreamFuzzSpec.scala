@@ -352,4 +352,172 @@ class StreamFuzzSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
     crossBatchFolds should be >= 10L
   }
+
+  it should "fold MinHash signatures identically streaming vs batch under random slicing" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    import graft.ops.DedupOps
+    var crossBatchFolds = 0L
+    for (trial <- 1 to 6) {
+      val rnd = new scala.util.Random(7000 + trial)
+      val lanes = Seq(4, 8, 16)(rnd.nextInt(3))
+      val nKeys = 1 + rnd.nextInt(5)
+      val universe = 5 + rnd.nextInt(40)
+      val events: Seq[(Long, Long)] = (1 to (40 + rnd.nextInt(160))).map { _ =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(universe).toLong)
+      }
+      val hashed = events.map { case (k, v) => (k, TextOps.polyHashJvm(v.toString)) }
+      val slices = randomSlices(hashed, rnd, maxChunks = 8)
+      val as = DedupOps.MinHashA.take(lanes)
+      val bs = DedupOps.MinHashB.take(lanes)
+
+      val mem = MemoryStream[(Long, Long)]
+      val q = SketchOps.streamingMinHash(
+        mem.toDS().toDF("user_id", "h"), "user_id", "h", lanes)
+        .writeStream.format("memory").queryName(s"fuzz_mh_$trial")
+        .outputMode("append").start()
+      slices.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val snaps = sparkS.table(s"fuzz_mh_$trial")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      q.stop()
+      sparkS.catalog.dropTempView(s"fuzz_mh_$trial")
+
+      val finalByKey = snaps.groupBy(_._1).map { case (k, ss) =>
+        val last = ss.maxBy(_._2)
+        k -> ((last._2, last._3.toSeq))
+      }
+      val expected = hashed.groupBy(_._1).map { case (k, rows) =>
+        val sig = (0 until lanes).map { i =>
+          rows.map(r => (as(i) * r._2 + bs(i)) % TextOps.HashMod).min
+        }
+        k -> ((rows.size.toLong, sig))
+      }
+      withClue(s"trial $trial (lanes=$lanes, ${slices.size} slices): ") {
+        finalByKey shouldBe expected
+        // lane minima only ever improve across a key's snapshots
+        snaps.groupBy(_._1).values.foreach { ss =>
+          ss.sortBy(_._2).map(_._3).sliding(2).foreach {
+            case Array(a, b) => a.zip(b).foreach { case (x, y) => y should be <= x }
+            case _           =>
+          }
+        }
+      }
+      crossBatchFolds += snaps.groupBy(_._1).values.count(_.size >= 2)
+    }
+    crossBatchFolds should be >= 10L
+  }
+
+  it should "fold HLL registers identically streaming vs batch under random slicing" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    var crossBatchFolds = 0L
+    for (trial <- 1 to 6) {
+      val rnd = new scala.util.Random(8000 + trial)
+      val nKeys = 1 + rnd.nextInt(5)
+      val universe = 5 + rnd.nextInt(200)
+      val events: Seq[(Long, Long)] = (1 to (40 + rnd.nextInt(160))).map { _ =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(universe).toLong)
+      }
+      val hashed = events.map { case (k, v) => (k, TextOps.polyHashJvm(v.toString)) }
+      val slices = randomSlices(hashed, rnd, maxChunks = 8)
+
+      val mem = MemoryStream[(Long, Long)]
+      val q = SketchOps.streamingHll(
+        mem.toDS().toDF("user_id", "h"), "user_id", "h")
+        .writeStream.format("memory").queryName(s"fuzz_hll_$trial")
+        .outputMode("append").start()
+      slices.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val snaps = sparkS.table(s"fuzz_hll_$trial")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      q.stop()
+      sparkS.catalog.dropTempView(s"fuzz_hll_$trial")
+
+      val finalByKey = snaps.groupBy(_._1).map { case (k, ss) => k -> ss.maxBy(_._2) }
+      val expected = hashed.groupBy(_._1).map { case (k, rows) =>
+        val regs = Array.fill(SketchOps.HllM)(0L)
+        SketchOps.foldHll(regs, rows.map(_._2).iterator)
+        val s = SketchOps.hllSummary(k, rows.size.toLong, regs)
+        k -> ((k, s.n_seen, s.n_regs_hit, s.s_scaled, s.est_hll))
+      }
+      withClue(s"trial $trial (${slices.size} slices): ") {
+        finalByKey shouldBe expected
+        // registers only rise: s_scaled non-increasing, hits non-decreasing
+        snaps.groupBy(_._1).values.foreach { ss =>
+          val ordered = ss.sortBy(_._2)
+          ordered.map(_._3).sliding(2).foreach {
+            case Array(a, b) => b should be >= a
+            case _           =>
+          }
+          ordered.map(_._4).sliding(2).foreach {
+            case Array(a, b) => b should be <= a
+            case _           =>
+          }
+        }
+      }
+      crossBatchFolds += snaps.groupBy(_._1).values.count(_.size >= 2)
+    }
+    crossBatchFolds should be >= 10L
+  }
+
+  it should "fold Bloom bit-sets identically streaming vs batch under random slicing" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    var crossBatchFolds = 0L
+    var hitsSeen = 0L
+    var missesSeen = 0L
+    for (trial <- 1 to 6) {
+      val rnd = new scala.util.Random(9000 + trial)
+      val nKeys = 1 + rnd.nextInt(5)
+      val universe = 5 + rnd.nextInt(40)
+      // probes: half drawn from the universe (hit-prone), half outside
+      val probes: Seq[Long] = Seq(rnd.nextInt(universe).toLong,
+        (universe + 1 + rnd.nextInt(50)).toLong)
+      val events: Seq[(Long, Long)] = (1 to (40 + rnd.nextInt(160))).map { _ =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(universe).toLong)
+      }
+      val hashed = events.map { case (k, v) => (k, TextOps.polyHashJvm(v.toString)) }
+      val slices = randomSlices(hashed, rnd, maxChunks = 8)
+
+      val mem = MemoryStream[(Long, Long)]
+      val q = SketchOps.streamingBloomPoints(
+        mem.toDS().toDF("user_id", "h"), "user_id", "h",
+        probes, probes.map(p => TextOps.polyHashJvm(p.toString)))
+        .writeStream.format("memory").queryName(s"fuzz_bloom_$trial")
+        .outputMode("append").start()
+      slices.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val snaps = sparkS.table(s"fuzz_bloom_$trial")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      q.stop()
+      sparkS.catalog.dropTempView(s"fuzz_bloom_$trial")
+
+      val finalByKp = snaps.groupBy(s => (s._1, s._4)).map { case (kp, ss) => kp -> ss.maxBy(_._2) }
+      val expected = hashed.groupBy(_._1).flatMap { case (k, rows) =>
+        val bits = Array.fill(SketchOps.BloomBits / 64)(0L)
+        SketchOps.foldBloom(bits, rows.map(_._2).iterator)
+        val nBits = bits.map(java.lang.Long.bitCount).sum.toLong
+        probes.map { p =>
+          val pos = SketchOps.bloomPositionsJvm(TextOps.polyHashJvm(p.toString))
+          val hit = pos.forall(i => (bits(i >> 6) & (1L << (i & 63))) != 0L)
+          (k, p) -> ((k, rows.size.toLong, nBits, p, hit))
+        }
+      }
+      withClue(s"trial $trial (${slices.size} slices): ") { finalByKp shouldBe expected }
+      // one-sided guarantee: an item actually sent to a key must probe true
+      val sentByKey = events.groupBy(_._1)
+      expected.foreach { case ((k, p), (_, _, _, _, hit)) =>
+        if (sentByKey(k).exists(_._2 == p)) {
+          withClue(s"false negative: key $k probe $p: ") { hit shouldBe true }
+          hitsSeen += 1
+        } else if (!hit) missesSeen += 1
+      }
+      crossBatchFolds += snaps.groupBy(s => (s._1, s._4)).values.count(_.size >= 2)
+    }
+    crossBatchFolds should be >= 10L
+    // the campaign must exercise both the present and the absent path
+    hitsSeen should be >= 3L
+    missesSeen should be >= 3L
+  }
 }
