@@ -656,7 +656,12 @@ object DedupOps {
         posexplode(transform(sequence(lit(0), size(col("toks")) - width),
           j => TextOps.polyHash(array_join(slice(col("toks"), j + 1, lit(width)), " "))))
           .as(Seq("pos", "h")))
-      .withColumn("enc", col("doc_id") * lit(4294967296L) + col("pos")))
+      // first-occurrence key: lexicographic (doc_id, pos) struct min —
+      // NOT doc_id·2³² + pos, which silently overflows int64 once
+      // doc_ids pass 2³¹ (e.g. world-offset ids at scale; ANSI mode
+      // turns that into a query error). Struct min/inequality compare
+      // lexicographically in both engines and carry no range limit.
+      .withColumn("enc", struct(col("doc_id").as("d"), col("pos").as("i"))))
     val firsts = w.groupBy(col("h"))
       .agg(min(col("enc")).as("first"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
@@ -691,7 +696,9 @@ object DedupOps {
     * paragraph marks; a real corpus would split on '\n\n' — the
     * dedup/reassembly plumbing is identical).
     *
-    * Scale shape: first-occurrence is min(doc·2³² + idx) per chunk md5 —
+    * Scale shape: first-occurrence is the lexicographic min(doc, idx)
+    * struct per chunk md5 (id-range-free — the former doc·2³² + idx
+    * encoding overflowed int64 for doc_ids beyond 2³¹) —
     * a partially-aggregable groupBy, NOT a window over the hash (a
     * boilerplate chunk repeated 10⁸ times would pile 10⁸ rows into one
     * window partition; the agg combines map-side). The join back is equi
@@ -707,7 +714,7 @@ object DedupOps {
         st => array_join(slice(col("tok"), st, lit(w)), " "))))
       .select(col(idCol), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
       .withColumn("key", md5(col("chunk")))
-      .withColumn("enc", col(idCol) * lit(4294967296L) + col("chunk_idx"))
+      .withColumn("enc", struct(col(idCol).as("d"), col("chunk_idx").as("i")))
     val first = ch.groupBy(col("key")).agg(min(col("enc")).as("first"))
     ch.join(first, "key")
       .groupBy(col(idCol))

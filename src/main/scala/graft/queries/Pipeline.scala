@@ -2222,7 +2222,8 @@ object Pipeline {
     // text, so "paragraph" = a fixed window of ChunkW tokens (the p23
     // chunking convention, non-overlapping).
     //
-    // Scale shape: first-occurrence is min(doc_id·2³² + idx) per chunk
+    // Scale shape: first-occurrence is the lexicographic (doc_id, idx)
+    // struct min per chunk
     // md5 — a partially-aggregable groupBy (NOT a window over the hash:
     // a boilerplate chunk repeated 10⁸ times would put 10⁸ rows in one
     // window partition, while the agg combines map-side). The join back
@@ -2238,15 +2239,18 @@ object Pipeline {
          |ch AS (SELECT doc_id, CAST((st - 1) / $w AS BIGINT) AS chunk_idx,
          |              array_to_string(tok[st : least(st + ${w - 1}, len(tok))], ' ') AS chunk
          |       FROM starts),
-         |k AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS key,
-         |             doc_id * 4294967296 + chunk_idx AS enc FROM ch),
-         |f AS (SELECT key, min(enc) AS first FROM k GROUP BY key)
+         |k AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS key FROM ch),
+         |f AS (SELECT key, min(doc_id) AS fdoc FROM k GROUP BY key),
+         |f2 AS (SELECT key, fdoc, min(chunk_idx) AS fidx
+         |       FROM k JOIN f USING (key) WHERE doc_id = fdoc GROUP BY key, fdoc)
          |SELECT doc_id,
          |       CAST(count(*) AS BIGINT) AS n_chunks,
-         |       CAST(count(*) FILTER (WHERE enc = first) AS BIGINT) AS n_kept,
-         |       coalesce(string_agg(CASE WHEN enc = first THEN chunk END, ' '
+         |       CAST(count(*) FILTER (WHERE doc_id = fdoc AND chunk_idx = fidx)
+         |            AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(CASE WHEN doc_id = fdoc AND chunk_idx = fidx
+         |                                THEN chunk END, ' '
          |                           ORDER BY chunk_idx), '') AS text_clean
-         |FROM k JOIN f USING (key)
+         |FROM k JOIN f2 USING (key)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       DedupOps.chunkDedup(t(s, dir, "documents"), "doc_id", "text", ChunkW)
@@ -2267,10 +2271,12 @@ object Pipeline {
          |      FROM (SELECT doc_id, tok,
          |                   unnest(generate_series(1, len(tok) - ${w - 1})) AS st
          |            FROM t WHERE len(tok) >= $w)),
-         |f AS (SELECT h, min(doc_id * 4294967296 + pos) AS first
+         |f AS (SELECT h, min(doc_id) AS fdoc
          |      FROM w GROUP BY h HAVING count(*) > 1),
-         |dup AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (h)
-         |        WHERE doc_id * 4294967296 + pos > f.first),
+         |f2 AS (SELECT h, fdoc, min(pos) AS fpos
+         |       FROM w JOIN f USING (h) WHERE doc_id = fdoc GROUP BY h, fdoc),
+         |dup AS (SELECT w.doc_id, w.pos FROM w JOIN f2 USING (h)
+         |        WHERE NOT (w.doc_id = fdoc AND w.pos = fpos)),
          |cov AS (SELECT DISTINCT doc_id,
          |               unnest(generate_series(pos, pos + ${w - 1})) AS p FROM dup),
          |u AS (SELECT doc_id, unnest(tok) AS tk,
