@@ -4255,27 +4255,7 @@ object Pipeline {
     // the cumulative windows run over histogram rows, never corpus
     // rows — exact order statistics with no global sort.
     Q("p93_len_mad_outliers", {
-      s"""WITH h AS (SELECT source, n_chars, count(*) AS c
-         |           FROM documents GROUP BY source, n_chars),
-         |n AS (SELECT source, sum(c) AS n FROM h GROUP BY source),
-         |cum AS (SELECT source, n_chars, c,
-         |               sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cc
-         |        FROM h),
-         |med AS (SELECT source, min(n_chars) AS med
-         |        FROM cum JOIN n USING (source)
-         |        WHERE cc >= (n + 1) // 2 GROUP BY source),
-         |dh AS (SELECT h.source, abs(n_chars - med) AS dev, sum(c) AS c
-         |       FROM h JOIN med USING (source) GROUP BY h.source, abs(n_chars - med)),
-         |dcum AS (SELECT source, dev, c,
-         |                sum(c) OVER (PARTITION BY source ORDER BY dev) AS cc
-         |         FROM dh),
-         |mad AS (SELECT source, min(dev) AS mad
-         |        FROM dcum JOIN n USING (source)
-         |        WHERE cc >= (n + 1) // 2 GROUP BY source),
-         |outl AS (SELECT dh.source,
-         |                coalesce(sum(c) FILTER (WHERE dev > $MadOutlierK * mad), 0)
-         |                  AS n_out
-         |         FROM dh JOIN mad USING (source) GROUP BY dh.source)
+      s"""WITH $MedianMadCtes
          |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(med AS BIGINT) AS median_chars,
          |       CAST(mad AS BIGINT) AS mad, CAST(n_out AS BIGINT) AS n_outliers,
          |       CAST((n_out * 1000000) // n AS BIGINT) AS outlier_ppm
@@ -4620,6 +4600,73 @@ object Pipeline {
         .select(col("bucket"), col("n_docs"), col("n_dups"),
           expr("(n_dups * 1000000) div n_docs").as("dup_ppm"))
         .orderBy(col("bucket"))
+    },
+
+    // -------------------- pipeline: per-source corpus health report (p100)
+    // The one-row-per-source dashboard a data owner reads weekly,
+    // composing the registered audit signals from THEIR OWN formulas
+    // (the p76 discipline — p93's median/MAD chain is the literal
+    // shared MedianMadCtes / StatsOps helper, the dup rate is p99's
+    // first-occurrence rule rolled up by source, the vocabulary tail is
+    // p94's hapax rule): doc/char mass, robust length location and
+    // outlier share, exact-duplicate share, vocabulary size and hapax
+    // share. Scale shape: three independent one-scan aggregations
+    // (length histogram, text-fingerprint agg, word counts) joined on
+    // the sources-sized key — the report costs no more than its most
+    // expensive standalone audit.
+    Q("p100_corpus_health", {
+      val fp = TextOps.polyHashSql("text")
+      s"""WITH $MedianMadCtes,
+         |sc AS (SELECT source, sum(n_chars) AS sum_chars
+         |       FROM documents GROUP BY source),
+         |d AS (SELECT source, doc_id, $fp AS fp FROM documents),
+         |ff AS (SELECT fp, min(doc_id) AS first FROM d GROUP BY fp),
+         |dup AS (SELECT source,
+         |               coalesce(count(*) FILTER (WHERE doc_id > first), 0) AS n_dup
+         |        FROM d JOIN ff USING (fp) GROUP BY source),
+         |w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+         |      FROM documents),
+         |wc AS (SELECT source, word, count(*) AS c FROM w GROUP BY source, word),
+         |vg AS (SELECT source, count(*) AS vocab,
+         |              sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax
+         |       FROM wc GROUP BY source)
+         |SELECT n.source, CAST(n AS BIGINT) AS n_docs,
+         |       CAST(sum_chars AS BIGINT) AS sum_chars,
+         |       CAST(med AS BIGINT) AS median_chars, CAST(mad AS BIGINT) AS mad,
+         |       CAST((n_out * 1000000) // n AS BIGINT) AS outlier_ppm,
+         |       CAST((n_dup * 1000000) // n AS BIGINT) AS dup_ppm,
+         |       CAST(vocab AS BIGINT) AS vocab,
+         |       CAST((hapax * 1000000) // vocab AS BIGINT) AS hapax_ppm
+         |FROM n JOIN med USING (source) JOIN mad USING (source)
+         | JOIN outl USING (source) JOIN sc USING (source)
+         | JOIN dup USING (source) JOIN vg USING (source)
+         |ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val mm = graft.ops.StatsOps.groupedMedianMadOutliers(
+        docs.select(col("source"), col("n_chars")), "source", "n_chars", MadOutlierK)
+      val sc = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("sum_chars"))
+      val d = docs.select(col("source"), col("doc_id"),
+        TextOps.polyHash(col("text")).as("fp"))
+      val ff = d.groupBy(col("fp")).agg(min(col("doc_id")).as("first"))
+      val dup = d.join(ff, "fp")
+        .groupBy(col("source"))
+        .agg(coalesce(count(when(col("doc_id") > col("first"), 1)), lit(0L)).as("n_dup"))
+      val vg = docs
+        .select(col("source"), explode(tokens(col("text"))).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      mm.join(broadcast(sc), "source").join(broadcast(dup), "source")
+        .join(broadcast(vg), "source")
+        .select(col("source"), col("n").as("n_docs"), col("sum_chars"),
+          col("med").as("median_chars"), col("mad"),
+          expr("(n_out * 1000000) div n").as("outlier_ppm"),
+          expr("(n_dup * 1000000) div n").as("dup_ppm"),
+          col("vocab"),
+          expr("(hapax * 1000000) div vocab").as("hapax_ppm"))
+        .orderBy(col("source"))
     }
   )
 
@@ -4646,6 +4693,34 @@ object Pipeline {
 
   /** p93 outlier gate: |n_chars − median| > MadOutlierK · MAD. */
   private def MadOutlierK: Int = 3
+
+  /** p93's median/MAD oracle CTE chain (h → n → cum → med → dh → dcum →
+    * mad → outl), one owner shared with p100's health report so the
+    * standalone audit and the composed report can never drift — the
+    * p76 gate-formula discipline. A def (queries-val init order).
+    */
+  private def MedianMadCtes: String =
+    s"""h AS (SELECT source, n_chars, count(*) AS c
+       |           FROM documents GROUP BY source, n_chars),
+       |n AS (SELECT source, sum(c) AS n FROM h GROUP BY source),
+       |cum AS (SELECT source, n_chars, c,
+       |               sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cc
+       |        FROM h),
+       |med AS (SELECT source, min(n_chars) AS med
+       |        FROM cum JOIN n USING (source)
+       |        WHERE cc >= (n + 1) // 2 GROUP BY source),
+       |dh AS (SELECT h.source, abs(n_chars - med) AS dev, sum(c) AS c
+       |       FROM h JOIN med USING (source) GROUP BY h.source, abs(n_chars - med)),
+       |dcum AS (SELECT source, dev, c,
+       |                sum(c) OVER (PARTITION BY source ORDER BY dev) AS cc
+       |         FROM dh),
+       |mad AS (SELECT source, min(dev) AS mad
+       |        FROM dcum JOIN n USING (source)
+       |        WHERE cc >= (n + 1) // 2 GROUP BY source),
+       |outl AS (SELECT dh.source,
+       |                coalesce(sum(c) FILTER (WHERE dev > $MadOutlierK * mad), 0)
+       |                  AS n_out
+       |         FROM dh JOIN mad USING (source) GROUP BY dh.source)""".stripMargin
 
   /** p94 head-coverage size (token share of the top-HeadK words). */
   private def HeadK: Int = 100

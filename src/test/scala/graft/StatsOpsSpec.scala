@@ -451,4 +451,24 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       withClue(s"trial $trial: ") { got shouldBe exp }
     }
   }
+
+  it should "handle empty and single-row groups at the edges" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // empty input -> empty output (no rows, not a crash)
+    graft.ops.StatsOps.groupedMedianMadOutliers(
+      Seq.empty[(String, Long)].toDF("k", "v"), "k", "v", 3)
+      .collect() shouldBe empty
+    // one row: median = the value, MAD = 0, outliers = 0 (0 > 3*0 false)
+    val one = graft.ops.StatsOps.groupedMedianMadOutliers(
+      Seq(("a", 7L)).toDF("k", "v"), "k", "v", 3).collect()
+    one.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))) shouldBe
+      Array(("a", 1L, 7L, 0L, 0L))
+    // two rows: lower median, every deviation equal -> mad = 0, the far
+    // row IS an outlier under dev > 0
+    val two = graft.ops.StatsOps.groupedMedianMadOutliers(
+      Seq(("a", 1L), ("a", 100L)).toDF("k", "v"), "k", "v", 3).collect()
+    two.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))) shouldBe
+      Array(("a", 2L, 1L, 0L, 1L))
+  }
 }
