@@ -55,4 +55,62 @@ object PackOps {
       }
       .toDF("doc_id", "bucket", "n_tok", "bin_id")
   }
+
+  /** One packed document: its bucket, token count and assigned bin. */
+  final case class PackedDoc(doc_id: Long, bucket: Long, n_tok: Long, bin_id: Long)
+
+  private[graft] final case class PackIn(doc_id: Long, n_tok: Long, bucket: Long)
+
+  /** Open-bin cursor for one bucket: the id of the bin being filled and
+    * its current token fill. Two longs per key — corpus-size-independent.
+    */
+  final case class PackState(bin: Long, fill: Long)
+
+  /** Streaming counterpart of [[packGreedy]]: the ingest-time packer.
+    * Documents arrive id-ordered (the ingestion contract), hash into
+    * `buckets` independent keyed streams, and each bucket's GroupState
+    * holds only the OPEN bin cursor (bin id + fill) — O(1) state per key,
+    * so a year of ingest costs the same state as a day. Emits each
+    * document's bin assignment the moment it is packed; the assignment
+    * stream is byte-identical to the batch packer's output on the same
+    * id-ordered corpus (the p105 gate and PackSpec both pin this).
+    *
+    * Rows WITHIN one micro-batch are buffered per (bucket, batch) and
+    * sorted by id — micro-batch slices are id-range-ordered, so the sort
+    * restores the global ingestion order the greedy recurrence needs; the
+    * buffer is one bucket's share of one micro-batch, never the stream.
+    */
+  def streamingPack(
+      docs: DataFrame,
+      idCol: String,
+      nTokCol: String,
+      buckets: Int,
+      budget: Long): org.apache.spark.sql.Dataset[PackedDoc] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stEnc: Encoder[PackState] = Encoders.product[PackState]
+    implicit val outEnc: Encoder[PackedDoc] = Encoders.product[PackedDoc]
+    implicit val inEnc: Encoder[PackIn] = Encoders.product[PackIn]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(nTokCol).cast("long").as("n_tok"),
+        pmod(col(idCol).cast("long"), lit(buckets.toLong)).as("bucket"))
+      .as[PackIn]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[PackIn], state: GroupState[PackState]) =>
+          val batch = rows.toArray.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(PackState(0L, 0L))
+          val out = batch.iterator.map { d =>
+            st =
+              if (st.fill > 0L && st.fill + d.n_tok > budget) PackState(st.bin + 1L, d.n_tok)
+              else PackState(st.bin, st.fill + d.n_tok)
+            PackedDoc(d.doc_id, bucket, d.n_tok, st.bin)
+          }.toVector
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -1296,30 +1296,11 @@ object Pipeline {
     // doc-id order (PackOps scale notes: one shuffle + external sort +
     // O(1)-state streaming scan). Oracle replays the same greedy as a
     // per-bucket recursive-CTE state machine.
-    Q("p31_seq_packing", {
-      s"""WITH RECURSIVE d AS (
-         |  SELECT doc_id, doc_id % 32 AS bucket,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-         |  FROM documents),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
-         |      FROM d),
-         |g AS (
-         |  SELECT bucket, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
-         |  FROM r WHERE rn = 1
-         |  UNION ALL
-         |  SELECT r.bucket, r.rn, r.doc_id, r.n_tok,
-         |         CASE WHEN g.fill > 0 AND g.fill + r.n_tok > 512
-         |              THEN g.bin_id + 1 ELSE g.bin_id END,
-         |         CASE WHEN g.fill > 0 AND g.fill + r.n_tok > 512
-         |              THEN r.n_tok ELSE g.fill + r.n_tok END
-         |  FROM r JOIN g ON r.bucket = g.bucket AND r.rn = g.rn + 1)
-         |SELECT doc_id, bucket, n_tok, bin_id
-         |FROM g ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+    Q("p31_seq_packing", PackGreedyOracle) { (s, dir) =>
       PackOps.packGreedy(
           t(s, dir, "documents").select(col("doc_id"),
             size(split(col("text"), " ")).as("n_tok")),
-          "doc_id", "n_tok", buckets = 32, budget = 512L)
+          "doc_id", "n_tok", buckets = PackBuckets, budget = PackBudget)
         .orderBy(col("doc_id"))
     },
 
@@ -4667,6 +4648,242 @@ object Pipeline {
           col("vocab"),
           expr("(hapax * 1000000) div vocab").as("hapax_ppm"))
         .orderBy(col("source"))
+    },
+
+    // ------------------- curriculum: difficulty-staged corpus (p101)
+    // Curriculum pretraining orders data easy→hard; this op assigns every
+    // document a difficulty STAGE (per-source quartile of the lexical
+    // difficulty score — p02's long-token ratio, quantized ×10⁶) and
+    // reports each (source, stage) cell's mass and score bounds. The
+    // quartile is computed HISTOGRAM-FIRST: the score is a bounded
+    // integer, so stage boundaries come from a cumulative sum over the
+    // (source, score) aggregate — never a corpus sort or a corpus-wide
+    // window (the 100 TB shape: one grouped agg, then score-bounded
+    // bookkeeping). Equal scores land in the same stage by construction
+    // (boundary rule: b_k = min score with 4·cum ≥ k·N), so the staging
+    // is deterministic on both engines with no tie order anywhere.
+    Q("p101_curriculum_stages", {
+      s"""WITH d AS (
+         |  SELECT source, n_chars,
+         |         CAST(floor(len(list_filter(toks, t -> length(t) >= 6)) * 1000000.0
+         |                    / len(toks) + 0.5) AS BIGINT) AS score
+         |  FROM (SELECT source, n_chars, string_split(text, ' ') AS toks
+         |        FROM documents)),
+         |h AS (SELECT source, score, count(*) AS c, sum(n_chars) AS sc
+         |      FROM d GROUP BY source, score),
+         |n AS (SELECT source, sum(c) AS n FROM h GROUP BY source),
+         |cum AS (SELECT source, score, c, sc,
+         |               sum(c) OVER (PARTITION BY source ORDER BY score) AS cc
+         |        FROM h),
+         |b AS (SELECT source,
+         |             min(CASE WHEN cc * 4 >= n THEN score END) AS b1,
+         |             min(CASE WHEN cc * 4 >= 2 * n THEN score END) AS b2,
+         |             min(CASE WHEN cc * 4 >= 3 * n THEN score END) AS b3
+         |      FROM cum JOIN n USING (source) GROUP BY source),
+         |st AS (SELECT cum.source, score, c, sc,
+         |              1 + CASE WHEN score > b1 THEN 1 ELSE 0 END
+         |                + CASE WHEN score > b2 THEN 1 ELSE 0 END
+         |                + CASE WHEN score > b3 THEN 1 ELSE 0 END AS stage
+         |       FROM cum JOIN b USING (source))
+         |SELECT source, CAST(stage AS BIGINT) AS stage,
+         |       CAST(sum(c) AS BIGINT) AS n_docs,
+         |       CAST(sum(sc) AS BIGINT) AS sum_chars,
+         |       CAST(min(score) AS BIGINT) AS min_score,
+         |       CAST(max(score) AS BIGINT) AS max_score
+         |FROM st GROUP BY source, stage ORDER BY source, stage""".stripMargin
+    }) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val score = floor(
+        size(filter(toks, tk => length(tk) >= 6)) * lit(1000000.0) / size(toks)
+          + lit(0.5)).cast("long")
+      val h = graft.ops.Release.afterFirstUse(
+        t(s, dir, "documents")
+          .select(col("source"), col("n_chars"), score.as("score"))
+          .groupBy(col("source"), col("score"))
+          .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("sc")))
+      val n = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val cum = h.withColumn("cc",
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("score"))))
+      val b = cum.join(broadcast(n), "source")
+        .groupBy(col("source"))
+        .agg(
+          min(when(col("cc") * 4 >= col("n"), col("score"))).as("b1"),
+          min(when(col("cc") * 4 >= col("n") * 2, col("score"))).as("b2"),
+          min(when(col("cc") * 4 >= col("n") * 3, col("score"))).as("b3"))
+      cum.join(broadcast(b), "source")
+        .withColumn("stage",
+          lit(1) + when(col("score") > col("b1"), 1).otherwise(0)
+            + when(col("score") > col("b2"), 1).otherwise(0)
+            + when(col("score") > col("b3"), 1).otherwise(0))
+        .groupBy(col("source"), col("stage").cast("long").as("stage"))
+        .agg(sum(col("c")).as("n_docs"), sum(col("sc")).as("sum_chars"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy(col("source"), col("stage"))
+    },
+
+    // ----------------- text: unigram concentration per source (p102)
+    // Simpson repeat-rate — the probability two tokens drawn without
+    // replacement from a source are the SAME word (Herfindahl-style
+    // concentration; boilerplate-heavy sources spike it long before a
+    // mean frequency moves) — plus the type-token ratio. Sums of c·(c−1)
+    // reach ~T² ≈ 10¹³ at sf10 and the ×10⁹ quantization would overflow
+    // int64, so the numerators ride HUGEINT/decimal cross-multiplication
+    // (the p66/p98 discipline — integer end to end, no float boundary).
+    // Scale shape: one corpus scan into the (source, word) agg
+    // (vocabulary-bounded out, map-side combined), then a sources-sized
+    // rollup — state never scales with the corpus.
+    Q("p102_txt_simpson", {
+      s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |wc AS (SELECT source, word, count(*) AS c FROM w GROUP BY source, word),
+         |a AS (SELECT source, sum(c) AS t, count(*) AS v,
+         |             sum(CAST(c AS HUGEINT) * (c - 1)) AS r
+         |      FROM wc GROUP BY source)
+         |SELECT source, CAST(t AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS n_types,
+         |       CAST((v * 1000000) // t AS BIGINT) AS ttr_ppm,
+         |       CAST((r * 1000000000)
+         |            // greatest(CAST(t AS HUGEINT) * (t - 1), 1) AS BIGINT)
+         |         AS simpson_ppb
+         |FROM a ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("t"), count(lit(1)).as("v"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("r"))
+        .select(col("source"), col("t").as("n_tokens"), col("v").as("n_types"),
+          expr("(v * 1000000) div t").as("ttr_ppm"),
+          expr("""cast((r * cast(1000000000 as decimal(38,0)))
+                 |     div greatest(cast(t as decimal(38,0)) * (t - 1),
+                 |                  cast(1 as decimal(38,0))) as bigint)""".stripMargin)
+            .as("simpson_ppb"))
+        .orderBy(col("source"))
+    },
+
+    // ---------- similarity: matryoshka truncation recall curve (p103)
+    // MRL-style embeddings are served truncated; this op measures what
+    // truncation costs: for each probe query, top-5 cosine neighbors at
+    // dims 8/16/32 versus the full 64-dim top-5, reported as per-(query,
+    // dim) overlap counts (exact integers — recall@5 in ppm). ONE corpus
+    // scan computes all four dims' cosines (the fused expression over
+    // array slices — prefix sums share the pass), so adding a dim costs
+    // arithmetic, not I/O. Scale shape: broadcast probe set × corpus
+    // scan, then a window over the (probes × dims)-keyed score stream —
+    // the p09 brute-force contract, never corpus × corpus.
+    Q("p103_sim_dim_recall", {
+      def cosAt(d: Int) =
+        if (d == 64) cosineSql("q.embedding", "c.embedding")
+        else cosineSql(s"q.embedding[1:$d]", s"c.embedding[1:$d]")
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |              ${cosAt(8)} AS cos8, ${cosAt(16)} AS cos16,
+         |              ${cosAt(32)} AS cos32, ${cosAt(64)} AS cos64
+         |       FROM q JOIN embeddings c ON q.vec_id <> c.vec_id),
+         |x AS (SELECT query_id, neighbor_id, dim,
+         |             CASE dim WHEN 8 THEN cos8 WHEN 16 THEN cos16
+         |                      WHEN 32 THEN cos32 ELSE cos64 END AS cosd
+         |      FROM sc CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS dim)),
+         |r AS (SELECT query_id, dim, neighbor_id,
+         |             row_number() OVER (PARTITION BY query_id, dim
+         |                                ORDER BY cosd DESC, neighbor_id) AS rnk
+         |      FROM x),
+         |top AS (SELECT query_id, dim, neighbor_id FROM r WHERE rnk <= 5),
+         |fl AS (SELECT query_id, neighbor_id FROM top WHERE dim = 64)
+         |SELECT t.query_id, CAST(t.dim AS BIGINT) AS dim,
+         |       CAST(count(fl.neighbor_id) AS BIGINT) AS n_overlap,
+         |       CAST(count(fl.neighbor_id) * 200000 AS BIGINT) AS recall_ppm
+         |FROM top t LEFT JOIN fl ON fl.query_id = t.query_id
+         |                       AND fl.neighbor_id = t.neighbor_id
+         |WHERE t.dim < 64
+         |GROUP BY t.query_id, t.dim ORDER BY t.query_id, t.dim""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = broadcast(e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      val scored = q
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(slice(col("qe"), 1, 8), slice(col("ce"), 1, 8)).as("cos8"),
+          cosine(slice(col("qe"), 1, 16), slice(col("ce"), 1, 16)).as("cos16"),
+          cosine(slice(col("qe"), 1, 32), slice(col("ce"), 1, 32)).as("cos32"),
+          cosine(col("qe"), col("ce")).as("cos64"))
+        .selectExpr("query_id", "neighbor_id",
+          "stack(4, 8L, cos8, 16L, cos16, 32L, cos32, 64L, cos64) AS (dim, cosd)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"), col("dim"))
+        .orderBy(col("cosd").desc, col("neighbor_id"))
+      val top = graft.ops.Release.afterFirstUse(
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("query_id"), col("dim"), col("neighbor_id")))
+      val fl = top.filter(col("dim") === 64)
+        .select(col("query_id").as("f_q"), col("neighbor_id").as("f_n"))
+      top.filter(col("dim") < 64)
+        .join(broadcast(fl),
+          col("query_id") === col("f_q") && col("neighbor_id") === col("f_n"),
+          "left")
+        .groupBy(col("query_id"), col("dim"))
+        .agg(count(col("f_n")).as("n_overlap"))
+        .select(col("query_id"), col("dim"), col("n_overlap"),
+          (col("n_overlap") * 200000L).as("recall_ppm"))
+        .orderBy(col("query_id"), col("dim"))
+    },
+
+    // ------------------ text: Zipf rank-frequency checkpoints (p104)
+    // The corpus-statistics sanity plot, in exact integers: per source,
+    // the word frequency at exponentially spaced ranks (1, 2, 4, …,
+    // 1024) plus the rank·freq product — flat zipf_mass across rows is
+    // Zipf's law holding; a cliff betrays template spam or truncated
+    // extraction. Rank ties break lexically, so both engines agree on
+    // the checkpointed words. Scale shape: one corpus scan into the
+    // (source, word) agg, then a window over the per-source VOCABULARY
+    // (bounded), never the corpus.
+    Q("p104_txt_zipf_ranks", {
+      val ranks = ZipfRanks.mkString(", ")
+      s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |wc AS (SELECT source, word, count(*) AS c FROM w GROUP BY source, word),
+         |r AS (SELECT source, word, c,
+         |             row_number() OVER (PARTITION BY source
+         |                                ORDER BY c DESC, word) AS rnk
+         |      FROM wc)
+         |SELECT source, CAST(rnk AS BIGINT) AS rank, word,
+         |       CAST(c AS BIGINT) AS freq,
+         |       CAST(rnk * c AS BIGINT) AS zipf_mass
+         |FROM r WHERE rnk IN ($ranks) ORDER BY source, rank""".stripMargin
+    }) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("c").desc, col("word"))
+      t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk").isin(ZipfRanks: _*))
+        .select(col("source"), col("rnk").cast("long").as("rank"), col("word"),
+          col("c").as("freq"), (col("rnk") * col("c")).cast("long").as("zipf_mass"))
+        .orderBy(col("source"), col("rank"))
+    },
+
+    // -------------------- packing: streaming ingest-time packer (p105)
+    // The batch packer (p31) decides bins after the corpus lands; this is
+    // the same greedy recurrence running AT ingest — O(1) GroupState per
+    // bucket (open-bin id + fill), each arriving document assigned the
+    // moment it is seen, across ≥3 real micro-batch boundaries. The
+    // oracle is p31's recursive CTE VERBATIM (one shared def), so the
+    // streaming and batch packers are pinned to identical bin
+    // assignments — the "pack on arrival, never repack" contract a
+    // training-data ingest pipeline needs.
+    Q("p105_pack_stream", PackGreedyOracle) { (s, dir) =>
+      runDocStream(s, dir, "p105") { raw =>
+        PackOps.streamingPack(
+          raw.select(col("doc_id"), size(split(col("text"), " ")).as("n_tok")),
+          "doc_id", "n_tok", buckets = PackBuckets, budget = PackBudget).toDF()
+      }.orderBy(col("doc_id"))
     }
   )
 
@@ -4724,6 +4941,44 @@ object Pipeline {
 
   /** p94 head-coverage size (token share of the top-HeadK words). */
   private def HeadK: Int = 100
+
+  /** p104 Zipf checkpoint ranks (exponential spacing). A def
+    * (queries-val init order).
+    */
+  private def ZipfRanks: Seq[Long] =
+    Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+
+  /** p31/p105 packing knobs: bucket-local greedy bins of at most
+    * PackBudget tokens over PackBuckets independent doc-id-hashed
+    * streams. Defs (queries-val init order).
+    */
+  private def PackBuckets: Int = 32
+  private def PackBudget: Long = 512L
+
+  /** The bucket-local greedy packing recurrence as one recursive-CTE
+    * oracle — shared VERBATIM by p31 (batch packer) and p105 (streaming
+    * packer), so the two registered forms are pinned to the same bin
+    * assignments by construction. A def (queries-val init order).
+    */
+  private def PackGreedyOracle: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, doc_id % $PackBuckets AS bucket,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+       |      FROM d),
+       |g AS (
+       |  SELECT bucket, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.bucket, r.rn, r.doc_id, r.n_tok,
+       |         CASE WHEN g.fill > 0 AND g.fill + r.n_tok > $PackBudget
+       |              THEN g.bin_id + 1 ELSE g.bin_id END,
+       |         CASE WHEN g.fill > 0 AND g.fill + r.n_tok > $PackBudget
+       |              THEN r.n_tok ELSE g.fill + r.n_tok END
+       |  FROM r JOIN g ON r.bucket = g.bucket AND r.rn = g.rn + 1)
+       |SELECT doc_id, bucket, n_tok, bin_id
+       |FROM g ORDER BY doc_id""".stripMargin
 
   /** p95 sampling moduli (the p69 two-level discipline with its own
     * seed): 1-in-SimCalDocMod docs enter the SimHash band join,

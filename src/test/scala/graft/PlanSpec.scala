@@ -765,4 +765,44 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  "p101_curriculum_stages" should "stage from the score histogram — window over histogram rows, broadcast boundaries" in {
+    val plan = planOf("p101_curriculum_stages")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    // the cumulative window and both joins (per-source totals, stage
+    // boundaries) run over the persisted (source, score) histogram —
+    // the corpus is touched exactly once, by the histogram aggregation
+    plan should include("Window")
+    plan should include("BroadcastHashJoin")
+    plan should include("InMemoryTableScan")
+  }
+
+  "p102_txt_simpson" should "collapse to one explode aggregation — no joins anywhere" in {
+    val plan = planOf("p102_txt_simpson")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    plan should not include "BroadcastHashJoin"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("HashAggregate")
+  }
+
+  "p103_sim_dim_recall" should "broadcast the probe set against one corpus scan — never corpus x corpus" in {
+    val plan = planOf("p103_sim_dim_recall")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    // probe x corpus is the bounded-query BNLJ (20 rows build side); the
+    // full-dim/truncated overlap join rides the persisted top-k table
+    plan should include("BroadcastNestedLoopJoin")
+    plan should include("InMemoryTableScan")
+  }
+
+  "p104_txt_zipf_ranks" should "rank within the per-source vocabulary aggregate — no corpus window" in {
+    val plan = planOf("p104_txt_zipf_ranks")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    plan should not include "BroadcastHashJoin"
+    plan should include("Window")
+    plan should include("HashAggregate")
+  }
 }
