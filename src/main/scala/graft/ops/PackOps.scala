@@ -113,4 +113,54 @@ object PackOps {
           out.iterator
       }
   }
+
+  /** One admission verdict: the doc, its source, token count, and
+    * whether it made it under the source's token budget.
+    */
+  final case class QuotaVerdict(doc_id: Long, source: String, n_tok: Long, admitted: Boolean)
+
+  private[graft] final case class QuotaIn(doc_id: Long, source: String, n_tok: Long)
+
+  /** Streaming per-source token-budget admission (the ingest-time mix
+    * enforcer): each source admits documents in arrival (id) order until
+    * its cumulative token count would exceed `quota`, then rejects
+    * everything after — the hard-cutoff rule, so a document is admitted
+    * iff the source's running total INCLUDING it stays ≤ quota. State is
+    * ONE long per source (the running total): a 100 TB ingest year costs
+    * |sources| longs. The rule depends only on the per-source prefix
+    * sum, so the streaming verdicts are byte-identical to a batch window
+    * cumsum (the p108 gate pins this; the cumsum being monotone is what
+    * makes "reject forever after the cutoff" stateless to describe).
+    */
+  def streamingTokenQuota(
+      docs: DataFrame,
+      idCol: String,
+      srcCol: String,
+      nTokCol: String,
+      quota: Long): org.apache.spark.sql.Dataset[QuotaVerdict] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[QuotaVerdict] = Encoders.product[QuotaVerdict]
+    implicit val inEnc: Encoder[QuotaIn] = Encoders.product[QuotaIn]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(srcCol).cast("string").as("source"),
+        col(nTokCol).cast("long").as("n_tok"))
+      .as[QuotaIn]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, QuotaVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[QuotaIn], state: GroupState[Long]) =>
+          val batch = rows.toArray.sortBy(_.doc_id)
+          var cum = state.getOption.getOrElse(0L)
+          val out = batch.iterator.map { d =>
+            cum += d.n_tok
+            QuotaVerdict(d.doc_id, source, d.n_tok, cum <= quota)
+          }.toVector
+          state.update(cum)
+          out.iterator
+      }
+  }
 }

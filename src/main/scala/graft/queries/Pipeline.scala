@@ -141,7 +141,12 @@ object Pipeline {
           .withColumn("matches", expr(
             s"aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, x) -> a + x)"))
           .withColumn("est_q", col("matches") * 15625L)
-          .select(col("id_a"), col("id_b"), col("jacc_q"), col("est_q"))
+          // b=1 lowest-bit agreement (p106): E[agree] = (1+J)/2, so the
+          // unbiased estimate is 2·m/k − 1 — ×10⁶: m·2·(10⁶/k) − 10⁶
+          .withColumn("m1", expr(
+            s"aggregate(zip_with(sa, sb, (x, y) -> IF(x % 2 = y % 2, 1L, 0L)), 0L, (a, x) -> a + x)"))
+          .withColumn("bit1_q", col("m1") * 31250L - 1000000L)
+          .select(col("id_a"), col("id_b"), col("jacc_q"), col("est_q"), col("bit1_q"))
         val memo = graft.ops.Release.afterIdle(pairs, CalibIdleBudget)
         memo.count()
         sh.unpersist()
@@ -175,12 +180,15 @@ object Pipeline {
        |pe AS (
        |  SELECT id_a, id_b,
        |         (inter * 1000000) // greatest(uni, 1) AS jacc_q,
-       |         matches * 15625 AS est_q
+       |         matches * 15625 AS est_q,
+       |         m1 * 31250 - 1000000 AS bit1_q
        |  FROM (SELECT id_a, id_b,
        |               len(list_intersect(a.hs, b.hs)) AS inter,
        |               len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS uni,
        |               len(list_filter(range(${DedupOps.MinHashK}),
-       |                               i -> a.sig[i + 1] = b.sig[i + 1])) AS matches
+       |                               i -> a.sig[i + 1] = b.sig[i + 1])) AS matches,
+       |               len(list_filter(range(${DedupOps.MinHashK}),
+       |                               i -> a.sig[i + 1] % 2 = b.sig[i + 1] % 2)) AS m1
        |        FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b))"""
       .stripMargin
   }
@@ -4884,6 +4892,131 @@ object Pipeline {
           raw.select(col("doc_id"), size(split(col("text"), " ")).as("n_tok")),
           "doc_id", "n_tok", buckets = PackBuckets, budget = PackBudget).toDF()
       }.orderBy(col("doc_id"))
+    },
+
+    // --------------- dedup: b-bit minhash calibration audit (p106)
+    // Storage-optimal near-dup signatures (Li & König 2010): keep only
+    // the LOWEST BIT of each minhash — 64 bits/doc instead of 64×64 —
+    // and estimate Jaccard from bit agreement (E[agree] = (1+J)/2).
+    // This audit measures what the 64× compression costs, per exact-
+    // Jaccard decile: the 1-bit estimator's mean |error| and signed
+    // bias next to p69's full-width columns, over the SAME shared
+    // sampled calibration pair memo (the band join — the dominant
+    // cost — runs once for p69/p89/p106 together). The table a dedup
+    // owner reads before switching signature storage to b=1 at 100 TB.
+    Q("p106_dd_bbit_minhash", {
+      s"""$CalibPairsCte
+         |SELECT jacc_q // 100000 AS decile,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(abs(bit1_q - jacc_q)) // count(*) AS BIGINT) AS mean_err_q,
+         |       CAST(sum(bit1_q - jacc_q) // count(*) AS BIGINT) AS bias_q
+         |FROM pe GROUP BY jacc_q // 100000 ORDER BY decile""".stripMargin
+    }) { (s, dir) =>
+      calibPairs(s, dir)
+        .withColumn("decile", expr("jacc_q div 100000"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("bit1_q") - col("jacc_q"))).as("sum_err"),
+          sum(col("bit1_q") - col("jacc_q")).as("sum_bias"))
+        .select(col("decile"), col("n_pairs"),
+          expr("sum_err div n_pairs").as("mean_err_q"),
+          expr("sum_bias div n_pairs").as("bias_q"))
+        .orderBy(col("decile"))
+    },
+
+    // ----------------- splits: naive-split leakage measurement (p107)
+    // p51 PREVENTS near-dup leakage; this MEASURES it for the naive
+    // per-doc split (p29's exact hash rule): every ≥0.9 near-dup pair
+    // from the shared memo labeled with both sides' splits, rolled up
+    // by unordered split pair — the train↔val/train↔test cells are the
+    // leaked evaluation mass a group-unaware split ships. The number a
+    // team needs to justify turning on group-aware splitting (and the
+    // p97 source-matrix discipline applied to splits). Scale shape:
+    // two slim keyed joins onto the memoized pair table, then a ≤9-row
+    // rollup; the LSH chain cost is the memo's, paid once per session.
+    Q("p107_split_leakage_rate", {
+      val h = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-split-7'")
+      s"""$NearDupPairsCte,
+         |sp AS (SELECT doc_id,
+         |              CASE WHEN $h % 100 < 98 THEN 'train'
+         |                   WHEN $h % 100 < 99 THEN 'val'
+         |                   ELSE 'test' END AS split
+         |       FROM documents),
+         |m AS (SELECT least(sa.split, sb.split) AS split_a,
+         |             greatest(sa.split, sb.split) AS split_b,
+         |             count(*) AS n_pairs
+         |      FROM prs JOIN sp sa ON sa.doc_id = id_a
+         |               JOIN sp sb ON sb.doc_id = id_b
+         |      GROUP BY 1, 2),
+         |tot AS (SELECT sum(n_pairs) AS tot FROM m)
+         |SELECT split_a, split_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |       CAST((n_pairs * 1000000) // tot AS BIGINT) AS share_ppm,
+         |       split_a <> split_b AS is_leak
+         |FROM m CROSS JOIN tot ORDER BY split_a, split_b""".stripMargin
+    }) { (s, dir) =>
+      val bucket = pmod(
+        TextOps.polyHash(concat(col("doc_id").cast("string"), lit("#graft-split-7"))),
+        lit(100L))
+      val sp = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(bucket < 98, "train").when(bucket < 99, "val")
+            .otherwise("test").as("split"))
+      val m = graft.ops.Release.afterFirstUse(
+        nearDupPairs(s, dir)
+          .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+          .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+          .select(least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"))
+          .groupBy(col("split_a"), col("split_b")).agg(count(lit(1)).as("n_pairs")))
+      val tot = m.agg(sum(col("n_pairs")).as("tot"))
+      m.crossJoin(broadcast(tot))
+        .select(col("split_a"), col("split_b"), col("n_pairs"),
+          expr("(n_pairs * 1000000) div tot").as("share_ppm"),
+          (col("split_a") =!= col("split_b")).as("is_leak"))
+        .orderBy(col("split_a"), col("split_b"))
+    },
+
+    // ------------- mixing: streaming per-source token quota gate (p108)
+    // The ingest-time mix enforcer: each source admits documents in
+    // arrival order until its token budget fills, then rejects — the
+    // decision made AT ingest with one long of state per source
+    // (PackOps.streamingTokenQuota), across ≥3 real micro-batch
+    // boundaries. The hard-cutoff rule (admit iff the source's running
+    // total including the doc stays ≤ quota) depends only on the
+    // per-source prefix sum, so the oracle restates it as a window
+    // cumsum and the streaming verdicts must match it exactly. Output
+    // is the per-source admission report (admitted docs/tokens,
+    // rejections, first rejected id).
+    Q("p108_mix_stream_quota", {
+      s"""WITH d AS (SELECT doc_id, source,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |      FROM d),
+         |f AS (SELECT doc_id, source, n_tok, cum <= $QuotaTokens AS admitted FROM c)
+         |SELECT source,
+         |       CAST(count(*) FILTER (WHERE admitted) AS BIGINT) AS n_admitted,
+         |       CAST(coalesce(sum(n_tok) FILTER (WHERE admitted), 0) AS BIGINT)
+         |         AS adm_tokens,
+         |       CAST(count(*) FILTER (WHERE NOT admitted) AS BIGINT) AS n_rejected,
+         |       CAST(coalesce(min(doc_id) FILTER (WHERE NOT admitted), -1) AS BIGINT)
+         |         AS first_rejected
+         |FROM f GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val verdicts = runDocStream(s, dir, "p108") { raw =>
+        PackOps.streamingTokenQuota(
+          raw.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("n_tok")),
+          "doc_id", "source", "n_tok", quota = QuotaTokens).toDF()
+      }
+      verdicts
+        .groupBy(col("source"))
+        .agg(
+          count(when(col("admitted"), 1)).as("n_admitted"),
+          coalesce(sum(when(col("admitted"), col("n_tok"))), lit(0L)).as("adm_tokens"),
+          count(when(!col("admitted"), 1)).as("n_rejected"),
+          coalesce(min(when(!col("admitted"), col("doc_id"))), lit(-1L)).as("first_rejected"))
+        .orderBy(col("source"))
     }
   )
 
@@ -4947,6 +5080,12 @@ object Pipeline {
     */
   private def ZipfRanks: Seq[Long] =
     Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+
+  /** p108 per-source token budget. At every generated SF a source's
+    * token mass exceeds this, so the cutoff (and a first_rejected id)
+    * exists everywhere the gate runs. A def (queries-val init order).
+    */
+  private def QuotaTokens: Long = 400L
 
   /** p31/p105 packing knobs: bucket-local greedy bins of at most
     * PackBudget tokens over PackBuckets independent doc-id-hashed

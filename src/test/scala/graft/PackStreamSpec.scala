@@ -99,4 +99,59 @@ class PackStreamSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
     crossSliceBins should be >= 5
   }
+
+  /** Quota replay: per-source running totals, hard cutoff. */
+  private def quotaReplay(
+      docs: Seq[(Long, String, Long)], quota: Long): Map[Long, Boolean] = {
+    val cum = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).map { case (id, src, nTok) =>
+      val c = cum.getOrElse(src, 0L) + nTok
+      cum(src) = c
+      id -> (c <= quota)
+    }.toMap
+  }
+
+  "streamingTokenQuota" should "equal the sequential per-source cutoff replay under random slicing" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    var crossSliceCutoffs = 0
+    for (trial <- 1 to 5) {
+      val rnd = new scala.util.Random(6100 + trial)
+      val quota = Seq(40L, 90L, 200L)(trial % 3)
+      val docs = Seq.tabulate(50 + rnd.nextInt(40)) { i =>
+        (i.toLong, s"src${rnd.nextInt(4)}", 1L + rnd.nextInt(20))
+      }
+      val expected = quotaReplay(docs, quota)
+
+      val slices = randomSlices(docs, rnd, maxChunks = 6)
+      val mem = MemoryStream[(Long, String, Long)]
+      val q = PackOps.streamingTokenQuota(
+          mem.toDS().toDF("doc_id", "source", "n_tok"),
+          "doc_id", "source", "n_tok", quota)
+        .writeStream.format("memory").queryName(s"fuzz_quota_$trial")
+        .outputMode("append").start()
+      slices.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val streamed = sparkS.table(s"fuzz_quota_$trial")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      q.stop()
+      sparkS.catalog.dropTempView(s"fuzz_quota_$trial")
+
+      withClue(s"trial $trial (quota=$quota, ${slices.size} slices): ") {
+        streamed shouldBe expected
+        expected.values.count(_ == false) should be >= 1 // quota actually binds
+      }
+      // sources whose cutoff doc sits in a later slice than their first
+      // doc: the running total crossed a micro-batch boundary
+      val sliceOf = slices.zipWithIndex
+        .flatMap { case (c, i) => c.map(d => d._1 -> i) }.toMap
+      val bySrc = docs.groupBy(_._2)
+      crossSliceCutoffs += bySrc.values.count { ds =>
+        val rejected = ds.filter(d => !expected(d._1))
+        rejected.nonEmpty &&
+          sliceOf(rejected.minBy(_._1)._1) > sliceOf(ds.minBy(_._1)._1)
+      }
+    }
+    crossSliceCutoffs should be >= 5
+  }
 }

@@ -797,6 +797,24 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("InMemoryTableScan")
   }
 
+  "p106_dd_bbit_minhash" should "ride the shared calibration memo — no rebuilt band join" in {
+    val plan = planOf("p106_dd_bbit_minhash")
+    plan should not include "CartesianProduct"
+    // the sampled pair population comes from the calibPairs cache (the
+    // p69/p89 memo), so the only work is a decile rollup over it
+    plan should include("InMemoryTableScan")
+  }
+
+  "p107_split_leakage_rate" should "join splits onto the memoized pair table — never all-pairs" in {
+    val plan = planOf("p107_split_leakage_rate")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    // split labels are a map-only hash over the slim (doc_id) projection;
+    // both join-backs are keyed; the single nested-loop join is the
+    // 1-row total broadcast onto the <=9-row rollup
+    plan should include("InMemoryTableScan")
+  }
+
   "p104_txt_zipf_ranks" should "rank within the per-source vocabulary aggregate — no corpus window" in {
     val plan = planOf("p104_txt_zipf_ranks")
     plan should not include "CartesianProduct"
