@@ -83,6 +83,38 @@ object Pipeline {
       })
     }
 
+  /** Shared per-(source, word) token count table — the corpus explode
+    * every text audit starts from. Five registered audits reduce it
+    * differently (p88 lift, p94 hapax tail, p100 health report, p102
+    * Simpson, p104 Zipf), so in a sweep the ONE corpus explode+agg —
+    * the dominant cost of each — runs once and the memo serves them
+    * all. The cached table is vocabulary-bounded (|sources| × |vocab|
+    * rows, corpus-size-independent), which is what makes it cacheable
+    * at 100 TB where the corpus itself is not. Memoized per (session,
+    * dir) with idle release, the near-dup pair memo's discipline; a
+    * released DataFrame recomputes from lineage.
+    */
+  private val wordCountCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Same sizing logic as PairIdleBudget: p100 (the first consumer in a
+    * sorted sweep) and p88/p94 (the last) are ~90 registered queries
+    * apart, several executions each.
+    */
+  private def WcIdleBudget = 512
+
+  private def sourceWordCounts(s: SparkSession, dir: String): DataFrame =
+    wordCountCache.synchronized {
+      wordCountCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      wordCountCache.getOrElseUpdate((s, dir), {
+        graft.ops.Release.afterIdle(
+          t(s, dir, "documents")
+            .select(col("source"), explode(tokens(col("text"))).as("word"))
+            .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c")),
+          WcIdleBudget)
+      })
+    }
+
   /** Shared SAMPLED calibration pair table (p69's decile audit and
     * p89's threshold-yield sweep): 1-in-CalibDocMod documents enter the
     * recall-leaning NnBands salted band join, 1-in-CalibSampleMod of
@@ -4008,9 +4040,7 @@ object Pipeline {
          |       CAST(c_sw AS BIGINT) AS c_sw, CAST(lift_q AS BIGINT) AS lift_q
          |FROM rk WHERE rk <= $LiftTopK ORDER BY source, rk""".stripMargin
     }) { (s, dir) =>
-      val sw = t(s, dir, "documents")
-        .select(col("source"), explode(tokens(col("text"))).as("word"))
-        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c_sw"))
+      val sw = sourceWordCounts(s, dir).withColumnRenamed("c", "c_sw")
       val wt = sw.groupBy(col("word")).agg(sum(col("c_sw")).as("c_w"))
       val st = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
       val tt = st.agg(sum(col("t_s")).as("tot"))
@@ -4288,10 +4318,7 @@ object Pipeline {
          |       CAST((head_tokens * 1000000) // n_tokens AS BIGINT) AS head_ppm
          |FROM ag JOIN hd USING (source) ORDER BY source""".stripMargin
     }) { (s, dir) =>
-      val wc = t(s, dir, "documents")
-        .select(col("source"), explode(tokens(col("text"))).as("word"))
-        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
-      val wcCp = graft.ops.Release.afterFirstUse(wc)
+      val wcCp = sourceWordCounts(s, dir)
       val ag = wcCp.groupBy(col("source"))
         .agg(count(lit(1)).as("vocab"),
           sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
@@ -4641,9 +4668,7 @@ object Pipeline {
       val dup = d.join(ff, "fp")
         .groupBy(col("source"))
         .agg(coalesce(count(when(col("doc_id") > col("first"), 1)), lit(0L)).as("n_dup"))
-      val vg = docs
-        .select(col("source"), explode(tokens(col("text"))).as("word"))
-        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      val vg = sourceWordCounts(s, dir)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("vocab"),
           sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
@@ -4755,10 +4780,7 @@ object Pipeline {
          |         AS simpson_ppb
          |FROM a ORDER BY source""".stripMargin
     }) { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("source"), explode(tokens(col("text"))).as("word"))
-        .groupBy(col("source"), col("word"))
-        .agg(count(lit(1)).as("c"))
+      sourceWordCounts(s, dir)
         .groupBy(col("source"))
         .agg(sum(col("c")).as("t"), count(lit(1)).as("v"),
           sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("r"))
@@ -4866,10 +4888,7 @@ object Pipeline {
     }) { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("c").desc, col("word"))
-      t(s, dir, "documents")
-        .select(col("source"), explode(tokens(col("text"))).as("word"))
-        .groupBy(col("source"), col("word"))
-        .agg(count(lit(1)).as("c"))
+      sourceWordCounts(s, dir)
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk").isin(ZipfRanks: _*))
         .select(col("source"), col("rnk").cast("long").as("rank"), col("word"),
