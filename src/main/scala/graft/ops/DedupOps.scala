@@ -729,6 +729,66 @@ object DedupOps {
           " ").as("text_clean"))
   }
 
+  /** Content-defined chunk dedup (word-granularity FastCDC/LBFS rule):
+    * a chunk boundary falls AFTER token position p whenever the rolling
+    * `n`-gram hash ending at p satisfies hash % mod == res — edges
+    * follow CONTENT, not offsets, so an insertion early in a document
+    * shifts no later chunk boundary (the resilience aligned chunking
+    * ([[chunkDedup]]) fundamentally lacks; Muthitacharoen et al.
+    * SOSP'01 §3.1, FastCDC USENIX ATC'16). Expected chunk length is
+    * `mod` tokens. Downstream accounting is [[chunkDedup]]'s exactly:
+    * global first occurrence per chunk key by lexicographic
+    * (doc, chunk_idx) struct min — range-free, the addendum-23 lesson —
+    * then per-doc kept/total counts and the cleaned reassembly.
+    *
+    * Scale shape: one explode + two doc-local windows (the rolling hash
+    * and the boundary prefix count), one chunk-key shuffle for the
+    * first-occurrence agg, one keyed join back — same budget as the
+    * aligned chunker plus the windows, which partition by doc and never
+    * see the corpus in one partition.
+    */
+  def cdcChunkDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      mod: Long = 8L,
+      res: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val t = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("p0", "tk")))
+      .withColumn("p", col("p0") + 1)
+    val ch = t
+      .withColumn("gram", concat_ws(" ",
+        (n - 1 to 1 by -1).map(j => lag(col("tk"), j).over(byDoc)) :+ col("tk"): _*))
+      .withColumn("is_b",
+        col("p") >= n && pmod(TextOps.polyHash(col("gram")), lit(mod)) === res)
+      .withColumn("chunk_idx", coalesce(
+        sum(when(col("is_b"), 1L).otherwise(0L))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("tk")))),
+        x => x.getField("tk")), " ").as("chunk"))
+      .withColumn("key", md5(col("chunk")))
+      .withColumn("enc", struct(col(idCol).as("d"), col("chunk_idx").as("i")))
+    val chCp = Release.afterFirstUse(ch)
+    val first = chCp.groupBy(col("key")).agg(min(col("enc")).as("first"))
+    chCp.join(first, "key")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("enc") === col("first"), lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("enc") === col("first"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ").as("text_clean"))
+  }
+
   // ---------------------------------------- incremental (batch) ingest gate
 
   /** Incremental ingestion dedup against a maintained corpus: the

@@ -43,6 +43,24 @@ object SimilarityOps {
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
+  /** Plain-JVM cosine with the SAME accumulation order as [[cosine]] /
+    * [[cosineSql]] (each accumulator folds in element order, division
+    * last) — bit-identical to both, so driver-side greedy loops (the
+    * k-center coreset) can compare distances the oracle reproduces.
+    * Pinned equal to the Catalyst expression in SimilarityOpsSpec.
+    */
+  def cosineJvm(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val m = math.min(a.length, b.length)
+    while (i < m) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector.
     * Queries are broadcast (small side); the corpus is scanned exactly
     * once — no shuffle of the corpus, only of the (nQueries × k) result.
@@ -542,5 +560,70 @@ object SimilarityOps {
         floor(max(col("v")) * 1000000d + 0.5).cast("long").as("mx_q"),
         max(col("err_q")).as("max_err_q"),
         expr("sum(err_q) div count(1)").as("mean_err_q"))
+  }
+
+  /** One coreset selection: the bucket, greedy step (1-based), chosen
+    * center, and its min cosine-distance to the already-chosen set at
+    * selection time (×10⁶ floor half-up; −1 for the seed step, which
+    * has no prior set).
+    */
+  final case class CoresetPick(bucket: Long, step: Long, center_id: Long, dist_q: Long)
+
+  private[graft] final case class CoresetVec(bucket: Long, vec_id: Long, embedding: Seq[Float])
+
+  /** Greedy k-center coreset (Gonzalez '85 farthest-first traversal) —
+    * the data-pruning selector that keeps a diverse skeleton of an
+    * embedding cloud. Global farthest-first is inherently sequential,
+    * so the distributed form is the two-level discipline the sampled
+    * audits use: a seeded document sample bounds the population in the
+    * SCAN stage, vectors hash into `buckets` independent groups, and
+    * each group runs exact farthest-first over its (sample-bounded)
+    * members — `buckets` is the parallelism knob and the per-group
+    * buffer is sample/buckets, never the corpus. Seed = smallest
+    * vec_id; each later step picks the vector maximizing the min
+    * (1 − cosine) distance to the chosen set, ties to the smaller id.
+    * All distance arithmetic is [[cosineJvm]] (bit-identical to the
+    * SQL oracle's fold), so the picks are reproducible on both engines.
+    */
+  def kCenterCoreset(
+      sample: DataFrame,
+      buckets: Int,
+      k: Int): org.apache.spark.sql.Dataset[CoresetPick] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val inEnc: Encoder[CoresetVec] = Encoders.product[CoresetVec]
+    implicit val outEnc: Encoder[CoresetPick] = Encoders.product[CoresetPick]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    sample
+      .select(pmod(col("vec_id"), lit(buckets.toLong)).as("bucket"),
+        col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .as[CoresetVec]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (bucket: Long, it: Iterator[CoresetVec]) =>
+        val vs = it.toArray.sortBy(_.vec_id)
+        if (vs.isEmpty) Iterator.empty
+        else {
+          val picks = scala.collection.mutable.ArrayBuffer.empty[CoresetPick]
+          // min distance to the chosen set so far, per remaining vector
+          val minD = scala.collection.mutable.Map.empty[Long, Double]
+          var chosen = vs.head // seed: smallest id
+          picks += CoresetPick(bucket, 1L, chosen.vec_id, -1L)
+          var remaining = vs.tail
+          var step = 2
+          while (step <= k && remaining.nonEmpty) {
+            remaining.foreach { v =>
+              val d = 1.0 - cosineJvm(v.embedding, chosen.embedding)
+              val cur = minD.getOrElse(v.vec_id, Double.MaxValue)
+              if (d < cur) minD(v.vec_id) = d
+            }
+            val next = remaining.maxBy(v => (minD(v.vec_id), -v.vec_id))
+            picks += CoresetPick(bucket, step.toLong, next.vec_id,
+              math.floor(minD(next.vec_id) * 1000000 + 0.5).toLong)
+            chosen = next
+            remaining = remaining.filterNot(_.vec_id == next.vec_id)
+            step += 1
+          }
+          picks.iterator
+        }
+      }
   }
 }

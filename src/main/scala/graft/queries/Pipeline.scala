@@ -2450,37 +2450,7 @@ object Pipeline {
     // nProbe/K before committing the index — here the whole 20-query
     // probe set is the sample.
     Q("p61_sim_recall_eval", {
-      val cosQN = cosineSql("q.embedding", "c.embedding")
-      val cosEC = cosineSql("e.embedding", "cc.c_emb")
-      val cosQC = cosineSql("q.embedding", "cc.c_emb")
-      s"""WITH exact AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |           row_number() OVER (PARTITION BY q.vec_id
-         |                              ORDER BY $cosQN DESC, c.vec_id) AS rnk
-         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-         |    WHERE q.vec_id < 20) WHERE rnk <= 5),
-         |cent AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |         FROM embeddings ORDER BY vec_id LIMIT ${SimilarityOps.IvfK}),
-         |asg AS (
-         |  SELECT neighbor_id, cluster FROM (
-         |    SELECT e.vec_id AS neighbor_id, cc.c_id AS cluster,
-         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, cc.c_id) AS rnk
-         |    FROM embeddings e CROSS JOIN cent cc) WHERE rnk = 1),
-         |prb AS (
-         |  SELECT query_id, cluster FROM (
-         |    SELECT q.vec_id AS query_id, cc.c_id AS cluster,
-         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosQC DESC, cc.c_id) AS rnk
-         |    FROM embeddings q CROSS JOIN cent cc WHERE q.vec_id < 20)
-         |  WHERE rnk <= ${SimilarityOps.IvfProbes}),
-         |ivf AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT p.query_id, a.neighbor_id,
-         |           row_number() OVER (PARTITION BY p.query_id
-         |                              ORDER BY $cosQN DESC, a.neighbor_id) AS rnk
-         |    FROM prb p JOIN asg a ON a.cluster = p.cluster AND a.neighbor_id <> p.query_id
-         |    JOIN embeddings q ON q.vec_id = p.query_id
-         |    JOIN embeddings c ON c.vec_id = a.neighbor_id) WHERE rnk <= 5),
+      s"""WITH $IvfExactCtes,
          |hits AS (SELECT e.query_id, count(*) AS n_hits
          |         FROM exact e JOIN ivf i USING (query_id, neighbor_id)
          |         GROUP BY e.query_id)
@@ -5036,6 +5006,159 @@ object Pipeline {
           count(when(!col("admitted"), 1)).as("n_rejected"),
           coalesce(min(when(!col("admitted"), col("doc_id"))), lit(-1L)).as("first_rejected"))
         .orderBy(col("source"))
+    },
+
+    // ------------- similarity: IVF rank-agreement scorecard (p109)
+    // p61 reports set recall; this scores ORDER: for each probe query,
+    // the rank-weighted agreement between the IVF top-5 and the exact
+    // top-5 — each neighbor both lists contain contributes (6 − its
+    // exact rank), so losing the top hit costs 5× losing the fifth
+    // (an integer discounted-gain; max 15) — plus the count of
+    // position-exact matches. Both rankings come from the shared
+    // IvfExactCtes chain (one owner with p61), so recall and rank
+    // agreement can never disagree about which lists were compared.
+    // Scale shape: the p14/p61 IVF contract — broadcast centroids,
+    // cluster-keyed scans, never corpus × corpus.
+    Q("p109_sim_rank_agree", {
+      s"""WITH $IvfExactCtes,
+         |m AS (SELECT e.query_id,
+         |             sum(6 - e.rnk) AS wscore,
+         |             count(CASE WHEN e.rnk = i.rnk THEN 1 END) AS n_pos
+         |      FROM exact e JOIN ivf i USING (query_id, neighbor_id)
+         |      GROUP BY e.query_id)
+         |SELECT q.vec_id AS query_id,
+         |       CAST(coalesce(wscore, 0) AS BIGINT) AS wscore,
+         |       CAST(coalesce(n_pos, 0) AS BIGINT) AS n_pos,
+         |       CAST(coalesce(wscore, 0) * 1000000 // 15 AS BIGINT) AS agree_ppm
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) q
+         |LEFT JOIN m ON m.query_id = q.vec_id
+         |ORDER BY query_id""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val exact = bruteTopK(q, e, 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk").as("rnk_e"))
+      val ivf = SimilarityOps.ivfTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk").as("rnk_i"))
+      val m = exact.join(ivf, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(sum(lit(6L) - col("rnk_e")).as("wscore"),
+          count(when(col("rnk_e") === col("rnk_i"), 1)).as("n_pos"))
+      q.select(col("vec_id").as("query_id"))
+        .join(m, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("wscore"), lit(0L)).as("wscore"),
+          coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+          expr("coalesce(wscore, 0) * 1000000 div 15").as("agree_ppm"))
+        .orderBy(col("query_id"))
+    },
+
+    // ----------- dedup: content-defined chunk dedup (FastCDC rule, p110)
+    // p52 chunks at fixed 16-token offsets, so one inserted token shifts
+    // every later chunk and kills its dedup; content-defined boundaries
+    // (rolling 3-gram hash % $CdcMod == $CdcRes — word-granularity
+    // FastCDC/LBFS) follow the TEXT, making chunk identity insertion-
+    // resilient. Same downstream accounting as p52 (global first
+    // occurrence by (doc, idx) struct min — the range-free addendum-23
+    // encoding — kept/total counts, cleaned reassembly), so the two
+    // queries differ ONLY in where edges fall. See
+    // DedupOps.cdcChunkDedup for the shuffle budget.
+    Q("p110_dd_cdc_chunks", {
+      val ph = TextOps.polyHashSql("t2 || ' ' || t1 || ' ' || tk")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk,
+         |                  generate_subscripts(string_split(text, ' '), 1) AS p
+         |           FROM documents),
+         |g AS (SELECT doc_id, p, tk,
+         |             lag(tk, 2) OVER w AS t2, lag(tk, 1) OVER w AS t1
+         |      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         |b AS (SELECT doc_id, p, tk,
+         |             (p >= $CdcN AND $ph % $CdcMod = $CdcRes) AS is_b
+         |      FROM g),
+         |c AS (SELECT doc_id, p, tk,
+         |             coalesce(sum(CASE WHEN is_b THEN 1 ELSE 0 END)
+         |               OVER (PARTITION BY doc_id ORDER BY p
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |               0) AS chunk_idx
+         |      FROM b),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |              string_agg(tk, ' ' ORDER BY p) AS chunk
+         |       FROM c GROUP BY doc_id, chunk_idx),
+         |k AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS key FROM ch),
+         |f AS (SELECT key, min(doc_id) AS fdoc FROM k GROUP BY key),
+         |f2 AS (SELECT key, fdoc, min(chunk_idx) AS fidx
+         |       FROM k JOIN f USING (key) WHERE doc_id = fdoc GROUP BY key, fdoc)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(count(*) FILTER (WHERE doc_id = fdoc AND chunk_idx = fidx)
+         |            AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(CASE WHEN doc_id = fdoc AND chunk_idx = fidx
+         |                                THEN chunk END, ' '
+         |                           ORDER BY chunk_idx), '') AS text_clean
+         |FROM k JOIN f2 USING (key)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.cdcChunkDedup(t(s, dir, "documents"), "doc_id", "text",
+          n = CdcN, mod = CdcMod, res = CdcRes)
+        .orderBy(col("doc_id"))
+    },
+
+    // --------- similarity: greedy k-center coreset selection (p111)
+    // Data pruning keeps a diverse skeleton, not a uniform sample:
+    // farthest-first traversal (Gonzalez '85) picks, at each step, the
+    // vector farthest (min 1−cosine to the chosen set) from everything
+    // chosen so far — a 2-approximation of the optimal k-center cover.
+    // Global farthest-first is sequential, so this is the two-level
+    // discipline: a seeded 1-in-$CoresetDocMod sample bounds the
+    // population in the scan stage, vectors hash into $CoresetBuckets
+    // independent buckets, and each bucket runs exact farthest-first
+    // over its sample-bounded members ($CoresetK picks). The oracle
+    // replays the identical greedy as $CoresetK unrolled argmax CTEs
+    // over the same sample — distances via the shared element-order
+    // cosine fold, ties to the smaller id, so both engines pick the
+    // same centers at every step.
+    Q("p111_sim_coreset", {
+      val docSample = TextOps.polyHashSql("CAST(vec_id AS VARCHAR) || '#graft-coreset-17'")
+      def cosVC(v: String, c: String) = cosineSql(v, c)
+      // step k: ek carries each remaining vector's min distance to the
+      // chosen set; ck is the argmax pick (d DESC, id)
+      val steps = (2 to CoresetK).map { k =>
+        val prevE = if (k == 2) "" else
+          s"JOIN e${k - 1} pe ON pe.bucket = s.bucket AND pe.vec_id = s.vec_id"
+        val prevD = if (k == 2) s"1 - ${cosVC("s.embedding", "cs.embedding")}"
+        else s"least(pe.d, 1 - ${cosVC("s.embedding", "cs.embedding")})"
+        s"""e$k AS (
+           |  SELECT s.bucket, s.vec_id, $prevD AS d
+           |  FROM s JOIN c${k - 1} c ON c.bucket = s.bucket
+           |  JOIN s cs ON cs.vec_id = c.cid
+           |  $prevE
+           |  WHERE s.vec_id <> c.cid),
+           |c$k AS (
+           |  SELECT bucket, vec_id AS cid, d FROM (
+           |    SELECT bucket, vec_id, d,
+           |           row_number() OVER (PARTITION BY bucket
+           |                              ORDER BY d DESC, vec_id) AS rk
+           |    FROM e$k) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to CoresetK).map { k =>
+        if (k == 1)
+          s"SELECT bucket, CAST(1 AS BIGINT) AS step, cid AS center_id, CAST(-1 AS BIGINT) AS dist_q FROM c1"
+        else
+          s"SELECT bucket, CAST($k AS BIGINT), cid, CAST(floor(d * 1000000 + 0.5) AS BIGINT) FROM c$k"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT vec_id % $CoresetBuckets AS bucket, vec_id, embedding
+         |           FROM embeddings
+         |           WHERE $docSample % $CoresetDocMod = 0),
+         |c1 AS (SELECT bucket, min(vec_id) AS cid FROM s GROUP BY bucket),
+         |$steps
+         |$out
+         |ORDER BY bucket, step""".stripMargin
+    }) { (s, dir) =>
+      val sample = t(s, dir, "embeddings")
+        .filter(pmod(
+          TextOps.polyHash(concat(col("vec_id").cast("string"), lit("#graft-coreset-17"))),
+          lit(CoresetDocMod.toLong)) === 0)
+      SimilarityOps.kCenterCoreset(sample, CoresetBuckets, CoresetK).toDF()
+        .orderBy(col("bucket"), col("step"))
     }
   )
 
@@ -5059,6 +5182,46 @@ object Pipeline {
   /** p89 threshold grid (×10⁶ Jaccard). */
   private def SweepThresholds: Seq[Long] =
     Seq(500000L, 600000L, 700000L, 800000L, 900000L, 950000L)
+
+  /** Shared exact-vs-IVF top-5 CTE chain for the 20 probe queries,
+    * ending at `exact(query_id, neighbor_id, rnk)` and
+    * `ivf(query_id, neighbor_id, rnk)` — one owner for p61 (recall) and
+    * p109 (rank agreement), so the two evals can never disagree about
+    * either ranking. A def (queries-val init order).
+    */
+  private def IvfExactCtes: String = {
+    val cosQN = cosineSql("q.embedding", "c.embedding")
+    val cosEC = cosineSql("e.embedding", "cc.c_emb")
+    val cosQC = cosineSql("q.embedding", "cc.c_emb")
+    s"""exact AS (
+       |  SELECT query_id, neighbor_id, rnk FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY $cosQN DESC, c.vec_id) AS rnk
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 20) WHERE rnk <= 5),
+       |cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |         FROM embeddings ORDER BY vec_id LIMIT ${SimilarityOps.IvfK}),
+       |asg AS (
+       |  SELECT neighbor_id, cluster FROM (
+       |    SELECT e.vec_id AS neighbor_id, cc.c_id AS cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, cc.c_id) AS rnk
+       |    FROM embeddings e CROSS JOIN cent cc) WHERE rnk = 1),
+       |prb AS (
+       |  SELECT query_id, cluster FROM (
+       |    SELECT q.vec_id AS query_id, cc.c_id AS cluster,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosQC DESC, cc.c_id) AS rnk
+       |    FROM embeddings q CROSS JOIN cent cc WHERE q.vec_id < 20)
+       |  WHERE rnk <= ${SimilarityOps.IvfProbes}),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id, rnk FROM (
+       |    SELECT p.query_id, a.neighbor_id,
+       |           row_number() OVER (PARTITION BY p.query_id
+       |                              ORDER BY $cosQN DESC, a.neighbor_id) AS rnk
+       |    FROM prb p JOIN asg a ON a.cluster = p.cluster AND a.neighbor_id <> p.query_id
+       |    JOIN embeddings q ON q.vec_id = p.query_id
+       |    JOIN embeddings c ON c.vec_id = a.neighbor_id) WHERE rnk <= 5)""".stripMargin
+  }
 
   /** p93 outlier gate: |n_chars − median| > MadOutlierK · MAD. */
   private def MadOutlierK: Int = 3
@@ -5099,6 +5262,22 @@ object Pipeline {
     */
   private def ZipfRanks: Seq[Long] =
     Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+
+  /** p110 content-defined chunking rule: boundary after token p iff the
+    * rolling CdcN-gram hash ending at p ≡ CdcRes (mod CdcMod) — expected
+    * chunk length CdcMod tokens. Defs (queries-val init order).
+    */
+  private def CdcN: Int = 3
+  private def CdcMod: Long = 8L
+  private def CdcRes: Long = 3L
+
+  /** p111 coreset knobs (the p69 two-level discipline): 1-in-
+    * CoresetDocMod seeded vector sample, CoresetBuckets independent
+    * greedy groups, CoresetK farthest-first picks per group.
+    */
+  private def CoresetDocMod: Int = 4
+  private def CoresetBuckets: Int = 8
+  private def CoresetK: Int = 4
 
   /** p108 per-source token budget. At every generated SF a source's
     * token mass exceeds this, so the cutoff (and a first_rejected id)

@@ -482,4 +482,63 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     nSel.toDouble / nGrams should be > 0.25
     nSel.toDouble / nGrams should be < 0.75
   }
+
+  /** Sequential replay of the CDC boundary rule + first-occurrence
+    * accounting, no Spark: chunks of each doc, then global (doc, idx)
+    * lexicographic first per chunk string.
+    */
+  private def cdcReplay(
+      docs: Seq[(Long, String)], n: Int, mod: Long, res: Long): Map[Long, (Long, Long)] = {
+    def chunksOf(text: String): Seq[String] = {
+      val toks = text.split(" ")
+      val out = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
+      out += new StringBuilder
+      toks.zipWithIndex.foreach { case (tk, i0) =>
+        val p = i0 + 1
+        if (out.last.nonEmpty) out.last.append(' ')
+        out.last.append(tk)
+        val boundary = p >= n && {
+          val gram = toks.slice(p - n, p).mkString(" ")
+          ops.TextOps.polyHashJvm(gram) % mod == res
+        }
+        if (boundary && p < toks.length) out += new StringBuilder
+      }
+      out.map(_.toString).toSeq
+    }
+    val all = docs.sortBy(_._1).flatMap { case (id, text) =>
+      chunksOf(text).zipWithIndex.map { case (c, i) => (id, i.toLong, c) }
+    }
+    val first = all.groupBy(_._3).map { case (c, occ) => c -> occ.map(o => (o._1, o._2)).min }
+    docs.map { case (id, text) =>
+      val cs = all.filter(_._1 == id)
+      id -> (cs.size.toLong, cs.count(o => first(o._3) == ((o._1, o._2))).toLong)
+    }.toMap
+  }
+
+  "cdcChunkDedup" should "match the sequential boundary replay and resist early insertions" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new Random(4412)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = doc(120)
+    // doc 2 = doc 1 with ONE token inserted near the front: aligned
+    // chunking would shift every later chunk; CDC must re-sync
+    val inserted = {
+      val t = base.split(" ").toVector
+      (t.take(3) :+ "INSERTED") ++ t.drop(3)
+    }.mkString(" ")
+    val docs = Seq((1L, base), (2L, inserted), (3L, doc(80)), (4L, base))
+    val got = ops.DedupOps.cdcChunkDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = cdcReplay(docs, 3, 8L, 3L)
+    got shouldBe expected
+    // exact copy (doc 4) keeps nothing; the inserted variant keeps only
+    // the chunks its insertion touched — most of its mass dedups away
+    val (n2, kept2) = got(2L)
+    val (n4, kept4) = got(4L)
+    kept4 shouldBe 0L
+    kept2.toDouble / n2 should be < 0.5
+    kept2 should be >= 1L
+  }
 }

@@ -823,4 +823,34 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("Window")
     plan should include("HashAggregate")
   }
+
+  "p109_sim_rank_agree" should "keep the p14 IVF contract — centroid broadcasts only, cluster-keyed scoring" in {
+    val plan = planOf("p109_sim_rank_agree")
+    plan should not include "CartesianProduct"
+    // exact side: one bounded probe-set BNLJ (p09's contract); IVF side:
+    // centroid-table broadcasts (assignment + probe ranking)
+    plan should include regex "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*cluster"
+  }
+
+  "p110_dd_cdc_chunks" should "chunk with doc-local windows and dedup via one keyed join — never all-pairs" in {
+    val plan = planOf("p110_dd_cdc_chunks")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the rolling hash and boundary prefix count are doc-partitioned
+    // windows; first-occurrence is an aggregation over the persisted
+    // chunk table, joined back by chunk key
+    plan should include("Window")
+    plan should include("InMemoryTableScan")
+  }
+
+  "p111_sim_coreset" should "gate the sample in the scan stage and run greedy bucket-locally — no joins" in {
+    val plan = planOf("p111_sim_coreset")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    plan should not include "BroadcastHashJoin"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the seeded 1-in-4 sample predicate runs against the scan output,
+    // before the single bucket shuffle into the greedy groups
+    plan should include regex "(?i)Filter.*polyhash"
+  }
 }

@@ -221,4 +221,61 @@ class SimilarityOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
       g.map(_.getAs[Int]("rnk")).sorted shouldBe Array(1, 2, 3)
     }
   }
+
+  "cosineJvm" should "be bit-identical to the fused Catalyst expression" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(8711)
+    val pairs = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val fromExpr = pairs.toDF("a", "b")
+      .select(SimilarityOps.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    val fromJvm = pairs.map { case (a, b) => SimilarityOps.cosineJvm(a, b) }
+    fromExpr.zip(fromJvm).foreach { case (e, j) =>
+      java.lang.Double.doubleToLongBits(e) shouldBe java.lang.Double.doubleToLongBits(j)
+    }
+  }
+
+  "kCenterCoreset" should "match a sequential farthest-first replay on random buckets" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(9321)
+    val vecs = Seq.tabulate(120)(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = SimilarityOps.kCenterCoreset(df, buckets = 5, k = 4)
+      .collect().map(p => (p.bucket, p.step) -> (p.center_id, p.dist_q)).toMap
+
+    // sequential replay, no Spark
+    val expected = vecs.groupBy(_._1 % 5).flatMap { case (bkt, vs0) =>
+      val vs = vs0.sortBy(_._1)
+      var chosen = vs.head
+      var remaining = vs.tail
+      val minD = scala.collection.mutable.Map.empty[Long, Double]
+      val picks = scala.collection.mutable.ArrayBuffer(
+        (bkt, 1L) -> (chosen._1, -1L))
+      var step = 2
+      while (step <= 4 && remaining.nonEmpty) {
+        remaining.foreach { v =>
+          val d = 1.0 - SimilarityOps.cosineJvm(v._2, chosen._2)
+          if (d < minD.getOrElse(v._1, Double.MaxValue)) minD(v._1) = d
+        }
+        val next = remaining.maxBy(v => (minD(v._1), -v._1))
+        picks += (bkt, step.toLong) -> (next._1,
+          math.floor(minD(next._1) * 1000000 + 0.5).toLong)
+        chosen = next
+        remaining = remaining.filterNot(_._1 == next._1)
+        step += 1
+      }
+      picks
+    }
+    got shouldBe expected
+    // farthest-first property: within a bucket, selection distances
+    // never increase (each pick is the current farthest point)
+    got.keys.map(_._1).toSeq.distinct.foreach { bkt =>
+      val ds = (2 to 4).map(s => got((bkt, s.toLong))._2)
+      ds shouldBe ds.sorted.reverse
+    }
+  }
 }
