@@ -160,6 +160,19 @@ object SimilarityOps {
     corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
 
+  /** Argmax-cosine coarse assignment of every corpus vector to its
+    * nearest centroid (broadcast K-row table, partial-aggregable
+    * struct-max — the one pass [[ivfTopK]], semDedup and the p112 cell
+    * audit all start from). Returns (neighbor_id, cluster).
+    */
+  def clusterAssign(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .crossJoin(broadcast(cent.select(col("c_id"), col("c_emb"))))
+      .withColumn("cc", cosine(col("n_emb"), col("c_emb")))
+      .groupBy(col("neighbor_id"))
+      .agg(max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"))
+      .select(col("neighbor_id"), (-col("m.nc")).as("cluster"))
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -169,12 +182,7 @@ object SimilarityOps {
       centroids: Option[DataFrame] = None): DataFrame = {
     val cent = broadcast(centroids.getOrElse(seedCentroids(corpus, numCentroids))
       .select(col("c_id"), col("c_emb")))
-    val asg = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-      .crossJoin(cent)
-      .withColumn("cc", cosine(col("n_emb"), col("c_emb")))
-      .groupBy(col("neighbor_id"))
-      .agg(max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"))
-      .select(col("neighbor_id"), (-col("m.nc")).as("cluster"))
+    val asg = clusterAssign(corpus, cent)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("qc").desc, col("c_id"))
     val prb = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))

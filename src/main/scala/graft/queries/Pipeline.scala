@@ -5159,6 +5159,73 @@ object Pipeline {
           lit(CoresetDocMod.toLong)) === 0)
       SimilarityOps.kCenterCoreset(sample, CoresetBuckets, CoresetK).toDF()
         .orderBy(col("bucket"), col("step"))
+    },
+
+    // ------------- similarity: IVF cell-balance audit (p112)
+    // The health check every IVF deployment needs before it scales:
+    // per-cell population of the registered coarse quantizer (the SAME
+    // cent/asg chain p14/p61/p109 serve from — one shared owner), each
+    // cell's corpus share and its balance factor (×10⁶ = perfectly
+    // uniform; a 5×10⁶ cell serves 5× the scan cost at query time; an
+    // empty cell is a wasted probe). Scale shape: the one broadcast-
+    // centroid assignment pass the IVF family already pays, then a
+    // K-row rollup.
+    Q("p112_sim_ivf_cells", {
+      s"""WITH $IvfAsgCtes,
+         |cells AS (SELECT cluster, count(*) AS n FROM asg GROUP BY cluster),
+         |tot AS (SELECT sum(n) AS tot, count(*) AS k FROM cells)
+         |SELECT c_id AS cluster, CAST(coalesce(n, 0) AS BIGINT) AS n_vecs,
+         |       CAST(coalesce(n, 0) * 1000000 // tot AS BIGINT) AS share_ppm,
+         |       CAST((coalesce(n, 0) * k * 1000000) // tot AS BIGINT) AS balance_ppm
+         |FROM cent LEFT JOIN cells ON cells.cluster = cent.c_id CROSS JOIN tot
+         |ORDER BY cluster""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cent = SimilarityOps.seedCentroids(e, SimilarityOps.IvfK)
+      val cells = SimilarityOps.clusterAssign(e, cent)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      val cellsCp = graft.ops.Release.afterFirstUse(cells)
+      val tot = cellsCp.agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))
+      cent.select(col("c_id").as("cluster"))
+        .join(broadcast(cellsCp), Seq("cluster"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("cluster"),
+          coalesce(col("n"), lit(0L)).as("n_vecs"),
+          expr("coalesce(n, 0) * 1000000 div tot").as("share_ppm"),
+          expr("(coalesce(n, 0) * k * 1000000) div tot").as("balance_ppm"))
+        .orderBy(col("cluster"))
+    },
+
+    // ---------------- packing: bin-utilization report (p113)
+    // What the packer's bins actually look like: per bucket, the bin
+    // count, packed docs/tokens, and the fill ratio against the token
+    // budget (×10⁶; oversized singleton docs can push a bin past 10⁶ —
+    // the report shows it rather than hiding it). Composes the
+    // registered greedy recurrence VERBATIM (the shared PackGreedyCtes —
+    // p31/p105/p113 are pinned to the same bins by construction), so
+    // the utilization numbers can never drift from the packer they
+    // describe. Scale shape: the packer's own cost plus a buckets-sized
+    // rollup.
+    Q("p113_pack_stats", {
+      s"""WITH RECURSIVE $PackGreedyCtes
+         |SELECT bucket, CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |       CAST((sum(n_tok) * 1000000)
+         |            // ((max(bin_id) + 1) * $PackBudget) AS BIGINT) AS fill_ppm
+         |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin
+    }) { (s, dir) =>
+      PackOps.packGreedy(
+          t(s, dir, "documents").select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_tok")),
+          "doc_id", "n_tok", buckets = PackBuckets, budget = PackBudget)
+        .groupBy(col("bucket"))
+        .agg((max(col("bin_id")) + 1).as("n_bins"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"))
+        .select(col("bucket"), col("n_bins"), col("n_docs"), col("sum_tok"),
+          expr(s"(sum_tok * 1000000) div (n_bins * $PackBudget)").as("fill_ppm"))
+        .orderBy(col("bucket"))
     }
   )
 
@@ -5189,9 +5256,25 @@ object Pipeline {
     * p109 (rank agreement), so the two evals can never disagree about
     * either ranking. A def (queries-val init order).
     */
+  /** The registered IVF coarse layer as shared CTE text: the seed
+    * centroid table `cent(c_id, c_emb)` and the corpus assignment
+    * `asg(neighbor_id, cluster)` — one owner for the IVF evals
+    * ([[IvfExactCtes]]) and the p112 cell-balance audit. A def
+    * (queries-val init order).
+    */
+  private def IvfAsgCtes: String = {
+    val cosEC = cosineSql("e.embedding", "cc.c_emb")
+    s"""cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |         FROM embeddings ORDER BY vec_id LIMIT ${SimilarityOps.IvfK}),
+       |asg AS (
+       |  SELECT neighbor_id, cluster FROM (
+       |    SELECT e.vec_id AS neighbor_id, cc.c_id AS cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, cc.c_id) AS rnk
+       |    FROM embeddings e CROSS JOIN cent cc) WHERE rnk = 1)""".stripMargin
+  }
+
   private def IvfExactCtes: String = {
     val cosQN = cosineSql("q.embedding", "c.embedding")
-    val cosEC = cosineSql("e.embedding", "cc.c_emb")
     val cosQC = cosineSql("q.embedding", "cc.c_emb")
     s"""exact AS (
        |  SELECT query_id, neighbor_id, rnk FROM (
@@ -5200,13 +5283,7 @@ object Pipeline {
        |                              ORDER BY $cosQN DESC, c.vec_id) AS rnk
        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
        |    WHERE q.vec_id < 20) WHERE rnk <= 5),
-       |cent AS (SELECT vec_id AS c_id, embedding AS c_emb
-       |         FROM embeddings ORDER BY vec_id LIMIT ${SimilarityOps.IvfK}),
-       |asg AS (
-       |  SELECT neighbor_id, cluster FROM (
-       |    SELECT e.vec_id AS neighbor_id, cc.c_id AS cluster,
-       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, cc.c_id) AS rnk
-       |    FROM embeddings e CROSS JOIN cent cc) WHERE rnk = 1),
+       |$IvfAsgCtes,
        |prb AS (
        |  SELECT query_id, cluster FROM (
        |    SELECT q.vec_id AS query_id, cc.c_id AS cluster,
@@ -5297,8 +5374,8 @@ object Pipeline {
     * packer), so the two registered forms are pinned to the same bin
     * assignments by construction. A def (queries-val init order).
     */
-  private def PackGreedyOracle: String =
-    s"""WITH RECURSIVE d AS (
+  private def PackGreedyCtes: String =
+    s"""d AS (
        |  SELECT doc_id, doc_id % $PackBuckets AS bucket,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
        |  FROM documents),
@@ -5313,7 +5390,10 @@ object Pipeline {
        |              THEN g.bin_id + 1 ELSE g.bin_id END,
        |         CASE WHEN g.fill > 0 AND g.fill + r.n_tok > $PackBudget
        |              THEN r.n_tok ELSE g.fill + r.n_tok END
-       |  FROM r JOIN g ON r.bucket = g.bucket AND r.rn = g.rn + 1)
+       |  FROM r JOIN g ON r.bucket = g.bucket AND r.rn = g.rn + 1)""".stripMargin
+
+  private def PackGreedyOracle: String =
+    s"""WITH RECURSIVE $PackGreedyCtes
        |SELECT doc_id, bucket, n_tok, bin_id
        |FROM g ORDER BY doc_id""".stripMargin
 

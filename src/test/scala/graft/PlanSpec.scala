@@ -843,6 +843,28 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("InMemoryTableScan")
   }
 
+  "p112_sim_ivf_cells" should "assign via the centroid broadcast only, then a K-row rollup" in {
+    val plan = planOf("p112_sim_ivf_cells")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    // one BNLJ against the broadcast K-row centroid table (the p14
+    // contract, printed twice — inline and in the persisted cell
+    // table's lineage) plus the 1-row totals cross; the join back onto
+    // cent is a broadcast hash join on the cluster key
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <= 3
+    plan should include regex "BroadcastHashJoin.*cluster"
+    plan should include("InMemoryTableScan")
+  }
+
+  "p113_pack_stats" should "cost the packer plus a buckets-sized rollup — one shuffle, no joins" in {
+    val plan = planOf("p113_pack_stats")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    plan should not include "BroadcastHashJoin"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("HashAggregate")
+  }
+
   "p111_sim_coreset" should "gate the sample in the scan stage and run greedy bucket-locally — no joins" in {
     val plan = planOf("p111_sim_coreset")
     plan should not include "CartesianProduct"
