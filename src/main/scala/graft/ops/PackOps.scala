@@ -30,14 +30,32 @@ object PackOps {
       idCol: String,
       nTokCol: String,
       buckets: Int,
+      budget: Long): DataFrame =
+    packGreedyBy(
+      docs.withColumn("__bucket", pmod(col(idCol).cast("long"), lit(buckets.toLong))),
+      idCol, nTokCol, "__bucket", buckets, budget)
+
+  /** [[packGreedy]] with a CALLER-SUPPLIED stream key: each distinct
+    * `bucketCol` value is one independent greedy stream packed in id
+    * order (curriculum-ordered packing keys on (stage, bucket), the
+    * plain packer on a doc-id hash). Same plan shape: one shuffle on
+    * the key, external sort within partitions, O(1)-state streaming
+    * scan with state reset on key change.
+    */
+  def packGreedyBy(
+      docs: DataFrame,
+      idCol: String,
+      nTokCol: String,
+      bucketCol: String,
+      partitions: Int,
       budget: Long): DataFrame = {
     val sparkS = docs.sparkSession
     import sparkS.implicits._
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         col(nTokCol).cast("long").as("n_tok"),
-        pmod(col(idCol).cast("long"), lit(buckets.toLong)).as("bucket"))
-      .repartition(buckets, col("bucket"))
+        col(bucketCol).cast("long").as("bucket"))
+      .repartition(partitions, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc_id"))
       .as[(Long, Long, Long)]
       .mapPartitions { it =>

@@ -4666,34 +4666,13 @@ object Pipeline {
     // (boundary rule: b_k = min score with 4·cum ≥ k·N), so the staging
     // is deterministic on both engines with no tie order anywhere.
     Q("p101_curriculum_stages", {
-      s"""WITH d AS (
-         |  SELECT source, n_chars,
-         |         CAST(floor(len(list_filter(toks, t -> length(t) >= 6)) * 1000000.0
-         |                    / len(toks) + 0.5) AS BIGINT) AS score
-         |  FROM (SELECT source, n_chars, string_split(text, ' ') AS toks
-         |        FROM documents)),
-         |h AS (SELECT source, score, count(*) AS c, sum(n_chars) AS sc
-         |      FROM d GROUP BY source, score),
-         |n AS (SELECT source, sum(c) AS n FROM h GROUP BY source),
-         |cum AS (SELECT source, score, c, sc,
-         |               sum(c) OVER (PARTITION BY source ORDER BY score) AS cc
-         |        FROM h),
-         |b AS (SELECT source,
-         |             min(CASE WHEN cc * 4 >= n THEN score END) AS b1,
-         |             min(CASE WHEN cc * 4 >= 2 * n THEN score END) AS b2,
-         |             min(CASE WHEN cc * 4 >= 3 * n THEN score END) AS b3
-         |      FROM cum JOIN n USING (source) GROUP BY source),
-         |st AS (SELECT cum.source, score, c, sc,
-         |              1 + CASE WHEN score > b1 THEN 1 ELSE 0 END
-         |                + CASE WHEN score > b2 THEN 1 ELSE 0 END
-         |                + CASE WHEN score > b3 THEN 1 ELSE 0 END AS stage
-         |       FROM cum JOIN b USING (source))
+      s"""WITH $CurriculumCtes
          |SELECT source, CAST(stage AS BIGINT) AS stage,
-         |       CAST(sum(c) AS BIGINT) AS n_docs,
-         |       CAST(sum(sc) AS BIGINT) AS sum_chars,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |       CAST(min(score) AS BIGINT) AS min_score,
          |       CAST(max(score) AS BIGINT) AS max_score
-         |FROM st GROUP BY source, stage ORDER BY source, stage""".stripMargin
+         |FROM stg GROUP BY source, stage ORDER BY source, stage""".stripMargin
     }) { (s, dir) =>
       val toks = tokens(col("text"))
       val score = floor(
@@ -5226,6 +5205,114 @@ object Pipeline {
         .select(col("bucket"), col("n_bins"), col("n_docs"), col("sum_tok"),
           expr(s"(sum_tok * 1000000) div (n_bins * $PackBudget)").as("fill_ppm"))
         .orderBy(col("bucket"))
+    },
+
+    // ----------- packing: curriculum-ordered sequence packing (p114)
+    // The composition a curriculum-trained run actually consumes: bins
+    // packed WITHIN each (difficulty stage, bucket), so a trainer
+    // streaming bins stage-by-stage sees easy→hard order while every
+    // stage still packs in parallel across buckets. Stage assignment is
+    // the registered p101 rule (the shared CurriculumCtes — one owner,
+    // the staging can never drift) and the bin recurrence is the
+    // registered greedy (PackOps.packGreedyBy — p31's scan with a
+    // caller-supplied key). Scale shape: the p101 histogram pass plus
+    // the packer's one shuffle, now keyed on (stage, bucket).
+    Q("p114_pack_curriculum", {
+      s"""WITH RECURSIVE $CurriculumCtes,
+         |pd AS (SELECT doc_id, stage, doc_id % $PackBuckets AS bucket, n_tok
+         |       FROM stg),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY stage, bucket
+         |                                    ORDER BY doc_id) AS rn
+         |       FROM pd),
+         |g2 AS (
+         |  SELECT stage, bucket, rn, doc_id, n_tok,
+         |         CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+         |  FROM r2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r2.stage, r2.bucket, r2.rn, r2.doc_id, r2.n_tok,
+         |         CASE WHEN g2.fill > 0 AND g2.fill + r2.n_tok > $PackBudget
+         |              THEN g2.bin_id + 1 ELSE g2.bin_id END,
+         |         CASE WHEN g2.fill > 0 AND g2.fill + r2.n_tok > $PackBudget
+         |              THEN r2.n_tok ELSE g2.fill + r2.n_tok END
+         |  FROM r2 JOIN g2 ON r2.stage = g2.stage AND r2.bucket = g2.bucket
+         |                 AND r2.rn = g2.rn + 1)
+         |SELECT doc_id, CAST(stage AS BIGINT) AS stage, bucket, n_tok, bin_id
+         |FROM g2 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val score = floor(
+        size(filter(toks, tk => length(tk) >= 6)) * lit(1000000.0) / size(toks)
+          + lit(0.5)).cast("long")
+      val cd = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"),
+          score.as("score"))
+      val cdCp = graft.ops.Release.afterFirstUse(cd)
+      val h = cdCp.groupBy(col("source"), col("score")).agg(count(lit(1)).as("c"))
+      val n = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val cum = h.withColumn("cc",
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("score"))))
+      val b = cum.join(broadcast(n), "source")
+        .groupBy(col("source"))
+        .agg(
+          min(when(col("cc") * 4 >= col("n"), col("score"))).as("b1"),
+          min(when(col("cc") * 4 >= col("n") * 2, col("score"))).as("b2"),
+          min(when(col("cc") * 4 >= col("n") * 3, col("score"))).as("b3"))
+      val staged = cdCp.join(broadcast(b), "source")
+        .withColumn("stage",
+          (lit(1) + when(col("score") > col("b1"), 1).otherwise(0)
+            + when(col("score") > col("b2"), 1).otherwise(0)
+            + when(col("score") > col("b3"), 1).otherwise(0)).cast("long"))
+        .withColumn("key",
+          (col("stage") - 1) * PackBuckets + pmod(col("doc_id"), lit(PackBuckets.toLong)))
+      PackOps.packGreedyBy(staged, "doc_id", "n_tok", "key",
+          partitions = PackBuckets * 4, budget = PackBudget)
+        .select(col("doc_id"),
+          (expr(s"bucket div $PackBuckets") + 1).as("stage"),
+          pmod(col("doc_id"), lit(PackBuckets.toLong)).as("bucket"),
+          col("n_tok"), col("bin_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --------------- mixing: token-weighted temperature mix (p115)
+    // p33 rebalances by DOCUMENT counts; training budgets are set in
+    // TOKENS, so this is the same τ=0.5 temperature rule over each
+    // language's token mass — sqrt of the token share, quantized ×10⁹
+    // numerators, integer normalization (exactly-rounded IEEE ops both
+    // engines agree on) — plus each language's slice of a 100M-token
+    // budget. Scale shape: one corpus scan into a |languages|-row agg;
+    // the whole-table windows run over that aggregate.
+    Q("p115_mix_temperature_tokens", {
+      s"""WITH c AS (SELECT lang,
+         |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |           FROM documents GROUP BY lang),
+         |t AS (SELECT *, (SELECT sum(n_tokens) FROM c) AS total FROM c),
+         |q AS (SELECT lang, n_tokens,
+         |             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / total) * 1000000000 + 0.5)
+         |                  AS BIGINT) AS num_q
+         |      FROM t),
+         |s AS (SELECT *, (SELECT sum(num_q) FROM q) AS denom FROM q)
+         |SELECT lang, n_tokens, num_q,
+         |       CAST((num_q * 1000000) // denom AS BIGINT) AS weight_ppm,
+         |       CAST((num_q * 100000000) // denom AS BIGINT) AS budget_tokens
+         |FROM s ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      val whole = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+        .withColumn("total", sum(col("n_tokens")).over(whole))
+        .withColumn("num_q",
+          floor(sqrt(col("n_tokens").cast("double") / col("total")) * 1000000000L + 0.5)
+            .cast("long"))
+        .withColumn("denom", sum(col("num_q")).over(whole))
+        .select(col("lang"), col("n_tokens"), col("num_q"),
+          expr("(num_q * 1000000) div denom").as("weight_ppm"),
+          expr("(num_q * 100000000) div denom").as("budget_tokens"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -5333,6 +5420,38 @@ object Pipeline {
 
   /** p94 head-coverage size (token share of the top-HeadK words). */
   private def HeadK: Int = 100
+
+  /** The curriculum staging chain as shared CTE text ending at
+    * `stg(doc_id, source, n_chars, n_tok, score, stage)`: the quantized
+    * long-token difficulty score per doc, its per-source histogram, the
+    * cumulative quartile boundaries (b_k = min score with 4·cum ≥ k·N),
+    * and the per-doc stage. One owner for p101 (the stage report) and
+    * p114 (curriculum-ordered packing), so the two can never disagree
+    * about a document's stage. A def (queries-val init order).
+    */
+  private def CurriculumCtes: String =
+    s"""cd AS (
+       |  SELECT doc_id, source, n_chars,
+       |         CAST(len(toks) AS BIGINT) AS n_tok,
+       |         CAST(floor(len(list_filter(toks, t -> length(t) >= 6)) * 1000000.0
+       |                    / len(toks) + 0.5) AS BIGINT) AS score
+       |  FROM (SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |h AS (SELECT source, score, count(*) AS c FROM cd GROUP BY source, score),
+       |n AS (SELECT source, sum(c) AS n FROM h GROUP BY source),
+       |cum AS (SELECT source, score, c,
+       |               sum(c) OVER (PARTITION BY source ORDER BY score) AS cc
+       |        FROM h),
+       |b AS (SELECT source,
+       |             min(CASE WHEN cc * 4 >= n THEN score END) AS b1,
+       |             min(CASE WHEN cc * 4 >= 2 * n THEN score END) AS b2,
+       |             min(CASE WHEN cc * 4 >= 3 * n THEN score END) AS b3
+       |      FROM cum JOIN n USING (source) GROUP BY source),
+       |stg AS (SELECT cd.doc_id, cd.source, cd.n_chars, cd.n_tok, cd.score,
+       |              1 + CASE WHEN score > b1 THEN 1 ELSE 0 END
+       |                + CASE WHEN score > b2 THEN 1 ELSE 0 END
+       |                + CASE WHEN score > b3 THEN 1 ELSE 0 END AS stage
+       |       FROM cd JOIN b USING (source))""".stripMargin
 
   /** p104 Zipf checkpoint ranks (exponential spacing). A def
     * (queries-val init order).

@@ -865,6 +865,19 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("HashAggregate")
   }
 
+  "p114_pack_curriculum" should "stage via broadcast boundaries and pack with one keyed shuffle" in {
+    val plan = planOf("p114_pack_curriculum")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    plan should not include "BroadcastNestedLoopJoin"
+    // staging: histogram window + sources-sized boundary broadcast onto
+    // the persisted per-doc table; packing: the single key repartition
+    plan should include("Window")
+    plan should include("BroadcastHashJoin")
+    plan should include("InMemoryTableScan")
+    plan should include regex "Exchange hashpartitioning\\(bucket"
+  }
+
   "p111_sim_coreset" should "gate the sample in the scan stage and run greedy bucket-locally — no joins" in {
     val plan = planOf("p111_sim_coreset")
     plan should not include "CartesianProduct"
