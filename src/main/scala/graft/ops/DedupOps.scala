@@ -741,11 +741,15 @@ object DedupOps {
     * (doc, chunk_idx) struct min — range-free, the addendum-23 lesson —
     * then per-doc kept/total counts and the cleaned reassembly.
     *
-    * Scale shape: one explode + two doc-local windows (the rolling hash
-    * and the boundary prefix count), one chunk-key shuffle for the
-    * first-occurrence agg, one keyed join back — same budget as the
-    * aligned chunker plus the windows, which partition by doc and never
-    * see the corpus in one partition.
+    * Scale shape: the boundary rule is DOC-LOCAL (the rolling hash at
+    * position p reads only tokens p−n+1..p), so chunking happens
+    * entirely INSIDE each row with array higher-order functions — no
+    * token explode, no window, no shuffle until chunks exist. Only the
+    * chunk table (≈ tokens/`mod` rows) pays the first-occurrence
+    * shuffle and the keyed join back. The former formulation exploded
+    * every token through two doc-partitioned windows — a full
+    * token-table shuffle+sort that dominated at sf10 for zero semantic
+    * gain; this one-pass form cut that stage out (SCALE.md addendum 29).
     */
   def cdcChunkDedup(
       docs: DataFrame,
@@ -754,24 +758,42 @@ object DedupOps {
       n: Int = 3,
       mod: Long = 8L,
       res: Long = 3L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("p"))
-    val t = docs
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("p0", "tk")))
-      .withColumn("p", col("p0") + 1)
-    val ch = t
-      .withColumn("gram", concat_ws(" ",
-        (n - 1 to 1 by -1).map(j => lag(col("tk"), j).over(byDoc)) :+ col("tk"): _*))
-      .withColumn("is_b",
-        col("p") >= n && pmod(TextOps.polyHash(col("gram")), lit(mod)) === res)
-      .withColumn("chunk_idx", coalesce(
-        sum(when(col("is_b"), 1L).otherwise(0L))
-          .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .groupBy(col(idCol), col("chunk_idx"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("p"), col("tk")))),
-        x => x.getField("tk")), " ").as("chunk"))
+    // Each step lives in its OWN projection so it is computed once per
+    // row: higher-order-function lambdas get no common-subexpression
+    // elimination, so an inline `transform(..., element_at(edges, i)...)`
+    // tree re-evaluates the whole bounds filter PER ELEMENT — measured
+    // 38 s vs 0.6 s at sf0.1 for the staged form below. CollapseProject
+    // keeps the stages separate because each intermediate is non-cheap
+    // and referenced more than once.
+    val nt = size(col("tok"))
+    val withChunks = docs
+      .select(col(idCol), split(col(textCol), " ").as("tok"))
+      // positions p (1-based) whose ending n-gram hash hits the rule: a
+      // chunk boundary falls AFTER token p
+      .withColumn("bounds", filter(
+        when(nt >= n, sequence(lit(n), nt)).otherwise(array().cast("array<int>")),
+        p => pmod(TextOps.polyHash(array_join(slice(col("tok"), p - (n - 1), lit(n)), " ")),
+          lit(mod)) === lit(res)))
+      // chunk edges: [0, b1..bk, nt]; distinct drops the duplicate when
+      // the last token is itself a boundary (no empty trailing chunk)
+      .withColumn("edges", array_distinct(
+        concat(array(lit(0)), col("bounds"), array(nt))))
+      .withColumn("chunks", transform(
+        sequence(lit(1), size(col("edges")) - 1),
+        i => array_join(
+          slice(col("tok"), element_at(col("edges"), i) + 1,
+            element_at(col("edges"), i + 1) - element_at(col("edges"), i)),
+          " ")))
+    // posexplode_OUTER, not posexplode: a non-outer Generate triggers
+    // InferFiltersFromGenerate, which pushes `size(chunks)>0 AND
+    // isnotnull(chunks)` below the projections — alias substitution
+    // then re-evaluates the whole staged chunk tree twice per row at
+    // the scan (measured 43 s vs 1.4 s at sf0.1). `chunks` is
+    // structurally non-empty (edges always holds 0 and n_tokens), so
+    // outer ≡ inner here.
+    val ch = withChunks
+      .select(col(idCol), posexplode_outer(col("chunks")).as(Seq("chunk_idx0", "chunk")))
+      .select(col(idCol), col("chunk_idx0").cast("long").as("chunk_idx"), col("chunk"))
       .withColumn("key", md5(col("chunk")))
       .withColumn("enc", struct(col(idCol).as("d"), col("chunk_idx").as("i")))
     val chCp = Release.afterFirstUse(ch)

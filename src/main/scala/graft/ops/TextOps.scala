@@ -551,7 +551,8 @@ object TextOps {
       docs: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame =
     docs
-      .select(explode(split(col(textCol), " ")).as("word"))
+      // outer: see bpeTokenize — avoids the inferred size>0 re-split
+      .select(explode_outer(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0 && !col("word").contains("|"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(regexp_replace(col("word"), "(.)", "|$1|").as("state"), col("freq"))
@@ -575,10 +576,16 @@ object TextOps {
     val toks = split(trim(col("state"), "|"), "\\|\\|")
     val npairs = greatest(size(toks) - 1, lit(0))
     words
+      // outer + null guard: single-token states zip to an EMPTY array
+      // (outer emits one null row for them, which the filter drops, so
+      // outer ≡ inner); non-outer would trigger InferFiltersFromGenerate,
+      // whose pushed filter re-evaluates the zip/slice/split tree per
+      // row PER MERGE STEP — measured ~1.5× on the whole learn loop
       .select(col("freq"),
-        explode(arrays_zip(
+        explode_outer(arrays_zip(
           slice(toks, lit(1), npairs).as("l"),
           slice(toks, lit(2), npairs).as("r"))).as("pr"))
+      .filter(col("pr").isNotNull)
       .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
       .agg(sum(col("freq")).as("cnt"))
   }
@@ -635,11 +642,19 @@ object TextOps {
     val encoded = bpeVocab(docs, textCol, merges)
     docs
       .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("wpos", "word")))
+        // outer: split(...) is structurally non-null/non-empty, and a
+        // non-outer Generate triggers InferFiltersFromGenerate, whose
+        // pushed-down `size(split(text))>0` re-runs the split at the scan
+        posexplode_outer(split(col(textCol), " ")).as(Seq("wpos", "word")))
       .filter(length(col("word")) > 0 && !col("word").contains("|"))
       .join(broadcast(encoded), "word")
+      // outer: toks is never null/empty after the inner vocab join, and
+      // the non-outer form's inferred `size(toks)>0` filter pushes below
+      // the vocab aggregate — re-running the whole merge-replace chain
+      // (regexp_replace per char) on EVERY corpus token, measured 4× on
+      // this stage
       .select(col("doc_id"), col("wpos"),
-        posexplode(col("toks")).as(Seq("spos", "token")))
+        posexplode_outer(col("toks")).as(Seq("spos", "token")))
   }
 
   /** The tokenized DISTINCT-word vocabulary `(word, toks)` a learned
@@ -654,7 +669,8 @@ object TextOps {
       textCol: String,
       merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val words = docs
-      .select(explode(split(col(textCol), " ")).as("word"))
+      // outer: see bpeTokenize — avoids the inferred size>0 re-split
+      .select(explode_outer(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0 && !col("word").contains("|"))
       .distinct()
     merges.foldLeft(

@@ -832,14 +832,16 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include regex "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*cluster"
   }
 
-  "p110_dd_cdc_chunks" should "chunk with doc-local windows and dedup via one keyed join — never all-pairs" in {
+  "p110_dd_cdc_chunks" should "chunk inside the row and dedup via one keyed join — no windows, never all-pairs" in {
     val plan = planOf("p110_dd_cdc_chunks")
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
-    // the rolling hash and boundary prefix count are doc-partitioned
-    // windows; first-occurrence is an aggregation over the persisted
-    // chunk table, joined back by chunk key
-    plan should include("Window")
+    // the rolling hash + boundary rule is doc-local, computed with array
+    // higher-order functions inside each row — NO token explode, NO
+    // doc-partitioned window, no shuffle before chunks exist;
+    // first-occurrence is an aggregation over the persisted chunk
+    // table, joined back by chunk key
+    plan should not include "Window"
     plan should include("InMemoryTableScan")
   }
 
