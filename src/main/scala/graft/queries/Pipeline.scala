@@ -5313,8 +5313,132 @@ object Pipeline {
           expr("(num_q * 1000000) div denom").as("weight_ppm"),
           expr("(num_q * 100000000) div denom").as("budget_tokens"))
         .orderBy(col("lang"))
+    },
+
+    // -------------------- mix: UniMax budget allocation (p116)
+    // Temperature mixing (p33/p115) over-samples small sources without
+    // bound; UniMax (Chung et al. '23) instead walks sources ASCENDING
+    // by token mass, granting each min(E·n_i, remaining/left) — small
+    // sources are capped at E epochs, the freed budget flows to larger
+    // ones, and no source repeats more than E times. The recurrence is
+    // over the SOURCE list (20 rows — model-sized), so the Spark side
+    // aggregates token mass distributedly, collects the tiny table, and
+    // folds on the driver (the BPE-argmax discipline: driver paths only
+    // over data bounded by the model, never the corpus). Budget = 3×
+    // total tokens, E = 5 — both corpus-relative, so the capped and
+    // fair-shared branches are BOTH exercised at every SF. All integer
+    // arithmetic (floor division), so both engines agree exactly.
+    Q("p116_mix_unimax", {
+      s"""WITH RECURSIVE c AS (
+         |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+         |  FROM documents GROUP BY source),
+         |tt AS (SELECT CAST($UniMaxBudgetX * sum(n) AS BIGINT) AS b,
+         |              CAST(count(*) AS BIGINT) AS l FROM c),
+         |o AS (SELECT source, n,
+         |             CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS rk
+         |      FROM c),
+         |r AS (
+         |  SELECT CAST(0 AS BIGINT) AS rk, b AS remaining, l AS lft,
+         |         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n,
+         |         CAST(NULL AS BIGINT) AS alloc, CAST(NULL AS BOOLEAN) AS capped
+         |  FROM tt
+         |  UNION ALL
+         |  SELECT o.rk, r.remaining - least($UniMaxEpochs * o.n, r.remaining // r.lft),
+         |         r.lft - 1, o.source, o.n,
+         |         least($UniMaxEpochs * o.n, r.remaining // r.lft),
+         |         $UniMaxEpochs * o.n <= r.remaining // r.lft
+         |  FROM r JOIN o ON o.rk = r.rk + 1)
+         |SELECT source, n AS n_tokens, alloc AS budget_tokens, capped,
+         |       CAST(alloc * 1000000 // (SELECT b FROM tt) AS BIGINT) AS weight_ppm
+         |FROM r WHERE rk >= 1 ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val perSource = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (src, n) => (n, src) }
+      val total = perSource.map(_._2).sum
+      val b = UniMaxBudgetX * total
+      var remaining = b
+      var left = perSource.length.toLong
+      val out = perSource.map { case (src, n) =>
+        val fair = remaining / left
+        val alloc = math.min(UniMaxEpochs * n, fair)
+        val capped = UniMaxEpochs * n <= fair
+        remaining -= alloc
+        left -= 1
+        (src, n, alloc, capped, alloc * 1000000L / b)
+      }
+      val sess = s
+      import sess.implicits._
+      out.toSeq
+        .toDF("source", "n_tokens", "budget_tokens", "capped", "weight_ppm")
+        .orderBy(col("source"))
+    },
+
+    // -------------------- text: character-entropy quality gate (p117)
+    // Low character entropy flags degenerate text (single-char floods,
+    // keyboard mash, base64-ish blobs read HIGH, repeated boilerplate
+    // reads LOW) — a standard cheap quality signal next to p19's
+    // repetition shares and p26's char-LM NLL. H = ln(n) − (Σ c·ln c)/n
+    // over the per-doc char histogram; quantized ×10⁴ with the
+    // bigramNll floor discipline so the float log stays off the compare
+    // boundary. Scale shape: one ×L char explode (the charBigrams
+    // precedent) into a (doc, char)-keyed partial count, then a
+    // doc-keyed rollup — two shuffles, both corpus-linear, histogram
+    // state bounded by the alphabet.
+    Q("p117_txt_char_entropy", {
+      s"""WITH ch AS (
+         |  SELECT doc_id, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+         |  WHERE length(ch) > 0 GROUP BY doc_id, ch),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_nz,
+         |             CAST(count(*) AS BIGINT) AS n_distinct,
+         |             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slnc
+         |      FROM ch GROUP BY doc_id)
+         |SELECT doc_id, n_chars_nz, n_distinct,
+         |       CAST(floor((ln(CAST(n_chars_nz AS DOUBLE)) - slnc / n_chars_nz)
+         |                  * 10000 + 0.5) AS BIGINT) AS entropy_q,
+         |       CAST(floor((ln(CAST(n_chars_nz AS DOUBLE)) - slnc / n_chars_nz)
+         |                  * 10000 + 0.5) AS BIGINT) >= $EntropyMinQ AS keep
+         |FROM a ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode_outer(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_chars_nz"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("slnc"))
+        .select(col("doc_id"), col("n_chars_nz"), col("n_distinct"),
+          floor((log(col("n_chars_nz").cast("double")) - col("slnc") / col("n_chars_nz"))
+            * 10000 + 0.5).cast("long").as("entropy_q"))
+        .withColumn("keep", col("entropy_q") >= EntropyMinQ)
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** p116 UniMax knobs: budget = UniMaxBudgetX × total corpus tokens;
+    * every source is capped at UniMaxEpochs passes over its own mass.
+    * Budget/epoch ratio 39/40 sits just under 1 so the near-uniform
+    * source masses split into BOTH branches at every SF (simulated:
+    * 13/13/5 of 20 capped at sf0.001/0.01/0.1). The ppm scaling keeps
+    * alloc×10⁶ inside int64 up to ~9×10¹² allocated tokens; beyond
+    * that (a ≳40T-token corpus) divide the budget first. Defs
+    * (queries-val init order).
+    */
+  private def UniMaxBudgetX: Long = 39L
+  private def UniMaxEpochs: Long = 40L
+
+  /** p117 keep threshold: ×10⁴-quantized char entropy ≥ 2.8 nats —
+    * the corpus's per-doc entropies span ≈2.5–2.9 (space-delimited
+    * word soup over a small alphabet), so 2.8 splits the population
+    * and both gate branches are exercised at every SF. Def
+    * (queries-val init order).
+    */
+  private def EntropyMinQ: Long = 28000L
 
   /** p68 collocation thresholds: min bigram support and the audit's
     * top-k. Defs (queries-val init order).

@@ -379,7 +379,7 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       (1L, a, "en", "sA"), (2L, b, "de", "sB"), (3L, c, "en", "sC"), (4L, d, "en", "sD"))
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars",
-        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
     val tmp = java.nio.file.Files.createTempDirectory("funnel").toString
     docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = SparkEntry.queries("p76_pipeline_funnel")(spark, tmp).collect()
@@ -540,5 +540,65 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     kept4 shouldBe 0L
     kept2.toDouble / n2 should be < 0.5
     kept2 should be >= 1L
+  }
+
+  "p116_mix_unimax" should "match the hand-walked ascending fold with caps and fair shares" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // masses 10/10/100/100, B = 39·220 = 8580, E = 40:
+    //  sA(10): fair 8580/4=2145, 400 <= 2145 -> capped 400; rem 8180
+    //  sB(10): fair 8180/3=2726, capped 400;               rem 7780
+    //  sC(100): fair 7780/2=3890 < 4000 -> fair 3890;      rem 3890
+    //  sD(100): fair 3890/1=3890 < 4000 -> fair 3890
+    val docs = Seq(
+      (1L, words(10), "en", "sA"), (2L, words(10), "en", "sB"),
+      (3L, words(100), "en", "sC"), (4L, words(100), "en", "sD"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("unimax").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("p116_mix_unimax")(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    got shouldBe Map(
+      "sA" -> ((10L, 400L, true, 400L * 1000000L / 8580L)),
+      "sB" -> ((10L, 400L, true, 400L * 1000000L / 8580L)),
+      "sC" -> ((100L, 3890L, false, 3890L * 1000000L / 8580L)),
+      "sD" -> ((100L, 3890L, false, 3890L * 1000000L / 8580L)))
+    // the invariants the algorithm promises: nothing exceeds its epoch
+    // cap, and the total never exceeds the budget
+    got.values.foreach { case (n, alloc, _, _) => alloc should be <= 40L * n }
+    got.values.map(_._2).sum should be <= 8580L
+  }
+
+  "p117_txt_char_entropy" should "match hand-computed entropies at the degenerate and varied ends" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val varied = ('a' to 'z').mkString + ('0' to '9').mkString // 36 distinct, no repeats
+    val docs = Seq(
+      (1L, "aaaa", "en", "sA"),   // one symbol: H = 0
+      (2L, "ab ab", "en", "sA"),  // a2 b2 sp1, n=5
+      (3L, varied, "en", "sB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("entropy").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("p117_txt_char_entropy")(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    def q(counts: Seq[Long]): Long = {
+      val n = counts.sum.toDouble
+      val h = math.log(n) - counts.map(c => c * math.log(c.toDouble)).sum / n
+      math.floor(h * 10000 + 0.5).toLong
+    }
+    got(1L) shouldBe ((4L, 1L, 0L, false))
+    got(2L) shouldBe ((5L, 3L, q(Seq(2L, 2L, 1L)), false))
+    // 36 distinct chars, each once: H = ln 36 ≈ 3.58, clears the gate
+    val hv = q(Seq.fill(36)(1L))
+    hv should be >= 28000L
+    got(3L) shouldBe ((36L, 36L, hv, true))
   }
 }

@@ -890,4 +890,22 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // before the single bucket shuffle into the greedy groups
     plan should include regex "(?i)Filter.*polyhash"
   }
+
+  "p116_mix_unimax" should "fold on the driver over the sources-sized table only — the result is local" in {
+    // the distributed leg (per-source token agg) is collected at 20
+    // rows (model-sized); the returned frame must be a LocalTableScan
+    // sort, never a corpus-side join or shuffle chain
+    val plan = planOf("p116_mix_unimax")
+    plan should include("LocalTableScan")
+    plan should not include "Join"
+    plan should not include "FileScan"
+  }
+
+  "p117_txt_char_entropy" should "be two keyed aggregations — no joins, histogram state alphabet-bounded" in {
+    val plan = planOf("p117_txt_char_entropy")
+    plan should not include "CartesianProduct"
+    plan should not include "Join"
+    plan should not include "Window"
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+  }
 }
