@@ -5417,8 +5417,108 @@ object Pipeline {
             * 10000 + 0.5).cast("long").as("entropy_q"))
         .withColumn("keep", col("entropy_q") >= EntropyMinQ)
         .orderBy(col("doc_id"))
+    },
+
+    // -------------- ingest: CUSUM changepoint audit per source (p118)
+    // Drift audits (p66/p98) compare whole distributions; a CUSUM
+    // (Page '54) instead watches the ingest ORDER and flags the first
+    // sustained upward shift in a per-doc signal — the "source started
+    // shipping bloated docs mid-crawl" alarm. One-sided CUSUM over
+    // token counts, S_t = max(0, S_{t−1} + x_t − c), in its CLOSED
+    // form S_t = P_t − min(0, running_min(P_t)) with P the cumulative
+    // sum of (x − c): two window passes, no recursion, exact integers
+    // in both engines. c = 1.1× the global mean token count (integer
+    // floor), alarm at S ≥ $CusumH — calibrated so alarm and
+    // non-alarm rows both exist at every SF. Scale shape: a broadcast
+    // 1-row constant onto the doc table, then per-SOURCE ordered
+    // windows — CUSUM is inherently sequential per key, so the window
+    // partition is the source (shard the key finer if one source
+    // dominates a corpus).
+    Q("p118_src_cusum", {
+      s"""WITH d AS (SELECT source, doc_id,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |c AS (SELECT (sum(n_tok) * 11) // (10 * count(*)) AS cc FROM d),
+         |p AS (SELECT source, doc_id, n_tok,
+         |             CAST(sum(n_tok - (SELECT cc FROM c))
+         |               OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS pp
+         |      FROM d)
+         |SELECT source, doc_id, n_tok,
+         |       pp - least(CAST(0 AS BIGINT),
+         |                  min(pp) OVER (PARTITION BY source ORDER BY doc_id)) AS cusum,
+         |       pp - least(CAST(0 AS BIGINT),
+         |                  min(pp) OVER (PARTITION BY source ORDER BY doc_id))
+         |         >= $CusumH AS alarm
+         |FROM p ORDER BY source, doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+      val cc = d.agg(expr("(sum(n_tok) * 11) div (10 * count(1))").as("cc"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      d.crossJoin(broadcast(cc))
+        .withColumn("pp", sum(col("n_tok") - col("cc")).over(w))
+        .withColumn("cusum", col("pp") - least(lit(0L), min(col("pp")).over(w)))
+        .select(col("source"), col("doc_id"), col("n_tok"), col("cusum"),
+          (col("cusum") >= CusumH).as("alarm"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
+    // ------------- dedup: edit-distance verification of the ≥0.9
+    // candidates (p119). MinHash Jaccard is a SET similarity — blind to
+    // order and multiplicity — so "jaccard ≥ 0.9" admits pairs whose
+    // texts differ structurally (reordered spans, repeated words). The
+    // character-level Levenshtein similarity over the SAME shared pair
+    // memo (p06/p15/p51/p97's chain) separates true edit-near copies
+    // from set-near rearrangements. sim = (maxlen − lev) / maxlen as
+    // an integer ppm; both engines ship the classic unit-cost DP, so
+    // the values agree exactly. Scale shape: the memo's pair set is
+    // bucket-capped and ≥0.9-filtered (sparse); the per-pair DP is
+    // O(len²) but runs on that bounded set — never corpus × corpus.
+    Q("p119_dd_edit_verify", {
+      s"""$NearDupPairsCte,
+         |tx AS (SELECT doc_id, text FROM documents)
+         |SELECT id_a, id_b,
+         |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+         |       CAST(greatest(length(ta.text), length(tb.text), 1) AS BIGINT) AS maxlen,
+         |       CAST(((greatest(length(ta.text), length(tb.text), 1)
+         |              - levenshtein(ta.text, tb.text)) * 1000000)
+         |            // greatest(length(ta.text), length(tb.text), 1) AS BIGINT) AS sim_ppm,
+         |       ((greatest(length(ta.text), length(tb.text), 1)
+         |         - levenshtein(ta.text, tb.text)) * 1000000)
+         |         // greatest(length(ta.text), length(tb.text), 1)
+         |         >= $EditStrongPpm AS strong
+         |FROM prs JOIN tx ta ON ta.doc_id = id_a JOIN tx tb ON tb.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val tx = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      nearDupPairs(s, dir)
+        .join(tx.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(tx.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+        .withColumn("maxlen",
+          greatest(length(col("ta")), length(col("tb")), lit(1)).cast("long"))
+        .select(col("id_a"), col("id_b"), col("lev"), col("maxlen"),
+          expr("((maxlen - lev) * 1000000) div maxlen").as("sim_ppm"))
+        .withColumn("strong", col("sim_ppm") >= EditStrongPpm)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
+
+  /** p118 CUSUM knobs: reference level c = 1.1× the global mean token
+    * count (the slack absorbs in-control noise); alarm threshold h
+    * calibrated so both branches fire at every SF (sf0.001/0.01/0.1 →
+    * 34/11/789 alarm rows). Defs (queries-val init order).
+    */
+  private def CusumH: Long = 120L
+
+  /** p119 strong-pair threshold: ≥ 0.85 character-level similarity
+    * (the ≥0.9 TOKEN-set Jaccard memo admits weaker char-level
+    * matches — reordered or multiplicity-shifted spans sit below
+    * this line). Def (queries-val init order).
+    */
+  private def EditStrongPpm: Long = 850000L
 
   /** p116 UniMax knobs: budget = UniMaxBudgetX × total corpus tokens;
     * every source is capped at UniMaxEpochs passes over its own mass.

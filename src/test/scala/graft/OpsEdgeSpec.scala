@@ -601,4 +601,73 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     hv should be >= 28000L
     got(3L) shouldBe ((36L, 36L, hv, true))
   }
+
+  "p118_src_cusum" should "match a sequential max(0, S + x − c) replay incl. the alarm onset" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // source A: 5 docs at 10 tokens, then 5 at 50 — a sustained upward
+    // shift (c = 400·11/200 = 22, so S climbs 28/step and crosses the
+    // 120 line exactly at doc 10); source B: constant 10, never alarms
+    val docs = ((1 to 5).map(i => (i.toLong, words(10), "en", "sA")) ++
+      (6 to 10).map(i => (i.toLong, words(50), "en", "sA")) ++
+      (11 to 20).map(i => (i.toLong, words(10), "en", "sB")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("cusum").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("p118_src_cusum")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    // sequential replay of the recursion the closed form must equal
+    val xs = ((1 to 5).map(i => ("sA", i.toLong, 10L)) ++
+      (6 to 10).map(i => ("sA", i.toLong, 50L)) ++
+      (11 to 20).map(i => ("sB", i.toLong, 10L)))
+    val c = xs.map(_._3).sum * 11 / (10 * xs.size)
+    val expected = xs.groupBy(_._1).flatMap { case (src, rows) =>
+      var sAcc = 0L
+      rows.sortBy(_._2).map { case (_, id, x) =>
+        sAcc = math.max(0L, sAcc + x - c)
+        (src, id) -> ((sAcc, sAcc >= 120L))
+      }
+    }
+    got shouldBe expected
+    // the shift must actually alarm, and the stable source must not
+    got(("sA", 10L))._2 shouldBe true
+    expected.filter(_._1._1 == "sB").values.forall(!_._2) shouldBe true
+  }
+
+  "p119_dd_edit_verify" should "separate reordered token-set twins from verbatim copies" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // docs 1/2: identical (jaccard 1, lev 0 -> strong); docs 3/4: same
+    // token SET in reversed order (jaccard 1, big lev -> weak). Token
+    // count padded so minhash bands certainly collide.
+    val base = (1 to 40).map(i => f"tok$i%02d")
+    val fwd = base.mkString(" ")
+    val rev = base.reverse.mkString(" ")
+    val docs = Seq((1L, fwd, "en", "sA"), (2L, fwd, "en", "sA"),
+      (3L, rev, "en", "sB"), (4L, rev.split(" ").sorted.mkString(" "), "en", "sB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("editverify").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("p119_dd_edit_verify")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(4), r.getBoolean(5)))).toMap
+    // all 4 docs share one token set -> all 6 pairs are candidates
+    got.keySet shouldBe (for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)).toSet
+    val (lev12, sim12, strong12) = got((1L, 2L))
+    lev12 shouldBe 0L
+    sim12 shouldBe 1000000L
+    strong12 shouldBe true
+    // reversal is a massive character edit — far below the 0.85 line
+    val (lev13, sim13, strong13) = got((1L, 3L))
+    lev13 should be > 0L
+    strong13 shouldBe false
+    sim13 should be < 850000L
+  }
 }

@@ -908,4 +908,25 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "Window"
     "HashAggregate".r.findAllIn(plan).size should be >= 2
   }
+
+  "p118_src_cusum" should "broadcast the 1-row reference level and run per-source ordered windows" in {
+    val plan = planOf("p118_src_cusum")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    // the global constant rides a 1-row broadcast; the CUSUM closed
+    // form is two source-partitioned running windows — never a
+    // whole-corpus single partition
+    plan should include("BroadcastNestedLoopJoin")
+    plan should include("Window")
+    plan should include regex "windowspecdefinition\\(source"
+  }
+
+  "p119_dd_edit_verify" should "verify over the shared pair memo only — never corpus×corpus" in {
+    val plan = planOf("p119_dd_edit_verify")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the candidate set is the persisted ≥0.9 memo; texts join in by id
+    plan should include("InMemoryTableScan")
+    plan should include("levenshtein")
+  }
 }
