@@ -360,4 +360,68 @@ object StatsOps {
         .as("n_out"))
     n.join(med, keyCol).join(mad, keyCol).join(outl, keyCol)
   }
+
+  // ------------------------------------------------ streaming CUSUM
+
+  /** Pure one-sided CUSUM fold (Page '54): walk `xs` in order with
+    * S ← max(0, S + x − c), returning the per-step statistics and the
+    * carry-out state. Splitting a sequence at ANY boundary and folding
+    * the pieces through the carried state reproduces the single-pass
+    * values exactly — the property StatsOpsSpec fuzzes and the p120
+    * gate certifies through real micro-batch boundaries.
+    */
+  private[graft] def cusumFold(s0: Long, xs: Seq[Long], c: Long): (Seq[Long], Long) = {
+    var sAcc = s0
+    val out = xs.map { x =>
+      sAcc = math.max(0L, sAcc + x - c)
+      sAcc
+    }
+    (out, sAcc)
+  }
+
+  /** Streaming ingest-order CUSUM changepoint gate (the p118 batch
+    * audit made decision-at-ingest): one long of state per source, a
+    * verdict row per document. The reference level `c` is a FIXED
+    * deployment knob here — a stream cannot know the corpus mean the
+    * batch audit derives — which is the honest difference between the
+    * two registrations. Batch rows are sorted by doc id before folding
+    * (the streamingTokenQuota discipline), so the verdicts equal the
+    * batch closed form P − min(0, running_min(P)) however the stream
+    * is sliced.
+    */
+  def streamingCusum(
+      docs: DataFrame,
+      idCol: String,
+      srcCol: String,
+      nTokCol: String,
+      c: Long,
+      h: Long): Dataset[CusumVerdict] = {
+    implicit val stEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[CusumVerdict] = Encoders.product[CusumVerdict]
+    implicit val inEnc: Encoder[CusumIn] = Encoders.product[CusumIn]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(srcCol).cast("string").as("source"),
+        col(nTokCol).cast("long").as("n_tok"))
+      .as[CusumIn]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, CusumVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[CusumIn], state: GroupState[Long]) =>
+          val batch = rows.toArray.sortBy(_.doc_id)
+          val (vals, s1) = cusumFold(
+            state.getOption.getOrElse(0L), batch.map(_.n_tok).toSeq, c)
+          state.update(s1)
+          batch.iterator.zip(vals.iterator).map { case (d, sv) =>
+            CusumVerdict(d.doc_id, source, d.n_tok, sv, sv >= h)
+          }
+      }
+  }
 }
+
+/** Per-doc streaming CUSUM verdict emitted by [[StatsOps.streamingCusum]]. */
+final case class CusumVerdict(
+    doc_id: Long, source: String, n_tok: Long, cusum: Long, alarm: Boolean)
+
+private[graft] final case class CusumIn(doc_id: Long, source: String, n_tok: Long)

@@ -5503,8 +5503,53 @@ object Pipeline {
           expr("((maxlen - lev) * 1000000) div maxlen").as("sim_ppm"))
         .withColumn("strong", col("sim_ppm") >= EditStrongPpm)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---------- ingest: STREAMING CUSUM changepoint gate (p120)
+    // p118's decision-at-ingest twin: documents arrive in id order
+    // across ≥3 REAL micro-batches (doc-stream scaffold) and each
+    // source folds S ← max(0, S + n_tok − c) with ONE long of state —
+    // the alarm fires the moment the shift is seen, not in a nightly
+    // audit. The reference level c is a FIXED deployment knob (a
+    // stream cannot know the corpus mean p118 derives); the oracle is
+    // the same closed form P − min(0, running_min(P)) with that fixed
+    // c, so streaming must equal batch however the stream is sliced
+    // (the fold's split-composability, fuzzed in StatsOpsSpec, crossed
+    // with real state-store boundaries here).
+    Q("p120_src_cusum_stream", {
+      s"""WITH d AS (SELECT source, doc_id,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |p AS (SELECT source, doc_id, n_tok,
+         |             CAST(sum(n_tok - $CusumStreamC)
+         |               OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS pp
+         |      FROM d)
+         |SELECT source, doc_id, n_tok,
+         |       pp - least(CAST(0 AS BIGINT),
+         |                  min(pp) OVER (PARTITION BY source ORDER BY doc_id)) AS cusum,
+         |       pp - least(CAST(0 AS BIGINT),
+         |                  min(pp) OVER (PARTITION BY source ORDER BY doc_id))
+         |         >= $CusumH AS alarm
+         |FROM p ORDER BY source, doc_id""".stripMargin
+    }) { (s, dir) =>
+      val verdicts = runDocStream(s, dir, "p120") { raw =>
+        graft.ops.StatsOps.streamingCusum(
+          raw.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("n_tok")),
+          "doc_id", "source", "n_tok", c = CusumStreamC, h = CusumH).toDF()
+      }
+      verdicts
+        .select(col("source"), col("doc_id"), col("n_tok"), col("cusum"), col("alarm"))
+        .orderBy(col("source"), col("doc_id"))
     }
   )
+
+  /** p120 fixed reference level: 60 tokens/doc — the deployment knob a
+    * streaming gate must pin upfront (p118's corpus-derived 1.1× mean
+    * lands at 59 on this corpus, so the two registrations watch the
+    * same regime). Def (queries-val init order).
+    */
+  private def CusumStreamC: Long = 60L
 
   /** p118 CUSUM knobs: reference level c = 1.1× the global mean token
     * count (the slack absorbs in-control noise); alarm threshold h

@@ -471,4 +471,33 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     two.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))) shouldBe
       Array(("a", 2L, 1L, 0L, 1L))
   }
+
+  "cusumFold" should "be split-invariant at arbitrary micro-batch boundaries and equal the closed form" in {
+    val rnd = new scala.util.Random(7712)
+    (1 to 40).foreach { _ =>
+      val xs = Seq.fill(2 + rnd.nextInt(60))(rnd.nextInt(40).toLong)
+      val c = 1L + rnd.nextInt(30)
+      val (single, sEnd) = graft.ops.StatsOps.cusumFold(0L, xs, c)
+      // arbitrary split points: folding the pieces through the carried
+      // state must reproduce the single-pass sequence exactly
+      val cuts = (0 until xs.size).filter(_ => rnd.nextBoolean())
+      val pieces = (Seq(0) ++ cuts ++ Seq(xs.size)).distinct.sorted
+        .sliding(2).map { case Seq(a, b) => xs.slice(a, b) }.toSeq
+      var st = 0L
+      val stitched = pieces.flatMap { p =>
+        val (vals, s1) = graft.ops.StatsOps.cusumFold(st, p, c)
+        st = s1
+        vals
+      }
+      stitched shouldBe single
+      st shouldBe sEnd
+      // and the recursion must equal the closed form the batch oracle
+      // uses: S_t = P_t - min(0, running_min(P))
+      val ps = xs.scanLeft(0L)((a, x) => a + x - c).tail
+      val closed = ps.zipWithIndex.map { case (p, i) =>
+        p - math.min(0L, ps.take(i + 1).min)
+      }
+      single shouldBe closed
+    }
+  }
 }
