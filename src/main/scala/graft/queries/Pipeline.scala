@@ -5541,6 +5541,96 @@ object Pipeline {
       verdicts
         .select(col("source"), col("doc_id"), col("n_tok"), col("cusum"), col("alarm"))
         .orderBy(col("source"), col("doc_id"))
+    },
+
+    // ---------- splits: largest-remainder eval-budget apportionment (p121)
+    // Carving a fixed eval budget across (source, lang) cells by naive
+    // proportional floor under-allocates (the floors lose up to one doc
+    // per cell); largest-remainder (Hamilton) apportionment hands the
+    // leftover slots to the cells with the biggest truncated remainders
+    // — the unique allocation that is both house-monotone-free and
+    // within one of exact proportionality. Budget = 10% of the corpus
+    // (integer floor). Entirely window arithmetic over the CELLS table
+    // (|sources|×|langs| rows — model-sized), exact integers both
+    // engines; the whole-table window is the p115 precedent (model-
+    // sized input, never the corpus).
+    Q("p121_split_apportion", {
+      s"""WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+         |               FROM documents GROUP BY source, lang),
+         |t AS (SELECT *, (SELECT sum(n_docs) FROM cells) AS n,
+         |             (SELECT sum(n_docs) // 10 FROM cells) AS b
+         |      FROM cells),
+         |q AS (SELECT source, lang, n_docs,
+         |             (b * n_docs) // n AS base,
+         |             (b * n_docs) % n AS rem, b
+         |      FROM t),
+         |r AS (SELECT *, (SELECT max(b) - sum(base) FROM q) AS leftover,
+         |             row_number() OVER (ORDER BY rem DESC, source, lang) AS rk
+         |      FROM q)
+         |SELECT source, lang, n_docs, CAST(base AS BIGINT) AS base,
+         |       CAST(rem AS BIGINT) AS rem,
+         |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         |         AS alloc
+         |FROM r ORDER BY source, lang""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cells = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n", sum(col("n_docs")).over(whole))
+        .withColumn("b", expr("n div 10"))
+        .withColumn("base", expr("(b * n_docs) div n"))
+        .withColumn("rem", expr("(b * n_docs) % n"))
+        .withColumn("leftover", col("b") - sum(col("base")).over(whole))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(lit(1))
+            .orderBy(col("rem").desc, col("source"), col("lang"))))
+      cells.select(col("source"), col("lang"), col("n_docs"), col("base"),
+        col("rem"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+        .orderBy(col("source"), col("lang"))
+    },
+
+    // ---------- text: Good-Turing unseen-mass estimate per source (p122)
+    // How OPEN is each source's vocabulary — i.e. how much probability
+    // mass do words never seen in it carry? The Turing estimator says
+    // P(unseen) ≈ n₁/N (the singleton share), and the Good-Turing
+    // adjusted count for singletons is r* = 2·n₂/n₁ — both pure
+    // count-of-count arithmetic over the SHARED (source, word) count
+    // memo (p88/p94/p100/p102/p104's owner — one corpus explode serves
+    // all six). A source full of hapaxes (open vocabulary, n₁ high) is
+    // where new data still buys coverage; a closed one is saturated.
+    // All-integer ppm; n₁ = 0 → −1 sentinel for r*.
+    Q("p122_txt_good_turing", {
+      s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |sw AS (SELECT source, word, count(*) AS c FROM w GROUP BY source, word),
+         |g AS (SELECT source,
+         |             CAST(sum(c) AS BIGINT) AS n_tokens,
+         |             CAST(count(*) AS BIGINT) AS n_types,
+         |             CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n1,
+         |             CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS n2
+         |      FROM sw GROUP BY source)
+         |SELECT source, n_tokens, n_types, n1, n2,
+         |       CAST((n1 * 1000000) // n_tokens AS BIGINT) AS unseen_ppm,
+         |       CAST(CASE WHEN n1 = 0 THEN -1
+         |                 ELSE (2 * n2 * 1000000) // n1 END AS BIGINT) AS r1_star_q
+         |FROM g ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      sourceWordCounts(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          count(when(col("c") === 1, 1)).as("n1"),
+          count(when(col("c") === 2, 1)).as("n2"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n1"), col("n2"),
+          expr("(n1 * 1000000) div n_tokens").as("unseen_ppm"),
+          when(col("n1") === 0, -1L)
+            .otherwise(expr("(2 * n2 * 1000000) div n1")).as("r1_star_q"))
+        .orderBy(col("source"))
     }
   )
 

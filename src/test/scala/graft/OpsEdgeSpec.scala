@@ -670,4 +670,52 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     strong13 shouldBe false
     sim13 should be < 850000L
   }
+
+  "p121_split_apportion" should "hand the leftover slots by largest remainder and hit the budget exactly" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 97 docs across 3 cells -> budget 9. exact shares 9·50/97=4.639,
+    // 9·30/97=2.783, 9·17/97=1.577; floors 4+2+1=7, leftover 2 goes to
+    // the two largest remainders (rem 446=(9·50)%97? compute: 450%97=62,
+    // 270%97=76, 153%97=56) -> +1 to cellB(76) and cellA(62); cellC stays
+    val docs = ((1 to 50).map(i => (i.toLong, "w", "en", "sA")) ++
+      (51 to 80).map(i => (i.toLong, "w", "de", "sA")) ++
+      (81 to 97).map(i => (i.toLong, "w", "en", "sB")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("apportion").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("p121_split_apportion")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    got shouldBe Map(
+      ("sA", "en") -> ((50L, 4L, 5L)),   // rem 62 -> +1
+      ("sA", "de") -> ((30L, 2L, 3L)),   // rem 76 -> +1
+      ("sB", "en") -> ((17L, 1L, 1L)))   // rem 56 -> floor only
+    // the two invariants Hamilton apportionment promises
+    got.values.map(_._3).sum shouldBe 9L
+    got.values.foreach { case (n, _, alloc) =>
+      math.abs(alloc - 9.0 * n / 97.0) should be < 1.0
+    }
+  }
+
+  "p122_txt_good_turing" should "count singletons/doubletons per source incl. the no-hapax sentinel" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // sA: a a b c  -> N=4 V=3 n1=2(b,c) n2=1(a... a has c=2) -> unseen
+    // 500000 ppm, r* = 2·1·1e6/2 = 1000000
+    // sB: x x y y  -> n1=0 -> sentinel −1
+    val docs = Seq((1L, "a a b c", "en", "sA"), (2L, "x x y y", "en", "sB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("goodturing").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("p122_txt_good_turing")(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    got("sA") shouldBe ((4L, 3L, 2L, 1L, 500000L, 1000000L))
+    got("sB") shouldBe ((4L, 2L, 0L, 2L, 0L, -1L))
+  }
 }

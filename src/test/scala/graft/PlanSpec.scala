@@ -929,4 +929,23 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("InMemoryTableScan")
     plan should include("levenshtein")
   }
+
+  "p121_split_apportion" should "window over the cells table only — one corpus agg, no joins" in {
+    val plan = planOf("p121_split_apportion")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    plan should not include "BroadcastHashJoin"
+    // the whole-table windows run on the (source, lang) CELLS aggregate
+    // (model-sized); the only corpus-scale work is that one HashAggregate
+    plan should include("Window")
+    plan should include("HashAggregate")
+  }
+
+  "p122_txt_good_turing" should "compose the shared (source, word) count memo — no joins, no windows" in {
+    val plan = planOf("p122_txt_good_turing")
+    plan should not include "CartesianProduct"
+    plan should not include "Join"
+    plan should not include "Window"
+    plan should include("InMemoryTableScan")
+  }
 }
