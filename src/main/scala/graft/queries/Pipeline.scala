@@ -5631,6 +5631,83 @@ object Pipeline {
           when(col("n1") === 0, -1L)
             .otherwise(expr("(2 * n2 * 1000000) div n1")).as("r1_star_q"))
         .orderBy(col("source"))
+    },
+
+    // ------- embeddings: split-half reliability of class centroids (p123)
+    // Is a label's mean embedding an estimate or an artifact? Classic
+    // split-half reliability: interleave each label's vectors into two
+    // halves (vec_id parity — deterministic, balanced), quantize
+    // elementwise (×1000 floor, the p70 integer discipline) and compare
+    // the two half-SUMS per dimension by exact cross-multiplication
+    // (the p66 trick — |s0·n1 − s1·n0| against the magnitude sum, no
+    // float division anywhere). A stable class shows small per-dim
+    // relative differences; an encoder failure or a label mixing two
+    // clusters shows up as large ones. Output per label: half sizes,
+    // the worst-drifting dimension (ties to the smaller dim), and the
+    // mean ppm across dims. Scale shape: one embedding explode into a
+    // (label, dim)-keyed partial agg — the (label×dim) table is
+    // model-sized, so the windows cost nothing.
+    Q("p123_emb_split_half", {
+      s"""WITH q AS (SELECT label, vec_id % 2 AS half,
+         |                  generate_subscripts(embedding, 1) AS dim,
+         |                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+         |                       AS BIGINT) AS qv
+         |           FROM embeddings),
+         |n AS (SELECT label,
+         |             CAST(count(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END)
+         |                  AS BIGINT) AS n0,
+         |             CAST(count(DISTINCT CASE WHEN vec_id % 2 = 1 THEN vec_id END)
+         |                  AS BIGINT) AS n1
+         |      FROM embeddings GROUP BY label),
+         |g AS (SELECT label, dim,
+         |             CAST(coalesce(sum(CASE WHEN half = 0 THEN qv END), 0)
+         |                  AS BIGINT) AS s0,
+         |             CAST(coalesce(sum(CASE WHEN half = 1 THEN qv END), 0)
+         |                  AS BIGINT) AS s1
+         |      FROM q GROUP BY label, dim),
+         |d AS (SELECT g.label, g.dim,
+         |             abs(s0 * n.n1 - s1 * n.n0) * 1000000
+         |               // (abs(s0) * n.n1 + abs(s1) * n.n0 + 1) AS ppm
+         |      FROM g JOIN n USING (label)),
+         |r AS (SELECT label, dim, ppm,
+         |             row_number() OVER (PARTITION BY label
+         |                                ORDER BY ppm DESC, dim) AS rk
+         |      FROM d),
+         |m AS (SELECT label, CAST(sum(ppm) // count(*) AS BIGINT) AS mean_ppm
+         |      FROM d GROUP BY label)
+         |SELECT CAST(n.label AS BIGINT) AS label, n.n0, n.n1,
+         |       CAST(r.dim AS BIGINT) AS max_dim, CAST(r.ppm AS BIGINT) AS max_ppm,
+         |       m.mean_ppm
+         |FROM n JOIN r ON r.label = n.label AND r.rk = 1
+         |JOIN m ON m.label = n.label
+         |ORDER BY label""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val n = emb.groupBy(col("label"))
+        .agg(count(when(col("vec_id") % 2 === 0, 1)).as("n0"),
+          count(when(col("vec_id") % 2 === 1, 1)).as("n1"))
+      val g = emb
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode_outer(col("embedding")).as(Seq("dim0", "x")))
+        .select(col("label"), col("half"), (col("dim0") + 1).cast("long").as("dim"),
+          floor(col("x").cast("double") * 1000).cast("long").as("qv"))
+        .groupBy(col("label"), col("dim"))
+        .agg(coalesce(sum(when(col("half") === 0, col("qv"))), lit(0L)).as("s0"),
+          coalesce(sum(when(col("half") === 1, col("qv"))), lit(0L)).as("s1"))
+      val d = g.join(broadcast(n), "label")
+        .withColumn("ppm",
+          expr("(abs(s0 * n1 - s1 * n0) * 1000000) div (abs(s0) * n1 + abs(s1) * n0 + 1)"))
+      val r = d.withColumn("rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("ppm").desc, col("dim"))))
+        .filter(col("rk") === 1)
+        .select(col("label"), col("dim").as("max_dim"), col("ppm").as("max_ppm"))
+      val m = d.groupBy(col("label"))
+        .agg(expr("sum(ppm) div count(1)").as("mean_ppm"))
+      n.join(r, "label").join(m, "label")
+        .select(col("label").cast("long"), col("n0"), col("n1"),
+          col("max_dim"), col("max_ppm"), col("mean_ppm"))
+        .orderBy(col("label"))
     }
   )
 

@@ -718,4 +718,30 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got("sA") shouldBe ((4L, 3L, 2L, 1L, 500000L, 1000000L))
     got("sB") shouldBe ((4L, 2L, 0L, 2L, 0L, -1L))
   }
+
+  "p123_emb_split_half" should "score identical halves 0 and parity-flipped halves ~1e6" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // label 0: every vector identical -> per-dim halves proportional to
+    // counts -> cross-mult difference... n0=2, n1=2, s0=2q, s1=2q -> 0
+    // label 1: value +1 for even ids, −1 for odd -> s0=+2000·?, s1
+    // opposite sign -> ppm saturates near 1e6
+    val stable = Seq(0.5f, -0.25f)
+    val emb = ((1 to 4).map(i => (i.toLong, stable, 0)) ++
+      (11 to 14).map(i => (i.toLong,
+        if (i % 2 == 0) Seq(1.0f, 1.0f) else Seq(-1.0f, -1.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("splithalf").toString
+    emb.coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = SparkEntry.queries("p123_emb_split_half")(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // identical vectors, balanced halves: s0·n1 == s1·n0 exactly
+    got(0L) shouldBe ((2L, 2L, 1L, 0L, 0L))
+    val (n0b, n1b, _, maxPpm, meanPpm) = got(1L)
+    (n0b, n1b) shouldBe ((2L, 2L))
+    // opposite-sign halves: |s0·n1 − s1·n0| ≈ |s0|·n1 + |s1|·n0
+    maxPpm should be > 999000L
+    meanPpm should be > 999000L
+  }
 }

@@ -948,4 +948,14 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "Window"
     plan should include("InMemoryTableScan")
   }
+
+  "p123_emb_split_half" should "explode into a (label, dim) agg and window only the model-sized table" in {
+    val plan = planOf("p123_emb_split_half")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    // the half-size table broadcasts onto the (label×dim) aggregate;
+    // the argmax window partitions by label over that tiny table
+    plan should include("BroadcastHashJoin")
+    plan should include regex "windowspecdefinition\\(label"
+  }
 }
