@@ -446,6 +446,105 @@ object Relational {
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").cast("date").as("ws"), col("event_type"), col("n"))
         .orderBy(col("ws"), col("event_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q5 proper (local-supplier volume): SIX tables with the
+    // co-nationality predicate l_suppkey→supplier AND s_nationkey =
+    // c_nationkey — the classic join-REORDER stress (q02 is a plain
+    // star; this one's supplier leg creates the cycle the optimizer
+    // must break well). Fixed dims broadcast; customer/orders/supplier
+    // scale with SF, so AQE picks their strategies.
+    Q("q21_local_supplier",
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // UNPIVOT (melt) — the inverse of q12's pivot: one row per (region,
+    // metric) from a wide per-region aggregate. Spark's native unpivot
+    // operator vs DuckDB's UNPIVOT clause.
+    Q("q22_unpivot",
+      """WITH w AS (SELECT r_name,
+        |                  CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_nations,
+        |                  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+        |                  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+        |           FROM region
+        |           JOIN nation ON n_regionkey = r_regionkey
+        |           LEFT JOIN customer ON c_nationkey = n_nationkey
+        |           LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |           GROUP BY r_name)
+        |SELECT r_name, metric, value
+        |FROM w UNPIVOT (value FOR metric IN (n_nations, n_customers, n_suppliers))
+        |ORDER BY r_name, metric""".stripMargin) { (s, dir) =>
+      val wide = t(s, dir, "region")
+        .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(t(s, dir, "supplier"), col("s_nationkey") === col("n_nationkey"), "left")
+        .groupBy(col("r_name"))
+        .agg(countDistinct(col("n_nationkey")).as("n_nations"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+      wide.unpivot(Array(col("r_name")),
+          Array(col("n_nations"), col("n_customers"), col("n_suppliers")),
+          "metric", "value")
+        .orderBy(col("r_name"), col("metric"))
+    },
+
+    // ------------------------------------------------------------------
+    // GROUPING SETS with grouping_id — the sparse cousin of q09's
+    // rollup / q17's cube: exactly the (status, priority), (status),
+    // (priority) combinations, none of cube's full lattice. Expressed
+    // through the SQL surface (the DataFrame API exposes only
+    // rollup/cube); grouping_id disambiguates the NULL-key rows.
+    Q("q23_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |            AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+          |            AS BIGINT) AS gid,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(o_totalprice), 2) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), (o_orderpriority))
+          |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
     }
   )
 }

@@ -958,4 +958,26 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("BroadcastHashJoin")
     plan should include regex "windowspecdefinition\\(label"
   }
+
+  "q21_local_supplier" should "broadcast the fixed dims and never go cartesian on the 6-table cycle" in {
+    val plan = planOf("q21_local_supplier")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // nation/region are force-broadcast; the co-nationality predicate
+    // must ride the supplier equi-join, not a post-join filter scan
+    plan should include("BroadcastHashJoin")
+  }
+
+  "q22_unpivot" should "lower the melt to a single Expand over the wide aggregate" in {
+    val plan = planOf("q22_unpivot")
+    plan should not include "CartesianProduct"
+    plan should include("Expand")
+  }
+
+  "q23_grouping_sets" should "lower to one Expand + one aggregate — not a union of groupBys" in {
+    val plan = planOf("q23_grouping_sets")
+    plan should not include "Union"
+    plan should include("Expand")
+    plan should include("HashAggregate")
+  }
 }
