@@ -202,6 +202,52 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
   }
 
+  /** [[ivfTopK]] at SEVERAL probe counts in one pass: the tuning sweep
+    * (recall vs nProbe) would otherwise re-run the corpus assignment —
+    * the dominant cost — once per setting. Here the assignment, the
+    * probe ranking (to max(probes)) and the candidate cosines compute
+    * ONCE; each setting then re-ranks its prefix of probed cells (a
+    * candidate belongs to setting p iff its cell's probe rank ≤ p).
+    * Per-setting output is EXACTLY ivfTopK(nProbe = p) — the property
+    * SimilarityOpsSpec pins per setting.
+    *
+    * Returns (nprobe, query_id, neighbor_id, rnk).
+    */
+  def ivfTopKSweep(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      probes: Seq[Int],
+      numCentroids: Int = IvfK,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val pmax = probes.max
+    val cent = broadcast(centroids.getOrElse(seedCentroids(corpus, numCentroids))
+      .select(col("c_id"), col("c_emb")))
+    val asg = clusterAssign(corpus, cent)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qc").desc, col("c_id"))
+    val prb = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(cent)
+      .withColumn("qc", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("prnk", row_number().over(wq))
+      .filter(col("prnk") <= pmax)
+      .select(col("query_id"), col("q_emb"), col("prnk"), col("c_id").as("cluster"))
+    val nemb = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val cand = prb.join(asg, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(nemb, Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .select(col("query_id"), col("neighbor_id"), col("prnk"), col("cos"))
+    val wn = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .withColumn("nprobe", explode(array(probes.map(p => lit(p.toLong)): _*)))
+      .filter(col("prnk") <= col("nprobe"))
+      .withColumn("rnk", row_number().over(wn))
+      .filter(col("rnk") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** Lloyd-trained IVF codebook behind the same (c_id, c_emb) interface:
     * deterministic seed (K smallest vec_ids), then `iters` rounds of
     * argmax-cosine assignment + elementwise mean. The assignment is the

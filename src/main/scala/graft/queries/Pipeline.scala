@@ -5708,8 +5708,80 @@ object Pipeline {
         .select(col("label").cast("long"), col("n0"), col("n1"),
           col("max_dim"), col("max_ppm"), col("mean_ppm"))
         .orderBy(col("label"))
+    },
+
+    // ---------- similarity: recall-vs-nProbe tuning sweep (p124)
+    // THE question an IVF deployment asks: how many cells must a query
+    // probe before recall is acceptable? p61 answers at the registered
+    // nProbe = 2; this sweeps {1, 2, 4, 8} in ONE pass — the corpus
+    // assignment, the probe ranking (to 8) and every candidate cosine
+    // compute once, and each setting re-ranks its prefix of probed
+    // cells (SimilarityOps.ivfTopKSweep; per-setting output pinned
+    // EQUAL to ivfTopK(nProbe = p) in SimilarityOpsSpec). Ground truth
+    // is the SHARED exact-top-5 CTE owner, so p61/p109/p124 can never
+    // disagree about the reference ranking. Output one row per
+    // setting: mean/min recall@5 ppm over the 20 probe queries —
+    // recall monotone in nProbe by construction (prefix candidates).
+    Q("p124_sim_nprobe_sweep", {
+      val cosQN = cosineSql("q.embedding", "c.embedding")
+      val cosQC = cosineSql("q.embedding", "cc.c_emb")
+      val probesArr = SweepProbes.mkString("[", ", ", "]")
+      s"""WITH $IvfExactTopCte,
+         |$IvfAsgCtes,
+         |prbx AS (
+         |  SELECT query_id, cluster, rnk AS prnk FROM (
+         |    SELECT q.vec_id AS query_id, cc.c_id AS cluster,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |                              ORDER BY $cosQC DESC, cc.c_id) AS rnk
+         |    FROM embeddings q CROSS JOIN cent cc WHERE q.vec_id < 20)
+         |  WHERE rnk <= ${SweepProbes.max}),
+         |st AS (SELECT CAST(unnest($probesArr) AS BIGINT) AS nprobe),
+         |iv AS (
+         |  SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT s.nprobe, p.query_id, a.neighbor_id,
+         |           row_number() OVER (PARTITION BY s.nprobe, p.query_id
+         |                              ORDER BY $cosQN DESC, a.neighbor_id) AS rnk
+         |    FROM st s JOIN prbx p ON p.prnk <= s.nprobe
+         |    JOIN asg a ON a.cluster = p.cluster AND a.neighbor_id <> p.query_id
+         |    JOIN embeddings q ON q.vec_id = p.query_id
+         |    JOIN embeddings c ON c.vec_id = a.neighbor_id) WHERE rnk <= 5),
+         |rc AS (SELECT i.nprobe, i.query_id, count(*) AS hits
+         |       FROM iv i JOIN exact e
+         |         ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |       GROUP BY i.nprobe, i.query_id),
+         |f AS (SELECT s.nprobe, q.vec_id AS query_id
+         |      FROM st s CROSS JOIN (SELECT vec_id FROM embeddings
+         |                            WHERE vec_id < 20) q)
+         |SELECT f.nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(coalesce(hits, 0)) * 200000 // count(*) AS BIGINT)
+         |         AS mean_recall_ppm,
+         |       CAST(min(coalesce(hits, 0)) * 200000 AS BIGINT) AS min_recall_ppm
+         |FROM f LEFT JOIN rc ON rc.nprobe = f.nprobe AND rc.query_id = f.query_id
+         |GROUP BY f.nprobe ORDER BY f.nprobe""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val exact = SimilarityOps.bruteTopK(q, e, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val swept = SimilarityOps.ivfTopKSweep(e, q, k = 5, probes = SweepProbes)
+      val rc = swept.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy(col("nprobe"), col("query_id"))
+        .agg(count(lit(1)).as("hits"))
+      val sess = s
+      import sess.implicits._
+      val frame = SweepProbes.map(_.toLong).toDF("nprobe")
+        .crossJoin(q.select(col("vec_id").as("query_id")))
+      frame.join(rc, Seq("nprobe", "query_id"), "left")
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_queries"),
+          expr("sum(coalesce(hits, 0)) * 200000 div count(1)").as("mean_recall_ppm"),
+          (min(coalesce(col("hits"), lit(0L))) * 200000).as("min_recall_ppm"))
+        .orderBy(col("nprobe"))
     }
   )
+
+  /** p124 probe-count grid (max also bounds the shared probe ranking). */
+  private def SweepProbes: Seq[Int] = Seq(1, 2, 4, 8)
 
   /** p120 fixed reference level: 60 tokens/doc — the deployment knob a
     * streaming gate must pin upfront (p118's corpus-derived 1.1× mean
@@ -5796,16 +5868,26 @@ object Pipeline {
        |    FROM embeddings e CROSS JOIN cent cc) WHERE rnk = 1)""".stripMargin
   }
 
-  private def IvfExactCtes: String = {
+  /** Exact brute-force top-5 CTE for the 20 probe queries — ONE owner
+    * for p61/p109 (via [[IvfExactCtes]]) and the p124 probe sweep, so
+    * every IVF eval scores against the same ground truth text. A def
+    * (queries-val init order).
+    */
+  private def IvfExactTopCte: String = {
     val cosQN = cosineSql("q.embedding", "c.embedding")
-    val cosQC = cosineSql("q.embedding", "cc.c_emb")
     s"""exact AS (
        |  SELECT query_id, neighbor_id, rnk FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |           row_number() OVER (PARTITION BY q.vec_id
        |                              ORDER BY $cosQN DESC, c.vec_id) AS rnk
        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-       |    WHERE q.vec_id < 20) WHERE rnk <= 5),
+       |    WHERE q.vec_id < 20) WHERE rnk <= 5)""".stripMargin
+  }
+
+  private def IvfExactCtes: String = {
+    val cosQN = cosineSql("q.embedding", "c.embedding")
+    val cosQC = cosineSql("q.embedding", "cc.c_emb")
+    s"""$IvfExactTopCte,
        |$IvfAsgCtes,
        |prb AS (
        |  SELECT query_id, cluster FROM (

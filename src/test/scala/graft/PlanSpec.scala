@@ -980,4 +980,17 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("Expand")
     plan should include("HashAggregate")
   }
+
+  "p124_sim_nprobe_sweep" should "run ONE assignment pass for all probe settings — no per-setting rescans" in {
+    val plan = planOf("p124_sim_nprobe_sweep")
+    plan should not include "CartesianProduct"
+    // the settings explode AFTER the shared assignment + candidate
+    // cosines, so the scan/broadcast counts are CONSTANT in the number
+    // of probe settings (4 here): assignment BNLJ + probe-rank BNLJ +
+    // bruteTopK's bounded-query BNLJ + the 4-row settings frame — and
+    // 8 fixed corpus scans, NOT one per setting. (The remaining joins
+    // ride model-sized eval tables; AQE broadcasts them at runtime.)
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <= 4
+    "FileScan parquet".r.findAllIn(plan).size should be <= 8
+  }
 }

@@ -278,4 +278,24 @@ class SimilarityOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
       ds shouldBe ds.sorted.reverse
     }
   }
+
+  "ivfTopKSweep" should "reproduce ivfTopK exactly at every probe setting from one shared pass" in {
+    val q = emb.filter(col("vec_id") < 10)
+    val probes = Seq(1, 2, 4, 8)
+    val swept = SimilarityOps.ivfTopKSweep(emb, q, k = 5, probes = probes)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong))
+      .groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3, t._4)).toSet).toMap
+    probes.foreach { p =>
+      val solo = SimilarityOps.ivfTopK(emb, q, k = 5, nProbe = p)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      withClue(s"nProbe=$p: ") { swept(p.toLong) shouldBe solo }
+    }
+    // prefix candidates: results at a larger setting can only re-rank a
+    // SUPERSET, so per-query hit sets grow monotonically in aggregate
+    val sizes = probes.map(p => swept(p.toLong).size)
+    sizes shouldBe sizes.sorted
+  }
 }
