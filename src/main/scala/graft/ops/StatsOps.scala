@@ -379,6 +379,61 @@ object StatsOps {
     (out, sAcc)
   }
 
+  /** Pure gap-sessionization fold: walk `batch` (already in (ts, id)
+    * order) from `st`, opening a new session whenever the gap to the
+    * previous event exceeds `gapUs`. Split-invariant through the
+    * carried state (StatsOpsSpec fuzzes; cef54 certifies through real
+    * micro-batch boundaries).
+    */
+  private[graft] def sessFold(
+      st0: SessState, batch: Seq[SessIn], gapUs: Long): (Seq[SessVerdict], SessState) = {
+    var st = st0
+    val out = batch.map { e =>
+      val isNew = st.sessIdx < 0 || e.ts_us - st.lastTs > gapUs
+      val idx = if (isNew) st.sessIdx + 1 else st.sessIdx
+      st = SessState(e.ts_us, idx)
+      SessVerdict(e.user_id, e.event_id, idx, isNew)
+    }
+    (out, st)
+  }
+
+  /** Streaming gap sessionization (episode assembly at ingest — the
+    * "cut interaction logs into training conversations" op): per user,
+    * an event starts a NEW session iff it is the user's first or the
+    * gap to the previous event exceeds `gapUs`. State is TWO longs per
+    * user; each event's verdict is emitted the moment it arrives. The
+    * stream delivers events in (ts, event_id) order across batches
+    * (the scaffold's slice discipline), so the assignment equals the
+    * batch gaps-and-islands closed form (lag + running sum of breaks)
+    * however the stream is sliced.
+    */
+  def streamingSessions(
+      events: DataFrame,
+      keyCol: String,
+      idCol: String,
+      tsUsCol: String,
+      gapUs: Long): Dataset[SessVerdict] = {
+    implicit val stEnc: Encoder[SessState] = Encoders.product[SessState]
+    implicit val outEnc: Encoder[SessVerdict] = Encoders.product[SessVerdict]
+    implicit val inEnc: Encoder[SessIn] = Encoders.product[SessIn]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events
+      .select(col(keyCol).cast("long").as("user_id"),
+        col(idCol).cast("long").as("event_id"),
+        col(tsUsCol).cast("long").as("ts_us"))
+      .as[SessIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SessIn], state: GroupState[SessState]) =>
+          val batch = rows.toArray.sortBy(r => (r.ts_us, r.event_id)).toSeq
+          val (out, st1) = sessFold(
+            state.getOption.getOrElse(SessState(Long.MinValue, -1L)), batch, gapUs)
+          state.update(st1)
+          out.iterator
+      }
+  }
+
   /** Streaming ingest-order CUSUM changepoint gate (the p118 batch
     * audit made decision-at-ingest): one long of state per source, a
     * verdict row per document. The reference level `c` is a FIXED
@@ -425,3 +480,14 @@ final case class CusumVerdict(
     doc_id: Long, source: String, n_tok: Long, cusum: Long, alarm: Boolean)
 
 private[graft] final case class CusumIn(doc_id: Long, source: String, n_tok: Long)
+
+/** Per-event session assignment emitted by [[StatsOps.streamingSessions]]. */
+final case class SessVerdict(
+    user_id: Long, event_id: Long, session_idx: Long, is_new: Boolean)
+
+private[graft] final case class SessIn(user_id: Long, event_id: Long, ts_us: Long)
+
+/** GroupState for gap sessionization: the last event time and the
+  * current session ordinal — two longs per key at any stream length.
+  */
+final case class SessState(lastTs: Long, sessIdx: Long)

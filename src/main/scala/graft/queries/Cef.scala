@@ -1773,6 +1773,43 @@ object Cef {
         .orderBy(col("user_id"), col("probe"))
     },
 
+    // ---------------- streaming gap sessionization: episode assembly
+    // at ingest (cutting interaction logs into training conversations).
+    // Per user, an event opens a NEW session iff its gap to the
+    // previous event exceeds SessGapUs — decided the moment the event
+    // arrives, with TWO longs of GroupState per user, across ≥3 real
+    // micro-batches. Arrival order is (ts, event_id) (the slice
+    // discipline), so every verdict must equal the batch
+    // gaps-and-islands closed form (lag + running sum of breaks) —
+    // the q11 pattern, certified here against real state-store
+    // boundaries (the fold's split-invariance is fuzzed in
+    // StatsOpsSpec).
+    Q("cef54_streaming_sessions", {
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+         |l AS (SELECT user_id, event_id, tsu,
+         |             lag(tsu) OVER (PARTITION BY user_id
+         |                            ORDER BY tsu, event_id) AS pts
+         |      FROM e),
+         |f AS (SELECT user_id, event_id, tsu,
+         |             (pts IS NULL OR tsu - pts > $SessGapUs) AS is_new
+         |      FROM l)
+         |SELECT user_id, event_id,
+         |       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END)
+         |              OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+         |            - 1 AS BIGINT) AS session_idx,
+         |       is_new
+         |FROM f ORDER BY user_id, event_id""".stripMargin
+    }) { (s, dir) =>
+      val verdicts = runEventStream(s, dir, "cef54", "append") { raw =>
+        graft.ops.StatsOps.streamingSessions(
+          raw.withColumn("ts_us", unix_micros(col("ts"))),
+          "user_id", "event_id", "ts_us", gapUs = SessGapUs).toDF()
+      }
+      verdicts
+        .select(col("user_id"), col("event_id"), col("session_idx"), col("is_new"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // ---------------- F3 smart-scan intervals driver-checked: the
     // two-pointer smallest-window scan (VLDBJ'22 algorithm) against an
     // exhaustive SQL window enumeration — the fullScan semantics the
@@ -1933,6 +1970,13 @@ object Cef {
     */
   private def StreamCmWidth = 64
   private def StreamCmProbes: Seq[Long] = Seq(0L, 7L, 42L, 123L, 999L, 4242L)
+
+  /** cef54 session gap: 50,000 s in micros — between the corpus's
+    * median (~26k s) and p90 (~90k s) per-user inter-event gap, so
+    * users split into several sessions AND sessions hold several
+    * events at every SF.
+    */
+  private def SessGapUs: Long = 50000L * 1000000L
 
   /** cef48 histogram resolution: 64 buckets of width 8 cover the
     * events value range (0–490) without clamp saturation, and per-key

@@ -500,4 +500,44 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       single shouldBe closed
     }
   }
+
+  "sessFold" should "be split-invariant and equal the gaps-and-islands closed form" in {
+    import graft.ops.{SessIn, SessState}
+    val rnd = new scala.util.Random(5531)
+    val gap = 100L
+    (1 to 40).foreach { _ =>
+      // strictly increasing timestamps with gaps straddling the
+      // threshold, including the == boundary (NOT a break: > gap only)
+      var ts = 0L
+      val xs = (1 to (2 + rnd.nextInt(50))).map { i =>
+        ts += (rnd.nextInt(4) match {
+          case 0 => gap          // exactly the gap -> same session
+          case 1 => gap + 1      // minimal break
+          case _ => 1L + rnd.nextInt(80)
+        })
+        SessIn(1L, i.toLong, ts)
+      }
+      val (single, sEnd) = graft.ops.StatsOps.sessFold(SessState(Long.MinValue, -1L), xs, gap)
+      // closed form: session_idx = (count of breaks so far) - 1
+      var breaks = 0L
+      val closed = xs.zipWithIndex.map { case (e, i) =>
+        val isNew = i == 0 || e.ts_us - xs(i - 1).ts_us > gap
+        if (isNew) breaks += 1
+        (e.event_id, breaks - 1, isNew)
+      }
+      single.map(v => (v.event_id, v.session_idx, v.is_new)) shouldBe closed
+      // arbitrary micro-batch splits through the carried state
+      val cuts = (0 until xs.size).filter(_ => rnd.nextBoolean())
+      val pieces = (Seq(0) ++ cuts ++ Seq(xs.size)).distinct.sorted
+        .sliding(2).map { case Seq(a, b) => xs.slice(a, b) }.toSeq
+      var st = SessState(Long.MinValue, -1L)
+      val stitched = pieces.flatMap { p =>
+        val (vals, s1) = graft.ops.StatsOps.sessFold(st, p, gap)
+        st = s1
+        vals
+      }
+      stitched shouldBe single
+      st shouldBe sEnd
+    }
+  }
 }
