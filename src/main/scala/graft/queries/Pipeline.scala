@@ -1273,16 +1273,9 @@ object Pipeline {
     },
 
     Q("p13_mm_frames", {
-      s"""WITH h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         |                  octet_length(encode(text)) AS n_bytes FROM documents),
-         |b AS (SELECT media_id, n_bytes, $HexBytesSql AS bytes FROM h),
-         |f AS (SELECT media_id, n_bytes, bytes, unnest(range(4)) AS frame_no FROM b)
-         |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
-         |       CAST(frame_no * n_bytes // 4 AS BIGINT) AS offset,
-         |       CAST(coalesce(list_sum(
-         |         bytes[(frame_no * n_bytes // 4 + 1):((frame_no + 1) * n_bytes // 4)]
-         |       ), 0) % 1000000007 AS BIGINT) AS frame_checksum
-         |FROM f ORDER BY media_id, frame_no""".stripMargin
+      s"""WITH $MmFrameTableCte
+         |SELECT media_id, frame_no, "offset", frame_checksum
+         |FROM fr ORDER BY media_id, frame_no""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
       val media = MultimodalOps.asMedia(t(s, dir, "documents"), "doc_id", "text")
@@ -5777,6 +5770,52 @@ object Pipeline {
           expr("sum(coalesce(hits, 0)) * 200000 div count(1)").as("mean_recall_ppm"),
           (min(coalesce(col("hits"), lit(0L))) * 200000).as("min_recall_ppm"))
         .orderBy(col("nprobe"))
+    },
+
+    // ---------- multimodal: frame-hash near-dup candidates (p125)
+    // The video-dedup candidate generator: media sharing ≥2 of their 4
+    // sampled frame checksums are near-dup candidates (frame hashing is
+    // how real pipelines match re-encoded/clipped video — here the
+    // checksums come from p13's byte-slice frames, the stubbed stand-in
+    // for a perceptual hash; the SAME fr table text via one CTE owner,
+    // so p13 and p125 can never disagree about frame identity). The
+    // pair generator is a (frame_no, checksum)-bucket self-join — group
+    // sizes bounded by the duplicate-cluster density, never all-pairs.
+    // n_shared grades the match (4 = every frame byte-exact). Fixed-
+    // stride framing catches exact and aligned-edit copies ONLY — an
+    // insertion shifts every boundary, which is precisely why p110's
+    // content-defined chunking exists; the two ops are the multimodal
+    // and text ends of the same dedup trade-off. The frame hash must be
+    // FULL-RANGE: a byte-sum checksum (range ~19k) birthday-collided
+    // into 417,688 accidental sf1 candidates vs 9 true matches at
+    // sf0.1 under the positional hash (MultimodalOps.sampleFrames).
+    Q("p125_mm_frame_neardup", {
+      s"""WITH $MmFrameTableCte,
+         |j AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |             CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM fr a JOIN fr b
+         |        ON a.frame_no = b.frame_no
+         |       AND a.frame_checksum = b.frame_checksum
+         |       AND a.media_id < b.media_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared, n_shared = 4 AS full_match
+         |FROM j ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val media = MultimodalOps.asMedia(t(s, dir, "documents"), "doc_id", "text")
+        .as[MultimodalOps.MediaRow]
+      val fr = MultimodalOps.sampleFrames(media, 4).toDF()
+        .select(col("media_id"), col("frame_no"), col("frame_checksum"))
+      fr.as("a")
+        .join(fr.as("b"),
+          col("a.frame_no") === col("b.frame_no")
+            && col("a.frame_checksum") === col("b.frame_checksum")
+            && col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          (col("n_shared") === 4).as("full_match"))
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -6390,4 +6429,22 @@ object Pipeline {
     """list_transform(range(1, n_bytes + 1), i ->
       |  (strpos('0123456789ABCDEF', substring(hx, 2*i - 1, 1)) - 1) * 16 +
       |  (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1))""".stripMargin
+
+  /** The 4-frame media checksum table `fr(media_id, frame_no, offset,
+    * frame_checksum)` — MultimodalOps.sampleFrames restated in SQL, one
+    * owner for p13 (the frame dump) and p125 (frame-hash near-dup
+    * candidates), so the two can never disagree about frame identity.
+    * A def (queries-val init order).
+    */
+  private def MmFrameTableCte: String =
+    s"""h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |            octet_length(encode(text)) AS n_bytes FROM documents),
+       |b AS (SELECT media_id, n_bytes, $HexBytesSql AS bytes FROM h),
+       |f AS (SELECT media_id, n_bytes, bytes, unnest(range(4)) AS frame_no FROM b),
+       |fr AS (SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+       |              CAST(frame_no * n_bytes // 4 AS BIGINT) AS offset,
+       |              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                bytes[(frame_no * n_bytes // 4 + 1):((frame_no + 1) * n_bytes // 4)]
+       |              ), (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS frame_checksum
+       |       FROM f)""".stripMargin
 }

@@ -744,4 +744,31 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     maxPpm should be > 999000L
     meanPpm should be > 999000L
   }
+
+  "p125_mm_frame_neardup" should "grade byte-exact copies 4/4 and an aligned single-quarter edit 3/4" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 40 four-char words + spaces = 200 bytes -> 50-byte frames.
+    // doc 2 = doc 1 verbatim -> all 4 frames match.
+    // doc 3 = doc 1 with a SAME-LENGTH word swap inside the 3rd quarter
+    // -> frames 0,1,3 still byte-identical, frame 2 differs.
+    // doc 4 is unrelated -> matches nothing.
+    val words = (1 to 40).map(i => f"w$i%03d")
+    val base = words.mkString(" ")
+    val edited = words.updated(25, "XXXX").mkString(" ")
+    val other = (1 to 40).map(i => f"z$i%03d").mkString(" ")
+    val docs = Seq((1L, base, "en", "sA"), (2L, base, "en", "sA"),
+      (3L, edited, "en", "sA"), (4L, other, "en", "sB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("framedup").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("p125_mm_frame_neardup")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    got((1L, 2L)) shouldBe ((4L, true))
+    got((1L, 3L)) shouldBe ((3L, false))
+    got((2L, 3L)) shouldBe ((3L, false))
+    got.keySet.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
+  }
 }

@@ -925,9 +925,13 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val plan = planOf("p119_dd_edit_verify")
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
-    // the candidate set is the persisted ≥0.9 memo; texts join in by id
-    plan should include("InMemoryTableScan")
+    // the candidate set is the shared ≥0.9 memo (the persist/idle-release
+    // lifecycle is pinned by "the shared near-dup pair table" test above;
+    // by this point in a full suite run the memo may legitimately have
+    // idle-released, so the pin here is the join SHAPE, not the cache);
+    // texts join in by id, the DP runs per candidate row
     plan should include("levenshtein")
+    plan should include regex "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
   }
 
   "p121_split_apportion" should "window over the cells table only — one corpus agg, no joins" in {
@@ -979,6 +983,15 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should not include "Union"
     plan should include("Expand")
     plan should include("HashAggregate")
+  }
+
+  "p125_mm_frame_neardup" should "bucket-join on (frame_no, checksum) — never all-pairs" in {
+    val plan = planOf("p125_mm_frame_neardup")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the self-join keys on the frame identity (equi-join) — the media
+    // population never crosses itself unbucketed
+    plan should include regex "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*frame"
   }
 
   "p124_sim_nprobe_sweep" should "run ONE assignment pass for all probe settings — no per-setting rescans" in {
