@@ -5816,6 +5816,67 @@ object Pipeline {
         .select(col("id_a"), col("id_b"), col("n_shared"),
           (col("n_shared") === 4).as("full_match"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---------- stats: Mann-Whitney U split-half length audit (p126)
+    // Are a source's document lengths EXCHANGEABLE across two seeded
+    // pseudo-random halves (hash parity — NOT doc_id parity: sources
+    // are id-residue classes in this corpus, so raw parity is constant
+    // within a source; the seeded hash is layout-agnostic, the p29
+    // split discipline)? The p123 idea, here for lengths. The Mann-Whitney U is the
+    // standard nonparametric two-sample statistic: U/(n₁n₀) ≈ 0.5
+    // under exchangeability, drifting toward 0/1 when one half's
+    // lengths stochastically dominate. Computed EXACTLY over the
+    // per-source length histogram with ×2 midranks (ties get the
+    // doubled average rank 2·cum_before + c + 1 — an integer, so no
+    // float ever appears): U₁×2 = Σ c_even·r₂ − n_even(n_even+1).
+    // Scale shape: one (source, n_chars) count aggregate (histogram,
+    // vocabulary-bounded), then source-partitioned running windows
+    // over that model-sized table.
+    Q("p126_len_mw_u", {
+      val hp = TextOps.polyHashSql("CAST(doc_id AS VARCHAR) || '#graft-mwu-3'")
+      s"""WITH t2 AS (SELECT source, n_chars,
+         |                   count(*) FILTER (WHERE $hp % 2 = 0) AS c_even,
+         |                   count(*) AS ct
+         |            FROM documents GROUP BY source, n_chars),
+         |r AS (SELECT source, c_even, ct,
+         |             2 * coalesce(sum(ct) OVER (PARTITION BY source ORDER BY n_chars
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |               + ct + 1 AS r2
+         |      FROM t2),
+         |g AS (SELECT source, CAST(sum(c_even) AS BIGINT) AS n_even,
+         |             CAST(sum(ct - c_even) AS BIGINT) AS n_odd,
+         |             CAST(sum(c_even * r2) AS BIGINT) AS rr2
+         |      FROM r GROUP BY source)
+         |SELECT source, n_even, n_odd,
+         |       CAST(rr2 - n_even * (n_even + 1) AS BIGINT) AS u2,
+         |       CAST(CASE WHEN n_even * n_odd = 0 THEN -1
+         |                 ELSE (rr2 - n_even * (n_even + 1)) * 500000
+         |                      // (n_even * n_odd) END AS BIGINT) AS u_ppm
+         |FROM g ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val half = pmod(TextOps.polyHash(
+        concat(col("doc_id").cast("string"), lit("#graft-mwu-3"))), lit(2L))
+      val t2 = t(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(when(half === 0, 1)).as("c_even"),
+          count(lit(1)).as("ct"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val g = t2
+        .withColumn("r2", lit(2L) * coalesce(sum(col("ct")).over(w), lit(0L))
+          + col("ct") + 1L)
+        .groupBy(col("source"))
+        .agg(sum(col("c_even")).as("n_even"),
+          sum(col("ct") - col("c_even")).as("n_odd"),
+          sum(col("c_even") * col("r2")).as("rr2"))
+      g.select(col("source"), col("n_even"), col("n_odd"),
+          (col("rr2") - col("n_even") * (col("n_even") + 1L)).as("u2"))
+        .withColumn("u_ppm",
+          when(col("n_even") * col("n_odd") === 0, -1L)
+            .otherwise(expr("(u2 * 500000) div (n_even * n_odd)")))
+        .orderBy(col("source"))
     }
   )
 

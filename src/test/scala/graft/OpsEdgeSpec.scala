@@ -771,4 +771,34 @@ class OpsEdgeSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     got((2L, 3L)) shouldBe ((3L, false))
     got.keySet.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
   }
+
+  "p126_len_mw_u" should "match hand-computed doubled-midrank U incl. ties and a dominant half" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    def parity(id: Long): Long =
+      ops.TextOps.polyHashJvm(s"$id#graft-mwu-3") % 2
+    val ids = (1L to 200L)
+    val evens = ids.filter(parity(_) == 0).take(5)
+    val odds = ids.filter(parity(_) == 1).take(3)
+    def doc(id: Long, len: Int, src: String) =
+      (id, "x" * len, "en", src, len.toLong)
+    // sA: even lengths {10, 20}, odd {15}: ranks 1/2/3 -> r2 2/4/6,
+    //     rr2 = 2+6 = 8, u2 = 8 - 2·3 = 2, u_ppm = 2·5e5/(2·1) = 500000
+    // sB: all tie at 5 (even {5,5}, odd {5}): r2 = 4 for the tie block,
+    //     rr2 = 8, u2 = 2, u_ppm = 500000 exactly — ties split evenly
+    // sC: even {100} dominates odd {1}: u2 = 2, u_ppm = 1000000
+    val docs = Seq(
+      doc(evens(0), 10, "sA"), doc(evens(1), 20, "sA"), doc(odds(0), 15, "sA"),
+      doc(evens(2), 5, "sB"), doc(evens(3), 5, "sB"), doc(odds(1), 5, "sB"),
+      doc(evens(4), 100, "sC"), doc(odds(2), 1, "sC"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("mwu").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("p126_len_mw_u")(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    got("sA") shouldBe ((2L, 1L, 2L, 500000L))
+    got("sB") shouldBe ((2L, 1L, 2L, 500000L))
+    got("sC") shouldBe ((1L, 1L, 2L, 1000000L))
+  }
 }

@@ -985,6 +985,17 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("HashAggregate")
   }
 
+  "p126_len_mw_u" should "rank over the histogram only — one corpus agg, windows on the model-sized table" in {
+    val plan = planOf("p126_len_mw_u")
+    plan should not include "CartesianProduct"
+    plan should not include "Join"
+    // the U statistic reads the (source, n_chars) HISTOGRAM — the
+    // running-rank window partitions by source over that bounded table,
+    // never over corpus rows
+    plan should include regex "windowspecdefinition\\(source"
+    plan should include("HashAggregate")
+  }
+
   "p125_mm_frame_neardup" should "bucket-join on (frame_no, checksum) — never all-pairs" in {
     val plan = planOf("p125_mm_frame_neardup")
     plan should not include "CartesianProduct"
