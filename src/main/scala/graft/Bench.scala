@@ -2,6 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // stale streaming-scaffold dirs from crashed earlier JVMs poison the
+    // bench (the r12 contamination: ~30 leftover slice dirs uniformly
+    // ~2x-ed the streaming family) — sweep before timing anything
+    val swept = graft.queries.StreamScaffold.sweepStale()
+    if (swept > 0) System.err.println(s"[bench] swept $swept stale scaffold dirs")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object SoloBench {
   def main(args: Array[String]): Unit = {
+    graft.queries.StreamScaffold.sweepStale()
     val sfDir = args.head
     val names = args.tail
     val spark = SparkSession.builder().master("local[32]")

@@ -48,17 +48,29 @@ object SimilarityOps {
     * last) — bit-identical to both, so driver-side greedy loops (the
     * k-center coreset) can compare distances the oracle reproduces.
     * Pinned equal to the Catalyst expression in SimilarityOpsSpec.
+    *
+    * Two deliberate departures from a naive fold, both to fail/behave
+    * deterministically where the expression's behavior is undefined or
+    * driver-hostile: mismatched lengths throw (the Catalyst twin zips
+    * full arrays — silent truncation here would turn an upstream
+    * dimension bug into plausible-but-wrong distances), and a zero-norm
+    * input yields similarity 0.0 instead of NaN (NaN poisons greedy
+    * `maxBy` loops — every comparison is false, so the farthest-first
+    * selector would crash on a missing map entry).
     */
   def cosineJvm(a: Seq[Float], b: Seq[Float]): Double = {
+    require(a.length == b.length,
+      s"cosineJvm: dimension mismatch ${a.length} vs ${b.length}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val m = math.min(a.length, b.length)
+    val m = a.length
     while (i < m) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Brute-force top-k cosine neighbors for each query vector.
@@ -669,9 +681,13 @@ object SimilarityOps {
               val cur = minD.getOrElse(v.vec_id, Double.MaxValue)
               if (d < cur) minD(v.vec_id) = d
             }
-            val next = remaining.maxBy(v => (minD(v.vec_id), -v.vec_id))
+            // getOrElse belt-and-braces: cosineJvm can no longer emit
+            // NaN (zero-norm → 0.0), but an unseeded entry must still
+            // pick deterministically, never crash the executor
+            val next = remaining.maxBy(v =>
+              (minD.getOrElse(v.vec_id, Double.MaxValue), -v.vec_id))
             picks += CoresetPick(bucket, step.toLong, next.vec_id,
-              math.floor(minD(next.vec_id) * 1000000 + 0.5).toLong)
+              math.floor(minD.getOrElse(next.vec_id, Double.MaxValue) * 1000000 + 0.5).toLong)
             chosen = next
             remaining = remaining.filterNot(_.vec_id == next.vec_id)
             step += 1

@@ -1994,6 +1994,7 @@ object Cef {
     */
   private val sliceCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  StreamScaffold.registerCache(() => sliceCache.clear())
 
   /** Deterministic late-arrival injection for the watermark gate
     * (cef40): every 101st event id is held back one slice, so it
@@ -2013,7 +2014,10 @@ object Cef {
     * time-ordered ntile, making the slices deliberately out-of-order.
     */
   private def buildSlices(s: SparkSession, path: String, late: Boolean = false): java.nio.file.Path = {
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    // tracked: deleted (and the cache cleared) when the session stops —
+    // the r12 BENCH contamination fix (StreamScaffold's scaladoc)
+    val srcDir = StreamScaffold.track(s,
+      java.nio.file.Files.createTempDirectory("graft-stream-src"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-slices")
     def rmTree(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
@@ -2113,7 +2117,7 @@ object Cef {
     // schema of the REWRITTEN slices (ts already normalized to
     // TIMESTAMP(MICROS) by buildInto), not of the driver's raw table
     val schema = s.read.parquet(srcDir.toString).schema
-    val ckptDir = java.nio.file.Files.createTempDirectory(s"$tag-ckpt")
+    val ckptDir = StreamScaffold.newCheckpointDir(s, tag)
     val sinkName = s"${tag}_sink_${streamRuns.incrementAndGet()}"
     def rmTree(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
@@ -2155,9 +2159,11 @@ object Cef {
       }
       try s.catalog.dropTempView(sinkName) catch { case _: Exception => }
       rmTree(ckptDir)
+      StreamScaffold.untrack(ckptDir)
       // srcDir is NOT removed here: the slice cache owns it for the
       // session (deleting it under the cache strands every later
-      // streaming gate on a dead path)
+      // streaming gate on a dead path); StreamScaffold deletes it when
+      // the session stops
     }
   }
 

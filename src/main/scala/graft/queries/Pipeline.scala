@@ -287,6 +287,7 @@ object Pipeline {
   private val DocStreamSlices = 3
   private val docSliceCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  StreamScaffold.registerCache(() => docSliceCache.clear())
   private val docStreamRuns = new java.util.concurrent.atomic.AtomicLong()
 
   private def rmTree(p: java.nio.file.Path): Unit = {
@@ -296,8 +297,9 @@ object Pipeline {
   }
 
   private def buildDocSlices(s: SparkSession, path: String): java.nio.file.Path = {
-    val srcDir = java.nio.file.Files.createTempDirectory("docstream-src")
-    val tmp = java.nio.file.Files.createTempDirectory("docstream-tmp")
+    val srcDir = StreamScaffold.track(s,
+      java.nio.file.Files.createTempDirectory("graft-docstream-src"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docstream-tmp")
     try {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
       s.read.parquet(path)
@@ -327,7 +329,7 @@ object Pipeline {
       .toAbsolutePath.normalize.toString
     val srcDir = docSliceCache.computeIfAbsent(path, _ => buildDocSlices(s, path))
     val schema = s.read.parquet(srcDir.toString).schema
-    val ckptDir = java.nio.file.Files.createTempDirectory(s"$tag-ckpt")
+    val ckptDir = StreamScaffold.newCheckpointDir(s, tag)
     val sinkName = s"${tag}_sink_${docStreamRuns.incrementAndGet()}"
     val spKey = "spark.sql.shuffle.partitions"
     val spPrev = s.conf.getOption(spKey)
@@ -355,7 +357,9 @@ object Pipeline {
       }
       try s.catalog.dropTempView(sinkName) catch { case _: Exception => }
       rmTree(ckptDir)
-      // srcDir is cache-owned for the session, like the cef slice cache
+      StreamScaffold.untrack(ckptDir)
+      // srcDir is cache-owned for the session, like the cef slice cache;
+      // StreamScaffold deletes both when the session stops
     }
   }
 
@@ -5659,8 +5663,9 @@ object Pipeline {
          |                  AS BIGINT) AS s1
          |      FROM q GROUP BY label, dim),
          |d AS (SELECT g.label, g.dim,
-         |             abs(s0 * n.n1 - s1 * n.n0) * 1000000
-         |               // (abs(s0) * n.n1 + abs(s1) * n.n0 + 1) AS ppm
+         |             CAST(abs(CAST(s0 AS HUGEINT) * n.n1 - CAST(s1 AS HUGEINT) * n.n0) * 1000000
+         |               // (abs(CAST(s0 AS HUGEINT)) * n.n1 + abs(CAST(s1 AS HUGEINT)) * n.n0 + 1)
+         |               AS BIGINT) AS ppm
          |      FROM g JOIN n USING (label)),
          |r AS (SELECT label, dim, ppm,
          |             row_number() OVER (PARTITION BY label
@@ -5689,8 +5694,14 @@ object Pipeline {
         .agg(coalesce(sum(when(col("half") === 0, col("qv"))), lit(0L)).as("s0"),
           coalesce(sum(when(col("half") === 1, col("qv"))), lit(0L)).as("s1"))
       val d = g.join(broadcast(n), "label")
+        // DECIMAL(38,0) cross-products (the p102 route): s0*n1*10⁶ passes
+        // Long.MaxValue once a label holds ≳1e5 vectors per half — int64
+        // would wrap silently in Spark (non-ANSI) while the HUGEINT
+        // oracle stays exact, a silent cross-engine divergence
         .withColumn("ppm",
-          expr("(abs(s0 * n1 - s1 * n0) * 1000000) div (abs(s0) * n1 + abs(s1) * n0 + 1)"))
+          expr("""cast((abs(cast(s0 as decimal(38,0)) * n1 - cast(s1 as decimal(38,0)) * n0) * 1000000)
+                 |  div (abs(cast(s0 as decimal(38,0))) * n1
+                 |       + abs(cast(s1 as decimal(38,0))) * n0 + 1) as bigint)""".stripMargin))
       val r = d.withColumn("rk", row_number().over(
         Window.partitionBy(col("label")).orderBy(col("ppm").desc, col("dim"))))
         .filter(col("rk") === 1)

@@ -545,6 +545,39 @@ object Relational {
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), (o_orderpriority))
           |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Correlated scalar subquery, TPC-H Q17 shape (small-quantity-order
+    // revenue): the per-part average quantity sits INSIDE the filter,
+    // correlated on p_partkey. Expressed through the SQL surface so
+    // Catalyst's RewriteCorrelatedScalarSubquery decorrelates it — the
+    // physical plan is ONE extra aggregate over lineitem joined back on
+    // l_partkey, never a per-row re-execution (pinned in PlanSpec: two
+    // lineitem scans, one join cascade, no nested-loop). avg(l_quantity)
+    // is exact cross-engine: quantities are integral doubles, so the sum
+    // is order-independent and the single divide + 0.2 multiply are
+    // IEEE-identical in both engines. Scale shape: the per-part agg
+    // shuffles on l_partkey (same key as the join), part is dim-sized →
+    // broadcast; survives a 100× fact table unchanged.
+    Q("q24_corr_subquery",
+      """SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand IN ('Brand#21','Brand#22','Brand#23','Brand#24','Brand#25')
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q24")
+      t(s, dir, "part").createOrReplaceTempView("part_q24")
+      s.sql(
+        """SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+          |FROM lineitem_q24 l JOIN part_q24 p ON p.p_partkey = l.l_partkey
+          |WHERE p.p_brand IN ('Brand#21','Brand#22','Brand#23','Brand#24','Brand#25')
+          |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+          |                      FROM lineitem_q24 l2 WHERE l2.l_partkey = p.p_partkey)
+          |GROUP BY p_brand
+          |ORDER BY p_brand""".stripMargin)
     }
   )
 }

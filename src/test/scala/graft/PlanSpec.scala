@@ -1017,4 +1017,16 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <= 4
     "FileScan parquet".r.findAllIn(plan).size should be <= 8
   }
+
+  "q24_corr_subquery" should "decorrelate into one aggregate + join — never per-row re-execution" in {
+    val plan = planOf("q24_corr_subquery")
+    // RewriteCorrelatedScalarSubquery must have lowered the correlated
+    // avg into a grouped aggregate joined back on l_partkey: no
+    // cartesian/nested-loop, and exactly two lineitem scans (the fact
+    // pass + the decorrelated aggregate), not one per outer row
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("HashAggregate")
+    "FileScan parquet".r.findAllIn(plan).size should be <= 3 // 2x lineitem + part
+  }
 }
