@@ -33,16 +33,7 @@ object Detect {
       partitionCol: String,
       numAttrs: Seq[String] = Nil,
       strAttrs: Seq[String] = Nil): Dataset[CEvent] = {
-    val tsExpr = df.schema(tsCol).dataType.typeName match {
-      case "timestamp" => unix_micros(col(tsCol))
-      // TIMESTAMP_NTZ (e.g. parquet micros with isAdjustedToUTC=false):
-      // unix_micros rejects it, and an NTZ→TZ cast would resolve against
-      // the ambient session timezone; an NTZ-to-NTZ timestampdiff against
-      // the epoch literal recovers the stored micros unconditionally
-      case "timestamp_ntz" =>
-        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `$tsCol`)")
-      case _ => col(tsCol).cast("long")
-    }
+    val tsExpr = tsExprFor(df, tsCol)
     val numMap =
       if (numAttrs.isEmpty) map().cast("map<string,double>")
       else map(numAttrs.flatMap(a => Seq(lit(a), col(a).cast("double"))): _*)
@@ -57,6 +48,47 @@ object Detect {
       numMap.as("num"),
       strMap.as("str"))
       .as[CEvent]
+  }
+
+  private def tsExprFor(df: DataFrame, tsCol: String) =
+    df.schema(tsCol).dataType.typeName match {
+      case "timestamp" => unix_micros(col(tsCol))
+      // TIMESTAMP_NTZ (e.g. parquet micros with isAdjustedToUTC=false):
+      // unix_micros rejects it, and an NTZ→TZ cast would resolve against
+      // the ambient session timezone; an NTZ-to-NTZ timestampdiff against
+      // the epoch literal recovers the stored micros unconditionally
+      case "timestamp_ntz" =>
+        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `$tsCol`)")
+      case _ => col(tsCol).cast("long")
+    }
+
+  /** Narrow streaming ingest (the Stream hot path): rows carry only the
+    * attr VALUE arrays; the names — constants of the dataset, not of
+    * the row — ride in the operator closure. `Dataset[CEvent]` pays
+    * Catalyst's generic Map codec per row on both sides of the keyed
+    * shuffle, measured at ~2.4x the whole streaming steady state
+    * (SCALE.md round-13 table); this shape shuffles two primitive-ish
+    * arrays instead and rebuilds the CEvent exactly once, post-shuffle.
+    * Same normalization rules as [[toEvents]] (shared `tsExpr`).
+    */
+  def toEventStream(
+      df: DataFrame,
+      idCol: String,
+      typeCol: String,
+      tsCol: String,
+      partitionCol: String,
+      numAttrs: Seq[String] = Nil,
+      strAttrs: Seq[String] = Nil): EventStream = {
+    implicit val nEnc: Encoder[NEvent] = Encoders.product[NEvent]
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      col(typeCol).cast("string").as("eventType"),
+      tsExprFor(df, tsCol).as("timestamp"),
+      col(partitionCol).cast("string").as("partition"),
+      array(numAttrs.map(a => col(a).cast("double")): _*).as("numV"),
+      array(strAttrs.map(a => col(a).cast("string")): _*).as("strV"))
+      .as[NEvent]
+    EventStream(ds, numAttrs.toArray, strAttrs.toArray)
   }
 
   /** Detection points from the deterministic streaming-SDFA runtime. */
@@ -205,5 +237,38 @@ object Detect {
           stepFn(run, e)
         }
       }
+  }
+}
+
+/** Row shape of [[EventStream]]: attr values only, positionally aligned
+  * with the stream's attr-name lists. Primitive/flat fields keep the
+  * Catalyst codec out of generic-Map territory on the keyed shuffle.
+  */
+final case class NEvent(
+    id: Long,
+    eventType: String,
+    timestamp: Long,
+    partition: String,
+    numV: Array[Double],
+    strV: Array[String])
+
+/** Narrow streaming ingest handle ([[Detect.toEventStream]]): the typed
+  * event rows plus their dataset-constant attr names. The names arrays
+  * serialize once into each task closure; [[rebuild]] reassembles the
+  * engine's CEvent once per row, after the shuffle.
+  */
+final case class EventStream(
+    ds: Dataset[NEvent],
+    numNames: Array[String],
+    strNames: Array[String]) {
+
+  def rebuild(n: NEvent): CEvent = {
+    var num = Map.empty[String, Double]
+    var i = 0
+    while (i < numNames.length) { num = num.updated(numNames(i), n.numV(i)); i += 1 }
+    var str = Map.empty[String, String]
+    i = 0
+    while (i < strNames.length) { str = str.updated(strNames(i), n.strV(i)); i += 1 }
+    CEvent(n.id, n.eventType, n.timestamp, n.partition, num, str)
   }
 }

@@ -106,12 +106,41 @@ object Inference {
       controls: ControlHandle,
       initialModelId: Int = 0,
       swapDelay: Long = 0L,
-      reportingDistance: Long = 3600L): Dataset[Out] = {
+      reportingDistance: Long = 3600L): Dataset[Out] =
+    engineImpl(Stream.narrowByKey(events), NarrowEvent.rebuild _, cp, loadModel,
+      controls, initialModelId, swapDelay, reportingDistance)
 
-    events.groupByKey(_.partition)
+  /** [[EventStream]] (narrow-ingest) face of [[engine]]. */
+  def engine(
+      events: EventStream,
+      cp: CompiledPattern,
+      loadModel: Int => (Spst, Map[(List[Int], Int), ForecastInterval]),
+      controls: ControlHandle,
+      initialModelId: Int,
+      swapDelay: Long,
+      reportingDistance: Long): Dataset[Out] = {
+    implicit val nEnc: Encoder[NEvent] = Encoders.product[NEvent]
+    engineImpl(events.ds.groupByKey(_.partition), events.rebuild _, cp, loadModel,
+      controls, initialModelId, swapDelay, reportingDistance)
+  }
+
+  private def engineImpl[E](
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[String, E],
+      rebuild: E => CEvent,
+      cp: CompiledPattern,
+      loadModel: Int => (Spst, Map[(List[Int], Int), ForecastInterval]),
+      controls: ControlHandle,
+      initialModelId: Int,
+      swapDelay: Long,
+      reportingDistance: Long): Dataset[Out] = {
+
+    // narrow shuffle (Stream.narrowByKey's rationale): attr maps ride as
+    // array columns; CEvent rebuilt once per row post-shuffle
+    grouped
       .flatMapGroupsWithState[EngineSnapshot, Out](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[CEvent], state: GroupState[EngineSnapshot]) =>
+        (key: String, nrows: Iterator[E], state: GroupState[EngineSnapshot]) =>
+          val rows: Iterator[CEvent] = nrows.map(rebuild)
           // restore or create the keyed engine
           val snap = state.getOption
           var paused = snap.map(_.paused).getOrElse(false)

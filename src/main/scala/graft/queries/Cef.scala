@@ -1918,10 +1918,12 @@ object Cef {
     * contract, so the copy is small by construction.)
     */
   private def runDetectionStream(s: SparkSession, dir: String, tag: String)(
-      detect: org.apache.spark.sql.Dataset[CEvent] =>
+      detect: graft.cef.spark.EventStream =>
         org.apache.spark.sql.Dataset[_]): DataFrame =
     runEventStream(s, dir, tag, "append") { raw =>
-      detect(Detect.toEvents(raw,
+      // narrow ingest (Detect.toEventStream): the keyed shuffle moves
+      // value arrays, not per-row attr maps — the r13 throughput fix
+      detect(Detect.toEventStream(raw,
         idCol = "event_id", typeCol = "event_type", tsCol = "ts",
         partitionCol = "user_id", numAttrs = Seq("value"))).toDF()
     }

@@ -4629,8 +4629,14 @@ object Pipeline {
       val mm = graft.ops.StatsOps.groupedMedianMadOutliers(
         docs.select(col("source"), col("n_chars")), "source", "n_chars", MadOutlierK)
       val sc = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("sum_chars"))
-      val d = docs.select(col("source"), col("doc_id"),
-        TextOps.polyHash(col("text")).as("fp"))
+      // the fingerprint table feeds TWO consumers (the first-occurrence
+      // agg and the emit join) — persisted for the query's duration so
+      // the text scan + hash run once, not twice (p100 was the most
+      // expensive non-streaming query in the r12 sweep, and this leg
+      // was the double scan; the p08/p18 signature-cache discipline)
+      val d = graft.ops.Release.afterFirstUse(
+        docs.select(col("source"), col("doc_id"),
+          TextOps.polyHash(col("text")).as("fp")))
       val ff = d.groupBy(col("fp")).agg(min(col("doc_id")).as("first"))
       val dup = d.join(ff, "fp")
         .groupBy(col("source"))

@@ -1018,6 +1018,15 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "FileScan parquet".r.findAllIn(plan).size should be <= 8
   }
 
+  "p100_corpus_health" should "share ONE text scan between the fingerprint agg and its emit join" in {
+    val plan = planOf("p100_corpus_health")
+    // the (source, doc_id, fp) table is persisted for the query's
+    // duration: both consumers read the InMemoryRelation, so the
+    // text-bearing documents scan runs once, not once per consumer
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
+    plan should not include "CartesianProduct"
+  }
+
   "q24_corr_subquery" should "decorrelate into one aggregate + join — never per-row re-execution" in {
     val plan = planOf("q24_corr_subquery")
     // RewriteCorrelatedScalarSubquery must have lowered the correlated

@@ -114,6 +114,15 @@ class StreamEngineThroughputSpec extends AnyFlatSpec with Matchers with BeforeAn
     Detect.toEvents(df, idCol = "event_id", typeCol = "event_type",
       tsCol = "ts", partitionCol = "user_id", numAttrs = Seq("value"))
 
+  /** The narrow ingest (Detect.toEventStream) — the recommended Stream
+    * entry since round 13: the keyed shuffle moves value arrays, not
+    * per-row attr maps (~1.5x the CEvent path at steady state, ≥1 M
+    * ev/s at 4M-row batches — SCALE.md round-13 grid).
+    */
+  private def toES(df: DataFrame) =
+    Detect.toEventStream(df, idCol = "event_id", typeCol = "event_type",
+      tsCol = "ts", partitionCol = "user_id", numAttrs = Seq("value"))
+
   /** Best-of-attempts over fresh streaming queries (ThroughputSpec's
     * discipline: attempt 1 pays JIT + first-use class loading for the
     * whole streaming stack; the guarded quantity is what the code
@@ -134,17 +143,17 @@ class StreamEngineThroughputSpec extends AnyFlatSpec with Matchers with BeforeAn
     (best, out)
   }
 
-  it should "sustain >100k events/s through the streaming detection path at steady state" in {
+  it should "sustain >150k events/s through the streaming detection path at steady state" in {
     val cp = Compiler.compile(
       ";(IsEventTypePredicate(a),+(IsEventTypePredicate(b),IsEventTypePredicate(c)),GTPredicate(value,100.0))")
     val src = writeSlices(Seq(eventsDf(0, WarmRows), eventsDf(WarmRows, MainRows)))
     val (rate, detections) = bestSteadyRate(src, attempts = 2) { raw =>
-      Stream.detections(toEvents(raw), cp).toDF()
+      Stream.detections(toES(raw), cp).toDF()
     }
     info(f"streaming detections steady state: ${rate / 1e6}%.2f M events/s " +
       f"(best of 2 × $MainRows-row batches, $detections detections, 8 cores)")
     detections should be > 0L
-    rate should be > 100000.0
+    rate should be > 150000.0
   }
 
   it should "sustain >50k events/s through the streaming forecast path at steady state" in {
@@ -160,7 +169,7 @@ class StreamEngineThroughputSpec extends AnyFlatSpec with Matchers with BeforeAn
     val table = spst.forecastTable(ForecastMethod.ClassifyNextK, 0.4, 10, 20)
     val src = writeSlices(Seq(eventsDf(0, WarmRows), eventsDf(WarmRows, MainRows)))
     val (rate, forecasts) = bestSteadyRate(src, attempts = 2) { raw =>
-      Stream.forecasts(toEvents(raw), cp, spst, table).toDF()
+      Stream.forecasts(toES(raw), cp, spst, table).toDF()
     }
     info(f"streaming forecasts steady state: ${rate / 1e6}%.2f M events/s " +
       f"(best of 2 × $MainRows-row batches, $forecasts forecasts, 8 cores)")
@@ -168,7 +177,7 @@ class StreamEngineThroughputSpec extends AnyFlatSpec with Matchers with BeforeAn
     rate should be > 50000.0
   }
 
-  it should "sustain >30k events/s through the streaming DSRA register path at steady state" in {
+  it should "sustain >60k events/s through the streaming DSRA register path at steady state" in {
     // C10: register pattern (value bound + register comparison) with a
     // count window — the hyper-state (configuration set + valuations +
     // window anchors) round-trips through GroupState per micro-batch
@@ -176,12 +185,12 @@ class StreamEngineThroughputSpec extends AnyFlatSpec with Matchers with BeforeAn
       """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""")
     val src = writeSlices(Seq(eventsDf(0, WarmRows), eventsDf(WarmRows, MainRows)))
     val (rate, detections) = bestSteadyRate(src, attempts = 2) { raw =>
-      Stream.detectionsDsra(toEvents(raw), cpR).toDF()
+      Stream.detectionsDsra(toES(raw), cpR).toDF()
     }
     info(f"streaming DSRA steady state: ${rate / 1e6}%.2f M events/s " +
       f"(best of 2 × $MainRows-row batches, $detections detections, 8 cores)")
     detections should be > 0L
-    rate should be > 30000.0
+    rate should be > 60000.0
   }
 
   it should "sustain >30k events/s through the streaming match-enumeration path at steady state" in {
@@ -191,7 +200,7 @@ class StreamEngineThroughputSpec extends AnyFlatSpec with Matchers with BeforeAn
       """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x"))){window:10}{windowType:count}""")
     val src = writeSlices(Seq(eventsDf(0, WarmRows), eventsDf(WarmRows, MainRows)))
     val (rate, matches) = bestSteadyRate(src, attempts = 2) { raw =>
-      Stream.matches(toEvents(raw), cpM).toDF()
+      Stream.matches(toES(raw), cpM).toDF()
     }
     info(f"streaming match enumeration steady state: ${rate / 1e6}%.2f M events/s " +
       f"(best of 2 × $MainRows-row batches, $matches matches, 8 cores)")
