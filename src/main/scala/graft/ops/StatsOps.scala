@@ -332,14 +332,17 @@ object StatsOps {
     * corpus-sized partitions. The two histograms are persisted for the
     * query's duration and auto-released (Release.afterFirstUse).
     *
-    * Output: keyCol, n, med, mad, n_out.
+    * Output: keyCol, n, sv (sum of values — free from the histogram, so
+    * consumers like p100 don't pay a separate corpus scan for it), med,
+    * mad, n_out.
     */
   def groupedMedianMadOutliers(
       rows: DataFrame, keyCol: String, valCol: String, madK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = rows.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("c"))
     val hCp = Release.afterFirstUse(h)
-    val n = hCp.groupBy(col(keyCol)).agg(sum(col("c")).as("n"))
+    val n = hCp.groupBy(col(keyCol))
+      .agg(sum(col("c")).as("n"), sum(col(valCol) * col("c")).as("sv"))
     val wc = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
     val med = hCp.withColumn("cc", sum(col("c")).over(wc))
       .join(broadcast(n), keyCol)

@@ -4626,9 +4626,10 @@ object Pipeline {
          |ORDER BY source""".stripMargin
     }) { (s, dir) =>
       val docs = t(s, dir, "documents")
+      // sum_chars rides the helper's histogram (its `sv` column) — no
+      // separate corpus scan for it
       val mm = graft.ops.StatsOps.groupedMedianMadOutliers(
         docs.select(col("source"), col("n_chars")), "source", "n_chars", MadOutlierK)
-      val sc = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("sum_chars"))
       // the fingerprint table feeds TWO consumers (the first-occurrence
       // agg and the emit join) — persisted for the query's duration so
       // the text scan + hash run once, not twice (p100 was the most
@@ -4645,9 +4646,9 @@ object Pipeline {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("vocab"),
           sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
-      mm.join(broadcast(sc), "source").join(broadcast(dup), "source")
+      mm.join(broadcast(dup), "source")
         .join(broadcast(vg), "source")
-        .select(col("source"), col("n").as("n_docs"), col("sum_chars"),
+        .select(col("source"), col("n").as("n_docs"), col("sv").as("sum_chars"),
           col("med").as("median_chars"), col("mad"),
           expr("(n_out * 1000000) div n").as("outlier_ppm"),
           expr("(n_dup * 1000000) div n").as("dup_ppm"),

@@ -438,15 +438,16 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       }
       val got = graft.ops.StatsOps
         .groupedMedianMadOutliers(rows.toDF("k", "v"), "k", "v", 3)
+        .select("k", "n", "sv", "med", "mad", "n_out")
         .collect().map(r => r.getString(0) ->
-          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
       val exp = rows.groupBy(_._1).map { case (k, vs) =>
         def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
         val values = vs.map(_._2)
         val med = lowerMedian(values)
         val mad = lowerMedian(values.map(v => math.abs(v - med)))
         val nOut = values.count(v => math.abs(v - med) > 3 * mad)
-        k -> ((values.size.toLong, med, mad, nOut.toLong))
+        k -> ((values.size.toLong, values.sum, med, mad, nOut.toLong))
       }
       withClue(s"trial $trial: ") { got shouldBe exp }
     }
@@ -461,15 +462,17 @@ class StatsOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       .collect() shouldBe empty
     // one row: median = the value, MAD = 0, outliers = 0 (0 > 3*0 false)
     val one = graft.ops.StatsOps.groupedMedianMadOutliers(
-      Seq(("a", 7L)).toDF("k", "v"), "k", "v", 3).collect()
-    one.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))) shouldBe
-      Array(("a", 1L, 7L, 0L, 0L))
+      Seq(("a", 7L)).toDF("k", "v"), "k", "v", 3)
+      .select("k", "n", "sv", "med", "mad", "n_out").collect()
+    one.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))) shouldBe
+      Array(("a", 1L, 7L, 7L, 0L, 0L))
     // two rows: lower median, every deviation equal -> mad = 0, the far
     // row IS an outlier under dev > 0
     val two = graft.ops.StatsOps.groupedMedianMadOutliers(
-      Seq(("a", 1L), ("a", 100L)).toDF("k", "v"), "k", "v", 3).collect()
-    two.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))) shouldBe
-      Array(("a", 2L, 1L, 0L, 1L))
+      Seq(("a", 1L), ("a", 100L)).toDF("k", "v"), "k", "v", 3)
+      .select("k", "n", "sv", "med", "mad", "n_out").collect()
+    two.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))) shouldBe
+      Array(("a", 2L, 101L, 1L, 0L, 1L))
   }
 
   "cusumFold" should "be split-invariant at arbitrary micro-batch boundaries and equal the closed form" in {
