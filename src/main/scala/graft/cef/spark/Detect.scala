@@ -95,6 +95,13 @@ object Detect {
   def detections(events: Dataset[CEvent], cp: CompiledPattern): Dataset[Detection] =
     perKeyScan(events)(key => new DetRun(cp, key))((run, e) => run.step(e).iterator)
 
+  /** Narrow-ingest face of [[detections]] — the batch scan pays the
+    * generic Map decode once per row, and dropping it measures 1.5x
+    * (2.28 → 3.37 M ev/s over 4M events, SCALE.md round-13).
+    */
+  def detections(events: EventStream, cp: CompiledPattern): Dataset[Detection] =
+    perKeyScanNarrow(events)(key => new DetRun(cp, key))((run, e) => run.step(e).iterator)
+
   /** Multi-pattern detection (a `&`-separated pattern file, docs/lang.md):
     * one pass over the data drives ALL automata per key — the reference's
     * run pool registered per (fsmId, partition value)
@@ -112,6 +119,19 @@ object Detect {
     }
   }
 
+  /** Narrow-ingest face of [[detectionsMulti]]. */
+  def detectionsMulti(
+      events: EventStream,
+      cps: Seq[CompiledPattern]): Dataset[(Int, Detection)] = {
+    implicit val enc: Encoder[(Int, Detection)] =
+      Encoders.tuple(Encoders.scalaInt, detEnc)
+    perKeyScanNarrow(events)(key => cps.map(cp => new DetRun(cp, key)).toArray) {
+      (runs, e) => runs.iterator.zipWithIndex.flatMap {
+        case (run, fsmId) => run.step(e).map(fsmId -> _)
+      }
+    }
+  }
+
   /** C10: deterministic detection for count-windowed register (SREMO)
     * patterns via the anchor-windowed DSRA runtime ([[graft.cef.DsraRun]]):
     * detection points with a bounded per-key configuration population —
@@ -119,6 +139,10 @@ object Detect {
     */
   def detectionsDsra(events: Dataset[CEvent], cp: CompiledPattern): Dataset[Detection] =
     perKeyScan(events)(key => new DsraRun(cp, key))((run, e) => run.step(e).iterator)
+
+  /** Narrow-ingest face of [[detectionsDsra]]. */
+  def detectionsDsra(events: EventStream, cp: CompiledPattern): Dataset[Detection] =
+    perKeyScanNarrow(events)(key => new DsraRun(cp, key))((run, e) => run.step(e).iterator)
 
   /** SPSTm symbolization of the DSRA runtime (T1/F2 for register
     * patterns): one row per event carrying the runtime's deterministic
@@ -145,6 +169,20 @@ object Detect {
       cp: CompiledPattern,
       grid: Long = 0L): Dataset[DsraStep] = {
     implicit val stepEnc: Encoder[DsraStep] = Encoders.product[DsraStep]
+    perKeyScan(events)(key => new DsraRun(cp, key))(dsraStepFn(cp, grid))
+  }
+
+  /** Narrow-ingest face of [[dsraTrace]]. */
+  def dsraTrace(events: EventStream, cp: CompiledPattern): Dataset[DsraStep] =
+    dsraTrace(events, cp, 0L)
+  def dsraTrace(events: EventStream, cp: CompiledPattern, grid: Long): Dataset[DsraStep] = {
+    implicit val stepEnc: Encoder[DsraStep] = Encoders.product[DsraStep]
+    perKeyScanNarrow(events)(key => new DsraRun(cp, key))(dsraStepFn(cp, grid))
+  }
+
+  /** One owner for the per-event symbolization rule (both scan shapes). */
+  private def dsraStepFn(
+      cp: CompiledPattern, grid: Long): (DsraRun, CEvent) => Iterator[DsraStep] = {
     val timeWindowed = cp.windowKind == WindowKind.Time
     val cells: Long =
       if (!timeWindowed) {
@@ -157,7 +195,7 @@ object Detect {
         cp.window / grid
       }
     require(cells >= 2, s"anchor-age abstraction needs >=2 cells, got $cells")
-    perKeyScan(events)(key => new DsraRun(cp, key)) { (run, e) =>
+    (run, e) =>
       if (e.isReset) { run.step(e); Iterator.empty }
       else {
         val det = run.step(e)
@@ -177,7 +215,6 @@ object Detect {
           else math.min(counter - anchor, cells)
         Iterator.single(DsraStep(run.partition, counter, e.id, sym, state.toInt))
       }
-    }
   }
 
   /** Full match enumeration from the nondeterministic runtime.
@@ -188,6 +225,12 @@ object Detect {
       cp: CompiledPattern,
       maxThreads: Int = MatchRun.DefaultMaxThreads): Dataset[MatchOut] =
     perKeyScan(events)(key => new MatchRun(cp, key, maxThreads))((run, e) => run.step(e).iterator)
+
+  /** Narrow-ingest face of [[matches]]. */
+  def matches(events: EventStream, cp: CompiledPattern): Dataset[MatchOut] =
+    matches(events, cp, MatchRun.DefaultMaxThreads)
+  def matches(events: EventStream, cp: CompiledPattern, maxThreads: Int): Dataset[MatchOut] =
+    perKeyScanNarrow(events)(key => new MatchRun(cp, key, maxThreads))((run, e) => run.step(e).iterator)
 
   /** MonoRun fast path for the reference opt engine's regime
     * (ERFOptEngine.scala:91-287): a SINGLE pattern with NO partition
@@ -220,6 +263,21 @@ object Detect {
         }
       }
 
+  /** Narrow-ingest face of [[matchesMono]]. */
+  def matchesMono(events: EventStream, cp: CompiledPattern): Dataset[MatchOut] =
+    matchesMono(events, cp, MatchRun.DefaultMaxThreads)
+  def matchesMono(events: EventStream, cp: CompiledPattern, maxThreads: Int): Dataset[MatchOut] =
+    events.ds.coalesce(1)
+      .sortWithinPartitions(col("timestamp"), col("id"))
+      .mapPartitions { rows =>
+        val evs = rows.map(events.rebuild)
+        if (MonoRun.eligible(cp)) MonoRun.run(cp, evs, maxThreads)
+        else {
+          val run = new MatchRun(cp, "", maxThreads)
+          evs.flatMap(run.step)
+        }
+      }
+
   /** Shuffle by key, external-sort by (key, ts, id), stream per-key runs. */
   private def perKeyScan[R, O: Encoder](events: Dataset[CEvent])(
       mkRun: String => R)(stepFn: (R, CEvent) => Iterator[O]): Dataset[O] = {
@@ -230,6 +288,32 @@ object Detect {
         var currentKey: String = null
         var run: R = null.asInstanceOf[R]
         rows.flatMap { e =>
+          if (e.partition != currentKey) {
+            currentKey = e.partition
+            run = mkRun(currentKey)
+          }
+          stepFn(run, e)
+        }
+      }
+  }
+
+  /** The same shuffle-once + external-sort + single-pass scan over the
+    * narrow ingest: the Catalyst sort keys are identical, and the CEvent
+    * is rebuilt exactly once per row inside the pass (the batch path
+    * paid the generic Map decode once per row — dropping it measures
+    * 1.5x end-to-end; the streaming path paid it 2-3x, see
+    * [[Stream.narrowByKey]]).
+    */
+  private def perKeyScanNarrow[R, O: Encoder](es: EventStream)(
+      mkRun: String => R)(stepFn: (R, CEvent) => Iterator[O]): Dataset[O] = {
+    es.ds
+      .repartition(col("partition"))
+      .sortWithinPartitions(col("partition"), col("timestamp"), col("id"))
+      .mapPartitions { rows =>
+        var currentKey: String = null
+        var run: R = null.asInstanceOf[R]
+        rows.flatMap { ne =>
+          val e = es.rebuild(ne)
           if (e.partition != currentKey) {
             currentKey = e.partition
             run = mkRun(currentKey)

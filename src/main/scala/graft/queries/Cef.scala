@@ -56,23 +56,32 @@ object Cef {
       idCol = "event_id", typeCol = "event_type", tsCol = "ts",
       partitionCol = "user_id", numAttrs = Seq("value"))
 
+  /** Narrow-ingest twin of [[events]] for the batch Detect scans (the
+    * per-row Map decode is 1.5x of the whole batch pass — SCALE.md r13).
+    * Training consumers keep [[events]]: they aggregate at plan level.
+    */
+  private def eventsN(s: SparkSession, dir: String) =
+    Detect.toEventStream(Tables(s, dir, "events"),
+      idCol = "event_id", typeCol = "event_type", tsCol = "ts",
+      partitionCol = "user_id", numAttrs = Seq("value"))
+
   /** Open-schema variant (P2 semantics): the JSON `props` bag is projected
     * into a typed attribute before entering the engine — schema-on-read
     * feeding predicate evaluation.
     */
   private def eventsWithProps(s: SparkSession, dir: String) =
-    Detect.toEvents(
+    Detect.toEventStream(
       Tables(s, dir, "events")
         // a props bag without 'k' becomes NaN, which fails every comparison
         // predicate (matching the oracle's NULL-filtering semantics) and
-        // keeps the map<string,double> encoder free of nulls
+        // keeps the numeric attr array free of nulls
         .withColumn("k",
           coalesce(get_json_object(col("props"), "$.k").cast("double"), lit(Double.NaN))),
       idCol = "event_id", typeCol = "event_type", tsCol = "ts",
       partitionCol = "user_id", numAttrs = Seq("value", "k"))
 
   private def matches2(s: SparkSession, dir: String, cp: CompiledPattern): DataFrame =
-    Detect.matches(events(s, dir), cp).toDF()
+    Detect.matches(eventsN(s, dir), cp).toDF()
       .select(
         col("partition").cast("long").as("user_id"),
         element_at(col("eventIds"), 1).as("id_a"),
@@ -129,7 +138,7 @@ object Cef {
          |FROM c
          |WHERE event_type = 'purchase' AND p1_type = 'click' AND p2_type = 'signup'
          |ORDER BY user_id, id_a, id_b, id_c""".stripMargin) { (s, dir) =>
-      Detect.matches(events(s, dir), pSeq3).toDF()
+      Detect.matches(eventsN(s, dir), pSeq3).toDF()
         .select(
           col("partition").cast("long").as("user_id"),
           element_at(col("eventIds"), 1).as("id_a"),
@@ -165,7 +174,7 @@ object Cef {
          |SELECT user_id, p_id AS first_id, event_id AS last_id, rn - p_rn + 1 AS n_events
          |FROM c WHERE event_type = 'purchase' AND p_type = 'signup'
          |ORDER BY user_id, first_id, last_id""".stripMargin) { (s, dir) =>
-      Detect.matches(events(s, dir), pIter).toDF()
+      Detect.matches(eventsN(s, dir), pIter).toDF()
         .select(
           col("partition").cast("long").as("user_id"),
           element_at(col("eventIds"), 1).as("first_id"),
@@ -208,7 +217,7 @@ object Cef {
          |SELECT user_id, event_id, rn AS counter, epoch_us(ts) AS ts_us
          |FROM c WHERE event_type = 'purchase' AND n_err > 0
          |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
-      Detect.detections(events(s, dir), pSkipAny).toDF()
+      Detect.detections(eventsN(s, dir), pSkipAny).toDF()
         .select(
           col("partition").cast("long").as("user_id"),
           col("eventId").as("event_id"),
@@ -295,7 +304,7 @@ object Cef {
          |  ON a.user_id = p.user_id AND p.rn > a.rn AND p.rn - a.rn < 10
          |WHERE a.value > 120.0 AND p.value > a.value
          |ORDER BY a.user_id, counter""".stripMargin) { (s, dir) =>
-      Detect.detectionsDsra(events(s, dir), pSremo).toDF()
+      Detect.detectionsDsra(eventsN(s, dir), pSremo).toDF()
         .select(col("partition").cast("long").as("user_id"),
           col("counter"), col("eventId").as("event_id"))
         .orderBy(col("user_id"), col("counter"))
@@ -314,7 +323,7 @@ object Cef {
          | AND epoch_us(p.ts) - epoch_us(a.ts) < 200000000000
          |WHERE a.value > 120.0 AND p.value > a.value
          |ORDER BY a.user_id, counter""".stripMargin) { (s, dir) =>
-      Detect.detectionsDsra(events(s, dir), pSremoTime).toDF()
+      Detect.detectionsDsra(eventsN(s, dir), pSremoTime).toDF()
         .select(col("partition").cast("long").as("user_id"),
           col("counter"), col("eventId").as("event_id"))
         .orderBy(col("user_id"), col("counter"))
@@ -333,7 +342,7 @@ object Cef {
          |WHERE a.value > 120.0 AND p.value > a.value
          |  AND p.event_type = a.event_type
          |ORDER BY a.user_id, counter""".stripMargin) { (s, dir) =>
-      Detect.detectionsDsra(events(s, dir), pSremoStr).toDF()
+      Detect.detectionsDsra(eventsN(s, dir), pSremoStr).toDF()
         .select(col("partition").cast("long").as("user_id"),
           col("counter"), col("eventId").as("event_id"))
         .orderBy(col("user_id"), col("counter"))
@@ -1070,7 +1079,7 @@ object Cef {
          |SELECT CAST(1 AS INT), user_id, event_id, rn
          |FROM c WHERE event_type = 'purchase' AND p_type = 'error'
          |ORDER BY fsm_id, user_id, event_id""".stripMargin) { (s, dir) =>
-      Detect.detectionsMulti(events(s, dir), Seq(pSkipAny, pSeq2)).toDF("fsm_id", "det")
+      Detect.detectionsMulti(eventsN(s, dir), Seq(pSkipAny, pSeq2)).toDF("fsm_id", "det")
         .select(col("fsm_id"),
           col("det.partition").cast("long").as("user_id"),
           col("det.eventId").as("event_id"),
@@ -1217,7 +1226,7 @@ object Cef {
         |FROM b a JOIN b p ON p.rn > a.rn AND p.rn - a.rn < 10
         |WHERE a.event_type = 'error' AND p.event_type = 'purchase'
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      val global = Detect.toEvents(
+      val global = Detect.toEventStream(
         Tables(s, dir, "events").withColumn("gkey", lit("")),
         idCol = "event_id", typeCol = "event_type", tsCol = "ts",
         partitionCol = "gkey", numAttrs = Seq("value"))
@@ -2326,7 +2335,7 @@ object Cef {
       .select(col("user_id"), col("rn"), col("ts"),
         (col("event_type") === "error").as("positive"),
         (col("rn") + 1).as("fs"), (col("rn") + 10).as("fe"))
-    val det = Detect.detections(events(s, dir), pSkipAny).toDF()
+    val det = Detect.detections(eventsN(s, dir), pSkipAny).toDF()
       .select(col("partition").cast("long").as("d_user"), col("counter").as("d_counter"))
     fc.join(det,
         col("d_user") === col("user_id") &&
