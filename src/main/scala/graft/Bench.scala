@@ -60,7 +60,13 @@ object Bench {
           errors += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // deterministic shared-memo release (the r13 p75 incident): each
+      // consumer-registered memo drops when its LAST consumer finishes
+      // — after the timestamp, so eviction cost isn't charged to the
+      // closing consumer's number
+      graft.ops.Release.queryFinished(name)
+      name -> elapsed
     }
     val ok = results.filterNot { case (k, _) => errors.contains(k) }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }

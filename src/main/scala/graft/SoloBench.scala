@@ -20,6 +20,9 @@ object SoloBench {
         SparkEntry.queries(n)(spark, sfDir).count()
         (System.nanoTime() - t1) / 1e9
       }
+      // notify AFTER the warm reps: a solo run of a memo's last
+      // consumer should measure the warm path, not a per-rep rebuild
+      graft.ops.Release.queryFinished(n)
       println(f"SOLO $n%-24s cold $cold%8.2f s, warm ${ts.min}%8.2f s")
     }
     spark.stop()

@@ -19,7 +19,10 @@ object Verify {
     // local-iteration filter: regex over query names (the driver never
     // sets it, so the driver's gate always dumps the full surface)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    SparkEntry.queries
+    // sorted like Bench's sweep: the consumer-registered memos release
+    // after their lexicographically-last consumer, so an unsorted Map
+    // walk could release one before an earlier-named consumer ran
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -27,6 +30,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // deterministic shared-memo release (see Release.afterConsumers)
+      graft.ops.Release.queryFinished(name)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

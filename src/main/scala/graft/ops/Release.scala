@@ -53,15 +53,66 @@ object Release {
 
   /** Persist `df` for MULTIPLE consumers and unpersist it once
     * `idleBudget` consecutive executions pass without any of them
-    * touching it (each hit resets the countdown). The shared near-dup
-    * pair memo uses this: p06, p15 and p51 all consume the same chain
-    * at unpredictable points of a sweep, so single-use release would
-    * force whichever runs later to rebuild the dominant cost, while no
-    * release would pin pair-table storage for the session. A released
-    * DataFrame executed again later silently recomputes from lineage.
+    * touching it (each hit resets the countdown). A released DataFrame
+    * executed again later silently recomputes from lineage.
+    *
+    * Prefer [[afterConsumers]] when the consumer set is known: idle
+    * counting rides Spark's ASYNCHRONOUS execution-listener bus, so hit
+    * detection can be delayed or dropped under load and the miss
+    * counter ticks on every unrelated execution — the release point is
+    * nondeterministic across environments (the BENCH_r13 p75 incident:
+    * the pair memo went cold mid-sweep and p75 paid an 11× rebuild).
     */
   def afterIdle(df: DataFrame, idleBudget: Int): DataFrame =
     watched(df, releaseOnHit = false, idleBudget = idleBudget)
+
+  /** Executions a consumer-registered memo survives with NO consumer
+    * touching it before the crash backstop fires. Deliberately far
+    * above any sweep's execution count between two consumers — the
+    * DETERMINISTIC release is [[queryFinished]] after the last
+    * registered consumer; this budget only exists so a server that
+    * never runs the remaining consumers cannot pin the cache forever.
+    */
+  val ConsumerBackstopBudget = 4096
+
+  /** Persist `df` for a KNOWN set of consumer queries and unpersist it
+    * deterministically when the LAST registered consumer reports
+    * completion via [[queryFinished]] — the runner (Bench / Verify /
+    * SoloBench / a test sweep) calls `queryFinished(name)` after each
+    * query's action finishes. Unlike [[afterIdle]] this does not depend
+    * on the async listener bus for the release decision, so the memo's
+    * lifetime is identical in every environment that replays the same
+    * query order. [[ConsumerBackstopBudget]] idle executions remain as
+    * a crash backstop (a partial sweep never notifies the last
+    * consumer). `onRelease` runs exactly once at release — the memo
+    * owner evicts its map entry there so a LATER sweep in the same
+    * session re-persists instead of recomputing per consumer.
+    */
+  def afterConsumers(df: DataFrame, consumers: Set[String],
+      onRelease: () => Unit = () => ()): DataFrame = {
+    require(consumers.nonEmpty, "afterConsumers: empty consumer set")
+    reapStopped()
+    val cached = df.persist()
+    val remaining = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    consumers.foreach(remaining.add)
+    val listener = new WatchedListener(df.sparkSession, cached,
+      releaseOnHit = false, idleBudget = ConsumerBackstopBudget,
+      remaining = Some(remaining), onRelease = onRelease)
+    live.add(listener)
+    df.sparkSession.listenerManager.register(listener)
+    cached
+  }
+
+  /** Runner notification: the registered query `name` finished its
+    * action. Every consumer-registered memo drops `name` from its
+    * remaining set; a memo whose set empties releases NOW, on the
+    * runner's thread — deterministic, not bus-delivered. Unknown names
+    * are no-ops, so runners notify unconditionally for every query.
+    */
+  def queryFinished(name: String): Unit = {
+    reapStopped()
+    live.forEach(_.consumerDone(name))
+  }
 
   private def watched(df: DataFrame, releaseOnHit: Boolean, idleBudget: Int): DataFrame = {
     reapStopped()
@@ -76,7 +127,9 @@ object Release {
       val spark: org.apache.spark.sql.SparkSession,
       cached: DataFrame,
       releaseOnHit: Boolean,
-      idleBudget: Int) extends QueryExecutionListener {
+      idleBudget: Int,
+      remaining: Option[java.util.Set[String]] = None,
+      onRelease: () => Unit = () => ()) extends QueryExecutionListener {
     private val target = cached.queryExecution.analyzed
     private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
     private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -86,8 +139,16 @@ object Release {
         // failure must not keep the listener in the live set
         try cached.unpersist(false) catch { case _: Exception => () }
         try spark.listenerManager.unregister(this) catch { case _: Exception => () }
+        try onRelease() catch { case _: Exception => () }
         live.remove(this)
       }
+    /** Deterministic path: drop `name` from the registered consumer
+      * set; release when the last one completes. No-op for idle-only
+      * listeners and unknown names.
+      */
+    def consumerDone(name: String): Unit = remaining.foreach { r =>
+      if (r.remove(name) && r.isEmpty) release()
+    }
     private def maybeRelease(qe: QueryExecution): Unit =
       if (qe.analyzed.exists(_.sameResult(target))) {
         if (releaseOnHit) release() else misses.set(0)

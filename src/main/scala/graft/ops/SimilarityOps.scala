@@ -40,23 +40,30 @@ object SimilarityOps {
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graftexpr.VectorExprs.cosineSim(a, b)
 
+  /** Zero-norm guard mirrors [[cosine]]/[[cosineJvm]]: all three paths
+    * return 0.0 for a zero vector instead of NaN/NULL, so data
+    * containing one cannot silently diverge between engine and oracle.
+    * (DuckDB CSEs the repeated norm subexpressions.)
+    */
   def cosineSql(a: String, b: String): String =
-    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+    s"""CASE WHEN ${normSql(a)} = 0 OR ${normSql(b)} = 0 THEN CAST(0 AS DOUBLE)
+       | ELSE ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END""".stripMargin
 
   /** Plain-JVM cosine with the SAME accumulation order as [[cosine]] /
     * [[cosineSql]] (each accumulator folds in element order, division
     * last) — bit-identical to both, so driver-side greedy loops (the
     * k-center coreset) can compare distances the oracle reproduces.
-    * Pinned equal to the Catalyst expression in SimilarityOpsSpec.
+    * Pinned equal to the Catalyst expression in SimilarityOpsSpec,
+    * INCLUDING the zero-norm case — both return 0.0 instead of NaN
+    * (NaN poisons greedy `maxBy` loops — every comparison is false, so
+    * the farthest-first selector would crash on a missing map entry);
+    * the SQL twin ([[cosineSql]]) carries the same guard.
     *
-    * Two deliberate departures from a naive fold, both to fail/behave
-    * deterministically where the expression's behavior is undefined or
-    * driver-hostile: mismatched lengths throw (the Catalyst twin zips
-    * full arrays — silent truncation here would turn an upstream
-    * dimension bug into plausible-but-wrong distances), and a zero-norm
-    * input yields similarity 0.0 instead of NaN (NaN poisons greedy
-    * `maxBy` loops — every comparison is false, so the farthest-first
-    * selector would crash on a missing map entry).
+    * One deliberate departure remains: mismatched lengths THROW here,
+    * while the Catalyst twin iterates the shorter length — an upstream
+    * dimension bug should fail loudly on the driver path rather than
+    * produce plausible-but-wrong distances, and equal-dimension input
+    * (every registered caller) cannot tell the two behaviors apart.
     */
   def cosineJvm(a: Seq[Float], b: Seq[Float]): Double = {
     require(a.length == b.length,

@@ -2028,8 +2028,8 @@ object Cef {
     // tracked: deleted (and the cache cleared) when the session stops —
     // the r12 BENCH contamination fix (StreamScaffold's scaladoc)
     val srcDir = StreamScaffold.track(s,
-      java.nio.file.Files.createTempDirectory("graft-stream-src"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-slices")
+      StreamScaffold.newScaffoldDir("graft-stream-src"))
+    val tmp = StreamScaffold.newScaffoldDir("graft-stream-slices")
     def rmTree(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

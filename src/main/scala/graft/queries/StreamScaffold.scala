@@ -22,22 +22,31 @@ import org.apache.spark.sql.SparkSession
   *     SparkContext deletes them all (and invalidates the slice caches)
   *     at `onApplicationEnd` — i.e. when `spark.stop()` runs;
   *  2. a JVM shutdown hook backstops sessions that exit without stop();
-  *  3. [[sweepStale]] removes dirs left by CRASHED earlier JVMs — any
-  *     `graft-`-prefixed scaffold dir whose mtime predates this JVM's
-  *     start (a dir made by this process is always newer; one from a
-  *     live concurrent process is too, so the sweep cannot race a
-  *     sibling). Bench/SoloBench/Verify call it at startup.
+  *  3. [[sweepStale]] removes dirs left by DEAD earlier JVMs. Ownership
+  *     is explicit: every scaffold dir carries an owner-PID marker file
+  *     written at creation, and the sweep skips any dir whose owning
+  *     process is still alive — a sibling JVM that started EARLIER than
+  *     this one but is still RUNNING keeps its live slice caches (the
+  *     r13 advice: the old mtime-vs-JVM-start rule would have deleted
+  *     them out from under it). Unmarked dirs (pre-marker leftovers)
+  *     fall back to the mtime rule. Bench/SoloBench/Verify call it at
+  *     startup.
   */
 private[graft] object StreamScaffold {
 
   /** Scaffold dir-name prefixes this janitor owns. Every
-    * `createTempDirectory` in the streaming scaffolds must use one of
+    * `createTempDirectory` in the streaming scaffolds AND the probe
+    * mains must go through [[newScaffoldDir]]/[[track]] with one of
     * these (asserted by ScaffoldCleanupSpec), or the stale sweep cannot
     * see it.
     */
   val Prefixes: Seq[String] =
     Seq("graft-stream-src", "graft-stream-slices",
-      "graft-docstream-src", "graft-docstream-tmp", "graft-ckpt-")
+      "graft-docstream-src", "graft-docstream-tmp", "graft-ckpt-",
+      "graft-batchprobe")
+
+  /** Name of the owner-PID marker written into every scaffold dir. */
+  val OwnerMarker = ".graft-owner.pid"
 
   private val tracked = ConcurrentHashMap.newKeySet[Path]()
   private val invalidators = new java.util.concurrent.CopyOnWriteArrayList[Runnable]()
@@ -45,6 +54,24 @@ private[graft] object StreamScaffold {
   private val hookedApps = ConcurrentHashMap.newKeySet[String]()
   private val jvmStartMs =
     java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+
+  /** Create a scaffold temp dir with its owner-PID marker. ALL scaffold
+    * dirs must be born here (tracked or not), so [[sweepStale]] in a
+    * later or concurrent JVM can decide ownership by liveness instead
+    * of guessing from mtimes.
+    */
+  def newScaffoldDir(prefix: String): Path = {
+    require(Prefixes.exists(prefix.startsWith),
+      s"scaffold prefix '$prefix' not in StreamScaffold.Prefixes — sweepStale could not see it")
+    val dir = Files.createTempDirectory(prefix)
+    writeOwnerMarker(dir)
+    dir
+  }
+
+  private def writeOwnerMarker(dir: Path): Unit =
+    try Files.writeString(dir.resolve(OwnerMarker),
+      ProcessHandle.current().pid().toString)
+    catch { case _: Exception => () } // marker-less dirs degrade to the mtime rule
 
   /** Register a slice-cache clearer, run whenever [[cleanAll]] deletes
     * the dirs those caches point at (a cache surviving its dirs would
@@ -57,6 +84,7 @@ private[graft] object StreamScaffold {
     * first use.
     */
   def track(s: SparkSession, dir: Path): Path = {
+    writeOwnerMarker(dir) // idempotent; covers dirs not born in newScaffoldDir
     tracked.add(dir)
     if (jvmHooked.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() => cleanAll(), "graft-scaffold-janitor"))
@@ -72,7 +100,7 @@ private[graft] object StreamScaffold {
     * crashed JVMs (via the name prefix + [[sweepStale]]).
     */
   def newCheckpointDir(s: SparkSession, tag: String): Path =
-    track(s, Files.createTempDirectory(s"graft-ckpt-$tag-"))
+    track(s, newScaffoldDir(s"graft-ckpt-$tag-"))
 
   def untrack(dir: Path): Unit = tracked.remove(dir)
 
@@ -89,9 +117,18 @@ private[graft] object StreamScaffold {
     }
   }
 
-  /** Remove scaffold dirs abandoned by PREVIOUS JVMs: name carries a
-    * [[Prefixes]] prefix AND mtime predates this JVM's start. Returns
-    * the number of dirs removed.
+  /** Remove scaffold dirs abandoned by DEAD JVMs. A candidate (a
+    * [[Prefixes]]-named dir this process doesn't track) is stale when:
+    *
+    *  - its [[OwnerMarker]] names a pid with no live process — swept
+    *    regardless of mtime (fast crash recovery), while a marker
+    *    naming a LIVE process (a concurrently running sibling, however
+    *    long ago it started) is NEVER swept; or
+    *  - it has no readable marker (pre-marker leftovers), and its
+    *    mtime predates this JVM's start — the old heuristic, kept only
+    *    as the unmarked-dir fallback.
+    *
+    * Returns the number of dirs removed.
     */
   def sweepStale(): Int = {
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
@@ -101,12 +138,31 @@ private[graft] object StreamScaffold {
       val n = p.getFileName.toString
       Prefixes.exists(n.startsWith) && Files.isDirectory(p) &&
         !tracked.contains(p) &&
-        (try Files.getLastModifiedTime(p).toMillis < jvmStartMs
-         catch { case _: Exception => false })
+        (ownerAlive(p) match {
+          case Some(alive) => !alive
+          case None =>
+            try Files.getLastModifiedTime(p).toMillis < jvmStartMs
+            catch { case _: Exception => false }
+        })
     }.toList
     stale.foreach(p => try rmTree(p) catch { case _: Exception => })
     stale.size
   }
+
+  /** Some(true) if the dir's marker names a live process (this one or
+    * a sibling), Some(false) if the owner is dead, None if no marker
+    * can be read.
+    */
+  private def ownerAlive(p: Path): Option[Boolean] =
+    try {
+      val f = p.resolve(OwnerMarker)
+      if (!Files.isRegularFile(f)) None
+      else {
+        val pid = Files.readString(f).trim.toLong
+        Some(pid == ProcessHandle.current().pid() ||
+          ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive).orElse(false))
+      }
+    } catch { case _: Exception => None }
 
   private def rmTree(p: Path): Unit = {
     if (!Files.exists(p)) return

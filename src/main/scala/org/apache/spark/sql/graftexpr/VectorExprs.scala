@@ -37,6 +37,18 @@ object VectorExprs {
   def jaccardSortedSim(a: Column, b: Column): Column =
     Bridge.column(JaccardSortedSim(Bridge.expression(a), Bridge.expression(b)))
 
+  /** EXACT Levenshtein distance computed with an Ukkonen band +
+    * iterative doubling — value-identical to `functions.levenshtein`
+    * on every input, but O(k·len) when the true distance k is small.
+    * p119 verifies candidates that are ≥0.9 Jaccard-similar, so k ≪
+    * len and the full O(len²) DP (which made the sf1 Spark side a
+    * ~50-minute one-off, SCALE.md addendum 3) is almost entirely
+    * wasted work; worst case (dissimilar inputs) degrades gracefully
+    * to the classic cost.
+    */
+  def levBanded(a: Column, b: Column): Column =
+    Bridge.column(LevBanded(Bridge.expression(a), Bridge.expression(b)))
+
   /** SimHash in one codegen'd pass (replaces 31 aggregate() majority
     * votes). */
   def simHashPack(hashes: Column, bits: Int): Column =
@@ -114,7 +126,11 @@ final case class CosineSim(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm → 0.0, mirroring SimilarityOps.cosineJvm (r13 advice):
+    // NaN would poison every downstream comparison, and the two paths
+    // must agree bit-for-bit on any input that can reach both
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -134,7 +150,8 @@ final case class CosineSim(left: Expression, right: Expression)
          |  double $yi = (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -765,5 +782,99 @@ object JaccardKernel {
   @inline private[graftexpr] def mix(x: Long): Int = {
     val h = x * -7046029254386353131L // 0x9E3779B97F4A7C15
     ((h ^ (h >>> 32)) & 0x7fffffff).toInt
+  }
+}
+
+/** Exact banded Levenshtein — semantics of `functions.levenshtein`
+  * (code-point edits, matching DuckDB's `levenshtein`), cost bounded by
+  * the TRUE distance instead of the input length product.
+  */
+final case class LevBanded(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LevKernel.exact(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.LevKernel.exact($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LevBanded =
+    copy(left = l, right = r)
+}
+
+/** Static kernel so codegen calls primitive JIT-compiled code directly
+  * (the JaccardKernel pattern).
+  *
+  * `banded(s, t, k)` fills only the |i−j| ≤ k diagonal band of the DP
+  * table (Ukkonen): any cell outside it costs > k, so if the true
+  * distance is ≤ k the banded answer is exact, and otherwise the call
+  * reports "greater than k" (returns k+1, with an early exit the first
+  * time an entire band row saturates). `exact` wraps it in iterative
+  * doubling from a small initial k — total work O(d·min(m,n)) for true
+  * distance d (the doubling sum is geometric), the classic O(m·n) only
+  * when the strings are thoroughly dissimilar.
+  */
+object LevKernel {
+
+  def exact(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Int = {
+    if (a.equals(b)) return 0
+    // code points, NOT UTF-16 units — functions.levenshtein edits code
+    // points, and surrogate pairs must count as one edit
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
+    val maxK = math.max(s.length, t.length)
+    var k = math.max(16, math.abs(s.length - t.length))
+    while (true) {
+      if (k >= maxK) return banded(s, t, maxK) // full band = classic DP
+      val d = banded(s, t, k)
+      if (d <= k) return d
+      k *= 2
+    }
+    -1 // unreachable
+  }
+
+  /** Exact distance if ≤ k, else k+1. */
+  def banded(s: Array[Int], t: Array[Int], k: Int): Int = {
+    val m = s.length
+    val n = t.length
+    if (math.abs(m - n) > k) return k + 1
+    val inf = k + 1
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    val hi0 = math.min(n, k)
+    while (j <= hi0) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= m) {
+      val lo = math.max(1, i - k)
+      val hi = math.min(n, i + k)
+      java.util.Arrays.fill(cur, lo - 1, math.min(hi + 1, n) + 1, inf)
+      var best = inf
+      if (i <= k) { cur(0) = i; best = i }
+      val si = s(i - 1)
+      var jj = lo
+      while (jj <= hi) {
+        var v = prev(jj - 1) + (if (si == t(jj - 1)) 0 else 1)
+        val del = prev(jj) + 1
+        if (del < v) v = del
+        val ins = cur(jj - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(jj) = v
+        if (v < best) best = v
+        jj += 1
+      }
+      if (best >= inf) return inf // the whole reachable row costs > k
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    math.min(prev(n), inf)
   }
 }

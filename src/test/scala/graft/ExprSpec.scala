@@ -276,4 +276,39 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       r.getSeq[String](0) shouldBe r.getSeq[String](1)
     }
   }
+
+  "LevBanded" should "equal functions.levenshtein on every input shape" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    val alphabet = "abcde é世😀" // multi-byte + surrogate pair
+    def randStr(r: Random, n: Int): String = {
+      val sb = new StringBuilder
+      (1 to n).foreach { _ =>
+        val c = alphabet.codePointAt(r.nextInt(7)) // index into BMP prefix
+        sb.appendAll(Character.toChars(
+          if (r.nextInt(10) == 0) 0x1f600 + r.nextInt(16) else c))
+      }
+      sb.toString
+    }
+    val r = new Random(4127)
+    // near pairs (the p119 shape: small true distance), far pairs
+    // (band must degrade to the classic answer), and edges
+    val near = (1 to 120).map { _ =>
+      val s = randStr(r, 30 + r.nextInt(200))
+      val cps = s.codePoints().toArray
+      val t = new StringBuilder
+      cps.foreach { cp =>
+        if (r.nextInt(25) != 0) t.appendAll(Character.toChars(cp))
+        if (r.nextInt(25) == 0) t.append('x')
+      }
+      (s, t.toString)
+    }
+    val far = (1 to 40).map(_ => (randStr(r, r.nextInt(80)), randStr(r, r.nextInt(80))))
+    val edges = Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+      ("a", "b"), ("😀", "😁"), ("ab", "ba"))
+    val out = (near ++ far ++ edges).toDF("a", "b").select(
+      org.apache.spark.sql.graftexpr.VectorExprs.levBanded(col("a"), col("b")).as("banded"),
+      functions.levenshtein(col("a"), col("b")).as("builtin")).collect()
+    out.foreach(row => row.getInt(0) shouldBe row.getInt(1))
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import graft.queries.Pipeline
+import org.apache.spark.sql.SparkSession
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** The BENCH_r13 p75 incident (VERDICT r13 item 1): the shared near-dup
+  * pair memo released NONDETERMINISTICALLY mid-sweep — idle-count
+  * release rides Spark's async execution-listener bus, where hit
+  * detection can be delayed/dropped and every unrelated execution ticks
+  * the miss counter — so the official bench paid an 11× cold rebuild on
+  * p75 (18.8 s vs a true 1.75 s) that a quiet rerun didn't.
+  *
+  * The fix is `Release.afterConsumers`: each session memo registers its
+  * consumer query names and releases when the LAST one reports
+  * completion via `Release.queryFinished` (called by Bench / Verify /
+  * SoloBench after every query). This spec replays the full sorted
+  * sweep order of the pair memo's consumers — exactly the order the
+  * driver's bench uses — interleaving unrelated queries between them,
+  * and pins: warm through the last consumer, released + evicted right
+  * after it, rebuilt on next demand.
+  */
+class MemoLifetimeSpec extends AnyFlatSpec with Matchers {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").appName("memo-lifetime-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(name: String): Unit = {
+    SparkEntry.queries(name)(spark, sfDir).count()
+    graft.ops.Release.queryFinished(name)
+  }
+
+  "the shared near-dup pair memo" should
+      "stay warm through its lexicographically-last consumer, then release" in {
+    val sweep = Pipeline.PairConsumers.toSeq.sorted
+    sweep.last shouldBe "p97_dd_source_matrix" // the release point Bench hits
+
+    // unrelated registered queries interleaved between consumers — in
+    // the old idle-count design these ticked the miss counter; here
+    // they must not move the release point at all
+    val noise = Seq("p01_txt_tokens", "p03_txt_langid", "p29_split_assign")
+
+    sweep.init.zipWithIndex.foreach { case (name, i) =>
+      run(name)
+      run(noise(i % noise.size))
+      withClue(s"pair memo dead after consumer $name (before the last consumer ran): ") {
+        Pipeline.memoLive("pair", spark, sfDir) shouldBe true
+      }
+    }
+
+    run(sweep.last)
+    withClue("pair memo survived past its last registered consumer: ") {
+      Pipeline.memoLive("pair", spark, sfDir) shouldBe false
+    }
+
+    // a LATER sweep re-demands it: the map entry was evicted on
+    // release, so the memo rebuilds and re-persists (not a per-consumer
+    // lineage recompute against a dead cache entry)
+    SparkEntry.queries("p06_dd_minhash_pairs")(spark, sfDir).count()
+    Pipeline.memoLive("pair", spark, sfDir) shouldBe true
+    // leave no persisted state behind for later suites
+    Pipeline.PairConsumers.toSeq.sorted.foreach(graft.ops.Release.queryFinished)
+    Pipeline.memoLive("pair", spark, sfDir) shouldBe false
+  }
+
+  "the shared (source, word) count memo" should
+      "follow the same deterministic lifetime" in {
+    val sweep = Pipeline.WcConsumers.toSeq.sorted
+    sweep.last shouldBe "p94_txt_hapax_tail"
+    sweep.init.foreach { name =>
+      run(name)
+      withClue(s"wc memo dead after consumer $name: ") {
+        Pipeline.memoLive("wc", spark, sfDir) shouldBe true
+      }
+    }
+    run(sweep.last)
+    Pipeline.memoLive("wc", spark, sfDir) shouldBe false
+  }
+
+  "a partial sweep" should "leave the crash backstop as the only release path" in {
+    // run ONE consumer of the calibration memo and never the rest: the
+    // memo must stay warm (no idle-count eviction within a handful of
+    // unrelated executions — the r13 failure mode) …
+    run("p69_dd_minhash_calibration")
+    (1 to 8).foreach(_ => run("p01_txt_tokens"))
+    Pipeline.memoLive("calib", spark, sfDir) shouldBe true
+    // … until the remaining consumers finish, however a runner orders them
+    Seq("p106_dd_bbit_minhash", "p89_dd_threshold_sweep").foreach(graft.ops.Release.queryFinished)
+    Pipeline.memoLive("calib", spark, sfDir) shouldBe false
+  }
+}

@@ -154,6 +154,13 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
         Thread.sleep(20)
       }
     }
+    // consumer-registered memos built by earlier tests in this suite
+    // release on queryFinished, not on idle misses (their backstop
+    // budget is deliberately too large to drain here) — notify every
+    // registered consumer set so only idle-droppable listeners remain
+    (queries.Pipeline.PairConsumers ++ queries.Pipeline.GraphConsumers ++
+      queries.Pipeline.WcConsumers ++ queries.Pipeline.CalibConsumers)
+      .foreach(ops.Release.queryFinished)
     drainTo(0)
     ops.Release.activeListeners shouldBe 0
     val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
@@ -929,8 +936,10 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // lifecycle is pinned by "the shared near-dup pair table" test above;
     // by this point in a full suite run the memo may legitimately have
     // idle-released, so the pin here is the join SHAPE, not the cache);
-    // texts join in by id, the DP runs per candidate row
-    plan should include("levenshtein")
+    // texts join in by id, the DP runs per candidate row (r14: the
+    // banded exact kernel replaced functions.levenshtein — value-
+    // identical, ExprSpec-pinned, O(k·len) on the ≥0.9 candidates)
+    plan should include("levbanded")
     plan should include regex "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
   }
 
@@ -1018,13 +1027,18 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     "FileScan parquet".r.findAllIn(plan).size should be <= 8
   }
 
-  "p100_corpus_health" should "share ONE text scan between the fingerprint agg and its emit join" in {
+  "p100_corpus_health" should "compute the dup leg in one windowed pass — no persist, no join-back" in {
     val plan = planOf("p100_corpus_health")
-    // the (source, doc_id, fp) table is persisted for the query's
-    // duration: both consumers read the InMemoryRelation, so the
-    // text-bearing documents scan runs once, not once per consumer
-    "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
+    // r14 shape: a min-over-fingerprint window replaces the persisted
+    // fp table + first-occurrence agg + join-back, so the dup leg is a
+    // single scan→window→agg chain with no InMemoryRelation of its own
+    // (the r13 pin asserted the persist; the persist itself was the
+    // in-sweep driver-job overhead p100 was paying for)
+    plan should include("Window")
     plan should not include "CartesianProduct"
+    // the fp window must not have resurrected a second text scan: the
+    // only joins left are the model-sized broadcast assemblies
+    "SortMergeJoin".r.findAllIn(plan).size shouldBe 0
   }
 
   "q24_corr_subquery" should "decorrelate into one aggregate + join — never per-row re-execution" in {

@@ -64,27 +64,57 @@ class ScaffoldCleanupSpec extends AnyFlatSpec with Matchers {
     } finally s2.stop()
   }
 
-  it should "sweep only PRE-JVM stale dirs, never this process's live ones" in {
-    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
-    val stale = Files.createTempDirectory("graft-stream-src")
-    Files.createFile(stale.resolve("slice-001.parquet"))
-    val old = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 3600L * 1000)
-    Files.setLastModifiedTime(stale, old)
+  it should "sweep only dirs with a DEAD owner (or unmarked pre-JVM ones), never live-owned ones" in {
+    // backdate relative to the JVM's actual start (r13 advice: a fixed
+    // now-1h offset stopped predating JVM start once the test JVM had
+    // been up an hour — a latent flake in long suite runs)
+    val jvmStart =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    val preJvm = java.nio.file.attribute.FileTime.fromMillis(jvmStart - 60000L)
+
+    // unmarked + pre-JVM mtime → swept by the legacy fallback rule
+    val unmarkedStale = Files.createTempDirectory("graft-stream-src")
+    Files.createFile(unmarkedStale.resolve("slice-001.parquet"))
+    Files.setLastModifiedTime(unmarkedStale, preJvm)
+    // unmarked + made now by this JVM → kept by the same rule
     val fresh = Files.createTempDirectory("graft-stream-src")
+    // marker naming a LIVE process: even with a pre-JVM mtime this is a
+    // concurrently RUNNING sibling's dir — the exact case the old
+    // mtime rule got wrong — and must survive. (Our own pid stands in
+    // for the sibling's: both are "a live process that isn't tracked
+    // by this sweep".)
+    val liveOwned = StreamScaffold.newScaffoldDir("graft-stream-src")
+    Files.setLastModifiedTime(liveOwned, preJvm)
+    // marker naming a DEAD pid, mtime NEWER than JVM start: a crashed
+    // sibling that started after us — swept despite the fresh mtime
+    val deadOwned = Files.createTempDirectory("graft-stream-src")
+    val deadPid = Iterator.iterate(999999L)(_ + 7919)
+      .find(p => ProcessHandle.of(p).isEmpty).get
+    Files.writeString(deadOwned.resolve(StreamScaffold.OwnerMarker), deadPid.toString)
     try {
       StreamScaffold.sweepStale()
-      Files.exists(stale) shouldBe false // predates JVM start → swept
-      Files.exists(fresh) shouldBe true  // made by this JVM → kept
+      Files.exists(unmarkedStale) shouldBe false
+      Files.exists(fresh) shouldBe true
+      Files.exists(liveOwned) shouldBe true
+      Files.exists(deadOwned) shouldBe false
       // non-scaffold names are never touched regardless of age
       val other = Files.createTempDirectory("unrelated-tmp")
-      Files.setLastModifiedTime(other, old)
+      Files.setLastModifiedTime(other, preJvm)
       try { StreamScaffold.sweepStale(); Files.exists(other) shouldBe true }
       finally Files.deleteIfExists(other)
     } finally {
-      Files.deleteIfExists(stale.resolve("slice-001.parquet"))
-      Files.deleteIfExists(stale)
-      Files.deleteIfExists(fresh)
+      Seq(unmarkedStale.resolve("slice-001.parquet"), unmarkedStale,
+        liveOwned.resolve(StreamScaffold.OwnerMarker), liveOwned,
+        deadOwned.resolve(StreamScaffold.OwnerMarker), deadOwned, fresh)
+        .foreach(Files.deleteIfExists(_))
     }
+  }
+
+  it should "refuse scaffold prefixes the sweep cannot see" in {
+    an[IllegalArgumentException] should be thrownBy
+      StreamScaffold.newScaffoldDir("graft-rogue-prefix")
+    // every prefix the probe mains use is registered (the r13 nit:
+    // BatchNarrowProbeMain's dir was invisible to the sweep)
+    StreamScaffold.Prefixes should contain("graft-batchprobe")
   }
 }

@@ -238,6 +238,27 @@ class SimilarityOpsSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll
     }
   }
 
+  it should "agree with the expression on zero-norm input and throw on dimension mismatch" in {
+    val sparkS = spark
+    import sparkS.implicits._
+    // zero-norm → 0.0 on BOTH paths (r13 advice: the expression used to
+    // emit NaN here, silently diverging from the driver-side twin)
+    val zero = Seq.fill(8)(0f)
+    val unit = 1f +: Seq.fill(7)(0f)
+    SimilarityOps.cosineJvm(zero, unit) shouldBe 0.0
+    SimilarityOps.cosineJvm(unit, zero) shouldBe 0.0
+    SimilarityOps.cosineJvm(zero, zero) shouldBe 0.0
+    val exprVals = Seq((zero, unit), (unit, zero), (zero, zero))
+      .toDF("a", "b")
+      .select(SimilarityOps.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    exprVals.foreach(_ shouldBe 0.0)
+    // mismatched length: the driver path fails loudly (the expression
+    // twin iterates the shorter length — documented departure)
+    an[IllegalArgumentException] should be thrownBy
+      SimilarityOps.cosineJvm(Seq(1f, 2f), Seq(1f, 2f, 3f))
+  }
+
   "kCenterCoreset" should "match a sequential farthest-first replay on random buckets" in {
     val sparkS = spark
     import sparkS.implicits._

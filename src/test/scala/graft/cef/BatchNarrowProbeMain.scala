@@ -25,7 +25,7 @@ object BatchNarrowProbeMain {
     val cp = Compiler.compile(
       ";(IsEventTypePredicate(a),+(IsEventTypePredicate(b),IsEventTypePredicate(c)),GTPredicate(value,100.0))")
     val types = Array("a", "b", "c", "d")
-    val dir = java.nio.file.Files.createTempDirectory("graft-batchprobe")
+    val dir = graft.queries.StreamScaffold.newScaffoldDir("graft-batchprobe")
     spark.range(0, n).map { i =>
       val r = new Random(i)
       (i, types(r.nextInt(4)), i, s"u${i % 32}", r.nextInt(200).toDouble)

@@ -48,8 +48,8 @@ object StreamTputGridMain {
     }
 
     def writeSlices(slices: Seq[DataFrame]): java.nio.file.Path = {
-      val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-slices")
+      val srcDir = graft.queries.StreamScaffold.newScaffoldDir("graft-stream-src")
+      val tmp = graft.queries.StreamScaffold.newScaffoldDir("graft-stream-slices")
       import scala.jdk.CollectionConverters._
       slices.zipWithIndex.foreach { case (df, i) =>
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -71,7 +71,7 @@ object StreamTputGridMain {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         val schema = spark.read.parquet(srcDir.toString).schema
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-grid")
+        val ckpt = graft.queries.StreamScaffold.newScaffoldDir("graft-ckpt-grid")
         val sink = s"grid_${System.nanoTime()}"
         val q = transform(
           spark.readStream.schema(schema)
@@ -156,6 +156,37 @@ object StreamTputGridMain {
         }
     }
 
+    // r14 probe (VERDICT item 2): the partition key is the last
+    // non-primitive in the keyed shuffle — does swapping the STRING
+    // key for a hashed LONG move the plumbing ceiling? Same no-op
+    // state shape as noopNarrow, only the groupByKey key type differs,
+    // so the delta between the two rows IS the key-type cost (and an
+    // upper bound on what a hashed-key detections path could gain).
+    def noopNarrowLongKey(df: DataFrame) = {
+      implicit val rowEnc: Encoder[(Long, String, Long, String, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+          Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble)
+      implicit val outEnc2: Encoder[(Long, Long)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      df.selectExpr("cast(event_id as long)", "event_type",
+          "cast(ts as long)", "user_id", "value")
+        .as[(Long, String, Long, String, Double)]
+        .groupByKey { r => // FNV-1a 64, zero-alloc
+          val s = r._4; var h = -3750763034362895579L; var i = 0
+          while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+          h
+        }
+        .flatMapGroupsWithState[Long, (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (key: Long, rows: Iterator[(Long, String, Long, String, Double)],
+           state: GroupState[Long]) =>
+            var n = state.getOption.getOrElse(0L)
+            rows.foreach(_ => n += 1)
+            state.update(n)
+            Iterator.single((key, n))
+        }
+    }
+
     val src1m = writeSlices(Seq(eventsDf(0, WarmRows), eventsDf(WarmRows, mainRows)))
     val hdfs = Map.empty[String, String]
     val rocks = Map("spark.sql.streaming.stateStore.providerClass" ->
@@ -187,6 +218,7 @@ object StreamTputGridMain {
     best("detections / 4M batch + 32p + 16MB splits", src4m, sp32 ++ split16m)(df => Stream.detections(toES(df), cp).toDF())
     best("detections CEvent / 4M + 32p + 16MB splits", src4m, sp32 ++ split16m)(df => Stream.detections(toEvents(df), cp).toDF())
     best("noop narrow / 4M + 32p + 16MB splits", src4m, sp32 ++ split16m)(df => noopNarrow(df).toDF())
+    best("noop narrow LONG key / 4M + 32p + 16MB", src4m, sp32 ++ split16m)(df => noopNarrowLongKey(df).toDF())
 
     spark.stop()
   }
