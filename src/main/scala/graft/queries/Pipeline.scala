@@ -5555,7 +5555,7 @@ object Pipeline {
         // candidates instead of O(len²) — the sf1 Spark side drops from
         // ~50 min to minutes (SCALE.md addendum)
         .withColumn("lev",
-          org.apache.spark.sql.graftexpr.VectorExprs.levBanded(col("ta"), col("tb"))
+          org.apache.spark.sql.graftexpr.VectorExprs.levExact(col("ta"), col("tb"))
             .cast("long"))
         .withColumn("maxlen",
           greatest(length(col("ta")), length(col("tb")), lit(1)).cast("long"))

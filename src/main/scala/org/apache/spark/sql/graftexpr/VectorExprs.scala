@@ -37,17 +37,19 @@ object VectorExprs {
   def jaccardSortedSim(a: Column, b: Column): Column =
     Bridge.column(JaccardSortedSim(Bridge.expression(a), Bridge.expression(b)))
 
-  /** EXACT Levenshtein distance computed with an Ukkonen band +
-    * iterative doubling — value-identical to `functions.levenshtein`
-    * on every input, but O(k·len) when the true distance k is small.
-    * p119 verifies candidates that are ≥0.9 Jaccard-similar, so k ≪
-    * len and the full O(len²) DP (which made the sf1 Spark side a
-    * ~50-minute one-off, SCALE.md addendum 3) is almost entirely
-    * wasted work; worst case (dissimilar inputs) degrades gracefully
-    * to the classic cost.
+  /** EXACT Levenshtein distance via Myers' bit-parallel algorithm
+    * (blocked for patterns over 64 code points, Hyyrö's formulation) —
+    * value-identical to `functions.levenshtein` on every input at
+    * O(⌈m/64⌉·n) WORD operations instead of O(m·n) cell updates,
+    * ~20× fewer ops at p119's 300-600-char documents. Chosen over an
+    * Ukkonen band after MEASURING the candidate distances: p119's
+    * ≥0.9-Jaccard pairs are token-SET similar but character-wise far
+    * apart (median lev ≈ 0.7·maxlen at sf0.01), so a doubling band
+    * degrades to ~2× the classic DP cost while Myers is
+    * distance-independent (SCALE.md round-14 addendum).
     */
-  def levBanded(a: Column, b: Column): Column =
-    Bridge.column(LevBanded(Bridge.expression(a), Bridge.expression(b)))
+  def levExact(a: Column, b: Column): Column =
+    Bridge.column(LevExact(Bridge.expression(a), Bridge.expression(b)))
 
   /** SimHash in one codegen'd pass (replaces 31 aggregate() majority
     * votes). */
@@ -785,11 +787,11 @@ object JaccardKernel {
   }
 }
 
-/** Exact banded Levenshtein — semantics of `functions.levenshtein`
-  * (code-point edits, matching DuckDB's `levenshtein`), cost bounded by
-  * the TRUE distance instead of the input length product.
+/** Exact Levenshtein, bit-parallel — semantics of `functions.levenshtein`
+  * (code-point edits, matching DuckDB's `levenshtein`), computed in
+  * O(⌈m/64⌉·n) word operations. The kernel is Myers/Hyyrö — see [[LevKernel]].
   */
-final case class LevBanded(left: Expression, right: Expression)
+final case class LevExact(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
@@ -803,7 +805,7 @@ final case class LevBanded(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = org.apache.spark.sql.graftexpr.LevKernel.exact($a, $b);")
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): LevBanded =
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LevExact =
     copy(left = l, right = r)
 }
 
@@ -826,55 +828,81 @@ object LevKernel {
     if (a.equals(b)) return 0
     // code points, NOT UTF-16 units — functions.levenshtein edits code
     // points, and surrogate pairs must count as one edit
-    val s = a.toString.codePoints().toArray
-    val t = b.toString.codePoints().toArray
-    val maxK = math.max(s.length, t.length)
-    var k = math.max(16, math.abs(s.length - t.length))
-    while (true) {
-      if (k >= maxK) return banded(s, t, maxK) // full band = classic DP
-      val d = banded(s, t, k)
-      if (d <= k) return d
-      k *= 2
-    }
-    -1 // unreachable
+    var s = a.toString.codePoints().toArray
+    var t = b.toString.codePoints().toArray
+    // strip the common prefix/suffix (edits never cross an identical
+    // flank) — near-free, and collapses identical-but-for-a-span pairs
+    var lo = 0
+    val minLen = math.min(s.length, t.length)
+    while (lo < minLen && s(lo) == t(lo)) lo += 1
+    var hiS = s.length
+    var hiT = t.length
+    while (hiS > lo && hiT > lo && s(hiS - 1) == t(hiT - 1)) { hiS -= 1; hiT -= 1 }
+    s = java.util.Arrays.copyOfRange(s, lo, hiS)
+    t = java.util.Arrays.copyOfRange(t, lo, hiT)
+    if (s.length == 0) return t.length
+    if (t.length == 0) return s.length
+    // pattern = shorter string (fewer 64-row blocks per column)
+    if (s.length <= t.length) myers(s, t) else myers(t, s)
   }
 
-  /** Exact distance if ≤ k, else k+1. */
-  def banded(s: Array[Int], t: Array[Int], k: Int): Int = {
-    val m = s.length
-    val n = t.length
-    if (math.abs(m - n) > k) return k + 1
-    val inf = k + 1
-    var prev = new Array[Int](n + 1)
-    var cur = new Array[Int](n + 1)
-    java.util.Arrays.fill(prev, inf)
-    var j = 0
-    val hi0 = math.min(n, k)
-    while (j <= hi0) { prev(j) = j; j += 1 }
-    var i = 1
-    while (i <= m) {
-      val lo = math.max(1, i - k)
-      val hi = math.min(n, i + k)
-      java.util.Arrays.fill(cur, lo - 1, math.min(hi + 1, n) + 1, inf)
-      var best = inf
-      if (i <= k) { cur(0) = i; best = i }
-      val si = s(i - 1)
-      var jj = lo
-      while (jj <= hi) {
-        var v = prev(jj - 1) + (if (si == t(jj - 1)) 0 else 1)
-        val del = prev(jj) + 1
-        if (del < v) v = del
-        val ins = cur(jj - 1) + 1
-        if (ins < v) v = ins
-        if (v > inf) v = inf
-        cur(jj) = v
-        if (v < best) best = v
-        jj += 1
-      }
-      if (best >= inf) return inf // the whole reachable row costs > k
-      val tmp = prev; prev = cur; cur = tmp
+  /** Myers' bit-parallel Levenshtein (blocked for m > 64, Hyyrö's
+    * formulation): the DP column's vertical deltas live in two
+    * bit-vectors (Pv = +1 rows, Mv = −1 rows), each text character
+    * advances ALL m rows of the column in O(⌈m/64⌉) word operations,
+    * and the running score tracks row m through the horizontal delta
+    * out of the top block. Chosen over the first-cut Ukkonen band
+    * after measurement: p119's candidates sit at median distance
+    * ≈ 0.7·len, where a doubling band costs ~2× the classic DP while
+    * this is distance-independent.
+    */
+  private def myers(p: Array[Int], t: Array[Int]): Int = {
+    val m = p.length
+    val w = (m + 63) >>> 6
+    // Peq: per distinct pattern code point, the bitmask of its rows
+    val peq = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    while (i < m) {
+      var arr = peq.get(p(i))
+      if (arr == null) { arr = new Array[Long](w); peq.put(p(i), arr) }
+      arr(i >>> 6) |= 1L << (i & 63)
       i += 1
     }
-    math.min(prev(n), inf)
+    val zeros = new Array[Long](w)
+    val pv = new Array[Long](w)
+    java.util.Arrays.fill(pv, -1L)
+    val mv = new Array[Long](w)
+    var score = m
+    val lastTop = 1L << ((m - 1) & 63) // row m lives at this bit of the top block
+    var j = 0
+    val n = t.length
+    while (j < n) {
+      val eqs = { val e = peq.get(t(j)); if (e == null) zeros else e }
+      var hin = 1 // D[0][j] = j: the boundary row always steps +1
+      var k = 0
+      while (k < w) {
+        val eq0 = eqs(k)
+        val pv0 = pv(k)
+        val mv0 = mv(k)
+        val xv = eq0 | mv0
+        val eqIn = if (hin < 0) eq0 | 1L else eq0
+        val xh = (((eqIn & pv0) + pv0) ^ pv0) | eqIn
+        var ph = mv0 | ~(xh | pv0)
+        var mh = pv0 & xh
+        val top = if (k == w - 1) lastTop else java.lang.Long.MIN_VALUE
+        val hout = (if ((ph & top) != 0L) 1 else 0) - (if ((mh & top) != 0L) 1 else 0)
+        ph <<= 1
+        mh <<= 1
+        if (hin > 0) ph |= 1L
+        if (hin < 0) mh |= 1L
+        pv(k) = mh | ~(xv | ph)
+        mv(k) = ph & xv
+        hin = hout
+        k += 1
+      }
+      score += hin // hout of the top block = Δ of row m this column
+      j += 1
+    }
+    score
   }
 }

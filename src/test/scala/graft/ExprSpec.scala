@@ -277,7 +277,7 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     }
   }
 
-  "LevBanded" should "equal functions.levenshtein on every input shape" in {
+  "LevExact" should "equal functions.levenshtein on every input shape" in {
     val sparkS = spark
     import sparkS.implicits._
     val alphabet = "abcde é世😀" // multi-byte + surrogate pair
@@ -304,10 +304,15 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       (s, t.toString)
     }
     val far = (1 to 40).map(_ => (randStr(r, r.nextInt(80)), randStr(r, r.nextInt(80))))
+    // multi-block shapes (m > 64, > 128, > 512 code points) — the
+    // blocked Myers carry chain must hand hout across every word
+    // boundary; p119's real documents are 300-600 chars
+    val long = (1 to 30).map(_ =>
+      (randStr(r, 65 + r.nextInt(600)), randStr(r, 65 + r.nextInt(600))))
     val edges = Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
       ("a", "b"), ("😀", "😁"), ("ab", "ba"))
-    val out = (near ++ far ++ edges).toDF("a", "b").select(
-      org.apache.spark.sql.graftexpr.VectorExprs.levBanded(col("a"), col("b")).as("banded"),
+    val out = (near ++ far ++ long ++ edges).toDF("a", "b").select(
+      org.apache.spark.sql.graftexpr.VectorExprs.levExact(col("a"), col("b")).as("banded"),
       functions.levenshtein(col("a"), col("b")).as("builtin")).collect()
     out.foreach(row => row.getInt(0) shouldBe row.getInt(1))
   }

@@ -939,7 +939,7 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     // texts join in by id, the DP runs per candidate row (r14: the
     // banded exact kernel replaced functions.levenshtein — value-
     // identical, ExprSpec-pinned, O(k·len) on the ≥0.9 candidates)
-    plan should include("levbanded")
+    plan should include("levexact")
     plan should include regex "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
   }
 
