@@ -150,7 +150,15 @@ object Release {
       if (r.remove(name) && r.isEmpty) release()
     }
     private def maybeRelease(qe: QueryExecution): Unit =
-      if (qe.analyzed.exists(_.sameResult(target))) {
+      // consumer-registered listeners don't plan-match: their release is
+      // queryFinished (runner thread), and the crash backstop only needs
+      // an execution COUNT — walking every execution's analyzed plan
+      // with sameResult for the whole sweep would be pure bus overhead
+      // (hits may legitimately tick the counter; the budget is sized so
+      // only an abandoned memo ever reaches it)
+      if (remaining.isDefined) {
+        if (misses.incrementAndGet() >= idleBudget) release()
+      } else if (qe.analyzed.exists(_.sameResult(target))) {
         if (releaseOnHit) release() else misses.set(0)
       } else if (misses.incrementAndGet() >= idleBudget) release()
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =

@@ -310,7 +310,11 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val long = (1 to 30).map(_ =>
       (randStr(r, 65 + r.nextInt(600)), randStr(r, 65 + r.nextInt(600))))
     val edges = Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
-      ("a", "b"), ("😀", "😁"), ("ab", "ba"))
+      ("a", "b"), ("😀", "😁"), ("ab", "ba"),
+      // far beyond p119's 577-char max: 5k code points (79 blocks)
+      (randStr(r, 5000), randStr(r, 5000)),
+      // shared long flank: the strip path must hand the tiny core to Myers
+      ("x" * 3000 + "abc" + "y" * 3000, "x" * 3000 + "abd" + "y" * 3000))
     val out = (near ++ far ++ long ++ edges).toDF("a", "b").select(
       org.apache.spark.sql.graftexpr.VectorExprs.levExact(col("a"), col("b")).as("banded"),
       functions.levenshtein(col("a"), col("b")).as("builtin")).collect()

@@ -84,6 +84,19 @@ class MemoLifetimeSpec extends AnyFlatSpec with Matchers {
     Pipeline.memoLive("wc", spark, sfDir) shouldBe false
   }
 
+  "the shared mutual-kNN edge memo" should "release exactly after p86" in {
+    val sweep = Pipeline.GraphConsumers.toSeq.sorted
+    sweep.last shouldBe "p86_graph_triangles"
+    sweep.init.foreach { name =>
+      run(name)
+      withClue(s"graph memo dead after consumer $name: ") {
+        Pipeline.memoLive("graph", spark, sfDir) shouldBe true
+      }
+    }
+    run(sweep.last)
+    Pipeline.memoLive("graph", spark, sfDir) shouldBe false
+  }
+
   "a partial sweep" should "leave the crash backstop as the only release path" in {
     // run ONE consumer of the calibration memo and never the rest: the
     // memo must stay warm (no idle-count eviction within a handful of
