@@ -43,11 +43,14 @@ object Bench {
       // a failed warm-up costs only warm-up — never the bench JSON
       try SparkEntry.queries(w)(spark, warmSf).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm-up $w: ${e.getMessage}") }
-    // warm the bench SF's sliced streaming source too: the slice build is
-    // per-(session, table) scaffolding (memoized), and charging it to the
-    // first timed streaming query would misattribute ~2s of setup
-    try SparkEntry.queries("cef22_streaming")(spark, sfDir).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warm-up slices: ${e.getMessage}") }
+    // warm the bench SF's sliced streaming sources too: the slice builds
+    // are per-(session, table) scaffolding (memoized), and charging them
+    // to the first timed streaming query of each family would
+    // misattribute ~2s of setup (cef22 owns the event slices, p120 —
+    // the cheapest doc-stream gate — the document slices)
+    for (w <- Seq("cef22_streaming", "p120_src_cusum_stream"))
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warm-up slices $w: ${e.getMessage}") }
     // timed queries start from a clean storage slate (the p06 warm-up
     // memoizes a tiny sf0.001 pair table; dropping the cache is safe —
     // memoized DataFrames recompute from lineage)
