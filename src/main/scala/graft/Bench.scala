@@ -55,6 +55,9 @@ object Bench {
     // memoizes a tiny sf0.001 pair table; dropping the cache is safe —
     // memoized DataFrames recompute from lineage)
     spark.sqlContext.clearCache()
+    // sweep boundary for the consumer-registered memos: names finished
+    // before this point (warm-ups) must not count toward release
+    graft.ops.Release.sweepStart(spark)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -68,7 +71,7 @@ object Bench {
       // consumer-registered memo drops when its LAST consumer finishes
       // — after the timestamp, so eviction cost isn't charged to the
       // closing consumer's number
-      graft.ops.Release.queryFinished(name)
+      graft.ops.Release.queryFinished(spark, name)
       name -> elapsed
     }
     val ok = results.filterNot { case (k, _) => errors.contains(k) }

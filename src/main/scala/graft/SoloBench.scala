@@ -11,6 +11,7 @@ object SoloBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
+    graft.ops.Release.sweepStart(spark)
     for (n <- names) {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
@@ -22,7 +23,7 @@ object SoloBench {
       }
       // notify AFTER the warm reps: a solo run of a memo's last
       // consumer should measure the warm path, not a per-rep rebuild
-      graft.ops.Release.queryFinished(n)
+      graft.ops.Release.queryFinished(spark, n)
       println(f"SOLO $n%-24s cold $cold%8.2f s, warm ${ts.min}%8.2f s")
     }
     spark.stop()

@@ -16,6 +16,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    graft.ops.Release.sweepStart(spark)
     // local-iteration filter: regex over query names (the driver never
     // sets it, so the driver's gate always dumps the full surface)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
@@ -31,7 +32,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // deterministic shared-memo release (see Release.afterConsumers)
-      graft.ops.Release.queryFinished(name)
+      graft.ops.Release.queryFinished(spark, name)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -41,8 +41,10 @@ object Release {
 
   def activeListeners: Int = { reapStopped(); live.size }
 
-  private def reapStopped(): Unit =
+  private def reapStopped(): Unit = {
     live.forEach(w => if (w.spark.sparkContext.isStopped) w.release())
+    finishedNames.keySet.removeIf(_.sparkContext.isStopped)
+  }
 
   /** Persist `df` and unpersist it automatically after the first
     * completed (or failed) execution that consumed it, or after
@@ -95,19 +97,67 @@ object Release {
     val cached = df.persist()
     val remaining = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     consumers.foreach(remaining.add)
+    // consumers that ALREADY completed this sweep can never notify
+    // again — prune them now, or a consumer that failed (or ran)
+    // before the memo existed would pin it for the session (its name
+    // would wait in `remaining` forever while the backstop budget is
+    // deliberately sized above a full sweep)
+    Option(finishedNames.get(df.sparkSession))
+      .foreach(f => f.forEach { n => remaining.remove(n); () })
     val listener = new WatchedListener(df.sparkSession, cached,
       releaseOnHit = false, idleBudget = ConsumerBackstopBudget,
       remaining = Some(remaining), onRelease = onRelease)
-    live.add(listener)
-    df.sparkSession.listenerManager.register(listener)
+    if (remaining.isEmpty) {
+      // every registered consumer already reported this sweep: nothing
+      // left to wait for — release synchronously (the DataFrame still
+      // computes from lineage)
+      listener.release()
+    } else {
+      live.add(listener)
+      df.sparkSession.listenerManager.register(listener)
+    }
     cached
   }
 
+  /** Names that completed since the session's last [[sweepStart]] —
+    * consulted by [[afterConsumers]] so late-created memos don't wait
+    * on consumers that already ran (or failed) earlier in the sweep.
+    */
+  private val finishedNames =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, java.util.Set[String]]()
+
+  /** Mark the start of a sweep for `spark`: clears the session's
+    * finished-name history so memos built in THIS sweep wait for this
+    * sweep's consumers (a second sweep in one session must not see the
+    * first sweep's completions). Runners call it once, before their
+    * query loop.
+    */
+  def sweepStart(spark: org.apache.spark.sql.SparkSession): Unit = {
+    finishedNames.keySet.removeIf(_.sparkContext.isStopped)
+    finishedNames.remove(spark)
+  }
+
   /** Runner notification: the registered query `name` finished its
-    * action. Every consumer-registered memo drops `name` from its
-    * remaining set; a memo whose set empties releases NOW, on the
-    * runner's thread — deterministic, not bus-delivered. Unknown names
-    * are no-ops, so runners notify unconditionally for every query.
+    * action in `spark`. Every consumer-registered memo OF THAT SESSION
+    * drops `name` from its remaining set; a memo whose set empties
+    * releases NOW, on the runner's thread — deterministic, not
+    * bus-delivered. Unknown names are no-ops, so runners notify
+    * unconditionally for every query. Scoped by session so concurrent
+    * sweeps in one JVM cannot drain each other's memos; two DIRS swept
+    * by ONE session share notifications by design (both memos' last
+    * consumer is the same sweep position).
+    */
+  def queryFinished(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    reapStopped()
+    finishedNames.computeIfAbsent(spark,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]()).add(name)
+    live.forEach(w => if (w.spark eq spark) w.consumerDone(name))
+  }
+
+  /** Session-blind variant: notifies every live listener and records
+    * nothing. For drain/cleanup paths (tests) that just want any
+    * consumer-registered memo of any session released.
     */
   def queryFinished(name: String): Unit = {
     reapStopped()

@@ -79,10 +79,19 @@ object Pipeline {
     * persisted in place, so identity comparison with the DataFrame the
     * creation block built is exact.)
     */
+  /** ONE monitor guards all four memo maps: a release callback fired
+    * from inside another memo's creation (Release.reapStopped reaping a
+    * stopped session mid-registration) then locks the SAME monitor the
+    * caller already holds — reentrant, never the ABBA ordering two
+    * per-map monitors would allow across threads of a multi-session
+    * server.
+    */
+  private val memoLock = new Object
+
   private def evictOnRelease(
       cache: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
       key: (SparkSession, String), released: DataFrame): Unit =
-    cache.synchronized {
+    memoLock.synchronized {
       cache.get(key).foreach(v => if (v eq released) cache.remove(key))
     }
 
@@ -97,12 +106,12 @@ object Pipeline {
       case "wc"    => wordCountCache
       case "calib" => calibCache
     }
-    cache.synchronized(cache.get((s, dir)))
+    memoLock.synchronized(cache.get((s, dir)))
       .exists(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
   }
 
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.synchronized {
+    memoLock.synchronized {
       // drop entries pinned to stopped sessions so a long-lived server
       // cycling sessions can't accumulate them (a WeakHashMap would not
       // work here: the cached DataFrame strongly references its session,
@@ -122,7 +131,7 @@ object Pipeline {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   private def mutualEdges(s: SparkSession, dir: String): DataFrame =
-    graphCache.synchronized {
+    memoLock.synchronized {
       graphCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       graphCache.getOrElseUpdate((s, dir), {
         val e = SimilarityOps.lshTopKSalted(t(s, dir, "embeddings"), KnnK)
@@ -153,7 +162,7 @@ object Pipeline {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   private def sourceWordCounts(s: SparkSession, dir: String): DataFrame =
-    wordCountCache.synchronized {
+    memoLock.synchronized {
       wordCountCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       wordCountCache.getOrElseUpdate((s, dir), {
         val wc = t(s, dir, "documents")
@@ -180,7 +189,7 @@ object Pipeline {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   private def calibPairs(s: SparkSession, dir: String): DataFrame =
-    calibCache.synchronized {
+    memoLock.synchronized {
       calibCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       calibCache.getOrElseUpdate((s, dir), {
         // one signature table feeds the band explode and both join-backs;
@@ -5550,10 +5559,10 @@ object Pipeline {
       nearDupPairs(s, dir)
         .join(tx.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
         .join(tx.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
-        // banded exact Levenshtein: value-identical to
-        // functions.levenshtein (ExprSpec pin), O(k·len) on the ≥0.9
-        // candidates instead of O(len²) — the sf1 Spark side drops from
-        // ~50 min to minutes (SCALE.md addendum)
+        // bit-parallel exact Levenshtein (blocked Myers): value-identical
+        // to functions.levenshtein (ExprSpec pin) at O(⌈len/64⌉·len)
+        // word ops — the sf1 Spark side dropped from ~50 min to 97 s
+        // (SCALE.md round-14 addendum 1)
         .withColumn("lev",
           org.apache.spark.sql.graftexpr.VectorExprs.levExact(col("ta"), col("tb"))
             .cast("long"))
@@ -6408,7 +6417,6 @@ object Pipeline {
   private def PrDampDen: Int = 100
   private def CoreK: Int = 2
   private def CoreRounds: Int = 3
-  private def GraphIdleBudget: Int = 128
 
   /** Steps per walk in p85's hash-seeded walk corpus. */
   private def WalkLen: Int = 3
@@ -6570,12 +6578,6 @@ object Pipeline {
       |  (strpos('0123456789ABCDEF', substring(hx, 2*i - 1, 1)) - 1) * 16 +
       |  (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1))""".stripMargin
 
-  /** The 4-frame media checksum table `fr(media_id, frame_no, offset,
-    * frame_checksum)` — MultimodalOps.sampleFrames restated in SQL, one
-    * owner for p13 (the frame dump) and p125 (frame-hash near-dup
-    * candidates), so the two can never disagree about frame identity.
-    * A def (queries-val init order).
-    */
   /** Sentinel near-dup media planted into p125 ON BOTH ENGINES so the
     * driver gate exercises the match path at EVERY scale (the r13 nit:
     * no near-dup frames exist at sf0.01, so the gate row was a vacuous
@@ -6610,6 +6612,12 @@ object Pipeline {
   private def MmFrameTableCteWithFixture: String = mmFrameTableCte(
     s"(SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM $MmFixtureValuesSql)")
 
+  /** The 4-frame media checksum table `fr(media_id, frame_no, offset,
+    * frame_checksum)` — MultimodalOps.sampleFrames restated in SQL over
+    * `src`, ONE owner for p13 (plain corpus) and p125 (fixture-
+    * augmented), so the two can never disagree about frame identity.
+    * A def (queries-val init order).
+    */
   private def mmFrameTableCte(src: String): String =
     s"""h AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
        |            octet_length(encode(text)) AS n_bytes FROM $src),

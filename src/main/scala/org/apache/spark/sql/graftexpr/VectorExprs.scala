@@ -810,16 +810,12 @@ final case class LevExact(left: Expression, right: Expression)
 }
 
 /** Static kernel so codegen calls primitive JIT-compiled code directly
-  * (the JaccardKernel pattern).
-  *
-  * `banded(s, t, k)` fills only the |i−j| ≤ k diagonal band of the DP
-  * table (Ukkonen): any cell outside it costs > k, so if the true
-  * distance is ≤ k the banded answer is exact, and otherwise the call
-  * reports "greater than k" (returns k+1, with an early exit the first
-  * time an entire band row saturates). `exact` wraps it in iterative
-  * doubling from a small initial k — total work O(d·min(m,n)) for true
-  * distance d (the doubling sum is geometric), the classic O(m·n) only
-  * when the strings are thoroughly dissimilar.
+  * (the JaccardKernel pattern). `exact` strips the common flanks and
+  * runs blocked bit-parallel Myers ([[myers]]) — O(⌈m/64⌉·n) word ops,
+  * distance-independent. An Ukkonen band was built first and REJECTED
+  * on measurement (SCALE.md round-14 addendum 1): p119's candidates sit
+  * at median distance ≈ 0.7·len, where a doubling band costs ~2× the
+  * classic DP while Myers doesn't care how far apart the strings are.
   */
 object LevKernel {
 

@@ -316,7 +316,7 @@ class ExprSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
       // shared long flank: the strip path must hand the tiny core to Myers
       ("x" * 3000 + "abc" + "y" * 3000, "x" * 3000 + "abd" + "y" * 3000))
     val out = (near ++ far ++ long ++ edges).toDF("a", "b").select(
-      org.apache.spark.sql.graftexpr.VectorExprs.levExact(col("a"), col("b")).as("banded"),
+      org.apache.spark.sql.graftexpr.VectorExprs.levExact(col("a"), col("b")).as("myers"),
       functions.levenshtein(col("a"), col("b")).as("builtin")).collect()
     out.foreach(row => row.getInt(0) shouldBe row.getInt(1))
   }

@@ -34,11 +34,12 @@ class MemoLifetimeSpec extends AnyFlatSpec with Matchers {
 
   private def run(name: String): Unit = {
     SparkEntry.queries(name)(spark, sfDir).count()
-    graft.ops.Release.queryFinished(name)
+    graft.ops.Release.queryFinished(spark, name)
   }
 
   "the shared near-dup pair memo" should
       "stay warm through its lexicographically-last consumer, then release" in {
+    graft.ops.Release.sweepStart(spark)
     val sweep = Pipeline.PairConsumers.toSeq.sorted
     sweep.last shouldBe "p97_dd_source_matrix" // the release point Bench hits
 
@@ -62,16 +63,20 @@ class MemoLifetimeSpec extends AnyFlatSpec with Matchers {
 
     // a LATER sweep re-demands it: the map entry was evicted on
     // release, so the memo rebuilds and re-persists (not a per-consumer
-    // lineage recompute against a dead cache entry)
+    // lineage recompute against a dead cache entry); the sweep boundary
+    // resets the finished-name history or the rebuilt memo would see
+    // every consumer as already done and release at registration
+    graft.ops.Release.sweepStart(spark)
     SparkEntry.queries("p06_dd_minhash_pairs")(spark, sfDir).count()
     Pipeline.memoLive("pair", spark, sfDir) shouldBe true
     // leave no persisted state behind for later suites
-    Pipeline.PairConsumers.toSeq.sorted.foreach(graft.ops.Release.queryFinished)
+    Pipeline.PairConsumers.toSeq.sorted.foreach(graft.ops.Release.queryFinished(spark, _))
     Pipeline.memoLive("pair", spark, sfDir) shouldBe false
   }
 
   "the shared (source, word) count memo" should
       "follow the same deterministic lifetime" in {
+    graft.ops.Release.sweepStart(spark)
     val sweep = Pipeline.WcConsumers.toSeq.sorted
     sweep.last shouldBe "p94_txt_hapax_tail"
     sweep.init.foreach { name =>
@@ -85,6 +90,7 @@ class MemoLifetimeSpec extends AnyFlatSpec with Matchers {
   }
 
   "the shared mutual-kNN edge memo" should "release exactly after p86" in {
+    graft.ops.Release.sweepStart(spark)
     val sweep = Pipeline.GraphConsumers.toSeq.sorted
     sweep.last shouldBe "p86_graph_triangles"
     sweep.init.foreach { name =>
@@ -98,6 +104,7 @@ class MemoLifetimeSpec extends AnyFlatSpec with Matchers {
   }
 
   "a partial sweep" should "leave the crash backstop as the only release path" in {
+    graft.ops.Release.sweepStart(spark)
     // run ONE consumer of the calibration memo and never the rest: the
     // memo must stay warm (no idle-count eviction within a handful of
     // unrelated executions — the r13 failure mode) …
@@ -105,7 +112,28 @@ class MemoLifetimeSpec extends AnyFlatSpec with Matchers {
     (1 to 8).foreach(_ => run("p01_txt_tokens"))
     Pipeline.memoLive("calib", spark, sfDir) shouldBe true
     // … until the remaining consumers finish, however a runner orders them
-    Seq("p106_dd_bbit_minhash", "p89_dd_threshold_sweep").foreach(graft.ops.Release.queryFinished)
+    Seq("p106_dd_bbit_minhash", "p89_dd_threshold_sweep")
+      .foreach(graft.ops.Release.queryFinished(spark, _))
     Pipeline.memoLive("calib", spark, sfDir) shouldBe false
+  }
+
+  "a consumer that finished BEFORE the memo existed" should "not pin it" in {
+    // the failed-consumer scenario: p06 reports completion (success or
+    // failure — Bench notifies either way) while no pair memo exists;
+    // p107 then creates the memo, which must NOT wait on p06 — its
+    // name can never be notified again this sweep
+    graft.ops.Release.sweepStart(spark)
+    graft.ops.Release.queryFinished(spark, "p06_dd_minhash_pairs")
+    val rest = Pipeline.PairConsumers.toSeq.sorted.filterNot(_ == "p06_dd_minhash_pairs")
+    rest.init.foreach { name =>
+      run(name)
+      withClue(s"pair memo dead after consumer $name: ") {
+        Pipeline.memoLive("pair", spark, sfDir) shouldBe true
+      }
+    }
+    run(rest.last) // p97 — last LIVE consumer; p06 was pre-pruned
+    withClue("memo pinned by a consumer that completed before creation: ") {
+      Pipeline.memoLive("pair", spark, sfDir) shouldBe false
+    }
   }
 }
