@@ -60,6 +60,8 @@ object Bench {
     graft.ops.Release.sweepStart(spark)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // declare the running query for the memo-consumer registry guard
+      graft.ops.Release.beginQuery(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -13,6 +13,9 @@ object SoloBench {
     spark.range(1000).selectExpr("sum(id)").collect()
     graft.ops.Release.sweepStart(spark)
     for (n <- names) {
+      // declare the running query for the memo-consumer registry guard
+      // (stays set through the warm reps; queryFinished clears it)
+      graft.ops.Release.beginQuery(n)
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
       val cold = (System.nanoTime() - t0) / 1e9

@@ -26,6 +26,10 @@ object Verify {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
+      // declare the running query so the memo-consumer registry guard
+      // can verify it (an unregistered memo read fails HERE, loudly,
+      // instead of silently paying a cold rebuild in the bench)
+      graft.ops.Release.beginQuery(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -41,6 +41,31 @@ object Release {
 
   def activeListeners: Int = { reapStopped(); live.size }
 
+  /** The registered query name the current runner thread is executing,
+    * declared via [[beginQuery]] by Bench / Verify / SoloBench (and any
+    * sweep-like spec) before invoking the query function and cleared by
+    * the matching [[queryFinished]]. Memo owners consult it to REQUIRE
+    * that every reader of a consumer-registered memo is in the memo's
+    * registered set — the set is what makes the release deterministic,
+    * and an unregistered consumer would find the memo already released
+    * in a sorted sweep and silently pay the cold rebuild in the
+    * official bench (the BENCH_r13 p75 class). Thread-local: concurrent
+    * runner threads in one JVM each see their own query.
+    */
+  private val currentQuery = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
+
+  /** Declare the query this thread is about to execute. */
+  def beginQuery(name: String): Unit = currentQuery.set(Some(name))
+
+  /** Clear the declaration (runners rarely need it directly — the
+    * matching [[queryFinished]] clears it when the names agree).
+    */
+  def endQuery(): Unit = currentQuery.remove()
+
+  def currentQueryName: Option[String] = currentQuery.get()
+
   private def reapStopped(): Unit = {
     live.forEach(w => if (w.spark.sparkContext.isStopped) w.release())
     finishedNames.keySet.removeIf(_.sparkContext.isStopped)
@@ -91,10 +116,25 @@ object Release {
     * session re-persists instead of recomputing per consumer.
     */
   def afterConsumers(df: DataFrame, consumers: Set[String],
-      onRelease: () => Unit = () => ()): DataFrame = {
+      onRelease: () => Unit = () => ()): DataFrame =
+    afterConsumersPending(df, consumers, onRelease).getOrElse(df)
+
+  /** Like [[afterConsumers]] but distinguishes the BORN-RELEASED case:
+    * returns `None` when every registered consumer already reported
+    * completion this sweep — nothing can ever notify again, so the
+    * input is returned to the caller UNPERSISTED (compute from
+    * lineage) and, critically, the caller must NOT memoize it. The old
+    * shape (persist, then release synchronously, then hand the dead
+    * DataFrame back) fired `onRelease` BEFORE the caller could store
+    * its map entry, so the eviction was a no-op and the unpersisted
+    * DataFrame stayed memoized for the session — every later demand
+    * silently recomputed the full chain once per consumer, the exact
+    * cliff this machinery exists to prevent (r14 ADVICE, medium).
+    */
+  def afterConsumersPending(df: DataFrame, consumers: Set[String],
+      onRelease: () => Unit = () => ()): Option[DataFrame] = {
     require(consumers.nonEmpty, "afterConsumers: empty consumer set")
     reapStopped()
-    val cached = df.persist()
     val remaining = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     consumers.foreach(remaining.add)
     // consumers that ALREADY completed this sweep can never notify
@@ -104,19 +144,27 @@ object Release {
     // deliberately sized above a full sweep)
     Option(finishedNames.get(df.sparkSession))
       .foreach(f => f.forEach { n => remaining.remove(n); () })
+    if (remaining.isEmpty) return None
+    val cached = df.persist()
     val listener = new WatchedListener(df.sparkSession, cached,
       releaseOnHit = false, idleBudget = ConsumerBackstopBudget,
       remaining = Some(remaining), onRelease = onRelease)
-    if (remaining.isEmpty) {
-      // every registered consumer already reported this sweep: nothing
-      // left to wait for — release synchronously (the DataFrame still
-      // computes from lineage)
-      listener.release()
-    } else {
-      live.add(listener)
-      df.sparkSession.listenerManager.register(listener)
-    }
-    cached
+    live.add(listener)
+    df.sparkSession.listenerManager.register(listener)
+    // close the registration race (r14 ADVICE, low): a
+    // queryFinished(spark, name) on another thread between the prune
+    // snapshot above and live.add records the name but scans `live`
+    // without seeing this listener — the notification is lost and the
+    // memo stays pinned until the execution backstop. Re-reading the
+    // finished set AFTER registration drains any such name;
+    // consumerDone is idempotent and release fires at most once.
+    Option(finishedNames.get(df.sparkSession))
+      .foreach(f => f.forEach { n => listener.consumerDone(n); () })
+    // the re-drain (or a concurrent notification) may have emptied the
+    // set: the listener already released and onRelease already ran, so
+    // handing back the now-unpersisted DataFrame as a live memo would
+    // recreate the born-released defect — report it as such instead
+    if (listener.isReleased) None else Some(cached)
   }
 
   /** Names that completed since the session's last [[sweepStart]] —
@@ -150,6 +198,7 @@ object Release {
     */
   def queryFinished(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     reapStopped()
+    if (currentQuery.get().contains(name)) currentQuery.remove()
     finishedNames.computeIfAbsent(spark,
       _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]()).add(name)
     live.forEach(w => if (w.spark eq spark) w.consumerDone(name))
@@ -161,6 +210,7 @@ object Release {
     */
   def queryFinished(name: String): Unit = {
     reapStopped()
+    if (currentQuery.get().contains(name)) currentQuery.remove()
     live.forEach(_.consumerDone(name))
   }
 
@@ -183,6 +233,7 @@ object Release {
     private val target = cached.queryExecution.analyzed
     private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
     private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def isReleased: Boolean = done.get()
     def release(): Unit =
       if (done.compareAndSet(false, true)) {
         // on a stopped session both calls are dead-context cleanup —

@@ -2060,14 +2060,19 @@ object Cef {
           when(col("event_id") % Late2EveryId === 0, 2)
             .when(col("event_id") % LateEveryId === 0, 1).otherwise(0))).drop("__s0")
       else ordered.withColumnRenamed("__s0", "__slice")
+    // write into a CHILD of the marked tmp dir: overwriting the dir
+    // itself destroys its .graft-owner.pid marker, and during the build
+    // window a sibling JVM's sweepStale would fall back to the mtime
+    // rule and could delete the in-progress dir (r14 ADVICE)
+    val out = tmp.resolve("out")
     sliced
       .coalesce(1)
-      .write.mode("overwrite").partitionBy("__slice").parquet(tmp.toString)
+      .write.mode("overwrite").partitionBy("__slice").parquet(out.toString)
     val base = java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(path)).toMillis
     import scala.jdk.CollectionConverters._
     for (i <- 1 to StreamSlices) {
-      val part = java.nio.file.Files.list(tmp.resolve(s"__slice=$i")).iterator().asScala
+      val part = java.nio.file.Files.list(out.resolve(s"__slice=$i")).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(sys.error(s"slice $i wrote no parquet part"))
       val dst = srcDir.resolve(f"slice-$i%03d.parquet")

@@ -95,30 +95,82 @@ object Pipeline {
       cache.get(key).foreach(v => if (v eq released) cache.remove(key))
     }
 
-  /** Test hook (MemoLifetimeSpec): whether the named memo ("pair",
-    * "graph", "wc", "calib") holds a still-PERSISTED entry for
-    * (s, dir). Released-and-evicted and never-built both read false.
+  /** Structural guard for the consumer registries (the one door left
+    * open after r14): the registered sets are what make the memo
+    * release deterministic, and they are hand-maintained — a future
+    * query that reads a memo WITHOUT being added to its set would find
+    * the memo already released in a sorted sweep (its name never
+    * notifies) and silently pay the full cold rebuild in the official
+    * bench while every test stays green (the BENCH_r13 p75 class).
+    * Runners (Bench / Verify / SoloBench, and sweep-like specs) declare
+    * the demanding query via [[graft.ops.Release.beginQuery]]; this
+    * guard turns the unregistered read into a LOUD correctness-gate
+    * failure at plan-construction time. Outside a runner no name is
+    * declared and no sweep is at stake — the guard skips.
     */
-  private[graft] def memoLive(which: String, s: SparkSession, dir: String): Boolean = {
-    val cache = which match {
-      case "pair"  => pairCache
-      case "graph" => graphCache
-      case "wc"    => wordCountCache
-      case "calib" => calibCache
+  private def requireRegistered(memo: String, consumers: Set[String]): Unit =
+    graft.ops.Release.currentQueryName.foreach { q =>
+      require(consumers.contains(q),
+        s"query '$q' reads the $memo memo but is not in its registered consumer set — " +
+          s"add it to the set in Pipeline.scala (and to MemoLifetimeSpec's sweep), or in a " +
+          s"sorted sweep the memo releases before '$q' runs and it pays the cold rebuild")
     }
-    memoLock.synchronized(cache.get((s, dir)))
-      .exists(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-  }
 
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+  /** Memoize-or-build for the four session memos: an existing live
+    * entry wins; otherwise `build` runs and returns (df, memoize) —
+    * the df is stored ONLY when the release machinery reported a
+    * pending (not born-released) memo. A born-released DataFrame is
+    * unpersisted and must compute from lineage, never sit in the map
+    * masquerading as a memo where every later demand would silently
+    * recompute the full chain once per consumer (r14 ADVICE, medium).
+    * All under [[memoLock]], which [[evictOnRelease]] also takes, so a
+    * concurrent release cannot interleave between the build and the
+    * put.
+    */
+  private def memoized(
+      cache: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
+      key: (SparkSession, String))(build: => (DataFrame, Boolean)): DataFrame =
     memoLock.synchronized {
       // drop entries pinned to stopped sessions so a long-lived server
       // cycling sessions can't accumulate them (a WeakHashMap would not
       // work here: the cached DataFrame strongly references its session,
       // so a weak key could never be collected anyway)
-      pairCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      pairCache.getOrElseUpdate((s, dir), nearDupPairsUncached(s, dir))
+      cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      cache.get(key).getOrElse {
+        val (df, memoize) = build
+        if (memoize) cache.put(key, df)
+        df
+      }
     }
+
+  /** Test hook (MemoLifetimeSpec): whether the named memo ("pair",
+    * "graph", "wc", "calib") holds a still-PERSISTED entry for
+    * (s, dir). Released-and-evicted and never-built both read false.
+    */
+  private def memoMap(which: String) = which match {
+    case "pair"  => pairCache
+    case "graph" => graphCache
+    case "wc"    => wordCountCache
+    case "calib" => calibCache
+  }
+
+  private[graft] def memoLive(which: String, s: SparkSession, dir: String): Boolean =
+    memoLock.synchronized(memoMap(which).get((s, dir)))
+      .exists(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+
+  /** Test hook: whether the named memo map holds ANY entry for (s, dir)
+    * — live or dead. `memoEntryExists && !memoLive` is exactly the
+    * born-released defect shape (an unpersisted DataFrame masquerading
+    * as a memo, silently recomputing per consumer); MemoLifetimeSpec
+    * pins that it can no longer occur.
+    */
+  private[graft] def memoEntryExists(which: String, s: SparkSession, dir: String): Boolean =
+    memoLock.synchronized(memoMap(which).contains((s, dir)))
+
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    requireRegistered("near-dup pair", PairConsumers)
+    memoized(pairCache, (s, dir))(nearDupPairsUncached(s, dir))
+  }
 
   /** Shared symmetric mutual-kNN edge list (p83/p84): p60's exact
     * salted-LSH top-k chain, mutuality-filtered, emitted once per
@@ -130,22 +182,24 @@ object Pipeline {
   private val graphCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  private def mutualEdges(s: SparkSession, dir: String): DataFrame =
-    memoLock.synchronized {
-      graphCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      graphCache.getOrElseUpdate((s, dir), {
-        val e = SimilarityOps.lshTopKSalted(t(s, dir, "embeddings"), KnnK)
-          .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"))
-        val rev = e.select(col("vec_id").as("r_vec"), col("nn_id").as("r_nn"))
-        val mut = e
-          .join(rev, col("r_vec") === col("nn_id") && col("r_nn") === col("vec_id"))
-          .filter(col("vec_id") < col("nn_id"))
-          .select(col("vec_id").as("a"), col("nn_id").as("b"))
-        val sym = mut.union(mut.select(col("b").as("a"), col("a").as("b")))
-        graft.ops.Release.afterConsumers(sym, GraphConsumers,
-          () => evictOnRelease(graphCache, (s, dir), sym))
-      })
+  private def mutualEdges(s: SparkSession, dir: String): DataFrame = {
+    requireRegistered("mutual-kNN edge", GraphConsumers)
+    memoized(graphCache, (s, dir)) {
+      val e = SimilarityOps.lshTopKSalted(t(s, dir, "embeddings"), KnnK)
+        .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"))
+      val rev = e.select(col("vec_id").as("r_vec"), col("nn_id").as("r_nn"))
+      val mut = e
+        .join(rev, col("r_vec") === col("nn_id") && col("r_nn") === col("vec_id"))
+        .filter(col("vec_id") < col("nn_id"))
+        .select(col("vec_id").as("a"), col("nn_id").as("b"))
+      val sym = mut.union(mut.select(col("b").as("a"), col("a").as("b")))
+      graft.ops.Release.afterConsumersPending(sym, GraphConsumers,
+        () => evictOnRelease(graphCache, (s, dir), sym)) match {
+        case Some(memo) => (memo, true)
+        case None => (sym, false)
+      }
     }
+  }
 
   /** Shared per-(source, word) token count table — the corpus explode
     * every text audit starts from. Five registered audits reduce it
@@ -161,17 +215,19 @@ object Pipeline {
   private val wordCountCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  private def sourceWordCounts(s: SparkSession, dir: String): DataFrame =
-    memoLock.synchronized {
-      wordCountCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      wordCountCache.getOrElseUpdate((s, dir), {
-        val wc = t(s, dir, "documents")
-          .select(col("source"), explode(tokens(col("text"))).as("word"))
-          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
-        graft.ops.Release.afterConsumers(wc, WcConsumers,
-          () => evictOnRelease(wordCountCache, (s, dir), wc))
-      })
+  private def sourceWordCounts(s: SparkSession, dir: String): DataFrame = {
+    requireRegistered("(source, word) count", WcConsumers)
+    memoized(wordCountCache, (s, dir)) {
+      val wc = t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      graft.ops.Release.afterConsumersPending(wc, WcConsumers,
+        () => evictOnRelease(wordCountCache, (s, dir), wc)) match {
+        case Some(memo) => (memo, true)
+        case None => (wc, false)
+      }
     }
+  }
 
   /** Shared SAMPLED calibration pair table (p69's decile audit and
     * p89's threshold-yield sweep): 1-in-CalibDocMod documents enter the
@@ -188,10 +244,10 @@ object Pipeline {
   private val calibCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  private def calibPairs(s: SparkSession, dir: String): DataFrame =
-    memoLock.synchronized {
-      calibCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      calibCache.getOrElseUpdate((s, dir), {
+  private def calibPairs(s: SparkSession, dir: String): DataFrame = {
+    requireRegistered("calibration pair", CalibConsumers)
+    memoized(calibCache, (s, dir)) {
+      {
         // one signature table feeds the band explode and both join-backs;
         // the doc-sample predicate runs in the scan stage — dropped docs
         // never pay for signatures
@@ -235,13 +291,21 @@ object Pipeline {
             s"aggregate(zip_with(sa, sb, (x, y) -> IF(x % 2 = y % 2, 1L, 0L)), 0L, (a, x) -> a + x)"))
           .withColumn("bit1_q", col("m1") * 31250L - 1000000L)
           .select(col("id_a"), col("id_b"), col("jacc_q"), col("est_q"), col("bit1_q"))
-        val memo = graft.ops.Release.afterConsumers(pairs, CalibConsumers,
-          () => evictOnRelease(calibCache, (s, dir), pairs))
-        memo.count()
-        sh.unpersist()
-        memo
-      })
+        graft.ops.Release.afterConsumersPending(pairs, CalibConsumers,
+          () => evictOnRelease(calibCache, (s, dir), pairs)) match {
+          case Some(memo) =>
+            memo.count()
+            sh.unpersist()
+            (memo, true)
+          case None =>
+            // born released: skip the eager materialization too — the
+            // demand that triggered this build computes from lineage
+            sh.unpersist()
+            (pairs, false)
+        }
+      }
     }
+  }
 
   /** DuckDB twin of [[calibPairs]] ending at `pe(id_a, id_b, jacc_q,
     * est_q)` — shared verbatim by the p69 and p89 oracles so the two
@@ -282,7 +346,7 @@ object Pipeline {
       .stripMargin
   }
 
-  private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame = {
+  private def nearDupPairsUncached(s: SparkSession, dir: String): (DataFrame, Boolean) = {
     val sigs = t(s, dir, "documents")
       .select(col("doc_id"), sort_array(tokenHashes(col("text"))).as("hashes"))
       .withColumn("bands", bandKeys(minHashSig(col("hashes")), PairBands))
@@ -301,14 +365,20 @@ object Pipeline {
         org.apache.spark.sql.graftexpr.VectorExprs.jaccardSortedSim(col("ha"), col("hb")))
       .filter(col("jaccard") >= 0.9)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    val memo = graft.ops.Release.afterConsumers(pairs, PairConsumers,
-      () => evictOnRelease(pairCache, (s, dir), pairs))
-    // materialize eagerly (reading the cached signatures three times) so
-    // the sigs cache can be RELEASED here instead of pinning executor
-    // storage for the session (p06, p15 and p51 all consume the memo)
-    memo.count()
-    sigs.unpersist()
-    memo
+    graft.ops.Release.afterConsumersPending(pairs, PairConsumers,
+      () => evictOnRelease(pairCache, (s, dir), pairs)) match {
+      case Some(memo) =>
+        // materialize eagerly (reading the cached signatures three times)
+        // so the sigs cache can be RELEASED here instead of pinning
+        // executor storage for the session (p06, p15 and p51 all consume
+        // the memo)
+        memo.count()
+        sigs.unpersist()
+        (memo, true)
+      case None =>
+        sigs.unpersist()
+        (pairs, false)
+    }
   }
 
   /** DuckDB twin ending at `prs(id_a, id_b, jaccard)`. */
@@ -360,15 +430,21 @@ object Pipeline {
     val tmp = StreamScaffold.newScaffoldDir("graft-docstream-tmp")
     try {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      // write into a CHILD of the marked tmp dir: mode("overwrite") on
+      // the dir itself would delete and recreate it, destroying the
+      // .graft-owner.pid marker — during the build window a sibling
+      // JVM's sweepStale would fall back to the mtime rule and could
+      // delete this in-progress dir out from under us (r14 ADVICE)
+      val out = tmp.resolve("out")
       s.read.parquet(path)
         .withColumn("__slice", ntile(DocStreamSlices).over(w))
         .coalesce(1)
-        .write.mode("overwrite").partitionBy("__slice").parquet(tmp.toString)
+        .write.mode("overwrite").partitionBy("__slice").parquet(out.toString)
       val base = java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(path)).toMillis
       import scala.jdk.CollectionConverters._
       for (i <- 1 to DocStreamSlices) {
-        val part = java.nio.file.Files.list(tmp.resolve(s"__slice=$i")).iterator().asScala
+        val part = java.nio.file.Files.list(out.resolve(s"__slice=$i")).iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet"))
           .getOrElse(sys.error(s"doc slice $i wrote no parquet part"))
         val dst = srcDir.resolve(f"slice-$i%03d.parquet")
@@ -5885,6 +5961,16 @@ object Pipeline {
          |FROM j ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
+      // the fixture ids clear ScaleGen's k·10⁹ world offsets only while
+      // the world count stays under ~900 (≈ sf90): past that a REAL
+      // scaled doc_id would equal a fixture id and silently corrupt the
+      // sentinel rows on both engines. Make the implicit ceiling loud —
+      // one column-pruned max over doc_id (parquet footer statistics
+      // territory), paid once per p125 run
+      val realMax = t(s, dir, "documents").agg(max(col("doc_id"))).as[Long].head()
+      require(realMax < MmFixtureIdBase,
+        s"p125 fixture-id ceiling breached: max real doc_id $realMax >= fixture base " +
+          s"$MmFixtureIdBase — move MmFixtureMedia ids higher before certifying this scale")
       // the sentinel fixture rides the SAME asMedia → sampleFrames
       // kernel as the corpus, so the two engines derive its frames
       // from one shared formula (see MmFixtureMedia)
@@ -6590,12 +6676,19 @@ object Pipeline {
     * p125's registered contract: the oracle unions the identical rows
     * (see [[mmFrameTableCte]]).
     */
+  /** Floor of the fixture id range; p125 REQUIRES max real doc_id stay
+    * below it at run time (ScaleGen worlds occupy k·10⁹ + orig, so the
+    * base holds through ~sf90 — the guard makes the ceiling explicit
+    * instead of silently corrupting the sentinels past it).
+    */
+  private[graft] def MmFixtureIdBase: Long = 900000000000L
+
   private[graft] def MmFixtureMedia: Seq[(Long, String)] = { // def: queries-val init order
     val q1 = "0123456789"
     Seq(
-      (900000000001L, q1 * 4),
-      (900000000002L, q1 * 4),
-      (900000000003L, q1 + q1 + "ABCDEFGHIJ" + "KLMNOPQRST"))
+      (MmFixtureIdBase + 1, q1 * 4),
+      (MmFixtureIdBase + 2, q1 * 4),
+      (MmFixtureIdBase + 3, q1 + q1 + "ABCDEFGHIJ" + "KLMNOPQRST"))
   }
 
   private def MmFixtureValuesSql: String =

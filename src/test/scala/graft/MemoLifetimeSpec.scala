@@ -33,6 +33,9 @@ class MemoLifetimeSpec extends AnyFlatSpec with Matchers {
     .getOrCreate()
 
   private def run(name: String): Unit = {
+    // declare the name like the real runners do, so this spec also
+    // exercises the memo-consumer registry guard on every read
+    graft.ops.Release.beginQuery(name)
     SparkEntry.queries(name)(spark, sfDir).count()
     graft.ops.Release.queryFinished(spark, name)
   }
@@ -59,6 +62,19 @@ class MemoLifetimeSpec extends AnyFlatSpec with Matchers {
     run(sweep.last)
     withClue("pair memo survived past its last registered consumer: ") {
       Pipeline.memoLive("pair", spark, sfDir) shouldBe false
+    }
+
+    // BORN-RELEASED re-demand (r14 ADVICE, medium): every registered
+    // consumer already reported this sweep, so a re-demand WITHOUT an
+    // intervening sweepStart gets a lineage-computing DataFrame that
+    // must NOT be memoized — the old shape cached the already-released
+    // DataFrame for the rest of the session, and every later demand
+    // silently recomputed the full LSH chain once per consumer
+    graft.ops.Release.beginQuery("p06_dd_minhash_pairs")
+    SparkEntry.queries("p06_dd_minhash_pairs")(spark, sfDir).count()
+    graft.ops.Release.endQuery()
+    withClue("born-released pair DataFrame was memoized (dead entry in the map): ") {
+      Pipeline.memoEntryExists("pair", spark, sfDir) shouldBe false
     }
 
     // a LATER sweep re-demands it: the map entry was evicted on
@@ -135,5 +151,38 @@ class MemoLifetimeSpec extends AnyFlatSpec with Matchers {
     withClue("memo pinned by a consumer that completed before creation: ") {
       Pipeline.memoLive("pair", spark, sfDir) shouldBe false
     }
+  }
+
+  "an UNREGISTERED consumer of a session memo" should
+      "fail loudly at plan construction, not silently pay a cold rebuild" in {
+    // the one door left open after r14 (VERDICT item 1): the consumer
+    // sets are hand-maintained constants, and a future query reading a
+    // memo without joining its set would find the memo released before
+    // it runs in a sorted sweep — a silent bench regression with every
+    // test green. The registry guard turns it into a correctness-gate
+    // failure: under a runner-declared name outside the set, the memo
+    // getter refuses at plan-construction time.
+    graft.ops.Release.sweepStart(spark)
+    graft.ops.Release.beginQuery("p999_synthetic_unregistered")
+    try {
+      // reuse a registered query's BODY under the unregistered name —
+      // exactly what a copy-pasted new query reading nearDupPairs does
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("p06_dd_minhash_pairs")(spark, sfDir)
+      }
+      e.getMessage should include("p999_synthetic_unregistered")
+      e.getMessage should include("registered consumer set")
+      // same guard on the other three memos
+      for (q <- Seq("p83_graph_pagerank", "p94_txt_hapax_tail",
+          "p69_dd_minhash_calibration"))
+        intercept[IllegalArgumentException] {
+          SparkEntry.queries(q)(spark, sfDir)
+        }
+    } finally graft.ops.Release.endQuery()
+    // with no name declared (ad-hoc / notebook use) the guard skips —
+    // plan construction succeeds and nothing is left pinned
+    SparkEntry.queries("p06_dd_minhash_pairs")(spark, sfDir).count()
+    Pipeline.PairConsumers.foreach(graft.ops.Release.queryFinished(spark, _))
+    Pipeline.memoLive("pair", spark, sfDir) shouldBe false
   }
 }

@@ -51,9 +51,11 @@ object StreamTputGridMain {
       val srcDir = graft.queries.StreamScaffold.newScaffoldDir("graft-stream-src")
       val tmp = graft.queries.StreamScaffold.newScaffoldDir("graft-stream-slices")
       import scala.jdk.CollectionConverters._
+      // child dir keeps tmp's owner-PID marker intact across overwrites
+      val out = tmp.resolve("out")
       slices.zipWithIndex.foreach { case (df, i) =>
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
+        df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+        val part = java.nio.file.Files.list(out).iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet")).get
         val dst = srcDir.resolve(f"slice-${i + 1}%03d.parquet")
         java.nio.file.Files.move(part, dst)
