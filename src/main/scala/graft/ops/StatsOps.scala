@@ -326,11 +326,23 @@ object StatsOps {
     * statistic over |value − median|.
     *
     * Scale shape: the corpus collapses map-side into (group, value)
-    * histogram cells; every window and join after that runs over
-    * histogram rows (distinct values × groups), never corpus rows —
-    * exact order statistics with no global sort and no per-group
-    * corpus-sized partitions. The two histograms are persisted for the
-    * query's duration and auto-released (Release.afterFirstUse).
+    * histogram cells; everything after that runs over histogram rows
+    * (distinct values × groups), never corpus rows — exact order
+    * statistics with no global sort and no per-group corpus-sized
+    * partitions. TWO passes total (the r15 fusion; the r14 shape ran a
+    * separate n-aggregate, a median window, a mad window, and an
+    * outlier aggregate — four jobs for a 20-row result): the value
+    * histogram is persisted (it feeds both passes), the deviation
+    * histogram is consumed exactly once and never materialized.
+    *
+    *  - pass 1, one window job over the value histogram: the running
+    *    count in value order plus per-key n and sv as whole-partition
+    *    frames over the SAME sort → n, sv, med in one aggregate;
+    *  - pass 2, one window job over the deviation histogram: the
+    *    running count picks the MAD rank, a whole-partition min
+    *    broadcasts it to every cell (no re-shuffle — same key
+    *    partitioning), and the closing aggregate folds the outlier
+    *    count against it.
     *
     * Output: keyCol, n, sv (sum of values — free from the histogram, so
     * consumers like p100 don't pay a separate corpus scan for it), med,
@@ -341,27 +353,30 @@ object StatsOps {
     import org.apache.spark.sql.expressions.Window
     val h = rows.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("c"))
     val hCp = Release.afterFirstUse(h)
-    val n = hCp.groupBy(col(keyCol))
-      .agg(sum(col("c")).as("n"), sum(col(valCol) * col("c")).as("sv"))
     val wc = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
-    val med = hCp.withColumn("cc", sum(col("c")).over(wc))
-      .join(broadcast(n), keyCol)
+    val wk = Window.partitionBy(col(keyCol))
+    val med = hCp
+      .withColumn("cc", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(wk))
+      .withColumn("sv", sum(col(valCol) * col("c")).over(wk))
       .filter(col("cc") >= expr("(n + 1) div 2"))
-      .groupBy(col(keyCol)).agg(min(col(valCol)).as("med"))
-    val dh = hCp.join(broadcast(med), keyCol)
-      .withColumn("dev", abs(col(valCol) - col("med")))
-      .groupBy(col(keyCol), col("dev")).agg(sum(col("c")).as("c"))
-    val dhCp = Release.afterFirstUse(dh)
-    val wd = Window.partitionBy(col(keyCol)).orderBy(col("dev"))
-    val mad = dhCp.withColumn("cc", sum(col("c")).over(wd))
-      .join(broadcast(n), keyCol)
-      .filter(col("cc") >= expr("(n + 1) div 2"))
-      .groupBy(col(keyCol)).agg(min(col("dev")).as("mad"))
-    val outl = dhCp.join(broadcast(mad), keyCol)
       .groupBy(col(keyCol))
-      .agg(coalesce(sum(when(col("dev") > col("mad") * madK, col("c"))), lit(0L))
-        .as("n_out"))
-    n.join(med, keyCol).join(mad, keyCol).join(outl, keyCol)
+      .agg(first(col("n")).as("n"), first(col("sv")).as("sv"),
+        min(col(valCol)).as("med"))
+    val wd = Window.partitionBy(col(keyCol)).orderBy(col("dev"))
+    hCp.join(broadcast(med), keyCol)
+      .withColumn("dev", abs(col(valCol) - col("med")))
+      .groupBy(col(keyCol), col("dev"))
+      .agg(sum(col("c")).as("c"), first(col("n")).as("n"),
+        first(col("sv")).as("sv"), first(col("med")).as("med"))
+      .withColumn("cc", sum(col("c")).over(wd))
+      .withColumn("mad",
+        min(when(col("cc") >= expr("(n + 1) div 2"), col("dev"))).over(wk))
+      .groupBy(col(keyCol))
+      .agg(first(col("n")).as("n"), first(col("sv")).as("sv"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"),
+        coalesce(sum(when(col("dev") > col("mad") * madK, col("c"))), lit(0L))
+          .as("n_out"))
   }
 
   // ------------------------------------------------ streaming CUSUM

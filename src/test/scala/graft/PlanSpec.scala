@@ -765,6 +765,11 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("Window")
     plan should include("BroadcastHashJoin")
     plan should include("InMemoryTableScan")
+    // the r15 fusion: only the VALUE histogram is cached, read exactly
+    // twice (median pass + deviation build) — the r14 shape also cached
+    // the deviation histogram and read the pair five times across four
+    // jobs for a 20-row result
+    plan.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan") shouldBe 2
   }
 
   "p95_dd_simhash_calibration" should "form candidates bucket-locally — never all-pairs" in {
