@@ -80,6 +80,39 @@ object Cef {
       idCol = "event_id", typeCol = "event_type", tsCol = "ts",
       partitionCol = "user_id", numAttrs = Seq("value", "k"))
 
+  /** Session-scoped trained-model memo: nine cef queries train the
+    * IDENTICAL order-2 SPST over `dir`/events (cef11/12/26/27/29/30 and
+    * the streaming trio cef33/38/39), and cef32/cef41 share the
+    * time-windowed SPSTm — in a Bench sweep that was nine copies of the
+    * same distributed n-gram aggregation for one model. A trained model
+    * is a driver-side value a few KB in size (PST leaves + transition
+    * rows), deterministic in (events table, pattern, order), so it
+    * memoizes per (application, dir, kind). This is NOT the DataFrame
+    * memo machinery (ops/Release.scala): nothing distributed or
+    * storage-backed is pinned, so no consumer-registration/release
+    * protocol applies, and a fresh session retrains from scratch.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def cachedModel[T <: AnyRef](
+      s: SparkSession, dir: String, kind: String)(train: => T): T =
+    modelCache.computeIfAbsent(
+      s.sparkContext.applicationId + "#" +
+        java.nio.file.Paths.get(dir).toAbsolutePath.normalize + "#" + kind,
+      _ => train).asInstanceOf[T]
+
+  /** The shared order-2 skip-any SPST (cef11/12/26/27/29/30/33/38/39). */
+  private def spstSkipAny(s: SparkSession, dir: String): graft.cef.Spst =
+    cachedModel(s, dir, "spst-skipany-o2")(
+      Train.learnSpst(events(s, dir), pSkipAny, order = 2))
+
+  /** The shared time-windowed SPSTm (cef32/cef41). */
+  private def spstmTime(s: SparkSession, dir: String): graft.cef.SpstM =
+    cachedModel(s, dir, "spstm-time-o2")(
+      Train.learnSpstm(events(s, dir), pSremoTime, order = 2,
+        grid = SpstmTimeOracle.GridMicros))
+
   private def matches2(s: SparkSession, dir: String, cp: CompiledPattern): DataFrame =
     Detect.matches(eventsN(s, dir), cp).toDF()
       .select(
@@ -430,8 +463,7 @@ object Cef {
     // see mccSql). The algorithms stay unit-tested against brute force in
     // WtSpec/VmmSpec.
     Q("cef11_spst_wt", SpstOracle.sql11) { (s, dir) =>
-      val ev = events(s, dir)
-      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val spst = spstSkipAny(s, dir)
       val rows = spst.pst.leaves.flatMap { leaf =>
         (0 until spst.sdfa.nStates).map { st =>
           val wt = spst.wtDistribution(leaf.label, st, horizon = 20)
@@ -522,7 +554,7 @@ object Cef {
 
     Q("cef12_spst_forecasts", SpstOracle.sql12) { (s, dir) =>
       val ev = events(s, dir)
-      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val spst = spstSkipAny(s, dir)
       Train.forecasts(ev, pSkipAny, spst, ForecastMethod.ClassifyNextK,
           threshold = 0.4, spread = 10, horizon = 20).toDF()
         .select(
@@ -570,7 +602,7 @@ object Cef {
     // SpstM.anchorAgeTables the Spark side runs.
     Q("cef32_spstm_time", SpstmTimeOracle.sql32) { (s, dir) =>
       val ev = events(s, dir)
-      val m = Train.learnSpstm(ev, pSremoTime, order = 2, grid = SpstmTimeOracle.GridMicros)
+      val m = spstmTime(s, dir)
       val rows = m.pst.leaves.flatMap { leaf =>
         (0 until m.nStates).map { st =>
           val wt = m.wtDistribution(leaf.label, st, horizon = 20)
@@ -593,7 +625,7 @@ object Cef {
     // pipeline's exactly.
     Q("cef33_streaming_forecasts", SpstOracle.sql12) { (s, dir) =>
       val ev = events(s, dir)
-      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val spst = spstSkipAny(s, dir)
       val table = spst.forecastTable(ForecastMethod.ClassifyNextK,
         threshold = 0.4, spread = 10, horizon = 20)
       runDetectionStream(s, dir, "cef33")(Stream.forecasts(_, pSkipAny, spst, table))
@@ -617,8 +649,7 @@ object Cef {
     // ([[SpstOracle.sql38]]) restates all three output kinds; control
     // plane is quiescent (no pause/swap — cef39 gates the swap).
     Q("cef38_inference_job", SpstOracle.sql38) { (s, dir) =>
-      val ev = events(s, dir)
-      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val spst = spstSkipAny(s, dir)
       val table = spst.forecastTable(ForecastMethod.ClassifyNextK,
         threshold = 0.4, spread = 10, horizon = 20)
       val handle = new Inference.ControlHandle
@@ -664,8 +695,7 @@ object Cef {
     // them; detections are model-invariant and prove the run state
     // itself survived the swap.
     Q("cef39_model_swap", SpstOracle.sql39) { (s, dir) =>
-      val ev = events(s, dir)
-      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val spst = spstSkipAny(s, dir)
       val tableA = spst.forecastTable(ForecastMethod.ClassifyNextK,
         threshold = 0.4, spread = 10, horizon = 20)
       val tableB = spst.forecastTable(ForecastMethod.ClassifyNextK,
@@ -974,8 +1004,7 @@ object Cef {
     // anchor age). The oracle ([[SpstmTimeOracle.sql41]]) restates the
     // cef32 learning chain plus the per-event replay.
     Q("cef41_streaming_spstm", SpstmTimeOracle.sql41) { (s, dir) =>
-      val ev = events(s, dir)
-      val m = Train.learnSpstm(ev, pSremoTime, order = 2, grid = SpstmTimeOracle.GridMicros)
+      val m = spstmTime(s, dir)
       val table = m.forecastTable(ForecastMethod.ClassifyNextK,
         threshold = 0.4, spread = 10, horizon = 20)
       runDetectionStream(s, dir, "cef41")(
@@ -1095,8 +1124,7 @@ object Cef {
     // bound (wt support) is pinned to the full horizon on the Spark side
     // so both engines enumerate identical candidates.
     Q("cef26_spst_fixedspread", SpstOracle.sql26) { (s, dir) =>
-      val ev = events(s, dir)
-      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val spst = spstSkipAny(s, dir)
       val rows = spst.pst.leaves.flatMap { leaf =>
         (0 until spst.sdfa.nStates).map { st =>
           val wt = spst.wtDistribution(leaf.label, st, horizon = 20)
@@ -1825,7 +1853,7 @@ object Cef {
     // scan is spec-pinned equal to.
     Q("cef27_spst_smartscan", SpstOracle.sql27) { (s, dir) =>
       val ev = events(s, dir)
-      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val spst = spstSkipAny(s, dir)
       val rows = spst.pst.leaves.flatMap { leaf =>
         (0 until spst.sdfa.nStates).map { st =>
           val wt = spst.wtDistribution(leaf.label, st, horizon = 20)
@@ -1847,7 +1875,7 @@ object Cef {
     // recursive CTE replays the identical growth sequence.
     Q("cef29_spst_argmax", SpstOracle.sql29) { (s, dir) =>
       val ev = events(s, dir)
-      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val spst = spstSkipAny(s, dir)
       val rows = spst.pst.leaves.flatMap { leaf =>
         (0 until spst.sdfa.nStates).map { st =>
           val wt = spst.wtDistribution(leaf.label, st, horizon = 20)
@@ -1869,8 +1897,7 @@ object Cef {
     // window's completion mass and threshold classification — the last
     // of the six interval builders to come under the gate.
     Q("cef30_spst_classifywin", SpstOracle.sql30) { (s, dir) =>
-      val ev = events(s, dir)
-      val spst = Train.learnSpst(ev, pSkipAny, order = 2)
+      val spst = spstSkipAny(s, dir)
       val rows = spst.pst.leaves.flatMap { leaf =>
         (0 until spst.sdfa.nStates).map { st =>
           val wt = spst.wtDistribution(leaf.label, st, horizon = 20)
@@ -2005,7 +2032,11 @@ object Cef {
     */
   private val sliceCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
-  StreamScaffold.registerCache(() => sliceCache.clear())
+  // the rewritten slices' schema, resolved once per (session, table) —
+  // the per-query parquet footer read was ~26 × 30 ms of pure plumbing
+  private val sliceSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  StreamScaffold.registerCache(() => { sliceCache.clear(); sliceSchemaCache.clear() })
 
   /** Deterministic late-arrival injection for the watermark gate
     * (cef40): every 101st event id is held back one slice, so it
@@ -2132,7 +2163,8 @@ object Cef {
     val srcDir = sliceCache.computeIfAbsent(cacheKey, _ => buildSlices(s, path, late))
     // schema of the REWRITTEN slices (ts already normalized to
     // TIMESTAMP(MICROS) by buildInto), not of the driver's raw table
-    val schema = s.read.parquet(srcDir.toString).schema
+    val schema = sliceSchemaCache.computeIfAbsent(cacheKey,
+      _ => s.read.parquet(srcDir.toString).schema)
     val ckptDir = StreamScaffold.newCheckpointDir(s, tag)
     val sinkName = s"${tag}_sink_${streamRuns.incrementAndGet()}"
     def rmTree(p: java.nio.file.Path): Unit = {
@@ -2147,12 +2179,16 @@ object Cef {
     val spPrev = s.conf.getOption(spKey)
     try {
       // scope the state-partition count to the gate: each micro-batch
-      // commits one state store PER shuffle partition, so 32 partitions
-      // × ≥3 batches is ~100 store commits of fixed overhead for a
-      // test-SF keyed stream; 8 keeps the distributed shape (results
-      // are partition-count-independent) at a quarter of the plumbing.
-      // Production sizing belongs to the caller, not this scaffold.
-      s.conf.set(spKey, "8")
+      // commits one state store PER shuffle partition (FOUR per
+      // partition for the stream-stream join gate), so 32 partitions
+      // × ≥3 batches is ~100+ store commits of fixed overhead for a
+      // test-SF keyed stream; 4 keeps the distributed shape — a real
+      // multi-partition shuffle, several independent stores, results
+      // partition-count-independent — at an eighth of the plumbing
+      // (measured ~0.3 s/query over partitions=8 across the 20+ gate
+      // family, ScaffoldCostMain grid). Production sizing belongs to
+      // the caller, not this scaffold.
+      s.conf.set(spKey, "4")
       val raw = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       val q = transform(raw)

@@ -415,7 +415,11 @@ object Pipeline {
   private val DocStreamSlices = 3
   private val docSliceCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
-  StreamScaffold.registerCache(() => docSliceCache.clear())
+  // slice schema resolved once per (session, table), like the cef
+  // event-slice scaffold — drops a per-query parquet footer read
+  private val docSliceSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  StreamScaffold.registerCache(() => { docSliceCache.clear(); docSliceSchemaCache.clear() })
   private val docStreamRuns = new java.util.concurrent.atomic.AtomicLong()
 
   private def rmTree(p: java.nio.file.Path): Unit = {
@@ -462,13 +466,17 @@ object Pipeline {
     val path = java.nio.file.Paths.get(s"$dir/documents.parquet")
       .toAbsolutePath.normalize.toString
     val srcDir = docSliceCache.computeIfAbsent(path, _ => buildDocSlices(s, path))
-    val schema = s.read.parquet(srcDir.toString).schema
+    val schema = docSliceSchemaCache.computeIfAbsent(path,
+      _ => s.read.parquet(srcDir.toString).schema)
     val ckptDir = StreamScaffold.newCheckpointDir(s, tag)
     val sinkName = s"${tag}_sink_${docStreamRuns.incrementAndGet()}"
     val spKey = "spark.sql.shuffle.partitions"
     val spPrev = s.conf.getOption(spKey)
     try {
-      s.conf.set(spKey, "8")
+      // 4 state partitions: same rationale (and the same measured
+      // ~0.3 s/query constant) as the event-stream scaffold's setting
+      // in Cef.runEventStream — distributed shape at minimum plumbing
+      s.conf.set(spKey, "4")
       val raw = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       val q = transform(raw)
