@@ -95,12 +95,18 @@ object Cef {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  /** Count of actual trainings (cache misses) — test-visible so
+    * ModelMemoSpec can pin "nine consumers, one training" directly
+    * instead of inferring it from job counts.
+    */
+  private[graft] val modelTrainCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def cachedModel[T <: AnyRef](
       s: SparkSession, dir: String, kind: String)(train: => T): T =
     modelCache.computeIfAbsent(
       s.sparkContext.applicationId + "#" +
         java.nio.file.Paths.get(dir).toAbsolutePath.normalize + "#" + kind,
-      _ => train).asInstanceOf[T]
+      _ => { modelTrainCount.incrementAndGet(); train }).asInstanceOf[T]
 
   /** The shared order-2 skip-any SPST (cef11/12/26/27/29/30/33/38/39). */
   private def spstSkipAny(s: SparkSession, dir: String): graft.cef.Spst =

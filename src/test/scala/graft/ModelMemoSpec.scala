@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** The shared trained-model memo (round 15): nine cef queries consume
+  * the IDENTICAL order-2 skip-any SPST and two the same time-windowed
+  * SPSTm — each used to retrain it from scratch, eight-plus redundant
+  * distributed aggregations per sweep. The memo is a driver-side
+  * KB-sized value keyed by (application, dir, kind), deliberately
+  * OUTSIDE the consumer-registered DataFrame release machinery
+  * (nothing distributed is pinned). This spec pins the contract:
+  *
+  *  - consumers of one (dir, kind) trigger exactly ONE training;
+  *  - a different dir is a different model (no cross-SF aliasing);
+  *  - the memoized path returns the same results as the cold path
+  *    (two consumers' outputs are deterministic and repeatable).
+  */
+class ModelMemoSpec extends AnyFlatSpec with Matchers {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").appName("model-memo-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(name: String, dir: String) = {
+    graft.ops.Release.beginQuery(name)
+    val out = SparkEntry.queries(name)(spark, dir).collect()
+    graft.ops.Release.queryFinished(spark, name)
+    out
+  }
+
+  behavior of "the shared trained-model memo"
+
+  it should "train once for all consumers of one (dir, kind) and per dir otherwise" in {
+    val d1 = "/root/testdata/sf0.001"
+    val base = graft.queries.Cef.modelTrainCount.get()
+
+    // four SPST consumers, one training
+    val wt1 = run("cef11_spst_wt", d1)
+    run("cef12_spst_forecasts", d1)
+    run("cef26_spst_fixedspread", d1)
+    run("cef30_spst_classifywin", d1)
+    graft.queries.Cef.modelTrainCount.get() - base shouldBe 1
+
+    // the SPSTm pair shares one more training
+    run("cef32_spstm_time", d1)
+    run("cef41_streaming_spstm", d1)
+    graft.queries.Cef.modelTrainCount.get() - base shouldBe 2
+
+    // a different dir is a different model
+    run("cef11_spst_wt", "/root/testdata/sf0.01")
+    graft.queries.Cef.modelTrainCount.get() - base shouldBe 3
+
+    // the memoized path reproduces the cold output exactly
+    val wt1Again = run("cef11_spst_wt", d1)
+    graft.queries.Cef.modelTrainCount.get() - base shouldBe 3
+    wt1Again.map(_.toString).toSeq shouldBe wt1.map(_.toString).toSeq
+  }
+}
