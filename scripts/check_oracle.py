@@ -29,8 +29,18 @@ def main():
         elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # local-iteration filters (regex over names): CHECK_ONLY to restrict,
+    # CHECK_SKIP for oracles with dedicated staged scripts (p119/p15/p67
+    # at sf1+ — semantics identical, evaluation strategy materialized).
+    # The driver never sets either, so its gate is unaffected.
+    import re as _re
+    only = os.environ.get("CHECK_ONLY")
+    skip = os.environ.get("CHECK_SKIP")
+    names = [n for n in sorted(oracle)
+             if (not only or _re.search(only, n))
+             and (not skip or not _re.search(skip, n))]
     n_ok = n_bad = 0
-    for name in sorted(oracle):
+    for name in names:
         sql = oracle[name]
         res_glob = f"{outdir}/{name}/*.parquet"
         if not glob.glob(res_glob):
@@ -81,7 +91,7 @@ def main():
             print(f"OK       {name} ({len(got)} rows)")
             n_ok += 1
     # queries without oracle → rows-only
-    print(f"\n{n_ok} ok, {n_bad} bad, {len(oracle)} with oracle")
+    print(f"\n{n_ok} ok, {n_bad} bad, {len(names)} checked of {len(oracle)} with oracle")
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":

@@ -13,8 +13,12 @@ import org.apache.spark.sql.expressions.Window
   *
   * Conventions for oracle parity:
   *  - every aggregate / computed column aliased identically on both sides;
-  *  - double aggregates rounded (sum→2dp, avg→4dp) to absorb summation-order
-  *    differences between Spark partial aggregation and DuckDB;
+  *  - money/quantity sums ride DECIMAL(18,6) ([[dsum]]/[[davg]]): decimal
+  *    addition is exact and associative, so the result is independent of
+  *    partition count and summation order on BOTH engines — a 2dp round
+  *    over a double sum is NOT (the q21 cent at sf1, SCALE.md round-15:
+  *    one ulp-crossing on a ~1e9 total flipped the rounded cent). The
+  *    same property is what a 100 TB aggregation needs;
   *  - deterministic ORDER BY on both sides;
   *  - timestamps cast to DATE on output (duckdb naive vs spark UTC parity).
   */
@@ -23,18 +27,36 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  import org.apache.spark.sql.Column
+
+  /** Order-independent money sum: exact DECIMAL(18,6) accumulation,
+    * rounded to `scale`, surfaced as DOUBLE (both engines convert the
+    * same exact decimal to the same nearest double). SQL twin:
+    * `CAST(round(sum(CAST(x AS DECIMAL(18,6))), s) AS DOUBLE)`.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(18,6)")), scale).cast("double")
+
+  /** Order-independent mean: exact decimal sum, ONE double divide by the
+    * group count — the divide operands are bit-identical cross-engine,
+    * so the quotient and its round are too. SQL twin:
+    * `round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), s)`.
+    */
+  private def davg(c: Column, scale: Int): Column =
+    round(sum(c.cast("decimal(18,6)")).cast("double") / count(lit(1)), scale)
+
   val queries: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
     Q("q01_agg",
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2)      AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |       round(avg(l_quantity), 4)      AS avg_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
-        |       round(avg(l_discount), 4)      AS avg_disc,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_qty,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)      AS avg_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)      AS avg_disc,
         |       count(*)                       AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -44,13 +66,13 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity"), 4).as("avg_qty"),
+          davg(col("l_extendedprice"), 4).as("avg_price"),
+          davg(col("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -60,7 +82,7 @@ object Relational {
     // lineitem↔orders fact joins (on their keys) — survives scale-up.
     Q("q02_join_revenue",
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -83,7 +105,7 @@ object Relational {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
@@ -138,7 +160,7 @@ object Relational {
       """SELECT c_mktsegment,
         |       count(DISTINCT c_nationkey) AS n_nations,
         |       count(*) AS n_customers,
-        |       round(sum(c_acctbal), 2) AS sum_bal
+        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_bal
         |FROM customer
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
@@ -147,7 +169,7 @@ object Relational {
         .agg(
           countDistinct(col("c_nationkey")).as("n_nations"),
           count(lit(1)).as("n_customers"),
-          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+          dsum(col("c_acctbal")).as("sum_bal"))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -180,14 +202,14 @@ object Relational {
     Q("q09_rollup",
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
         |       count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
@@ -198,13 +220,13 @@ object Relational {
     // ------------------------------------------------------------------
     Q("q10_events_daily",
       """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |       count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("event_type"), col("day"))
     },
 
@@ -240,18 +262,18 @@ object Relational {
     // ------------------------------------------------------------------
     Q("q12_pivot",
       """SELECT user_id,
-        |       round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click,
-        |       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
-        |       round(sum(CASE WHEN event_type = 'error'    THEN value ELSE 0 END), 2) AS error
+        |       CAST(round(sum(CAST(CASE WHEN event_type = 'click'    THEN value ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS click,
+        |       CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS purchase,
+        |       CAST(round(sum(CAST(CASE WHEN event_type = 'error'    THEN value ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS error
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "events")
       e.groupBy(col("user_id"))
         .agg(
-          round(sum(when(col("event_type") === "click", col("value")).otherwise(0)), 2).as("click"),
-          round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0)), 2).as("purchase"),
-          round(sum(when(col("event_type") === "error", col("value")).otherwise(0)), 2).as("error"))
+          dsum(when(col("event_type") === "click", col("value")).otherwise(0)).as("click"),
+          dsum(when(col("event_type") === "purchase", col("value")).otherwise(0)).as("purchase"),
+          dsum(when(col("event_type") === "error", col("value")).otherwise(0)).as("error"))
         .orderBy(col("user_id"))
     },
 
@@ -273,14 +295,19 @@ object Relational {
     Q("q14_above_avg",
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders JOIN (
-        |  SELECT o_custkey AS k, avg(o_totalprice) AS avg_price
+        |  SELECT o_custkey AS k,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
         |  FROM orders GROUP BY o_custkey
         |) ON o_custkey = k
         |WHERE o_totalprice > 1.5 * avg_price
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       val o = t(s, dir, "orders")
       val avgs = o.groupBy(col("o_custkey").as("k"))
-        .agg(avg(col("o_totalprice")).as("avg_price"))
+        // exact decimal sum + one double divide: the threshold compare
+        // below must see the bit-identical avg on both engines (a
+        // borderline order flips membership otherwise — dsum/davg note)
+        .agg((sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("avg_price"))
       o.join(avgs, col("o_custkey") === col("k"))
         .filter(col("o_totalprice") > lit(1.5) * col("avg_price"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -364,13 +391,13 @@ object Relational {
     Q("q17_cube",
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
-        |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price, count(*) AS n
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+        .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
@@ -457,7 +484,7 @@ object Relational {
     // scale with SF, so AQE picks their strategies.
     Q("q21_local_supplier",
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -482,7 +509,7 @@ object Relational {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
@@ -529,7 +556,7 @@ object Relational {
         |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
         |            AS BIGINT) AS gid,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(o_totalprice), 2) AS total
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (o_orderpriority))
@@ -540,7 +567,7 @@ object Relational {
           |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
           |            AS BIGINT) AS gid,
           |       CAST(count(*) AS BIGINT) AS n,
-          |       round(sum(o_totalprice), 2) AS total
+          |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
           |FROM orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), (o_orderpriority))
@@ -561,7 +588,7 @@ object Relational {
     // shuffles on l_partkey (same key as the join), part is dim-sized →
     // broadcast; survives a 100× fact table unchanged.
     Q("q24_corr_subquery",
-      """SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT p_brand, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE p.p_brand IN ('Brand#21','Brand#22','Brand#23','Brand#24','Brand#25')
         |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -571,7 +598,7 @@ object Relational {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q24")
       t(s, dir, "part").createOrReplaceTempView("part_q24")
       s.sql(
-        """SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        """SELECT p_brand, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
           |FROM lineitem_q24 l JOIN part_q24 p ON p.p_partkey = l.l_partkey
           |WHERE p.p_brand IN ('Brand#21','Brand#22','Brand#23','Brand#24','Brand#25')
           |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
