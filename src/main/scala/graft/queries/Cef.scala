@@ -80,33 +80,16 @@ object Cef {
       idCol = "event_id", typeCol = "event_type", tsCol = "ts",
       partitionCol = "user_id", numAttrs = Seq("value", "k"))
 
-  /** Session-scoped trained-model memo: nine cef queries train the
-    * IDENTICAL order-2 SPST over `dir`/events (cef11/12/26/27/29/30 and
-    * the streaming trio cef33/38/39), and cef32/cef41 share the
-    * time-windowed SPSTm — in a Bench sweep that was nine copies of the
-    * same distributed n-gram aggregation for one model. A trained model
-    * is a driver-side value a few KB in size (PST leaves + transition
-    * rows), deterministic in (events table, pattern, order), so it
-    * memoizes per (application, dir, kind). This is NOT the DataFrame
-    * memo machinery (ops/Release.scala): nothing distributed or
-    * storage-backed is pinned, so no consumer-registration/release
-    * protocol applies, and a fresh session retrains from scratch.
+  /** Trained-model memo ([[graft.ops.ModelMemo]]): nine cef queries
+    * train the IDENTICAL order-2 SPST over `dir`/events
+    * (cef11/12/26/27/29/30 and the streaming trio cef33/38/39), and
+    * cef32/cef41 share the time-windowed SPSTm — in a Bench sweep that
+    * was nine copies of the same distributed n-gram aggregation for one
+    * KB-sized driver-side model.
     */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-
-  /** Count of actual trainings (cache misses) — test-visible so
-    * ModelMemoSpec can pin "nine consumers, one training" directly
-    * instead of inferring it from job counts.
-    */
-  private[graft] val modelTrainCount = new java.util.concurrent.atomic.AtomicLong(0L)
-
   private def cachedModel[T <: AnyRef](
       s: SparkSession, dir: String, kind: String)(train: => T): T =
-    modelCache.computeIfAbsent(
-      s.sparkContext.applicationId + "#" +
-        java.nio.file.Paths.get(dir).toAbsolutePath.normalize + "#" + kind,
-      _ => { modelTrainCount.incrementAndGet(); train }).asInstanceOf[T]
+    graft.ops.ModelMemo.cached(s, dir, kind)(train)
 
   /** The shared order-2 skip-any SPST (cef11/12/26/27/29/30/33/38/39). */
   private def spstSkipAny(s: SparkSession, dir: String): graft.cef.Spst =

@@ -18,6 +18,22 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Shared BPE merge table (p42/p45/p49/p78 learn the IDENTICAL
+    * [[BpeSteps]]-step merges — four copies of the same iterative
+    * distributed learning per sweep; p48's ADAPTIVE path deliberately
+    * relearns, because batched≡sequential on real data is its claim).
+    * Driver-side rows, model-sized, deterministic in (documents table,
+    * col, steps) — memoized per (application, dir) via
+    * [[graft.ops.ModelMemo]], exactly like Cef's trained SPSTs.
+    */
+  private def bpeMergeRows(
+      s: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] =
+    graft.ops.ModelMemo.cached(s, dir, s"bpe-merges-$BpeSteps")(
+      TextOps.bpeMerges(t(s, dir, "documents"), "text", BpeSteps)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq)
+
   /** Shared ≥0.9 near-dup pair set (p06/p15). Spark side: signatures
     * persisted (explode + two candidate joins — at real scale a
     * materialized signature table); hashes sorted once per doc so pair
@@ -2095,7 +2111,8 @@ object Pipeline {
     // token encoding, where greedy merge application is a plain
     // left-to-right `replace` in both engines.
     Q("p42_txt_bpe", BpeUnrolledOracle) { (s, dir) =>
-      TextOps.bpeMerges(t(s, dir, "documents"), "text", BpeSteps)
+      import s.implicits._
+      bpeMergeRows(s, dir).toDF("step", "lhs", "rhs", "merged", "cnt")
         .orderBy(col("step"))
     },
 
@@ -2198,9 +2215,7 @@ object Pipeline {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val merges = TextOps.bpeMerges(docs, "text", BpeSteps)
-        .orderBy(col("step")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = bpeMergeRows(s, dir).map(m => (m._2, m._3))
       TextOps.bpeEncode(docs, "doc_id", "text", merges)
         .orderBy(col("doc_id"))
     },
@@ -2225,9 +2240,7 @@ object Pipeline {
          |FROM e ORDER BY doc_id, wpos, spos""".stripMargin
     }) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val merges = TextOps.bpeMerges(docs, "text", BpeSteps)
-        .orderBy(col("step")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = bpeMergeRows(s, dir).map(m => (m._2, m._3))
       TextOps.bpeTokenize(docs, "doc_id", "text", merges)
         .orderBy(col("doc_id"), col("wpos"), col("spos"))
     },
@@ -3758,9 +3771,7 @@ object Pipeline {
          |FROM a ORDER BY source, lang""".stripMargin
     }) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val merges = TextOps.bpeMerges(docs, "text", BpeSteps)
-        .orderBy(col("step")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = bpeMergeRows(s, dir).map(m => (m._2, m._3))
       val vocab = TextOps.bpeVocab(docs, "text", merges)
         .select(col("word"),
           size(col("toks")).cast("long").as("n_sub"),

@@ -37,27 +37,47 @@ class ModelMemoSpec extends AnyFlatSpec with Matchers {
 
   it should "train once for all consumers of one (dir, kind) and per dir otherwise" in {
     val d1 = "/root/testdata/sf0.001"
-    val base = graft.queries.Cef.modelTrainCount.get()
+    def count() = graft.ops.ModelMemo.trainCount.get()
+    val base = count()
 
     // four SPST consumers, one training
     val wt1 = run("cef11_spst_wt", d1)
     run("cef12_spst_forecasts", d1)
     run("cef26_spst_fixedspread", d1)
     run("cef30_spst_classifywin", d1)
-    graft.queries.Cef.modelTrainCount.get() - base shouldBe 1
+    count() - base shouldBe 1
 
     // the SPSTm pair shares one more training
     run("cef32_spstm_time", d1)
     run("cef41_streaming_spstm", d1)
-    graft.queries.Cef.modelTrainCount.get() - base shouldBe 2
+    count() - base shouldBe 2
 
     // a different dir is a different model
     run("cef11_spst_wt", "/root/testdata/sf0.01")
-    graft.queries.Cef.modelTrainCount.get() - base shouldBe 3
+    count() - base shouldBe 3
 
     // the memoized path reproduces the cold output exactly
     val wt1Again = run("cef11_spst_wt", d1)
-    graft.queries.Cef.modelTrainCount.get() - base shouldBe 3
+    count() - base shouldBe 3
     wt1Again.map(_.toString).toSeq shouldBe wt1.map(_.toString).toSeq
+  }
+
+  it should "share one BPE merge learning across p42/p45/p49/p78 but not p48's adaptive path" in {
+    val d1 = "/root/testdata/sf0.001"
+    def count() = graft.ops.ModelMemo.trainCount.get()
+    val base = count()
+
+    val merges = run("p42_txt_bpe", d1)
+    run("p45_txt_bpe_encode", d1)
+    run("p49_txt_bpe_tokenize", d1)
+    run("p78_bpe_fertility", d1)
+    count() - base shouldBe 1
+
+    // the adaptive learner is NOT memo-fed (its claim is that the
+    // batched schedule reproduces the sequential argmax on real data),
+    // and its output matches the memoized sequential table exactly
+    val batched = run("p48_txt_bpe_batched", d1)
+    count() - base shouldBe 1
+    batched.map(_.toString).sorted.toSeq shouldBe merges.map(_.toString).sorted.toSeq
   }
 }
