@@ -34,6 +34,26 @@ object Pipeline {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getString(3), r.getLong(4))).toSeq)
 
+  /** Shared perceptron weight trajectory (p55/p73/p96 each ran the
+    * identical [[PerceptronEpochs]]-epoch driver loop — one persisted
+    * corpus pass per epoch — over the same feature table). Epochs × 6
+    * integers; [[graft.ops.ModelMemo]] discipline.
+    */
+  private def perceptronRows(
+      s: SparkSession, dir: String): Seq[(Int, Long, Long, Long, Long, Long)] =
+    graft.ops.ModelMemo.cached(s, dir, s"perceptron-$PerceptronEpochs")(
+      graft.ops.ClassifierOps
+        .perceptronEpochs(s, perceptronFeats(s, dir), PerceptronEpochs)
+        .orderBy(col("epoch")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq)
+
+  /** The memoized trajectory back as the trainer's exact DataFrame. */
+  private def perceptronDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    perceptronRows(s, dir).toDF("epoch", "w0", "w1", "w2", "w3", "n_mis")
+  }
+
   /** Shared ≥0.9 near-dup pair set (p06/p15). Spark side: signatures
     * persisted (explode + two candidate joins — at real scale a
     * materialized signature table); hashes sorted once per doc so pair
@@ -2862,8 +2882,7 @@ object Pipeline {
       s"""WITH $PerceptronCtes
          |SELECT * FROM ($out) ORDER BY epoch""".stripMargin
     }) { (s, dir) =>
-      graft.ops.ClassifierOps.perceptronEpochs(s, perceptronFeats(s, dir), PerceptronEpochs)
-        .orderBy(col("epoch"))
+      perceptronDf(s, dir).orderBy(col("epoch"))
     },
 
     // ------------------------- sampling: sequential Poisson / PPS (p63)
@@ -3420,8 +3439,7 @@ object Pipeline {
          |FROM a ORDER BY epoch""".stripMargin
     }) { (s, dir) =>
       val feats = perceptronFeats(s, dir)
-      val wdf = graft.ops.ClassifierOps
-        .perceptronEpochs(s, feats, PerceptronEpochs)
+      val wdf = perceptronDf(s, dir)
         .select(col("epoch"), col("w0"), col("w1"), col("w2"), col("w3"))
       val scored = feats.crossJoin(broadcast(wdf)).select(
         col("epoch"),
@@ -4557,7 +4575,7 @@ object Pipeline {
          |FROM bk ORDER BY bucket""".stripMargin
     }) { (s, dir) =>
       val feats = perceptronFeats(s, dir)
-      val wN = graft.ops.ClassifierOps.perceptronEpochs(s, feats, PerceptronEpochs)
+      val wN = perceptronDf(s, dir)
         .filter(col("epoch") === PerceptronEpochs)
         .select(col("w0"), col("w1"), col("w2"), col("w3"))
       val sc = graft.ops.Release.afterFirstUse(

@@ -80,4 +80,14 @@ class ModelMemoSpec extends AnyFlatSpec with Matchers {
     count() - base shouldBe 1
     batched.map(_.toString).sorted.toSeq shouldBe merges.map(_.toString).sorted.toSeq
   }
+
+  it should "share one perceptron training across p55/p73/p96" in {
+    val d1 = "/root/testdata/sf0.001"
+    def count() = graft.ops.ModelMemo.trainCount.get()
+    val base = count()
+    run("p55_quality_perceptron", d1)
+    run("p73_quality_auc", d1)
+    run("p96_quality_reliability", d1)
+    count() - base shouldBe 1
+  }
 }
