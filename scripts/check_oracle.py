@@ -39,6 +39,12 @@ def main():
     names = [n for n in sorted(oracle)
              if (not only or _re.search(only, n))
              and (not skip or not _re.search(skip, n))]
+    if (only or skip) and not names:
+        # a typo'd filter regex must not yield a silently green
+        # "0 ok, 0 bad" run that checked nothing (r15 ADVICE)
+        print(f"FILTERED-EMPTY: CHECK_ONLY={only!r} CHECK_SKIP={skip!r} "
+              f"matched none of {len(oracle)} oracle names — nothing was checked")
+        sys.exit(2)
     n_ok = n_bad = 0
     for name in names:
         sql = oracle[name]

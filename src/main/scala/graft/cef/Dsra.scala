@@ -390,8 +390,12 @@ final class DsraRun(
     val kept = new java.util.LinkedHashMap[Config, Config]
     survivors.foreach { case (c, _) => kept.put(c, c) }
     if (evicted == 0L)
-      // surface the silent-drop once per run: evicted configurations mean
-      // some detections may be missing from this key's output
+      // surface the silent-drop ONCE PER LOGICAL RUN: evicted
+      // configurations mean some detections may be missing from this
+      // key's output. The guard is the counter itself, which
+      // snapshot/restore carries across GroupState round-trips — a
+      // streaming key warns on its first-ever eviction, not once per
+      // micro-batch (DsraSpec pins one line + an accurate count)
       System.err.println(
         s"[graft] DsraRun key '$partition': configuration population exceeded " +
           s"$maxConfigs; evicting oldest window anchors (detections may be " +
@@ -410,11 +414,18 @@ final class DsraRun(
         case i if c.regs(i) != null => regNames(i) -> c.regs(i)
       }.toMap
       DsraConfigState(c.state, reg, c.taken, c.anchor)
-    })
+    }, evicted)
   }
 
   def restore(s: DsraRunState): Unit = {
     counter = s.counter
+    // the eviction counter is LOGICAL-RUN state: carrying it across
+    // GroupState round-trips keeps evictedConfigs accurate over a
+    // streaming key's whole life AND keeps the population warning at
+    // one line per logical run — without this, every micro-batch
+    // restored evicted=0 and re-warned, flooding the driver log at
+    // production key cardinality (r15 VERDICT burr #2)
+    evicted = s.evicted
     reset()
     s.configs.foreach { cs =>
       val regs = new Array[CEvent](R)
@@ -513,4 +524,5 @@ final case class DsraConfigState(
     state: Int, registers: Map[String, CEvent], taken: Boolean, anchor: Long)
 
 /** Serializable snapshot of a [[DsraRun]] — the streaming GroupState payload. */
-final case class DsraRunState(counter: Long, configs: Seq[DsraConfigState])
+final case class DsraRunState(counter: Long, configs: Seq[DsraConfigState],
+    evicted: Long = 0L)

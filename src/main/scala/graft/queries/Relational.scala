@@ -33,6 +33,17 @@ object Relational {
     * rounded to `scale`, surfaced as DOUBLE (both engines convert the
     * same exact decimal to the same nearest double). SQL twin:
     * `CAST(round(sum(CAST(x AS DECIMAL(18,6))), s) AS DOUBLE)`.
+    *
+    * Residual tie surface (r15 ADVICE, documented deliberately): the
+    * per-row DOUBLE→DECIMAL(18,6) cast itself has engine-specific tie
+    * rounding — Spark quantizes the double's shortest decimal string
+    * HALF_UP (`BigDecimal.valueOf`), DuckDB rounds the scaled binary
+    * value — so a source double landing within ~half an ulp of an
+    * exact x.xxxxxx5 boundary could quantize to adjacent micros per
+    * engine. The testdata's money columns are generated FROM 2dp
+    * values (no 7th decimal digit exists to tie on), so the surface is
+    * unreachable here; a future generator emitting full-precision
+    * doubles should generate money as decimals at the source instead.
     */
   private def dsum(c: Column, scale: Int = 2): Column =
     round(sum(c.cast("decimal(18,6)")), scale).cast("double")

@@ -36,6 +36,10 @@ class ModelMemoSpec extends AnyFlatSpec with Matchers {
   behavior of "the shared trained-model memo"
 
   it should "train once for all consumers of one (dir, kind) and per dir otherwise" in {
+    // cold memo regardless of suite ordering in the shared test JVM
+    // (r15 ADVICE): an earlier suite touching these queries would
+    // otherwise make every delta below read 0
+    graft.ops.ModelMemo.clearForTest()
     val d1 = "/root/testdata/sf0.001"
     def count() = graft.ops.ModelMemo.trainCount.get()
     val base = count()
@@ -63,6 +67,7 @@ class ModelMemoSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "share one BPE merge learning across p42/p45/p49/p78 but not p48's adaptive path" in {
+    graft.ops.ModelMemo.clearForTest()
     val d1 = "/root/testdata/sf0.001"
     def count() = graft.ops.ModelMemo.trainCount.get()
     val base = count()
@@ -82,6 +87,7 @@ class ModelMemoSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "share one perceptron training across p55/p73/p96" in {
+    graft.ops.ModelMemo.clearForTest()
     val d1 = "/root/testdata/sf0.001"
     def count() = graft.ops.ModelMemo.trainCount.get()
     val base = count()
@@ -89,5 +95,51 @@ class ModelMemoSpec extends AnyFlatSpec with Matchers {
     run("p73_quality_auc", d1)
     run("p96_quality_reliability", d1)
     count() - base shouldBe 1
+  }
+
+  it should "bound the cache (LRU) and retrain an evicted key on next use" in {
+    import graft.ops.ModelMemo
+    ModelMemo.clearForTest()
+    def count() = ModelMemo.trainCount.get()
+    val base = count()
+    ModelMemo.cached(spark, "/tmp", "lru-probe-0")("v0": AnyRef)
+    count() - base shouldBe 1
+    // a hit is a hit
+    ModelMemo.cached(spark, "/tmp", "lru-probe-0")("v0": AnyRef)
+    count() - base shouldBe 1
+    // fill past capacity: probe-0 is the eldest and falls out
+    for (i <- 1 to ModelMemo.MaxEntries)
+      ModelMemo.cached(spark, "/tmp", s"lru-probe-$i")(s"v$i": AnyRef)
+    ModelMemo.entryCountForTest shouldBe ModelMemo.MaxEntries
+    ModelMemo.cached(spark, "/tmp", "lru-probe-0")("v0": AnyRef)
+    count() - base shouldBe (ModelMemo.MaxEntries + 2).toLong
+  }
+
+  it should "run trainings outside the map lock (r15 ADVICE)" in {
+    import graft.ops.ModelMemo
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    ModelMemo.clearForTest()
+    // a training may consult the memo for ANOTHER key (the
+    // computeIfAbsent same-bin re-entry would deadlock here)
+    val outer = ModelMemo.cached(spark, "/tmp", "reenter-outer") {
+      ModelMemo.cached(spark, "/tmp", "reenter-inner")("inner": AnyRef)
+    }
+    outer shouldBe "inner"
+    // an UNRELATED key trains to completion while another key's
+    // training is still in flight (no shared lock across keys)
+    val slowStarted = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val slow = new Thread(() => ModelMemo.cached(spark, "/tmp", "slow-key") {
+      slowStarted.countDown()
+      release.await(30, TimeUnit.SECONDS)
+      "slow": AnyRef
+    })
+    slow.start()
+    assert(slowStarted.await(30, TimeUnit.SECONDS), "slow training never started")
+    // would block forever under a map-wide training lock
+    ModelMemo.cached(spark, "/tmp", "fast-key")("fast": AnyRef) shouldBe "fast"
+    release.countDown()
+    slow.join(30000)
+    slow.isAlive shouldBe false
   }
 }

@@ -180,6 +180,44 @@ class DsraSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "warn once per logical run and carry the eviction counter across snapshot/restore" in {
+    // the population warning's guard is the evicted counter itself, and
+    // that counter is logical-run state: a streaming key that round-trips
+    // through GroupState every micro-batch must warn ONCE (its first-ever
+    // eviction), not once per batch (r15 VERDICT burr #2)
+    val cp = Compiler.compileMatchOnly(
+      """#(;(GTPredicate(value,0.0)["x"],EQAttrPredicate(value,"x"))){window:100000}{windowType:count}""")
+    val events = (1 to 600).map(i =>
+      CEvent(i.toLong, "v", i.toLong, "k", Map("value" -> i.toDouble), Map.empty))
+    def withCapturedErr[A](body: => A): (A, String) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val prev = System.err
+      System.setErr(new java.io.PrintStream(buf, true))
+      try { val a = body; (a, buf.toString) } finally System.setErr(prev)
+    }
+    def warnLines(s: String): Int =
+      s.linesIterator.count(_.contains("configuration population exceeded"))
+    // first half: many evictions, exactly one warning line
+    val ((snap, firstEvicted), err1) = withCapturedErr {
+      val r = new DsraRun(cp, "k", maxConfigs = 100)
+      events.take(400).foreach(r.step)
+      (r.snapshot, r.evictedConfigs)
+    }
+    firstEvicted should be > 0L
+    snap.evicted shouldBe firstEvicted // surfaced on the state payload
+    warnLines(err1) shouldBe 1
+    // restored continuation: counter keeps growing, warning does NOT
+    // re-fire even though this incarnation evicts plenty more
+    val (total, err2) = withCapturedErr {
+      val r2 = new DsraRun(cp, "k", maxConfigs = 100)
+      r2.restore(snap)
+      events.drop(400).foreach(r2.step)
+      r2.evictedConfigs
+    }
+    total should be > firstEvicted
+    warnLines(err2) shouldBe 0
+  }
+
   it should "reject unwindowed register patterns" in {
     val cp = Compiler.compileMatchOnly(
       """#(;(GTPredicate(value,120.0)["x"],GTAttrPredicate(value,"x")))""")
