@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (box has 128 GiB): local[32] runs 32 concurrent tasks in
+  // ONE JVM, and an 8g heap made the whole bench sweep GC-bound — the
+  // r16 A/B at sf0.1 read cef 129.1 s / p 134.6 s under 8g vs
+  // 72.4 / 102.4 under 24g on the same box, and was the true source of
+  // the "in-sweep 2-3x over solo-warm" inflation r14/r15 chased as a
+  // streaming-scaffold constant. Production executors size their own
+  // heaps; this is the single-JVM test harness's.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

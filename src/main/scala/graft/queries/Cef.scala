@@ -972,7 +972,7 @@ object Cef {
       require(keptFinite >= 1 && dropped >= 1,
         s"late schedule must both keep (vs a live watermark) and drop: " +
           s"kept $keptFinite, dropped $dropped of ${moved.length} held-back rows")
-      runEventStream(s, dir, "cef40", "append", late = true) { raw =>
+      runEventStream(s, dir, "cef40", "append", late = true, noDataBatches = true) { raw =>
         raw.withWatermark("ts", s"$WmDelayMs milliseconds")
           .groupBy(col("user_id"), window(col("ts"), "1 day"))
           .agg(count(lit(1)).as("cnt"),
@@ -2143,7 +2143,7 @@ object Cef {
     * (asserted: ≥[[StreamSlices]] non-empty batches per run).
     */
   private def runEventStream(s: SparkSession, dir: String, tag: String, mode: String,
-      late: Boolean = false)(
+      late: Boolean = false, noDataBatches: Boolean = false)(
       transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = java.nio.file.Paths.get(s"$dir/events.parquet")
@@ -2166,6 +2166,8 @@ object Cef {
     // session-global memory-sink namespace (srcDir is cache-owned)
     val spKey = "spark.sql.shuffle.partitions"
     val spPrev = s.conf.getOption(spKey)
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = s.conf.getOption(ndKey)
     try {
       // scope the state-partition count to the gate: each micro-batch
       // commits one state store PER shuffle partition (FOUR per
@@ -2178,6 +2180,16 @@ object Cef {
       // family, ScaffoldCostMain grid). Production sizing belongs to
       // the caller, not this scaffold.
       s.conf.set(spKey, "4")
+      // the trailing no-data micro-batch exists to advance the watermark
+      // once more and flush/evict; its output matters ONLY to the
+      // append-mode watermarked aggregation gate (cef40 — the final
+      // window is emitted by exactly that batch, and its oracle models
+      // it). Every other gate emits in-batch (flatMapGroupsWithState
+      // NoTimeout, dropDuplicates, stream-stream INNER join) or re-emits
+      // everything per batch (complete mode), so the extra batch is a
+      // pure fixed cost — one more full commit round (~0.2 s/query,
+      // ScaffoldCostMain r16 grid) times the 20+ gate family per sweep
+      s.conf.set(ndKey, noDataBatches.toString)
       val raw = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       val q = transform(raw)
@@ -2197,6 +2209,10 @@ object Cef {
       spPrev match {
         case Some(v) => s.conf.set(spKey, v)
         case None    => s.conf.unset(spKey)
+      }
+      ndPrev match {
+        case Some(v) => s.conf.set(ndKey, v)
+        case None    => s.conf.unset(ndKey)
       }
       try s.catalog.dropTempView(sinkName) catch { case _: Exception => }
       rmTree(ckptDir)

@@ -508,11 +508,17 @@ object Pipeline {
     val sinkName = s"${tag}_sink_${docStreamRuns.incrementAndGet()}"
     val spKey = "spark.sql.shuffle.partitions"
     val spPrev = s.conf.getOption(spKey)
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = s.conf.getOption(ndKey)
     try {
       // 4 state partitions: same rationale (and the same measured
       // ~0.3 s/query constant) as the event-stream scaffold's setting
       // in Cef.runEventStream — distributed shape at minimum plumbing
       s.conf.set(spKey, "4")
+      // no doc-stream gate uses watermarks or timeouts: every one emits
+      // in-batch, so the trailing no-data micro-batch is a pure fixed
+      // commit-round cost (same rationale as Cef.runEventStream)
+      s.conf.set(ndKey, "false")
       val raw = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       val q = transform(raw)
@@ -532,6 +538,10 @@ object Pipeline {
       spPrev match {
         case Some(v) => s.conf.set(spKey, v)
         case None    => s.conf.unset(spKey)
+      }
+      ndPrev match {
+        case Some(v) => s.conf.set(ndKey, v)
+        case None    => s.conf.unset(ndKey)
       }
       try s.catalog.dropTempView(sinkName) catch { case _: Exception => }
       rmTree(ckptDir)

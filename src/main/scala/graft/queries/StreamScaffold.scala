@@ -48,6 +48,28 @@ private[graft] object StreamScaffold {
   /** Name of the owner-PID marker written into every scaffold dir. */
   val OwnerMarker = ".graft-owner.pid"
 
+  /** Where scaffold dirs live, in preference order. All scaffold state
+    * is EPHEMERAL by contract — re-derivable slice rewrites and per-run
+    * checkpoints this janitor deletes at session end — so it belongs on
+    * RAM-backed tmpfs when one exists: the per-query streaming constant
+    * is dominated by fixed-cost checkpoint I/O (offset/commit WAL,
+    * state-store deltas — ~0.3 s/query of fsync-bound metadata writes
+    * when java.io.tmpdir is disk-backed, ScaffoldCostMain r16 grid),
+    * none of which needs durability here. Production checkpoints belong
+    * on durable shared storage and never go through this scaffold —
+    * this is the TEST harness's state, sized in MBs.
+    *
+    * [[sweepStale]] scans EVERY base (not just the preferred one), so a
+    * JVM upgraded to the tmpfs base still reaps dirs a dead pre-upgrade
+    * sibling left on the disk-backed one.
+    */
+  private[graft] val bases: Seq[Path] = {
+    val shm = Paths.get("/dev/shm")
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+    (if (Files.isDirectory(shm) && Files.isWritable(shm)) Seq(shm, tmp)
+     else Seq(tmp)).distinct
+  }
+
   private val tracked = ConcurrentHashMap.newKeySet[Path]()
   private val invalidators = new java.util.concurrent.CopyOnWriteArrayList[Runnable]()
   private val jvmHooked = new AtomicBoolean(false)
@@ -63,7 +85,7 @@ private[graft] object StreamScaffold {
   def newScaffoldDir(prefix: String): Path = {
     require(Prefixes.exists(prefix.startsWith),
       s"scaffold prefix '$prefix' not in StreamScaffold.Prefixes — sweepStale could not see it")
-    val dir = Files.createTempDirectory(prefix)
+    val dir = Files.createTempDirectory(bases.head, prefix)
     writeOwnerMarker(dir)
     dir
   }
@@ -131,20 +153,20 @@ private[graft] object StreamScaffold {
     * Returns the number of dirs removed.
     */
   def sweepStale(): Int = {
-    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
-    if (!Files.isDirectory(tmp)) return 0
     import scala.jdk.CollectionConverters._
-    val stale = Files.list(tmp).iterator().asScala.filter { p =>
-      val n = p.getFileName.toString
-      Prefixes.exists(n.startsWith) && Files.isDirectory(p) &&
-        !tracked.contains(p) &&
-        (ownerAlive(p) match {
-          case Some(alive) => !alive
-          case None =>
-            try Files.getLastModifiedTime(p).toMillis < jvmStartMs
-            catch { case _: Exception => false }
-        })
-    }.toList
+    val stale = bases.filter(Files.isDirectory(_)).flatMap { base =>
+      Files.list(base).iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Prefixes.exists(n.startsWith) && Files.isDirectory(p) &&
+          !tracked.contains(p) &&
+          (ownerAlive(p) match {
+            case Some(alive) => !alive
+            case None =>
+              try Files.getLastModifiedTime(p).toMillis < jvmStartMs
+              catch { case _: Exception => false }
+          })
+      }.toList
+    }
     stale.foreach(p => try rmTree(p) catch { case _: Exception => })
     stale.size
   }

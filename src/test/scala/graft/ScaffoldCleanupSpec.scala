@@ -30,10 +30,12 @@ class ScaffoldCleanupSpec extends AnyFlatSpec with Matchers {
     .getOrCreate()
 
   private def scaffoldDirs(): Set[Path] = {
-    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
     import scala.jdk.CollectionConverters._
-    Files.list(tmp).iterator().asScala.filter { p =>
-      StreamScaffold.Prefixes.exists(p.getFileName.toString.startsWith)
+    // all janitor bases (tmpfs-preferred since r16), not just java.io.tmpdir
+    StreamScaffold.bases.filter(Files.isDirectory(_)).flatMap { base =>
+      Files.list(base).iterator().asScala.filter { p =>
+        StreamScaffold.Prefixes.exists(p.getFileName.toString.startsWith)
+      }.toSeq
     }.toSet
   }
 
