@@ -95,6 +95,9 @@ object Bench {
       // — after the timestamp, so eviction cost isn't charged to the
       // closing consumer's number
       graft.ops.Release.queryFinished(spark, name)
+      // stderr progress (never the JSON contract): lets a stalled sweep
+      // be aligned with external monitors without rerunning
+      System.err.println(f"[bench] $name%-28s $elapsed%7.2f s")
       name -> elapsed
     }
     val calibEnd = calibProbe()
