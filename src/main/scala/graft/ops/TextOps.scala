@@ -354,9 +354,25 @@ object TextOps {
   def bpeMerges(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String,
-      numMerges: Int): org.apache.spark.sql.DataFrame = {
+      numMerges: Int,
+      localVocabMax: Long = BpeLocalVocabMaxDefault): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     var words = bpeWordStates(docs, textCol).localCheckpoint(true)
+    // r16 §1.2/§5: the merge loop's per-round work is VOCABULARY-bounded,
+    // so when the vocabulary fits a counted driver budget (same bounded
+    // pattern as neardupGroups' localMaxEdges), the loop runs driver-local
+    // — 2 jobs per merge step (tiny-table shuffle + argmax collect +
+    // localCheckpoint each) collapse to zero. Byte-identical by
+    // construction: the local round uses the same pair counts, the same
+    // (cnt DESC, lhs, rhs) UTF-8 tie-break and the same literal replace
+    // (BpeLocalSpec pins local ≡ distributed on real corpora).
+    bpeCollectLocal(words, localVocabMax) match {
+      case Some(arr) =>
+        import spark.implicits._
+        return bpeMergesLocal(arr, numMerges, 1, 1)._1
+          .toDF("step", "lhs", "rhs", "merged", "cnt")
+      case None => ()
+    }
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (step <- 1 to numMerges) {
       val best = bpeBestPair(words).collect()
@@ -464,11 +480,23 @@ object TextOps {
       textCol: String,
       numMerges: Int,
       initTarget: Int,
-      capTarget: Int): (org.apache.spark.sql.DataFrame, Int) = {
+      capTarget: Int,
+      localVocabMax: Long = BpeLocalVocabMaxDefault): (org.apache.spark.sql.DataFrame, Int) = {
     require(initTarget >= 1 && capTarget >= initTarget,
       s"need 1 <= initTarget <= capTarget, got $initTarget/$capTarget")
     val spark = docs.sparkSession
     var words = bpeWordStates(docs, textCol).localCheckpoint(true)
+    import spark.implicits._
+    // r16: same driver-local gate as bpeMerges — the ROUND structure
+    // (adaptive target included) is shared with the distributed loop via
+    // bpeAcceptBatch/bpeMergesLocal, so round counts and batch contents
+    // are identical, only the pair-count jobs disappear.
+    bpeCollectLocal(words, localVocabMax) match {
+      case Some(arr) =>
+        val (m, rounds) = bpeMergesLocal(arr, numMerges, initTarget, capTarget)
+        return (m.toDF("step", "lhs", "rhs", "merged", "cnt"), rounds)
+      case None => ()
+    }
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -480,48 +508,11 @@ object TextOps {
       val top = bpePairCounts(words)
         .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
         .limit(fetch).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toIndexedSeq
       if (top.isEmpty) exhausted = true
       else {
         val budget = math.min(target, numMerges - step + 1)
-        val used = scala.collection.mutable.Set.empty[String]
-        val accepted = Seq.newBuilder[(String, String, Long)]
-        var nAcc = 0
-        // The strict-dominance bound for rule 2 is the max cnt among
-        // rows the accepted merges can still INTERACT with in the
-        // sequential replay: (a) rows sharing a symbol with an accepted
-        // pair (their counts only decrease under the batch's merges,
-        // and every pair a merge CREATES is count-bounded by such an
-        // overlapping row), and (b) the unfetched horizon when the
-        // fetched list is full (an unseen row may overlap). A row that
-        // is symbol-DISJOINT from the whole batch but skipped — budget
-        // cut, or sorted below a conflict — does NOT enter the bound:
-        // its count is unchanged by the batch and it sorts at/after the
-        // accepted rows it ties, so it can never outrank them
-        // mid-sequence. (The earlier form bounded by the first rejected
-        // row regardless of reason, which truncated batches at every
-        // count tie against a disjoint runner-up.)
-        var bound = Long.MinValue
-        var conflicted = false
-        for (row <- top if !conflicted) {
-          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
-          val syms = Seq(l, r, l + r)
-          if (syms.exists(used)) {
-            // first overlap: it has the max cnt of all overlapping rows
-            // (sorted desc), and no later row can clear a bound this
-            // high — acceptance is over
-            bound = c; conflicted = true
-          } else if (nAcc < budget) {
-            used ++= syms; accepted += ((l, r, c)); nAcc += 1
-          }
-          // else: disjoint row beyond budget — no bound contribution,
-          // keep scanning in case a LATER row overlaps the accepted set
-        }
-        if (top.length == fetch)
-          bound = math.max(bound, top.last.getLong(2))
-        val acc = accepted.result()
-        // the head is exempt from strictness: it is the verbatim global
-        // argmax and no created pair exists before the first merge
-        val batch = acc.take(1) ++ acc.drop(1).takeWhile(_._3 > bound)
+        val batch = bpeAcceptBatch(top, fetch, budget)
         for ((l, r, c) <- batch) {
           merges += ((step.toLong, l, r, l + r, c)); step += 1
         }
@@ -538,8 +529,201 @@ object TextOps {
       }
     }
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
-    import spark.implicits._
     (merges.result().toDF("step", "lhs", "rhs", "merged", "cnt"), rounds)
+  }
+
+  /** Batch acceptance under the two rules above (symbol-disjointness +
+    * strict dominance) over one round's fetched top slice — factored out
+    * so the distributed loop and the driver-local fast path run ONE copy
+    * of the proof-carrying logic.
+    *
+    * The strict-dominance bound for rule 2 is the max cnt among rows the
+    * accepted merges can still INTERACT with in the sequential replay:
+    * (a) rows sharing a symbol with an accepted pair (their counts only
+    * decrease under the batch's merges, and every pair a merge CREATES
+    * is count-bounded by such an overlapping row), and (b) the unfetched
+    * horizon when the fetched list is full (an unseen row may overlap).
+    * A row that is symbol-DISJOINT from the whole batch but skipped —
+    * budget cut, or sorted below a conflict — does NOT enter the bound:
+    * its count is unchanged by the batch and it sorts at/after the
+    * accepted rows it ties, so it can never outrank them mid-sequence.
+    * The batch HEAD is exempt from strictness entirely — it is the
+    * verbatim global argmax and nothing has been created before the
+    * first merge.
+    */
+  private[graft] def bpeAcceptBatch(
+      top: IndexedSeq[(String, String, Long)],
+      fetch: Int,
+      budget: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val accepted = Seq.newBuilder[(String, String, Long)]
+    var nAcc = 0
+    var bound = Long.MinValue
+    var conflicted = false
+    for ((l, r, c) <- top if !conflicted) {
+      val syms = Seq(l, r, l + r)
+      if (syms.exists(used)) {
+        // first overlap: it has the max cnt of all overlapping rows
+        // (sorted desc), and no later row can clear a bound this high —
+        // acceptance is over
+        bound = c; conflicted = true
+      } else if (nAcc < budget) {
+        used ++= syms; accepted += ((l, r, c)); nAcc += 1
+      }
+      // else: disjoint row beyond budget — no bound contribution, keep
+      // scanning in case a LATER row overlaps the accepted set
+    }
+    if (top.length == fetch)
+      bound = math.max(bound, top.last._3)
+    val acc = accepted.result()
+    acc.take(1) ++ acc.drop(1).takeWhile(_._3 > bound)
+  }
+
+  /** Driver budget for the BPE local fast path: vocabularies at or under
+    * this many distinct words run the merge loop on the driver
+    * (bounded, counted — the neardupGroups localMaxEdges pattern). At
+    * ~80 bytes per (state, freq) entry the default is ≤ ~40 MB of
+    * driver heap; a 100 TB corpus whose vocabulary exceeds it falls
+    * back to the distributed loop with identical output.
+    */
+  private[graft] val BpeLocalVocabMaxDefault = 500000L
+
+  /** Counted-bound collect of the (state, freq) vocabulary for the local
+    * fast path; releases the checkpoint it was handed on success. The
+    * count is one cheap job over the already-checkpointed
+    * vocabulary-sized table.
+    */
+  private def bpeCollectLocal(
+      words: org.apache.spark.sql.DataFrame,
+      localVocabMax: Long): Option[Array[(String, Long)]] =
+    if (localVocabMax > 0 && words.count() <= localVocabMax) {
+      val arr = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
+      Some(arr)
+    } else None
+
+  /** The driver-local merge loop — the exact round/acceptance structure
+    * of [[bpeMergesBatchedCore]] over an in-memory vocabulary. Per
+    * round: pair counts (same sums as [[bpePairCounts]]), top slice
+    * under the same (cnt DESC, lhs, rhs) order with UTF-8 binary string
+    * comparison (Spark's sort order — NOT java.lang.String's UTF-16
+    * order, which disagrees on supplementary characters), acceptance via
+    * [[bpeAcceptBatch]], application via java.lang.String.replace (the
+    * same leftmost non-overlapping literal replacement as Spark's
+    * `replace`). Returns (merge rows, rounds).
+    */
+  private[graft] def bpeMergesLocal(
+      words0: Array[(String, Long)],
+      numMerges: Int,
+      initTarget: Int,
+      capTarget: Int): (Seq[(Long, String, String, String, Long)], Int) = {
+    var words = words0
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    var target = initTarget
+    var rounds = 0
+    while (step <= numMerges && !exhausted) {
+      rounds += 1
+      val fetch = 4 * target + 1
+      val top = bpeLocalPairTop(words, fetch)
+      if (top.isEmpty) exhausted = true
+      else {
+        val budget = math.min(target, numMerges - step + 1)
+        val batch = bpeAcceptBatch(top, fetch, budget)
+        for ((l, r, c) <- batch) {
+          merges += ((step.toLong, l, r, l + r, c)); step += 1
+        }
+        if (initTarget != capTarget)
+          target = math.max(1, math.min(capTarget,
+            if (batch.length == budget) 2 * budget else 2 * batch.length))
+        // chained literal replaces, one merge at a time — the same fold
+        // as bpeApplyMerges (order irrelevant: the batch is
+        // symbol-disjoint, but mirroring the fold keeps the equivalence
+        // argument trivial)
+        val pats = batch.map { case (l, r, _) =>
+          ("|" + l + "||" + r + "|", "|" + l + r + "|") }
+        words = words.map { case (s, f) =>
+          (pats.foldLeft(s) { case (st, (p, q)) => st.replace(p, q) }, f)
+        }
+      }
+    }
+    (merges.result(), rounds)
+  }
+
+  /** One round's pair-count top slice on the driver: tokenizes each
+    * state exactly as [[bpePairCounts]] (trim '|' ends, split on the
+    * literal `||`), sums freq per adjacent pair, and selects the top
+    * `fetch` rows under (cnt DESC, lhs, rhs) with UTF-8 binary string
+    * order via a bounded heap — O(pairs · log fetch), never a full sort.
+    */
+  private def bpeLocalPairTop(
+      words: Array[(String, Long)], fetch: Int): IndexedSeq[(String, String, Long)] = {
+    val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+    for ((state, freq) <- words) {
+      val toks = bpeStateToks(state)
+      var i = 0
+      while (i < toks.length - 1) {
+        val k = (toks(i), toks(i + 1))
+        val prev = counts.get(k)
+        counts.put(k, if (prev == null) freq else prev.longValue() + freq)
+        i += 1
+      }
+    }
+    // (cnt DESC, lhs ASC, rhs ASC): "a before b" = higher cnt, then
+    // UTF-8-smaller lhs, then UTF-8-smaller rhs
+    def before(a: (String, String, Long), b: (String, String, Long)): Boolean = {
+      if (a._3 != b._3) return a._3 > b._3
+      val cl = utf8Compare(a._1, b._1)
+      if (cl != 0) return cl < 0
+      utf8Compare(a._2, b._2) < 0
+    }
+    // max-heap on "later in the order" so the root is the WORST kept row
+    val heap = new java.util.PriorityQueue[(String, String, Long)](
+      math.max(fetch, 1),
+      (a: (String, String, Long), b: (String, String, Long)) =>
+        if (before(a, b)) 1 else if (before(b, a)) -1 else 0)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val row = (e.getKey._1, e.getKey._2, e.getValue.longValue())
+      if (heap.size() < fetch) heap.add(row)
+      else if (before(row, heap.peek())) { heap.poll(); heap.add(row) }
+    }
+    val out = Array.ofDim[(String, String, Long)](heap.size())
+    var j = heap.size() - 1
+    while (j >= 0) { out(j) = heap.poll(); j -= 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** State → token array, exactly Spark's
+    * `split(trim(state, "|"), "\\|\\|")`: strip all leading/trailing
+    * '|' characters, then regex-split with limit -1 (trailing empties
+    * kept — Spark's split semantics).
+    */
+  private def bpeStateToks(state: String): Array[String] = {
+    var b = 0; var e = state.length
+    while (b < e && state.charAt(b) == '|') b += 1
+    while (e > b && state.charAt(e - 1) == '|') e -= 1
+    state.substring(b, e).split("\\|\\|", -1)
+  }
+
+  /** UTF-8 binary string comparison — Spark's UTF8String sort order.
+    * java.lang.String.compareTo (UTF-16 code units) disagrees with it
+    * for supplementary characters vs U+E000..U+FFFF, so the local
+    * tie-break must compare encoded bytes.
+    */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    ab.length - bb.length
   }
 
   /** The single corpus-scale pass of [[bpeMerges]]: word frequencies,
