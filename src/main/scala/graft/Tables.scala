@@ -13,15 +13,61 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
     val raw =
       if (name == "events") {
         // events.ts encoding varies by driver generation — normalize it
         // (see normalizeTs). nanosAsLong must be set BEFORE the read so
         // a TIMESTAMP(NANOS) table is legal for the vectorized reader.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        normalizeTs(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
-      } else spark.read.parquet(s"$sfDir/$name.parquet")
+        normalizeTs(spark, spark.read.parquet(path))
+      } else spark.read.parquet(path)
     raw
+  }
+
+  /** [[apply]] plus [[fanOutSmallScan]] — an OPT-IN for queries whose
+    * dominant cost is per-row map work on the scanned table (vector
+    * math, per-document fingerprint scans). A full-bench A/B of the
+    * blanket form (r16) measured the fan-out exchange as a net LOSS on
+    * join-heavy queries (extra stage + round-robin sort + AQE losing
+    * the tiny-side broadcast estimate: q02 0.73→1.40 s, p06 2.65→3.85,
+    * min-of-2 totals 178→221 s) while map-bound queries gained 2–4×
+    * (p54 1.37→0.35, p27 2.03→1.37) — so the fan-out is applied per
+    * query, never at the shared loader.
+    */
+  def wide(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    fanOutSmallScan(spark, apply(spark, sfDir, name), s"$sfDir/$name.parquet")
+
+  /** Conf key for [[fanOutSmallScan]]'s per-task byte floor; 0 disables
+    * the fan-out entirely.
+    */
+  val SmallScanBytesPerTaskKey = "spark.graft.scan.smallBytesPerTask"
+
+  /** Floor on scan parallelism for SMALL tables (r16; guide §2.5/§6
+    * "input skew — one huge unsplittable file"): the test tables are
+    * single-row-group parquet files, so a scan is a ONE-task stage and
+    * every map-side operator before the first exchange — tokenize,
+    * n-gram arrays, hash lanes, predicate evaluation — runs on one core
+    * regardless of cluster size. When the on-disk footprint is under
+    * (defaultParallelism × bytesPerTask), fan the read out to
+    * defaultParallelism partitions: a 1–10 MB round-robin shuffle buys
+    * cores× parallelism for all downstream map work. At production
+    * scale a table this small is broadcast-side anyway and big tables
+    * produce ≥ cores splits on their own, so the fan-out never fires —
+    * the threshold scales with the session's core count, not with a
+    * constant tuned to this box. Disable with
+    * `spark.graft.scan.smallBytesPerTask=0`.
+    */
+  private def fanOutSmallScan(
+      spark: SparkSession, raw: DataFrame, path: String): DataFrame = {
+    val perTask = spark.conf.getOption(SmallScanBytesPerTaskKey)
+      .map(_.toLong).getOrElse(4L << 20)
+    if (perTask <= 0) return raw
+    val cores = spark.sparkContext.defaultParallelism
+    val bytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+      catch { case _: Exception => Long.MaxValue } // non-local path: leave the scan alone
+    if (bytes < perTask * cores) raw.repartition(cores) else raw
   }
 
   /** Normalize the events `ts` column to TimestampType (epoch micros)

@@ -18,6 +18,13 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** [[t]] with the small-scan fan-out (Tables.wide) — OPT-IN for the
+    * few queries whose cost is per-row map work on a single-split scan
+    * (see Tables.wide for the A/B that ruled out the blanket form).
+    */
+  private def tw(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.wide(s, dir, name)
+
   /** Shared BPE merge table (p42/p45/p49/p78 learn the IDENTICAL
     * [[BpeSteps]]-step merges — four copies of the same iterative
     * distributed learning per sweep; p48's ADAPTIVE path deliberately
@@ -1460,7 +1467,10 @@ object Pipeline {
          |       CAST(dup.nd AS BIGINT) AS nd
          |FROM hw JOIN dup USING (h) ORDER BY doc_id, pos""".stripMargin
     }) { (s, dir) =>
-      DedupOps.dupSpans(t(s, dir, "documents"), "doc_id", "text", width = 16)
+      // tw: the span-hash emission (len-15 hashes/doc, each a 16-token
+      // rehash) dominates and is map-only — fan the one-split scan out
+      // (r16 A/B: 2.03 → 1.37 s)
+      DedupOps.dupSpans(tw(s, dir, "documents"), "doc_id", "text", width = 16)
         .orderBy(col("doc_id"), col("pos"))
     },
 
@@ -2088,7 +2098,9 @@ object Pipeline {
          |SELECT query_id, neighbor_id, adc, rnk FROM rk WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin
     }) { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      // tw: per-vector subspace distance tables dominate (m × ks l2
+      // evaluations per row) — fan the one-split scan out (r16 A/B)
+      val e = tw(s, dir, "embeddings")
       SimilarityOps.pqTopK(e, e.filter(col("vec_id") < 20), k = 5)
         .orderBy(col("query_id"), col("rnk"))
     },
@@ -2867,7 +2879,9 @@ object Pipeline {
          |FROM (SELECT vec_id, proj, unnest(range($RpDims)) AS j FROM p)
          |ORDER BY vec_id, dim""".stripMargin
     }) { (s, dir) =>
-      t(s, dir, "embeddings")
+      // tw: rpProject is RpDims × dims multiply-adds per row, map-only —
+      // fan the one-split scan out (r16 A/B: 1.37 → 0.35 s)
+      tw(s, dir, "embeddings")
         .select(col("vec_id"), posexplode(SimilarityOps.rpProject(col("embedding"), RpDims)))
         .select(col("vec_id"), col("pos").cast("int").as("dim"),
           floor(col("col") * lit(1000000.0) + lit(0.5)).cast("long").as("q_val"))
@@ -3269,8 +3283,10 @@ object Pipeline {
       import s.implicits._
       // persisted: the dim probe, the scale aggregate and the moment
       // pass all read the sampled table — pay the scan + hash filter
-      // once; released the moment the (in-line) collect completes
-      val sample = t(s, dir, "embeddings")
+      // once; released the moment the (in-line) collect completes.
+      // tw: the moment pass emits 2,080 products per vector — fan the
+      // one-split scan out so it parallelizes (r16 A/B)
+      val sample = tw(s, dir, "embeddings")
         .filter(pmod(
           TextOps.polyHash(concat(col("vec_id").cast("string"), lit("#graft-pca-11"))),
           lit(PcaSampleMod.toLong)) === 0)
