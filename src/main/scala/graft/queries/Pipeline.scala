@@ -105,7 +105,7 @@ object Pipeline {
     "p51_split_leakage_safe", "p75_dd_canonical", "p97_dd_source_matrix")
 
   private[graft] val GraphConsumers: Set[String] = Set(
-    "p83_graph_pagerank", "p84_graph_kcore",
+    "p67_sim_cluster_stats", "p83_graph_pagerank", "p84_graph_kcore",
     "p85_graph_walks", "p86_graph_triangles")
 
   private[graft] val WcConsumers: Set[String] = Set(
@@ -390,6 +390,11 @@ object Pipeline {
   }
 
   private def nearDupPairsUncached(s: SparkSession, dir: String): (DataFrame, Boolean) = {
+    // examined r16: fanning the signature scan out (tw) measured the
+    // cold build 3.2 → 8.4 s — the downstream band self-join and the
+    // two hash join-backs lose their tiny-side broadcasts once the
+    // cached signature table is 32 partitions. The one-task signature
+    // pass is cheaper than what wider inputs cost the joins; left as-is.
     val sigs = t(s, dir, "documents")
       .select(col("doc_id"), sort_array(tokenHashes(col("text"))).as("hashes"))
       .withColumn("bands", bandKeys(minHashSig(col("hashes")), PairBands))
@@ -2308,6 +2313,11 @@ object Pipeline {
          |           FROM prs GROUP BY id_b) m USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val hits = runDocStream(s, dir, "p50") { raw =>
+        // examined r16: fanning the one-task slice scan out before the
+        // stateful shuffle measured addBatch 0.7-1.0 → 1.1-1.4 s — the
+        // per-batch cost is the 27k (band, key) state-store updates,
+        // not the signature map work, so the extra exchange only adds a
+        // stage. Left as-is.
         DedupOps.streamingNearDup(raw, "doc_id", "text").toDF()
       }
       val res = hits.groupBy(col("doc_id"))
@@ -3128,17 +3138,13 @@ object Pipeline {
          |       CAST(ec.n_edges AS BIGINT) AS n_edges
          |FROM mem m JOIN ec USING (grp) ORDER BY group_id""".stripMargin
     }) { (s, dir) =>
-      // the LSH edge list feeds the mutual join, the vertex set, the
-      // union-find probes AND the edge-count join; idle-release keeps
-      // it warm through the CC rounds' intermediate actions
-      val edges = graft.ops.Release.afterIdle(
-        SimilarityOps.lshTopKSalted(t(s, dir, "embeddings"), KnnK)
-          .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id")), 64)
-      val rev = edges.select(col("vec_id").as("r_vec"), col("nn_id").as("r_nn"))
-      val mut = edges
-        .join(rev, col("r_vec") === col("nn_id") && col("r_nn") === col("vec_id"))
-        .filter(col("vec_id") < col("nn_id"))
-        .select(col("vec_id").as("a"), col("nn_id").as("b"))
+      // r16: p67's edge build was the SAME lshTopKSalted + mutual-join
+      // chain mutualEdges memoizes for p83–p86 — one more registered
+      // consumer shares the one build per sweep instead of repeating
+      // the dominant LSH cost. sym = mut ∪ reverse(mut), so filtering
+      // a < b recovers exactly the one-direction mutual pair list the
+      // query used before (oracle unchanged).
+      val mut = mutualEdges(s, dir).filter(col("a") < col("b"))
       val verts = mut.select(col("a").as("v")).union(mut.select(col("b"))).distinct()
       val lbl = DedupOps.neardupGroups(verts, "v", mut, "a", "b")
       val mem = lbl.groupBy(col("group_id")).agg(count(lit(1)).as("n_members"))
