@@ -3686,7 +3686,10 @@ object Pipeline {
       val toksC = tokens(col("text"))
       def rq(cnt: Column, denom: Column) =
         floor(cnt * lit(1000000.0) / denom + lit(0.5)).cast("long")
-      val m = t(s, dir, "documents").select(
+      // tw: the stage gate is one giant per-doc projection (token stats,
+      // bigram/trigram arrays, array_distinct) feeding a single tiny
+      // aggregation — textbook map-bound single-split work (r16)
+      val m = tw(s, dir, "documents").select(
         Seq(
           col("source"), col("lang"), col("n_chars"),
           size(toksC).as("n_words"),
