@@ -435,9 +435,13 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     val plan = planOf("p54_embed_rp")
     plan should not include "Join"
     plan should not include "HashAggregate"
-    // the projection fold happens inside the scan stage; the single
-    // Exchange is the registered query's output ORDER BY
-    "Exchange".r.findAllIn(plan).size should be <= 1
+    // two exchanges by design (r16): the Tables.wide scan fan-out
+    // (RoundRobin — the projection fold is the query's whole cost and
+    // must not run on the single-split scan task) and the registered
+    // query's output ORDER BY. Anything further means a join or
+    // aggregate crept in.
+    "Exchange".r.findAllIn(plan).size should be <= 2
+    plan should include ("RoundRobinPartitioning")
   }
 
   "p56_dd_substr_scrub" should "share one persisted fingerprint table; argmin by aggregation, all joins equi" in {
