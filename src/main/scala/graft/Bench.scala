@@ -63,7 +63,7 @@ object Bench {
     // reference recorded in SCALE.md. Data-independent (spark.range),
     // seed-free, and sized (~0.5 s quiet) to resolve the 1.5-2x
     // contention swings the r14/r15 artifacts suffered.
-    def calibProbe(): Double = {
+    def calibProbeOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(10000000L)
         .selectExpr("id % 1000 AS k", "id AS v")
@@ -71,7 +71,12 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("s")).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    calibProbe() // its own codegen/JIT warm-up is not a box signal
+    // min of 3: a single probe sample lands inside this box's multi-second
+    // stall windows often enough to read as calibration drift (r16
+    // baseline, CalibDiag) — the MIN is the box's attainable speed at
+    // that moment, which is what per-query normalization needs
+    def calibProbe(): Double = (1 to 3).map(_ => calibProbeOnce()).min
+    calibProbeOnce() // its own codegen/JIT warm-up is not a box signal
     val calibStart = calibProbe()
     // sweep boundary for the consumer-registered memos: names finished
     // before this point (warm-ups) must not count toward release
