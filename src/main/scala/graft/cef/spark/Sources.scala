@@ -2,7 +2,6 @@ package graft.cef.spark
 
 import graft.cef.CEvent
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -112,6 +111,39 @@ object Sources {
       .csv(path)
       .filter(col("eventType").isNotNull)
 
+  /** Consecutive 1-based arrival ids in `ordering` order WITHOUT a
+    * single-partition Window (r17; guide §2.4/§5 — the old
+    * `row_number() OVER (ORDER BY ...)` was a total-order sort onto ONE
+    * task, a funnel at any real ingest scale). The classic two-pass
+    * zipWithIndex pattern instead: range-shuffle sort (parallel),
+    * per-partition local index via `monotonically_increasing_id` (upper
+    * bits = partition id, lower 33 = record number — evaluated above
+    * the sort, so it numbers rows in sorted order), one tiny counting
+    * pass for the per-partition offsets, and a broadcast join to add
+    * offset + local + 1. Ids are identical to the Window form whenever
+    * `ordering` is a total order (ties were arbitrary under the Window
+    * sort too). The sorted input is persisted across the two passes and
+    * released via the idle watcher.
+    */
+  private def orderedIds(df: DataFrame, idName: String, ordering: Column*): DataFrame = {
+    val localMask = (1L << 33) - 1
+    val sorted = graft.ops.Release.afterIdle(
+      df.repartitionByRange(ordering: _*)
+        .sortWithinPartitions(ordering: _*)
+        .withColumn("__mono", monotonically_increasing_id()), 16)
+    val cnts = sorted.groupBy(shiftright(col("__mono"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offRows = cnts.map { case (pid, n) => val o = acc; acc += n; (pid, o) }.toSeq
+    val offDf = df.sparkSession.createDataFrame(offRows).toDF("__pid", "__off")
+    sorted.withColumn("__pid", shiftright(col("__mono"), 33))
+      .join(broadcast(offDf), "__pid")
+      .withColumn(idName,
+        col("__off") + col("__mono").bitwiseAND(lit(localMask)) + lit(1L))
+      .drop("__pid", "__off", "__mono")
+  }
+
   /** Key=value token projection for the `TYPE(id=1, k=v, ...)` CSV domains
     * (stock/homes/taxi): token i is `key=value`, last token carries a
     * trailing `)`.
@@ -204,10 +236,9 @@ object Sources {
       case Some(f) => df.withColumn("__id", col(f).cast("long"))
       case None =>
         // arrival-order counter like the reference's per-source counter;
-        // batch determinism via (ts, partition) ordering
-        df.withColumn("__id",
-          row_number().over(
-            Window.orderBy(col(tsField), col(partitionField))).cast("long"))
+        // batch determinism via (ts, partition) ordering — assigned by
+        // the parallel two-pass pattern, not a global Window (orderedIds)
+        orderedIds(df, "__id", col(tsField), col(partitionField))
     }
     Detect.toEvents(withId, "__id", typeField, tsField, partitionField,
       numAttrs = numFields.filterNot(Set(tsField)), strAttrs = strFields.filterNot(Set(typeField)))
@@ -242,8 +273,7 @@ object Sources {
     val numCols = parsed.schema.fields.collect {
       case f if f.dataType == DoubleType || (f.dataType == LongType && f.name != "timestamp") => f.name
     }.toSeq
-    val withId = parsed.withColumn("__id",
-      row_number().over(Window.orderBy(col("timestamp"), col("mmsi"))).cast("long"))
+    val withId = orderedIds(parsed, "__id", col("timestamp"), col("mmsi"))
     Detect.toEvents(withId, "__id", "eventType", "timestamp", "mmsi", numAttrs = numCols)
   }
 }

