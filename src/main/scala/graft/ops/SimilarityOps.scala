@@ -280,12 +280,28 @@ object SimilarityOps {
       corpus: DataFrame,
       numCentroids: Int = IvfK,
       iters: Int = 5): DataFrame = {
-    var cent = seedCentroids(corpus, numCentroids)
-      .select(col("c_id"), col("c_emb").cast("array<double>").as("c_emb"))
-      .localCheckpoint(true)
+    // r17 (guide §1.2 / the pqTopK codebook discipline): the codebook is
+    // MODEL-sized (K·dim doubles), so it lives on the driver between
+    // rounds — each round is ONE distributed job (assignment argmax +
+    // (cluster, pos) mean, collected) instead of two jobs plus an eager
+    // localCheckpoint and a broadcast rebuilt from executor blocks. The
+    // assignment/mean aggregation chain is UNCHANGED (same crossJoin +
+    // argmax + posexplode avg plan), so the trained values the p47
+    // oracle unrolls are identical; only the per-round array assembly
+    // (sort by pos, empty cells keep their previous centroid) moved to
+    // a driver loop over K·dim rows.
+    val spark = corpus.sparkSession
+    var cent: Array[(Long, Seq[Double])] =
+      seedCentroids(corpus, numCentroids)
+        .select(col("c_id"), col("c_emb").cast("array<double>").as("c_emb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
     val vecs = corpus.select(col("vec_id"), col("embedding"))
+    def centDf(rows: Array[(Long, Seq[Double])]): DataFrame =
+      spark.createDataFrame(rows.toIndexedSeq).toDF("c_id", "c_emb")
     for (_ <- 0 until iters) {
-      val asg = vecs.crossJoin(broadcast(cent))
+      val asg = vecs.crossJoin(broadcast(centDf(cent)))
         .withColumn("cc", cosine(col("embedding"), col("c_emb")))
         .groupBy(col("vec_id"))
         .agg(max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"))
@@ -293,16 +309,14 @@ object SimilarityOps {
       val means = vecs.join(asg, Seq("vec_id"))
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos")).agg(avg(col("v")).as("mv"))
-        .groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
-          s => s.getField("mv")).as("m_emb"))
-      val next = cent.join(means, col("c_id") === col("cluster"), "left")
-        .select(col("c_id"), coalesce(col("m_emb"), col("c_emb")).as("c_emb"))
-        .localCheckpoint(true)
-      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(cent)
-      cent = next
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rows) =>
+          c -> rows.map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1).map(_._2).toSeq
+        }
+      cent = cent.map { case (cId, prev) => (cId, means.getOrElse(cId, prev)) }
     }
-    cent
+    centDf(cent)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -596,11 +596,30 @@ object TextOps {
   private def bpeCollectLocal(
       words: org.apache.spark.sql.DataFrame,
       localVocabMax: Long): Option[Array[(String, Long)]] =
-    if (localVocabMax > 0 && words.count() <= localVocabMax) {
-      val arr = words.collect().map(r => (r.getString(0), r.getLong(1)))
-      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
-      Some(arr)
-    } else None
+    if (localVocabMax <= 0) None
+    else {
+      // gate on BYTES as well as rows (r16 ADVICE, low): state strings
+      // are unbounded (~3× word length), so a row-count-only gate could
+      // collect far more than the documented ~40 MB for a corpus of
+      // very long words. Budget: 40 chars/state average at the default
+      // 500k rows ≈ 20M chars ≈ 40 MB of String heap (2 B/char) — the
+      // same envelope the scaladoc above promises. One job for both
+      // counts (same single cheap pre-pass as before).
+      val g = words.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.col("state"))),
+          org.apache.spark.sql.functions.lit(0L))).head()
+      val (n, chars) = (g.getLong(0), g.getLong(1))
+      if (n <= localVocabMax && chars <= localVocabMax * 40L) {
+        val arr = words.collect().map(r => (r.getString(0), r.getLong(1)))
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(words)
+        Some(arr)
+      } else None
+    }
 
   /** The driver-local merge loop — the exact round/acceptance structure
     * of [[bpeMergesBatchedCore]] over an in-memory vocabulary. Per

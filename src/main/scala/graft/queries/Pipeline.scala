@@ -1370,6 +1370,9 @@ object Pipeline {
       // persisted (both self-join sides read it) and auto-released when
       // the query's action completes.
       val sh = graft.ops.Release.afterFirstUse(
+        // r17 A/B: tw fan-out measured a LOSS here (warm min-of-3 solo
+        // 2.11 vs 1.68 s) — the band self-join loses more from the extra
+        // exchange than the simhash map leg gains. Left on t().
         t(s, dir, "documents")
           .select(col("doc_id"), simHash(tokenHashes(col("text"))).as("sim"))
           .withColumn("bands", array(DedupOps.SimHashBandSplit.map { case (off, w) =>
@@ -1469,6 +1472,8 @@ object Pipeline {
         |       CAST(floor(nll * 10000 + 0.5) AS BIGINT) AS nll_q,
         |       nll < 1.7 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // r17: tw examined — a no-op: bigramNll already
+      // repartition(col(idCol))s off the scan (plans identical on/off)
       bigramNll(t(s, dir, "documents"), "doc_id", "text", threshold = 1.7)
         .orderBy(col("doc_id"))
     },
@@ -2163,6 +2168,9 @@ object Pipeline {
          |       ($u % 1000000) < CAST(floor(exp(lnr_avg) / (exp(lnr_avg) + 1) * 1000000 + 0.5) AS BIGINT) AS accept
          |FROM sc ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
+      // r17: tw examined — a no-op here: dsirSelect already
+      // repartition(col(idCol))s off the scan, and CollapseRepartition
+      // swallows the RoundRobin (plans identical on/off). Left on t().
       TextOps.dsirSelect(t(s, dir, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", seed = "#graft-dsir-3")
         .orderBy(col("doc_id"))
@@ -2691,7 +2699,10 @@ object Pipeline {
       val hits = exact.join(ivf, Seq("query_id", "neighbor_id"))
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
       q.select(col("vec_id").as("query_id"))
-        .join(hits, Seq("query_id"), "left")
+        // r17: hits is bounded by the ≤20-query set at ANY scale — hint
+        // it broadcast (guide §3.1); the estimate-blind plan kept a
+        // SortMergeJoin here in the AQE FINAL plan (plans/r17)
+        .join(broadcast(hits), Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)) * lit(200000L)).as("recall_q"))
@@ -3879,7 +3890,9 @@ object Pipeline {
          |SELECT fp.doc_id, fp.pos, fp.h, CAST(dup.nd AS BIGINT) AS nd
          |FROM fp JOIN dup USING (h) ORDER BY doc_id, pos""".stripMargin
     }) { (s, dir) =>
-      DedupOps.winnow(t(s, dir, "documents"), "doc_id", "text",
+      // r17: scan fan-out — winnow's rolling-hash map leg off the
+      // one-task scan (guide §2.5; warm min-of-3 solo 1.53 → 1.35 s)
+      DedupOps.winnow(tw(s, dir, "documents"), "doc_id", "text",
           gram = WinnowGram, window = WinnowWindow)
         .orderBy(col("doc_id"), col("pos"))
     },
@@ -3907,6 +3920,9 @@ object Pipeline {
          |FROM pd JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin
     }) { (s, dir) =>
+      // r17 A/B: tw neutral here (1.67 vs 1.74 warm) — the doc join-back
+      // side would also pay the exchange; left on t() per the
+      // measured-wins-only discipline.
       val docs = t(s, dir, "documents")
       DedupOps.winnow(docs, "doc_id", "text",
           gram = WinnowGram, window = WinnowWindow, minDocs = 1)
@@ -4849,7 +4865,7 @@ object Pipeline {
          | JOIN dup USING (source) JOIN vg USING (source)
          |ORDER BY source""".stripMargin
     }) { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents") // r17 A/B: tw neutral-to-loss here; left
       // sum_chars rides the helper's histogram (its `sv` column) — no
       // separate corpus scan for it
       val mm = graft.ops.StatsOps.groupedMedianMadOutliers(
@@ -5253,7 +5269,8 @@ object Pipeline {
         .agg(sum(lit(6L) - col("rnk_e")).as("wscore"),
           count(when(col("rnk_e") === col("rnk_i"), 1)).as("n_pos"))
       q.select(col("vec_id").as("query_id"))
-        .join(m, Seq("query_id"), "left")
+        // r17: same bounded-right broadcast hint as p61 (guide §3.1)
+        .join(broadcast(m), Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("wscore"), lit(0L)).as("wscore"),
           coalesce(col("n_pos"), lit(0L)).as("n_pos"),
@@ -5305,6 +5322,7 @@ object Pipeline {
          |FROM k JOIN f2 USING (key)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
+      // r17 A/B: tw fan-out a LOSS (1.31 vs 1.17 warm min-of-3); left.
       DedupOps.cdcChunkDedup(t(s, dir, "documents"), "doc_id", "text",
           n = CdcN, mod = CdcMod, res = CdcRes)
         .orderBy(col("doc_id"))
@@ -6013,7 +6031,9 @@ object Pipeline {
       import sess.implicits._
       val frame = SweepProbes.map(_.toLong).toDF("nprobe")
         .crossJoin(q.select(col("vec_id").as("query_id")))
-      frame.join(rc, Seq("nprobe", "query_id"), "left")
+      // r17: rc ≤ |probes|×|queries| rows at any scale — broadcast
+      // hint (guide §3.1); was the one surviving final-plan SMJ here
+      frame.join(broadcast(rc), Seq("nprobe", "query_id"), "left")
         .groupBy(col("nprobe"))
         .agg(count(lit(1)).as("n_queries"),
           expr("sum(coalesce(hits, 0)) * 200000 div count(1)").as("mean_recall_ppm"),

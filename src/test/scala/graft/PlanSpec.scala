@@ -1061,4 +1061,40 @@ class PlanSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     plan should include("HashAggregate")
     "FileScan parquet".r.findAllIn(plan).size should be <= 3 // 2x lineitem + part
   }
+
+  // ------------- the scan fan-out's PRODUCTION no-op (r16 VERDICT Next #7)
+
+  "Tables.wide" should "leave a size-above-threshold directory-backed read untouched" in {
+    // a multi-part dataset whose DATA size exceeds the per-task floor ×
+    // cores must never gain the RoundRobin fan-out — this is exactly the
+    // scale case, where big tables split on their own. It also pins the
+    // r16 ADVICE directory-size fix: Files.size(dir) returns the inode
+    // size (~bytes), which would have misclassified this table as small.
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-widegate")
+    try {
+      (1 to 20000).map(i => (i.toLong, s"row $i payload #$i")).toDF("id", "s")
+        .repartition(3).write.parquet(dir.resolve("big.parquet").toString)
+      spark.conf.set(Tables.SmallScanBytesPerTaskKey, "1024") // floor: 2 KB on local[2]
+      val plan = Tables.wide(spark, dir.toString, "big")
+        .queryExecution.executedPlan.toString
+      plan should not include "RoundRobinPartitioning"
+    } finally {
+      spark.conf.unset(Tables.SmallScanBytesPerTaskKey)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  it should "reject a malformed per-task-bytes conf with an error naming the key" in {
+    spark.conf.set(Tables.SmallScanBytesPerTaskKey, "banana")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Tables.wide(spark, sfDir, "documents")
+      }
+      e.getMessage should include(Tables.SmallScanBytesPerTaskKey)
+    } finally spark.conf.unset(Tables.SmallScanBytesPerTaskKey)
+  }
 }
