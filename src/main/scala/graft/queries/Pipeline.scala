@@ -395,6 +395,10 @@ object Pipeline {
     // two hash join-backs lose their tiny-side broadcasts once the
     // cached signature table is 32 partitions. The one-task signature
     // pass is cheaper than what wider inputs cost the joins; left as-is.
+    // Re-examined r17: tw + repartition(1) before the persist (parallel
+    // sig pass, downstream joins keep the single-partition cached
+    // shape) measured cold 6.3 → 6.5-7.0 s solo — the build cost is the
+    // self-join chain, not the tokenize+minhash pass; reverted.
     val sigs = t(s, dir, "documents")
       .select(col("doc_id"), sort_array(tokenHashes(col("text"))).as("hashes"))
       .withColumn("bands", bandKeys(minHashSig(col("hashes")), PairBands))
